@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall-clock seconds.
+
+Each query executes to completion via the noop sink (full computation, no
+driver-side result materialization), which is the honest way to time a
+distributed plan. A warmup query amortizes JVM/codegen startup out of the
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from covid_data_challenge_spark.queries import REGISTRY  # noqa: E402
+from covid_data_challenge_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_customer_snapshot",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "latest_per_key",
+    "trend_metrics",
+    "forward_fill",
+    "lag_diff",
+    "median_by_group",
+    "key_membership",
+]
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="covid-data-challenge-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: executor/codegen spin-up on a trivial plan.
+    _execute(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].spark
+        t0 = time.time()
+        _execute(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Temporal alignment operators (SURVEY.md §2.4 A6, A11–A14; §2.5 W3).
+
+The reference aligns a time-series table to snapshot grain by taking the
+latest row per entity (data_merger.py:83-98) and computes trailing-window
+trend metrics with a per-entity Python loop (data_merger.py:136-218).
+Both become single shuffle-stage DataFrame plans here:
+
+- ``latest_per_key``: one window (hash-partition by key, sort within
+  partition) + ``row_number()==1``. Explicit tie-breaks replace the
+  reference's reliance on pre-sorted frame order ("last" aggregation) —
+  order-dependence does not survive a distributed shuffle.
+- ``trend_metrics``: ONE ``groupBy().agg`` with ``min_by``/``max_by``/
+  ``avg``/``count`` — map-side partial aggregation, a single shuffle on the
+  group key, no Python in the loop. At 100 TB this is the shape you want:
+  the window-filter prunes to the trailing N days *before* the shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order_col: str,
+    tie_breakers: Sequence[str] = (),
+    desc: bool = True,
+) -> DataFrame:
+    """Latest (or earliest) full row per key — argmax by ``order_col``.
+
+    Deterministic: ties on ``order_col`` are broken by ``tie_breakers``
+    (same direction), so the result is stable across partitionings and
+    engines — unlike the reference's frame-order "last"
+    (data_merger.py:85-96).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ordering = [F.col(c).desc() if desc else F.col(c).asc() for c in (order_col, *tie_breakers)]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def trailing_window(df: DataFrame, ts_col: str, days: int) -> DataFrame:
+    """Keep rows within ``days`` of the table's max timestamp (W3,
+    data_merger.py:136-142).
+
+    The scalar max is computed as a 1-row aggregate and broadcast-joined
+    (cross join of a single row) — no driver collect, stays lazy, and the
+    resulting predicate can still prune partitions when the source is
+    date-partitioned.
+    """
+    max_ts = df.agg(F.max(ts_col).alias("__max_ts"))
+    return (
+        df.join(F.broadcast(max_ts))
+        .filter(F.col(ts_col) >= F.date_sub(F.col("__max_ts"), days))
+        .drop("__max_ts")
+    )
+
+
+def trend_metrics(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    rate_cols: Sequence[str] = (),
+    window_days: int | None = 30,
+    min_points: int = 2,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key trailing-window trend aggregation (A11–A14).
+
+    Replaces the reference's per-country Python loop (data_merger.py:146-218)
+    with one aggregation pass producing, per key:
+
+    - ``data_points_available`` — row count in window (A10)
+    - per value col: ``first_<c>`` / ``last_<c>`` (min_by/max_by on the
+      timestamp with tie-breaks, NULL→0 like the reference's ``fillna(0)``),
+      ``<c>_change`` and ``<c>_change_percent`` (A13)
+    - per rate col: ``avg_daily_<c>`` (A11)
+
+    Groups with fewer than ``min_points`` rows are dropped (HAVING, A14).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if window_days is not None:
+        df = trailing_window(df, ts_col, window_days)
+
+    # Composite ordering struct gives min_by/max_by a total order even when
+    # timestamps tie (multiple rows per key per day).
+    order_expr = F.struct(*[F.col(c) for c in (ts_col, *tie_breakers)])
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("data_points_available")]
+    for c in value_cols:
+        aggs.append(F.coalesce(F.min_by(F.col(c), order_expr), F.lit(0.0)).alias(f"first_{c}"))
+        aggs.append(F.coalesce(F.max_by(F.col(c), order_expr), F.lit(0.0)).alias(f"last_{c}"))
+    for c in rate_cols:
+        aggs.append(F.round(F.avg(F.col(c)), 2).alias(f"avg_daily_{c}"))
+
+    out = df.groupBy(*keys).agg(*aggs)
+    for c in value_cols:
+        first, last = F.col(f"first_{c}"), F.col(f"last_{c}")
+        out = out.withColumn(f"{c}_change", F.round(last - first, 2)).withColumn(
+            f"{c}_change_percent",
+            F.when(first > 0, F.round((last - first) / first * 100, 2)).otherwise(F.lit(0.0)),
+        )
+    return out.filter(F.col("data_points_available") >= min_points)

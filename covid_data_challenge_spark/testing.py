@@ -1,0 +1,80 @@
+"""Shared helpers for oracle-parity checking (used by tests/ and
+tools/oracle_check.py).
+
+Mirrors the driver's correctness gate: run a Spark query and its DuckDB
+oracle SQL over the same parquet tables, sort columns by name and rows by
+all columns, then compare values. Floats are required to be bit-exact
+after the query's own rounding (anything less could trip an exact
+value-hash on the driver side); a loose-tolerance check runs first so
+failures report whether the difference is semantic or representational.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from covid_data_challenge_spark.sources.readers import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str):
+    """DuckDB connection with the driver's table views pre-registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, unify dtypes, sort rows by all columns."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    """Compare two normalized frames; returns (ok, reason-if-not)."""
+    if list(a.columns) != list(b.columns):
+        return False, f"columns {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            af, bf = av.astype("float64"), bv.astype("float64")
+            both_nan = af.isna() & bf.isna()
+            close = both_nan | ((af - bf).abs() <= (1e-9 + 1e-9 * bf.abs()))
+            if not close.fillna(False).all():
+                bad = (~close.fillna(False)).idxmax()
+                return False, f"col {c} row {bad}: {af[bad]!r} vs {bf[bad]!r}"
+            exact = both_nan | (af == bf)
+            if not exact.fillna(False).all():
+                bad = (~exact.fillna(False)).idxmax()
+                return (
+                    False,
+                    f"col {c} row {bad}: NOT bit-exact {af[bad]!r} vs {bf[bad]!r} "
+                    "(would fail an exact value-hash)",
+                )
+        else:
+            eq = (av.isna() & bv.isna()) | (av == bv)
+            if not eq.fillna(False).all():
+                bad = (~eq.fillna(False)).idxmax()
+                return False, f"col {c} row {bad}: {av[bad]!r} vs {bv[bad]!r}"
+    return True, ""
+
+
+def compare_query(spark, con, fn, sql: str, sf_dir: str) -> tuple[bool, str]:
+    sdf = fn(spark, sf_dir).toPandas()
+    odf = con.execute(sql).fetchdf()
+    return values_match(normalize(sdf), normalize(odf))

@@ -1,0 +1,187 @@
+"""Golden-value operator unit tests on hand-built fixtures — the
+reference's test style (reference tests/test_integration.py:153-509)
+re-applied to the Spark operators."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.scalar import clip_lower, guarded_div, per_100k
+from covid_data_challenge_spark.operators.alignment import (
+    latest_per_key,
+    trailing_window,
+    trend_metrics,
+)
+from covid_data_challenge_spark.operators.cleaning import (
+    filter_regex_out,
+    forward_fill,
+    lag_diff,
+    standardize_keys,
+)
+from covid_data_challenge_spark.operators.joins import key_membership, prefixed
+from covid_data_challenge_spark.operators.profiling import null_profile
+
+D = datetime.date
+
+
+def _history(spark):
+    """Country × date fixture with NULL gaps and a late tie (reference
+    tests/test_integration.py:406-416)."""
+    rows = [
+        ("Afghanistan", D(2024, 1, 1), 100.0, 10.0),
+        ("Afghanistan", D(2024, 1, 2), None, None),
+        ("Afghanistan", D(2024, 1, 3), 120.0, 12.0),
+        ("Albania", D(2024, 1, 1), 50.0, 5.0),
+        ("Albania", D(2024, 1, 3), 60.0, None),
+    ]
+    return spark.createDataFrame(
+        rows, "country string, date date, total_cases double, total_deaths double"
+    )
+
+
+def test_latest_per_key_picks_max_date(spark):
+    out = latest_per_key(_history(spark), "country", "date").collect()
+    by_country = {r["country"]: r for r in out}
+    assert by_country["Afghanistan"]["date"] == D(2024, 1, 3)
+    assert by_country["Afghanistan"]["total_cases"] == 120.0
+    # "latest" keeps the row's NULL (reference pandas 'last' semantics):
+    assert by_country["Albania"]["total_deaths"] is None
+
+
+def test_forward_fill_fills_gaps_only_forward(spark):
+    out = forward_fill(_history(spark), "country", "date", ["total_cases"]).collect()
+    rows = {(r["country"], r["date"]): r["total_cases"] for r in out}
+    assert rows[("Afghanistan", D(2024, 1, 2))] == 100.0  # gap filled
+    assert rows[("Afghanistan", D(2024, 1, 3))] == 120.0  # real value kept
+    assert rows[("Albania", D(2024, 1, 1))] == 50.0
+
+
+def test_lag_diff_clips_and_fills(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", D(2024, 1, 1), 100.0),
+            ("A", D(2024, 1, 2), 150.0),
+            ("A", D(2024, 1, 3), 140.0),  # decline → clipped to 0
+        ],
+        "k string, date date, total double",
+    )
+    out = lag_diff(df, "k", "date", "total", "new").collect()
+    vals = {r["date"]: r["new"] for r in out}
+    assert vals[D(2024, 1, 1)] == 0.0  # first row: NULL diff → 0
+    assert vals[D(2024, 1, 2)] == 50.0
+    assert vals[D(2024, 1, 3)] == 0.0  # negative clipped
+
+
+def test_standardize_keys_maps_and_passes_through(spark):
+    df = spark.createDataFrame([("USA",), ("Bosnia",), ("Afghanistan",)], "country string")
+    out = standardize_keys(
+        df, {"USA": "United States", "Bosnia": "Bosnia and Herzegovina"}, "country"
+    ).collect()
+    got = {r["country"]: r["country_standardized"] for r in out}
+    assert got == {
+        "USA": "United States",
+        "Bosnia": "Bosnia and Herzegovina",
+        "Afghanistan": "Afghanistan",
+    }
+
+
+def test_regex_filter_is_null_safe(spark):
+    df = spark.createDataFrame(
+        [("High income",), ("OECD members",), ("France",), (None,)], "country string"
+    )
+    out = filter_regex_out(df, "country", "income|oecd|union|international")
+    assert {r["country"] for r in out.collect()} == {"France", None}
+
+
+def test_trend_metrics_constant_ramp(spark):
+    """35-day ramp adding 1 case/day: avg_daily == 1.0 within the 30-day
+    window (reference tests/test_integration.py:446-473)."""
+    base = D(2024, 1, 1)
+    rows = [
+        ("A", base + datetime.timedelta(days=i), 1000.0 + i, 1.0) for i in range(35)
+    ]
+    df = spark.createDataFrame(
+        rows, "country string, date date, total_cases double, new_cases double"
+    )
+    out = trend_metrics(
+        df,
+        keys="country",
+        ts_col="date",
+        value_cols=["total_cases"],
+        rate_cols=["new_cases"],
+        window_days=30,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["avg_daily_new_cases"] == 1.0
+    assert r["data_points_available"] == 31  # day-30 cutoff is inclusive
+    assert r["first_total_cases"] == 1004.0
+    assert r["last_total_cases"] == 1034.0
+    assert r["total_cases_change"] == 30.0
+
+
+def test_trailing_window_keeps_boundary(spark):
+    df = spark.createDataFrame(
+        [("A", D(2024, 1, 1)), ("A", D(2024, 1, 15)), ("A", D(2024, 2, 15))],
+        "k string, date date",
+    )
+    kept = {r["date"] for r in trailing_window(df, "date", 31).collect()}
+    assert kept == {D(2024, 1, 15), D(2024, 2, 15)}
+
+
+def test_key_membership_flags(spark):
+    left = spark.createDataFrame([("US",), ("FR",)], "k string")
+    right = spark.createDataFrame([("FR",), ("CN",)], "k string")
+    out = {r["k"]: r for r in key_membership(left, right, "k").collect()}
+    assert out["US"]["in_left"] and not out["US"]["in_right"] and not out["US"]["can_merge"]
+    assert out["FR"]["can_merge"]
+    assert out["CN"]["in_right"] and not out["CN"]["in_left"]
+
+
+def test_null_profile_golden(spark):
+    """20% missing → missing_percentage == 20.0 (reference
+    tests/test_integration.py:203-224)."""
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (4.0,), (None,), (6.0,), (7.0,), (8.0,), (9.0,), (10.0,)],
+        "x double",
+    )
+    row = null_profile(df, ["x"]).collect()[0]
+    assert row["missing_count"] == 2
+    assert row["missing_percentage"] == 20.0
+
+
+def test_scalar_goldens(spark):
+    """Derived-metric arithmetic: per100k=2.5, CFR=5.0, gap%=20.0
+    (reference tests/test_integration.py:226-279,475-509)."""
+    df = spark.createDataFrame(
+        [(1000.0, 50.0, 40_000_000, 1200.0)],
+        "cases double, deaths double, population long, api_cases double",
+    )
+    r = df.select(
+        per_100k(F.col("cases"), F.col("population")).alias("per100k"),
+        guarded_div(F.col("deaths"), F.col("cases"), scale=100.0, digits=3).alias("cfr"),
+        guarded_div(
+            F.col("api_cases") - F.col("cases"), F.col("cases"), scale=100.0, digits=2
+        ).alias("gap_pct"),
+        clip_lower(F.lit(-5.0)).alias("clipped"),
+        clip_lower(F.lit(None).cast("double")).alias("null_kept"),
+    ).collect()[0]
+    assert r["per100k"] == 2.5
+    assert r["cfr"] == 5.0
+    assert r["gap_pct"] == 20.0
+    assert r["clipped"] == 0.0
+    assert r["null_kept"] is None
+
+
+def test_guarded_div_zero_and_null_denominator(spark):
+    df = spark.createDataFrame([(10.0, 0.0), (10.0, None)], "n double, d double")
+    vals = [r["v"] for r in df.select(guarded_div(F.col("n"), F.col("d")).alias("v")).collect()]
+    assert vals == [0.0, 0.0]  # NULL>0 → otherwise-branch, like np.where on NaN
+
+
+def test_prefixed_namespaces_columns(spark):
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    out = prefixed(df, "owid_", exclude=["k"])
+    assert out.columns == ["k", "owid_v"]

@@ -1,0 +1,83 @@
+"""Source reader tests: CSV scan with declared schema, JSON scan with
+nested-struct flatten, epoch-ms timestamps (reference
+tests/test_integration.py:49-147 re-expressed for Spark readers)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from covid_data_challenge_spark.sources.readers import (
+    load_table,
+    read_history_csv,
+    read_snapshot_json,
+)
+
+CSV = """iso_code,location,date,population,total_cases,new_cases,total_deaths,new_deaths,total_tests,new_tests,people_vaccinated,people_fully_vaccinated,total_vaccinations,tests_per_case,positive_rate
+USA,United States,2024-01-01,331000000,1000,10,50,1,,,,,,,
+USA,United States,2024-01-02,331000000,1100,100,55,5,,,,,,,
+OWID_WRL,World,2024-01-01,8000000000,99999,999,9999,99,,,,,,,
+AFG,Afghanistan,2024-01-01,40000000,500,5,25,0,,,,,,,
+"""
+
+SNAPSHOT = [
+    {
+        "country": "USA",
+        "countryInfo": {
+            "_id": 840,
+            "iso2": "US",
+            "iso3": "USA",
+            "lat": 38.0,
+            "long": -97.0,
+            "flag": "https://example.test/us.png",
+        },
+        "cases": 1200,
+        "deaths": 60,
+        "recovered": 1000,
+        "active": 140,
+        "critical": 5,
+        "casesPerOneMillion": 3625.0,
+        "deathsPerOneMillion": 181.0,
+        "tests": 5000,
+        "testsPerOneMillion": 15105.0,
+        "population": 331000000,
+        "todayCases": 10,
+        "todayDeaths": 1,
+        "todayRecovered": 20,
+        "updated": 1640995200000,
+    }
+]
+
+
+def test_history_csv_schema_and_aggregate_filter(spark, tmp_path):
+    p = tmp_path / "owid.csv"
+    p.write_text(CSV)
+    df = read_history_csv(spark, str(p))
+    assert df.schema["date"].dataType.typeName() == "date"
+    assert df.schema["total_cases"].dataType.typeName() == "double"
+    rows = df.collect()
+    # OWID_* aggregate row dropped at scan; location renamed to country
+    assert {r["country"] for r in rows} == {"United States", "Afghanistan"}
+    assert len(rows) == 3
+
+
+def test_snapshot_json_flatten_and_epoch_ms(spark, tmp_path):
+    p = tmp_path / "snapshot.json"
+    p.write_text(json.dumps(SNAPSHOT))
+    df = read_snapshot_json(spark, str(p))
+    r = df.collect()[0]
+    assert r["iso_code"] == "USA"
+    assert r["iso2_code"] == "US"
+    assert r["country_id"] == 840
+    assert r["latitude"] == 38.0
+    assert r["longitude"] == -97.0  # negative coords survive (no clipping)
+    assert r["current_cases"] == 1200
+    assert r["last_updated"] == datetime.datetime(2022, 1, 1, 0, 0)
+
+
+def test_parquet_loader_prunes_columns(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_orderkey" in plan
+    # Projection reaches the scan: only the two columns are read.
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan

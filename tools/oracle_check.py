@@ -1,0 +1,68 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, comparing row count, columns, and
+order-insensitive values (see covid_data_challenge_spark.testing).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from covid_data_challenge_spark.session import get_spark  # noqa: E402
+from covid_data_challenge_spark.testing import (  # noqa: E402
+    duckdb_connection,
+    normalize,
+    values_match,
+)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb_connection(sf_dir)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(sdf)} rows, {spark_s:.1f}s spark) — no oracle")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        match, why = values_match(normalize(sdf), normalize(odf))
+        if match:
+            print(f"PASS  {name} ({len(sdf)} rows, {spark_s:.1f}s spark)")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name}: {why}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
