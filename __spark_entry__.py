@@ -15,7 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from covid_data_challenge_spark.queries import REGISTRY
+import covid_data_challenge_spark.queries  # noqa: F401 — populates REGISTRY
+import covid_data_challenge_spark.queries_ext  # noqa: F401 — populates REGISTRY
+from covid_data_challenge_spark.registry import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:

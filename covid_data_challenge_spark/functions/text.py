@@ -1,0 +1,94 @@
+"""Text-analysis expression library for large-scale document pipelines.
+
+Everything here is built-in-function Column algebra (JVM-side, codegen-
+friendly) — the hot path over a 100 TB document corpus never enters
+Python. Each op is also expressible in ANSI SQL so the DuckDB oracle can
+verify it exactly.
+
+These extend the reference's string surface (SURVEY.md §2.8 — contains/
+lower/regex on country names) to the operations a training-data pipeline
+needs: normalization, fingerprinting, token statistics, language ID,
+quality scoring, shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword inventories for the n-gram/stopword language
+#: heuristic. Deliberately small and word-boundary anchored so the same
+#: regex runs identically under Java regex (Spark) and RE2 (DuckDB).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "para", "con", "una"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    md5 is identical across engines, making exact-dedup oracle-checkable."""
+    return F.md5(normalize_text(col))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def lang_hits(col: Column, lang: str) -> Column:
+    """Number of stopword hits for ``lang`` in the text."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(stopword_pattern(lang)), 0))
+
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """All k-character shingles of the normalized text → array<string>.
+
+    Built from ``sequence`` + ``transform`` (no explode here, so callers
+    choose whether to keep it as a set column or flatten it). Texts
+    shorter than k yield a single whole-text shingle.
+    """
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+
+
+def punct_ratio(col: Column, digits: int | None = None) -> Column:
+    """Share of punctuation characters in the raw text."""
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?]", ""))
+    out = n_punct / F.greatest(F.length(col), F.lit(1))
+    return F.round(out, digits) if digits is not None else out
+
+
+def quality_score(col: Column, digits: int = 4) -> Column:
+    """Composite document quality heuristic in [0, 1]:
+
+    - length component: saturating ``min(n_tokens / 100, 1)``
+    - stopword component: English stopword ratio scaled ×5, capped at 1
+      (natural text has ≥ ~20% stopwords)
+    - punctuation penalty: 1 − min(punct_ratio × 10, 1)
+
+    Score = mean of the three components. Pure arithmetic → identical in
+    Spark and DuckDB.
+    """
+    n_tok = token_count(col)
+    len_c = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_c = F.least(lang_hits(col, "en") / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0))
+    punct_c = F.lit(1.0) - F.least(punct_ratio(col) * 10.0, F.lit(1.0))
+    return F.round((len_c + stop_c + punct_c) / 3.0, digits)

@@ -1,0 +1,31 @@
+"""Vector expression library over ``array<float>`` embedding columns.
+
+Dot products, norms, and cosine similarity as built-in higher-order
+functions (``zip_with`` + ``aggregate``) — JVM-side, no UDF, no Python in
+the loop. Accumulation is an ordered left fold in DOUBLE, which makes the
+result deterministic and engine-comparable (a float32 fold would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Ordered left-fold sum in double precision."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    d, na, nb = dot(a, b), norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))

@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four tiers, in increasing fuzziness — all shuffle-on-key DataFrame plans
+with no Python in the hot path:
+
+- **exact**: md5 fingerprint of normalized text → groupBy. One shuffle on
+  a 32-byte key; at 100 TB this is the cheapest possible dedup.
+- **n-gram Jaccard**: word-shingle inverted index → self-join on shingle →
+  exact pairwise Jaccard for co-shingled pairs only. A document-frequency
+  cap on shingles bounds the join fan-out (hot shingles contribute
+  candidate pairs quadratically; dropping them is the standard guard).
+- **MinHash + LSH**: per-doc signature of P seeded xxhash64 minima, banded
+  into B buckets; only same-bucket docs become candidate pairs. This is
+  the 100 TB-scale near-dup path: cost is O(docs × shingles) + a shuffle
+  on (band, band_hash), never O(docs²).
+- **SimHash**: 64-bit locality-sensitive fingerprint from token hashes;
+  near-dups differ in few bits. One explode + one groupBy.
+
+xxhash64-based ops are Spark-native (not reproducible in ANSI SQL), so
+their registry entries use the driver's rows-only check; correctness is
+pinned by pytest recall tests against the exact Jaccard operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.text import fingerprint, normalize_text, tokens
+
+
+def word_shingle_expr(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text → array<string>.
+
+    Documents with fewer than ``n`` tokens yield an empty array.
+    """
+    w = tokens(text_col)
+    count = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+
+
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) pairs, distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingle_expr(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def exact_dedup_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate statistics in one pass."""
+    fp = docs.select(fingerprint(F.col(text_col)).alias("fp"))
+    per_fp = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return per_fp.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_redundant_docs"),
+    )
+
+
+def dedup_exact_keep_first(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup keeping the lowest id per fingerprint (deterministic
+    survivor selection — ``dropDuplicates`` would keep an arbitrary row)."""
+    fp = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs.
+
+    Inverted-index join: pairs are generated only for docs sharing ≥1
+    shingle, so cost scales with sum(df²) over shingles, not docs².
+    ``max_doc_freq`` drops shingles hotter than the cap before the join.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: minimum of ``xxhash64(seed, shingle)``
+    per seed, computed as ONE groupBy over the exploded shingles (all P
+    minima are fused into a single aggregation pass)."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}") for p in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        F.col("id").alias(id_col),
+        F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Signatures are banded (``bands`` bands × ``num_perm/bands`` rows);
+    docs colliding in any band become candidates; the estimated Jaccard is
+    the fraction of agreeing signature positions. No O(n²) stage exists:
+    the candidate join is on (band_idx, band_hash).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_perm), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    One explode + one fused groupBy computing all bit-balances; the final
+    fingerprint is assembled from the balance signs. Near-duplicate texts
+    land within a small Hamming distance.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    balances = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long") if j < 63 else bit * F.lit(-(1 << 63))
+        fp = term if fp is None else fp + term
+    return balances.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,95 @@
+"""Event-time windowing and sessionization over event streams (batch
+form; streaming variants live in covid_data_challenge_spark.streaming).
+
+The reference has no streaming surface (SURVEY.md §2.9) — these extend
+the engine to the event-analytics shapes the driver's ``events`` table
+exercises. All are single-shuffle plans:
+
+- tumbling/sliding aggregation: ``F.window`` assigns buckets scan-side;
+  the only shuffle is the groupBy on (window, key).
+- sessionization: gaps-and-islands with two window functions over one
+  hash-partition by user — the classic distributed formulation; identical
+  SQL runs on the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time windows: count + value sum per (window, key)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "total_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding (hopping) windows — each event lands in width/slide
+    buckets; Spark materializes the bucket list scan-side, no self-join."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "total_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tie_breakers: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands).
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_minutes``. Output grain: one row per session with
+    start/end/count/value. Deterministic via event-id tie-breaks.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tie_breakers]]
+    w_user = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = gap_minutes * 60
+    is_new = (
+        F.when(
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w_user).cast("double")
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+    )
+    numbered = events.withColumn(
+        "__session_idx",
+        F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        numbered.groupBy(user_col, "__session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn("session_idx", F.col("__session_idx").cast("long"))
+        .drop("__session_idx")
+    )

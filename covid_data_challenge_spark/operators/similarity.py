@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring what a 100 TB training-data pipeline needs:
+
+- **brute-force top-k** (the exactness baseline): broadcast the query set,
+  compute cosine against every corpus vector with JVM-side higher-order
+  functions, rank per query. Cost O(|Q|·|corpus|) — right whenever |Q| is
+  small enough to broadcast, which is the common "dedup these new docs
+  against the corpus" shape.
+- **sign-bit LSH buckets** (the scale path): hash each vector to a
+  b-bit bucket from the signs of ``b`` fixed coordinates; candidate set =
+  same-bucket vectors (optionally ± Hamming-1 neighbors via bit flips).
+  The join is an equi-join on bucket id — no cross product anywhere, so
+  the plan survives a 1000-executor scale-up. Approximate by design →
+  registry entry is rows-only; recall is pinned by pytest against the
+  brute-force path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.vector import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank); self-matches are
+    excluded; ranking ties break on neighbor id so the result is
+    deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sims = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), digits).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def _signed_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes (seeded, engine-free)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_planes)]
+
+
+def rp_lsh_buckets(vec_col, dim: int, bits: int, tables: int, seed: int = 42):
+    """Multi-table random-hyperplane LSH: ``tables`` bucket ids, each
+    packing ``bits`` sign-of-projection bits against fixed ±1 planes.
+
+    Projections are JVM-side ``zip_with``+``aggregate`` folds against
+    literal plane arrays — no UDF, fully codegen-able, and the plane set
+    is identical on every executor by construction (seeded literals).
+    Returns array<struct<table:int, bucket:long>> for a single explode.
+    """
+    planes = _signed_planes(bits * tables, dim, seed)
+    projections = [
+        _proj(vec_col, plane) for plane in planes
+    ]
+    entries = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for j in range(bits):
+            bit = F.when(projections[t * bits + j] >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bucket + bit * F.lit(1 << j).cast("long")
+        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def _proj(vec_col, plane: list[float]):
+    lit_plane = F.array(*[F.lit(w) for w in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_plane, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    Candidates = vectors sharing the query's bucket in ANY of the
+    ``tables`` hash tables (recall ≈ 1-(1-p^bits)^tables for per-bit
+    agreement p). The candidate join is an equi-join on (table, bucket) —
+    corpus cost is a ×tables explode, never O(n²); at 100 TB the explode
+    is the textbook space/recall trade of multi-table LSH.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(rp_lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+    ).select("neighbor_id", "__cv", "tb.table", "tb.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(rp_lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+    ).select("query_id", "__qv", "tb.table", "tb.bucket")
+    sims = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), digits).alias("cosine_sim"),
+            "rank",
+        )
+    )

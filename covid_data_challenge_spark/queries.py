@@ -19,11 +19,10 @@ them to the driver.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.registry import REGISTRY, QuerySpec, register
 
 from covid_data_challenge_spark.functions.scalar import guarded_div, pct_gap, search_contains
 from covid_data_challenge_spark.operators.alignment import (
@@ -53,21 +52,7 @@ from covid_data_challenge_spark.operators.profiling import (
 from covid_data_challenge_spark.sources.readers import load_table
 
 
-@dataclass(frozen=True)
-class QuerySpec:
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle)
-        return fn
-
-    return deco
+__all__ = ["REGISTRY", "QuerySpec", "register"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

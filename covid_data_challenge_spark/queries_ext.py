@@ -1,0 +1,380 @@
+"""Extension queries: training-data-pipeline operators over the
+``documents`` / ``embeddings`` / ``events`` tables (SURVEY.md §7 step 9
+"north-star extensions", graded alongside the §2 parity surface).
+
+Same oracle discipline as queries.py. xxhash64-backed operators (MinHash
+LSH, SimHash, sign-LSH ANN) are not ANSI-SQL-expressible → registered
+without an oracle (driver records rows-only); their correctness is pinned
+by pytest recall tests against the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.text import (
+    fingerprint,
+    lang_hits,
+    normalize_text,
+    quality_score,
+    token_count,
+)
+from covid_data_challenge_spark.operators.dedup import (
+    exact_dedup_stats,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from covid_data_challenge_spark.operators.sessions import (
+    sessionize,
+    sliding_agg,
+    tumbling_agg,
+)
+from covid_data_challenge_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from covid_data_challenge_spark.registry import register
+from covid_data_challenge_spark.sources.readers import load_table
+
+#: Normalized text in DuckDB SQL ('g' flag — DuckDB replaces first match
+#: only by default, Spark replaces all).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split({_NORM}, ' ')) AS INT) AS n_tokens,
+       CAST(len({_NORM}) AS INT) AS n_chars_norm
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+_LANG_SQL_HITS = {
+    "en": r"\b(the|and|of|to|in|is|that|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "fr": r"\b(le|la|les|et|est|que|pour|dans)\b",
+    "es": r"\b(el|la|los|que|es|para|con|una)\b",
+}
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["de"]}')) AS h_de,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["fr"]}')) AS h_fr,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["es"]}')) AS h_es
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(h_en AS INT) AS hits_en, CAST(h_de AS INT) AS hits_de,
+       CAST(h_fr AS INT) AS hits_fr, CAST(h_es AS INT) AS hits_es,
+       CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM h
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic; argmax with fixed tie order."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    h = {lang: lang_hits(t, lang) for lang in ("en", "de", "fr", "es")}
+    predicted = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        h["en"].alias("hits_en"),
+        h["de"].alias("hits_de"),
+        h["fr"].alias("hits_fr"),
+        h["es"].alias("hits_es"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, text,
+           len(string_split({_NORM}, ' ')) AS n_tok,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(len(text), 1) AS punct
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       round((least(n_tok / 100.0, 1.0)
+            + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+            + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
+FROM t
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    oracle=f"""
+WITH fp AS (SELECT md5({_NORM}) AS fp FROM documents),
+per AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(count(*) FILTER (n > 1) AS BIGINT) AS n_dup_groups,
+       CAST(coalesce(sum(n - 1) FILTER (n > 1), 0) AS BIGINT) AS n_redundant_docs
+FROM per
+""",
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+@register("minhash_lsh_pairs", oracle=None)  # xxhash64-based → rows-only
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_perm=32, bands=8, threshold=0.2)
+
+
+@register("simhash_fingerprints", oracle=None)  # xxhash64-based → rows-only
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+d AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS dot,
+           sqrt(list_aggregate(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+           sqrt(list_aggregate(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
+    FROM q, embeddings c
+    WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END DESC,
+                        neighbor_id
+           ) AS rank
+    FROM d
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_topk", oracle=_COS_SQL)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for a deterministic query
+    subset (every 50th vector). Fold arithmetic is ordered double ops on
+    both engines → bit-identical similarities."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register("ann_lsh_topk", oracle=None)  # approximate by design → rows-only
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_topk(emb, queries, k=5, bits=4, tables=12)
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+SELECT label,
+       round(avg(sqrt(list_aggregate(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS avg_norm,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings GROUP BY label
+""",
+)
+def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_data_challenge_spark.functions.vector import norm
+
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing & sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_events(spark, sf_dir), width="1 hour")
+
+
+@register(
+    "events_sliding",
+    oracle="""
+WITH ex AS (
+    SELECT event_type, value,
+           unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                   time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start
+    FROM events
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM ex GROUP BY 1, 2
+""",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_events(spark, sf_dir), width="1 hour", slide="30 minutes")
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       CAST(session_idx AS BIGINT) AS session_idx
+FROM numbered GROUP BY user_id, session_idx
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+@register(
+    "user_activity",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       round(sum(value), 2) AS total_value,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases
+FROM events GROUP BY user_id
+""",
+)
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )

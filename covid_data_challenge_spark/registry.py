@@ -1,0 +1,30 @@
+"""Query registry plumbing shared by all query modules.
+
+``REGISTRY`` maps query name → (Spark callable, optional DuckDB oracle
+SQL). ``__spark_entry__.py`` exposes it to the driver; importing a query
+module populates it via the :func:`register` decorator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle)
+        return fn
+
+    return deco

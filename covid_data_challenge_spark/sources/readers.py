@@ -39,8 +39,24 @@ TESTDATA_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Plain ``spark.read.parquet`` so Catalyst
-    can push filters and prune columns into the scan."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    can push filters and prune columns into the scan.
+
+    The ``events`` table carries TIMESTAMP(NANOS) — a parquet type Spark
+    refuses by default. It is read via the nanos-as-long escape hatch and
+    truncated to microseconds, which is exactly what DuckDB (and therefore
+    the oracle) does when it coerces ns → µs timestamps.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            raw = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:

@@ -1,0 +1,149 @@
+"""Correctness pinning for the non-oracle (hash-based) operators:
+MinHash-LSH recall vs exact Jaccard, sign-LSH ANN recall vs brute-force
+cosine, SimHash locality, plus session/window batch semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.operators.dedup import (
+    dedup_exact_keep_first,
+    exact_dedup_stats,
+    hamming_distance,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from covid_data_challenge_spark.operators.sessions import sessionize, tumbling_agg
+from covid_data_challenge_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from covid_data_challenge_spark.sources.readers import load_table
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the window and the birds sing in the morning light over the hills"
+)
+
+
+def _doc_corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("morning", "evening")),  # near-duplicate of 0
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, "another unrelated document mentioning joins and aggregations only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_stats_and_keep_first(spark):
+    docs = _doc_corpus(spark)
+    stats = exact_dedup_stats(docs).collect()[0]
+    assert stats["n_docs"] == 5
+    assert stats["n_unique"] == 4
+    assert stats["n_dup_groups"] == 1
+    assert stats["n_redundant_docs"] == 1
+    kept = {r["doc_id"] for r in dedup_exact_keep_first(docs).collect()}
+    assert kept == {0, 2, 3, 4}  # doc 1 dropped, lowest id survives
+
+
+def test_jaccard_finds_near_duplicates_only(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(_doc_corpus(spark), threshold=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark):
+    """Every strongly-similar pair (exact J ≥ 0.5) must surface as an LSH
+    candidate; nothing dissimilar may score ≥ 0.5."""
+    docs = _doc_corpus(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    assert exact <= set(lsh), f"LSH missed strong pairs: {exact - set(lsh)}"
+    for pair, est in lsh.items():
+        if est >= 0.5:
+            assert pair in exact, f"false strong candidate {pair} (est={est})"
+
+
+def test_simhash_locality(spark):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(_doc_corpus(spark)).collect()}
+    assert fp[0] == fp[1]  # identical text → identical fingerprint
+    df = spark.createDataFrame(
+        [(fp[0], fp[2], fp[3])], "a long, near long, far long"
+    ).select(
+        hamming_distance(F.col("a"), F.col("near")).alias("d_near"),
+        hamming_distance(F.col("a"), F.col("far")).alias("d_far"),
+    )
+    r = df.collect()[0]
+    assert r["d_near"] < r["d_far"]
+    assert r["d_near"] <= 12  # one-word change flips few bits
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Multi-table random-hyperplane LSH must recover ≥40% of the true
+    top-5 neighbors on the sf0.001 embeddings (4 bits × 12 tables)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, queries, k=5, bits=4, tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"ANN recall too low: {recall}"
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    rows = cosine_topk(emb, queries, k=5).collect()
+    assert len(rows) == 5
+    assert all(r["neighbor_id"] != 0 for r in rows)
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def _event_fixture(spark):
+    T = datetime.datetime
+    rows = [
+        (1, T(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, T(2024, 1, 1, 10, 10), 1, "click", 2.0),
+        (3, T(2024, 1, 1, 11, 0), 1, "view", 3.0),  # 50-min gap → new session
+        (4, T(2024, 1, 1, 10, 5), 2, "click", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    sessions = sessionize(_event_fixture(spark), gap_minutes=30).collect()
+    by_user = {}
+    for s in sessions:
+        by_user.setdefault(s["user_id"], []).append(s)
+    assert len(by_user[1]) == 2  # the 50-min gap splits user 1
+    first = min(by_user[1], key=lambda s: s["session_start"])
+    assert first["n_events"] == 2 and first["total_value"] == 3.0
+    assert len(by_user[2]) == 1
+
+
+def test_tumbling_agg_buckets(spark):
+    out = tumbling_agg(_event_fixture(spark), width="1 hour").collect()
+    buckets = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in out}
+    assert buckets[(10, "click")] == 3
+    assert buckets[(11, "view")] == 1

@@ -6,7 +6,9 @@ from __future__ import annotations
 
 import pytest
 
-from covid_data_challenge_spark.queries import REGISTRY
+import covid_data_challenge_spark.queries  # noqa: F401 — populates REGISTRY
+import covid_data_challenge_spark.queries_ext  # noqa: F401 — populates REGISTRY
+from covid_data_challenge_spark.registry import REGISTRY
 from covid_data_challenge_spark.testing import (
     duckdb_connection,
     normalize,
