@@ -1,0 +1,46 @@
+"""Sinks (SURVEY.md §2.1 S5–S7).
+
+The reference exports query results as CSV strings for dashboard download
+(streamlit_app.py:651-657) and memoizes the pipeline result per session
+(streamlit_app.py:46). Here:
+
+- ``csv_export_string``: driver-side export of a SMALL result (the
+  dashboard path) — caller is responsible for having reduced the data
+  first; guarded by a row cap so nobody accidentally collects a fact table.
+- ``write_csv`` / ``write_parquet``: distributed file sinks for scale;
+  parquet is the "gold table" materialization replacing @st.cache_data.
+  ``partition_by`` yields partition-pruned downstream scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def csv_export_string(df: DataFrame, max_rows: int = 100_000) -> str:
+    """Serialize a small query result to a CSV string on the driver."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"result exceeds {max_rows} rows — use write_csv() for distributed export"
+        )
+    return df.toPandas().to_csv(index=False)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed CSV export (one file per partition)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Materialize a gold table; ``partition_by`` enables partition
+    pruning for downstream readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,122 @@
+"""Structured Streaming variants of the event-analytics operators.
+
+The reference is strictly batch (SURVEY.md §2.9) — its "current snapshot"
+source is a once-per-run REST fetch. This module models the refresh as a
+stream: the same transformations as operators/sessions.py, expressed as
+``readStream → withWatermark → window/session_window → sink``, so one
+logical operator surface serves both batch and streaming.
+
+Scale/latency notes:
+- watermarks bound state: late events beyond the horizon are dropped and
+  window state is evicted — mandatory for unbounded runs at cluster scale;
+- ``dropDuplicatesWithinWatermark`` gives at-least-once sources exactly-
+  once window counts with bounded dedup state;
+- ``session_window`` is Spark's native gap-session operator (merges
+  micro-batch partials; equivalent to the batch gaps-and-islands
+  formulation when event time is honored).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: File-stream schema for the driver's events table. ``ts`` arrives as
+#: TIMESTAMP(NANOS) parquet → declared long (nanos) and converted, exactly
+#: as the batch reader does (sources/readers.py).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, directory: str, glob: str = "events.parquet") -> DataFrame:
+    """Parquet file stream over the events table (new files in
+    ``directory`` matching ``glob`` become micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — streaming twin of
+    operators.sessions.tumbling_agg (append-mode capable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), width).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "total_value")
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event feed from an at-least-once source: duplicates
+    within the watermark horizon are dropped with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native gap-session aggregation per user (session_window merges
+    partial sessions across micro-batches)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, table_name: str, timeout_s: int = 120):
+    """Execute a streaming query over all currently-available data
+    (Trigger.AvailableNow) into an in-memory table; returns the query
+    after completion. Test/driver harness helper — production sinks would
+    be kafka/parquet/delta with checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

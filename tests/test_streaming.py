@@ -1,0 +1,60 @@
+"""Streaming ↔ batch equivalence: the streaming operators, executed over
+the full events table with Trigger.AvailableNow, must reproduce the batch
+operators' results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.operators.sessions import sessionize, tumbling_agg
+from covid_data_challenge_spark.sources.readers import load_table
+from covid_data_challenge_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory_sink,
+    streaming_dedup,
+    streaming_sessionize,
+    streaming_tumbling_counts,
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    stream = read_event_stream(spark, sf_dir)
+    q = run_to_memory_sink(streaming_tumbling_counts(stream), "stream_tumbling")
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+        }
+        batch = load_table(spark, sf_dir, "events")
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in tumbling_agg(batch, width="1 hour").collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    stream = read_event_stream(spark, sf_dir)
+    q = run_to_memory_sink(streaming_sessionize(stream, gap="30 minutes"), "stream_sessions")
+    try:
+        got = spark.sql("SELECT * FROM stream_sessions").collect()
+        batch = sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30).collect()
+        # session_window's end = last_ts + gap; compare on (user, start, count)
+        got_keys = {(r["user_id"], r["session_start"], r["n_events"]) for r in got}
+        want_keys = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch}
+        assert got_keys == want_keys
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_passes_unique_events(spark, sf_dir):
+    stream = read_event_stream(spark, sf_dir)
+    q = run_to_memory_sink(streaming_dedup(stream, keys=("event_id",)), "stream_dedup")
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0]["n"]
+        n_batch = load_table(spark, sf_dir, "events").count()
+        assert n == n_batch  # event_ids are unique → nothing dropped
+    finally:
+        q.stop()
