@@ -236,3 +236,63 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All document pairs whose SimHash fingerprints differ in at most
+    ``max_hamming`` bits — WITHOUT an O(n²) stage.
+
+    Pigeonhole banding: the 64-bit fingerprint is split into
+    ``max_hamming + 1`` bands; two fingerprints within ``max_hamming``
+    bits of each other must agree exactly on at least one band, so the
+    band-value equi-join generates a candidate superset with guaranteed
+    100% recall, and the exact Hamming filter makes the result precise.
+    Cost: one explode (×bands) + one shuffle on (band, value).
+    """
+    bands = max_hamming + 1
+    width = (64 + bands - 1) // bands
+    mask = (1 << width) - 1
+    fp = simhash(docs, id_col, text_col)
+    banded = fp.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("__fa"),
+            F.col("b.simhash").alias("__fb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("__fa"), F.col("__fb")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -25,13 +25,24 @@ from covid_data_challenge_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash,
+    simhash_neardup_pairs,
+)
+from covid_data_challenge_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media_table,
 )
 from covid_data_challenge_spark.operators.sessions import (
     sessionize,
     sliding_agg,
     tumbling_agg,
 )
-from covid_data_challenge_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from covid_data_challenge_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_neardup_pairs,
+    cosine_neardup_pairs_lsh,
+    cosine_topk,
+)
 from covid_data_challenge_spark.registry import register
 from covid_data_challenge_spark.sources.readers import load_table
 
@@ -221,6 +232,13 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+@register("simhash_neardup_pairs", oracle=None)  # xxhash64-based → rows-only
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming≤k SimHash pairs via pigeonhole banding (exact recall, no
+    O(n²) stage); pinned exact against brute force in pytest."""
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -268,6 +286,62 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ann_lsh_topk(emb, queries, k=5, bits=4, tables=12)
+
+
+# The synthetic embeddings have no natural near-dups (max pairwise cosine
+# ≈ 0.51), so — like the null-injection queries in queries.py — the near-dup
+# corpus re-adds every 25th vector under a shifted id; the operator must
+# find exactly those planted pairs at threshold 0.9.
+_NEARDUP_CORPUS_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return emb.unionAll(planted)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+d AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS dot,
+           sqrt(list_aggregate(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+           sqrt(list_aggregate(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+),
+sims AS (
+    SELECT vec_a, vec_b,
+           CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim
+    FROM d
+)
+SELECT vec_a, vec_b, round(sim, 4) AS cosine_sim
+FROM sims WHERE sim >= 0.9
+""",
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup detection (semantic dedup tier)."""
+    return cosine_neardup_pairs(_neardup_corpus(spark, sf_dir), threshold=0.9)
+
+
+@register("embedding_neardup_lsh", oracle=None)  # approximate path → rows-only
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for the same semantic dedup: LSH-bucketed candidates +
+    exact cosine verify; recall vs the exact operator pinned in pytest."""
+    return cosine_neardup_pairs_lsh(
+        _neardup_corpus(spark, sf_dir), threshold=0.9, bits=8, tables=6
+    )
 
 
 @register(
@@ -355,6 +429,58 @@ FROM numbered GROUP BY user_id, session_idx
 )
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns — binary payloads through Arrow-batched mapInPandas.
+# The corpus is synthesized deterministically (no media tables exist in the
+# driver's testdata); row counts/values are fixed → rows-only check, with
+# value-level assertions in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", oracle=None)  # synthetic corpus → rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_table(spark, n=96)
+    return extract_features(media, decoder="fake")
+
+
+@register("multimodal_frame_plan", oracle=None)  # synthetic corpus → rows-only
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample_plan(synth_media_table(spark, n=96), every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming twin of events_tumbling: same logical operator run as
+# readStream → watermark → window → memory sink (Trigger.AvailableNow), and
+# held to the SAME batch SQL oracle — the streaming plan must hash-match the
+# batch answer on static input.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_stream",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_tumbling_counts,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = streaming_tumbling_counts(stream, width="1 hour", watermark="2 hours")
+    try:
+        run_to_memory_sink(agg, "events_tumbling_stream_sink")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return spark.table("events_tumbling_stream_sink")
 
 
 @register(

@@ -15,9 +15,15 @@ from covid_data_challenge_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from covid_data_challenge_spark.operators.sessions import sessionize, tumbling_agg
-from covid_data_challenge_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from covid_data_challenge_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_neardup_pairs,
+    cosine_neardup_pairs_lsh,
+    cosine_topk,
+)
 from covid_data_challenge_spark.sources.readers import load_table
 
 BASE = (
@@ -116,6 +122,58 @@ def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
     sims = [r["cosine_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_simhash_neardup_pairs_matches_brute_force(spark):
+    """Pigeonhole banding is a candidate SUPERSET for hamming ≤ k, so the
+    banded operator must return exactly the brute-force pair set."""
+    docs = _doc_corpus(spark)
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b): bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert got[(0, 1)] == 0  # the exact duplicate pair must always be there
+
+
+def _planted_neardup_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return emb.unionAll(planted), {r["vec_id"] for r in planted.select("vec_id").collect()}
+
+
+def test_cosine_neardup_exact_finds_planted_pairs(spark, sf_dir):
+    corpus, planted_ids = _planted_neardup_corpus(spark, sf_dir)
+    pairs = cosine_neardup_pairs(corpus, threshold=0.9).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cosine_sim"] for r in pairs}
+    expected = {(pid - 1000000, pid) for pid in planted_ids}
+    assert set(got) == expected  # nothing but the planted copies clears 0.9
+    assert all(sim == 1.0 for sim in got.values())
+
+
+def test_cosine_neardup_lsh_full_recall_on_identical_vectors(spark, sf_dir):
+    """Identical vectors share every LSH bucket → the scale path must
+    recover 100% of the exact result for planted duplicates."""
+    corpus, _ = _planted_neardup_corpus(spark, sf_dir)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(corpus, threshold=0.9).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs_lsh(corpus, threshold=0.9, bits=8, tables=6).collect()
+    }
+    assert approx == exact
 
 
 def _event_fixture(spark):
