@@ -44,3 +44,29 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a catalog table bucketed (and sorted) on the join key.
+
+    Bucketing is the pay-once answer to repeated fact-fact joins at scale:
+    two tables bucketed on the same key with the same bucket count
+    equi-join with ZERO exchanges — the shuffle happened at write time.
+    At 100 TB, bucket the fact tables on their primary join key
+    (orders/lineitem on orderkey) and every downstream join/aggregation on
+    that key skips its shuffle. Requires the session catalog (saveAsTable),
+    not a bare path — bucket metadata lives in the catalog.
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
