@@ -46,6 +46,13 @@ def fill_zero(col: Column) -> Column:
     return F.coalesce(col, F.lit(0.0))
 
 
+def label_title(col: Column) -> Column:
+    """``col.replace("_", " ").title()`` — metric-key → display label
+    (P19, reference streamlit_app.py:255, visualizer.py:492). DuckDB has
+    no ``initcap`` → presentation-layer, pinned by unit test not oracle."""
+    return F.initcap(F.regexp_replace(col, "_", " "))
+
+
 def search_contains(col: Column, term: str) -> Column:
     """Case-insensitive substring search, null-safe → False
     (reference streamlit_app.py:637-639)."""

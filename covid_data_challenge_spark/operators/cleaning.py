@@ -42,6 +42,16 @@ def standardize_keys(
     )
 
 
+def select_existing(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Project only the columns that exist (P1's defensive only-if-exists
+    projection, reference data_loader.py:92-112). Resolution happens
+    against ``df.columns`` BEFORE the plan is built (SURVEY.md §4) — the
+    schema-drift tolerance the reference implements with runtime checks,
+    done once at plan time."""
+    present = set(df.columns)
+    return df.select(*[c for c in cols if c in present])
+
+
 def filter_not_in(df: DataFrame, col: str, excluded: Sequence[str]) -> DataFrame:
     """NOT-IN literal-set filter (P4/P5, reference data_loader.py:115,
     data_cleaner.py:69). Pushes down to the scan."""

@@ -484,6 +484,57 @@ def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_stream",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_idx
+""",
+)
+def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming sessionization, held to the
+    batch gaps-and-islands oracle: ``session_window.start`` is the first
+    event's ts and ``.end`` is last ts + gap, so subtracting the gap
+    recovers the batch ``session_end`` exactly."""
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_sessionize,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    sessions = streaming_sessionize(stream, gap="30 minutes", watermark="2 hours")
+    try:
+        run_to_memory_sink(sessions, "events_sessionize_stream_sink")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return spark.table("events_sessionize_stream_sink").select(
+        "user_id",
+        "session_start",
+        (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
     "user_activity",
     oracle="""
 SELECT user_id,

@@ -185,3 +185,20 @@ def test_prefixed_namespaces_columns(spark):
     df = spark.createDataFrame([(1, "x")], "k int, v string")
     out = prefixed(df, "owid_", exclude=["k"])
     assert out.columns == ["k", "owid_v"]
+
+
+def test_label_title_presentation(spark):
+    from covid_data_challenge_spark.functions.scalar import label_title
+
+    df = spark.createDataFrame([("total_cases_per_100k",), ("cfr",)], "k string")
+    vals = [r["v"] for r in df.select(label_title(F.col("k")).alias("v")).collect()]
+    assert vals == ["Total Cases Per 100k", "Cfr"]
+
+
+def test_select_existing_is_schema_drift_tolerant(spark):
+    from covid_data_challenge_spark.operators.cleaning import select_existing
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "k int, name string, v double")
+    out = select_existing(df, ["k", "missing_col", "v", "also_missing"])
+    assert out.columns == ["k", "v"]
+    assert out.collect() == [(1, 2.0)]

@@ -81,3 +81,28 @@ def test_parquet_loader_prunes_columns(spark, sf_dir):
     assert "l_orderkey" in plan
     # Projection reaches the scan: only the two columns are read.
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_csv_export_and_file_sinks(spark, tmp_path):
+    from covid_data_challenge_spark.sources.sinks import (
+        csv_export_string,
+        write_csv,
+        write_parquet,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    s = csv_export_string(df)
+    assert "k,v" in s and "1,a" in s
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        csv_export_string(df, max_rows=1)
+
+    write_csv(df, str(tmp_path / "csv_out"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "csv_out"))
+    assert back.count() == 2
+
+    write_parquet(df, str(tmp_path / "pq_out"), partition_by=["v"])
+    back_pq = spark.read.parquet(str(tmp_path / "pq_out"))
+    assert sorted((r["k"], r["v"]) for r in back_pq.collect()) == [(1, "a"), (2, "b")]
