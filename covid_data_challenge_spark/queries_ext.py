@@ -535,6 +535,39 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_running_totals_stream",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def q_user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals after the stream drains must equal the batch aggregation."""
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+    from covid_data_challenge_spark.streaming.stateful import running_user_totals
+
+    stream = read_event_stream(spark, sf_dir)
+    try:
+        run_to_memory_sink(
+            running_user_totals(stream), "user_running_totals_sink", mode="update"
+        )
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return spark.table("user_running_totals_sink").select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_value"), 2).alias("total_value"),
+        "max_value",
+    )
+
+
+@register(
     "user_activity",
     oracle="""
 SELECT user_id,

@@ -102,15 +102,20 @@ def streaming_sessionize(
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, table_name: str, timeout_s: int = 120):
+def run_to_memory_sink(
+    stream_df: DataFrame, table_name: str, timeout_s: int = 120, mode: str | None = None
+):
     """Execute a streaming query over all currently-available data
     (Trigger.AvailableNow) into an in-memory table; returns the query
     after completion. Test/driver harness helper — production sinks would
-    be kafka/parquet/delta with checkpointing."""
+    be kafka/parquet/delta with checkpointing. ``mode`` overrides the
+    inferred output mode (custom stateful ops declare their own)."""
+    if mode is None:
+        mode = "complete" if _has_aggregation(stream_df) else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,90 @@
+"""Property-based tests (Hypothesis) with pandas as a secondary oracle:
+the per-group window operators must agree with the reference's own pandas
+idioms on arbitrary small inputs — nulls, duplicate keys, single-row
+groups, negative values and all. Complements the DuckDB oracle, which
+only sees the fixed synthetic tables."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.operators.alignment import latest_per_key
+from covid_data_challenge_spark.operators.cleaning import forward_fill, lag_diff
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, seq, value) rows: few keys → guaranteed group collisions; value may
+# be null; (key, seq) made unique per example so orderings are total.
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False, width=32)),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, s, float(v) if v is not None else None) for k, s, v in rows],
+        "k long, seq long, v double",
+    )
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_forward_fill_matches_pandas_ffill(spark, rows):
+    got = {
+        (r["k"], r["seq"]): r["v"]
+        for r in forward_fill(_df(spark, rows), "k", "seq", ["v"]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "v"]).sort_values(["k", "seq"])
+    pdf["v"] = pdf.groupby("k")["v"].ffill()
+    for _, row in pdf.iterrows():
+        g = got[(row["k"], row["seq"])]
+        if pd.isna(row["v"]):
+            assert g is None
+        else:
+            assert g is not None and math.isclose(g, row["v"], rel_tol=1e-9)
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_lag_diff_matches_pandas_diff_fill_clip(spark, rows):
+    out = lag_diff(
+        _df(spark, rows), keys="k", order_col="seq", src_col="v",
+        out_col="d", clip_negative=True,
+    )
+    got = {(r["k"], r["seq"]): r["d"] for r in out.collect()}
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "v"]).sort_values(["k", "seq"])
+    pdf["d"] = pdf.groupby("k")["v"].diff().fillna(0).clip(lower=0)
+    for _, row in pdf.iterrows():
+        assert math.isclose(got[(row["k"], row["seq"])], row["d"], rel_tol=1e-9)
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_latest_per_key_matches_pandas_argmax(spark, rows):
+    got = {
+        r["k"]: (r["seq"], r["v"])
+        for r in latest_per_key(_df(spark, rows), "k", "seq").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "v"])
+    exp = pdf.loc[pdf.groupby("k")["seq"].idxmax()]
+    assert set(got) == set(exp["k"])
+    for _, row in exp.iterrows():
+        gseq, gv = got[row["k"]]
+        assert gseq == row["seq"]
+        assert (gv is None) == pd.isna(row["v"]) or math.isclose(gv, row["v"], rel_tol=1e-9)

@@ -58,3 +58,37 @@ def test_streaming_dedup_passes_unique_events(spark, sf_dir):
         assert n == n_batch  # event_ids are unique → nothing dropped
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState custom operator: after consuming the whole
+    (static) stream, per-user state must equal the batch aggregation."""
+    from covid_data_challenge_spark.streaming.stateful import running_user_totals
+
+    stream = read_event_stream(spark, sf_dir)
+    q = run_to_memory_sink(running_user_totals(stream), "stream_user_totals", mode="update")
+    try:
+        # update mode may emit a row per micro-batch; keep each user's last
+        rows = spark.sql("SELECT * FROM stream_user_totals").collect()
+        got = {}
+        for r in rows:
+            got[r["user_id"]] = (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("tv"),
+                F.max("value").alias("mv"),
+            )
+        )
+        want = {
+            r["user_id"]: (r["n"], round(r["tv"], 6), r["mv"]) for r in batch.collect()
+        }
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u][0] == want[u][0]
+            assert abs(got[u][1] - want[u][1]) < 1e-6
+            assert got[u][2] == want[u][2]
+    finally:
+        q.stop()
