@@ -48,6 +48,23 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-style pre-tokenization pattern (GPT-2-ish, ASCII-simplified so the
+#: same pattern runs identically under Java regex and RE2): optional
+#: leading space + letter runs | digit runs | single non-space symbol.
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]"
+
+
+def bpe_pretokens(col: Column) -> Column:
+    """BPE-style pre-tokens of the raw text → array<string>. This is the
+    pre-tokenization half of byte-pair encoding (the merge table is
+    model-specific); its count is the standard LLM-cost proxy."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_pretoken_count(col: Column) -> Column:
+    return F.size(bpe_pretokens(col))
+
+
 def stopword_pattern(lang: str) -> str:
     return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covid_data_challenge_spark.functions.text import (
+    bpe_pretoken_count,
     fingerprint,
     lang_hits,
     normalize_text,
@@ -91,6 +92,27 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+@register(
+    "token_stats_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]')) AS INT)
+           AS n_bpe_tokens,
+       CAST(len(string_split({_NORM}, ' ')) AS INT) AS n_ws_tokens
+FROM documents
+""",
+)
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counts (the LLM-cost proxy) next to whitespace
+    counts; the same ASCII-safe pattern runs under Java regex and RE2."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        bpe_pretoken_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
     )
 
 
@@ -333,6 +355,17 @@ FROM sims WHERE sim >= 0.9
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup detection (semantic dedup tier)."""
     return cosine_neardup_pairs(_neardup_corpus(spark, sf_dir), threshold=0.9)
+
+
+@register("ann_ivf_topk", oracle=None)  # approximate by design → rows-only
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (coarse centroids + inverted lists + nprobe) — the
+    second scale path next to sign-LSH; recall pinned in pytest."""
+    from covid_data_challenge_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
 
 
 @register("embedding_neardup_lsh", oracle=None)  # approximate path → rows-only

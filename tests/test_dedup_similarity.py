@@ -205,3 +205,25 @@ def test_tumbling_agg_buckets(spark):
     buckets = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in out}
     assert buckets[(10, "click")] == 3
     assert buckets[(11, "view")] == 1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF probing (16 centroids, 1 Lloyd iter, nprobe=6) must recover a
+    solid share of the true top-5 on the sf0.001 embeddings."""
+    from covid_data_challenge_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=6).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # every query got results and ranks are 1..n
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
