@@ -88,3 +88,46 @@ def test_latest_per_key_matches_pandas_argmax(spark, rows):
         gseq, gv = got[row["k"]]
         assert gseq == row["seq"]
         assert (gv is None) == pd.isna(row["v"]) or math.isclose(gv, row["v"], rel_tol=1e-9)
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_trend_metrics_matches_pandas_loop(spark, rows):
+    """The single-pass groupBy trend aggregation must reproduce the
+    reference's per-group Python loop semantics (first/last by order,
+    NULL→0, avg, HAVING ≥ 2) on arbitrary inputs."""
+    from covid_data_challenge_spark.operators.alignment import trend_metrics
+
+    out = trend_metrics(
+        _df(spark, rows), keys="k", ts_col="seq", value_cols=["v"],
+        rate_cols=["v"], window_days=None, min_points=2,
+    )
+    got = {
+        r["k"]: (
+            r["data_points_available"], r["first_v"], r["last_v"], r["avg_daily_v"],
+        )
+        for r in out.collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "v"]).sort_values(["k", "seq"])
+    want = {}
+    for k, g in pdf.groupby("k"):
+        if len(g) < 2:
+            continue
+        first = g["v"].iloc[0]
+        last = g["v"].iloc[-1]
+        avg = g["v"].mean()  # pandas mean skips NaN, like Spark avg
+        want[k] = (
+            len(g),
+            0.0 if pd.isna(first) else first,
+            0.0 if pd.isna(last) else last,
+            None if pd.isna(avg) else round(avg, 2),
+        )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert math.isclose(got[k][1], want[k][1], rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(got[k][2], want[k][2], rel_tol=1e-9, abs_tol=1e-12)
+        if want[k][3] is None:
+            assert got[k][3] is None
+        else:
+            assert got[k][3] is not None and abs(got[k][3] - want[k][3]) <= 0.011
