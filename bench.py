@@ -44,8 +44,12 @@ def main() -> None:
     spark = get_spark(app_name="covid-data-challenge-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: executor/codegen spin-up on a trivial plan.
+    # Warmup: executor/codegen spin-up + parquet datasource/scan-infra init
+    # (so the first measured query isn't charged for one-time JVM costs).
     _execute(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+    _execute(
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).groupBy("r_name").count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -22,6 +22,7 @@ from covid_data_challenge_spark.functions.text import (
     token_count,
 )
 from covid_data_challenge_spark.operators.dedup import (
+    dedup_exact_keep_first,
     exact_dedup_stats,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -242,6 +243,62 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+@register(
+    "dedup_keep_first",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN keep USING (doc_id)
+""",
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor selection (lowest id per
+    fingerprint) — ``dropDuplicates`` keeps an arbitrary row, which is not
+    reproducible across partitionings."""
+    return dedup_exact_keep_first(_docs(spark, sf_dir)).select("doc_id", "lang", "source")
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           len(string_split({_NORM}, ' ')) AS n_tok,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(len(text), 1) AS punct,
+           md5({_NORM}) AS f
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, lang, f, CAST(n_tok AS INT) AS n_tokens,
+           round((least(n_tok / 100.0, 1.0)
+                + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+                + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
+    FROM scored
+),
+filtered AS (SELECT * FROM quality WHERE quality >= 0.5),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM filtered GROUP BY f)
+SELECT q.doc_id, q.lang, q.n_tokens, q.quality
+FROM filtered q JOIN keep USING (doc_id)
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation shape: quality-score filter →
+    exact dedup keep-first → curated corpus. One scan, one groupBy + one
+    semi-join — the whole pipeline is two shuffles at any scale."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    return dedup_exact_keep_first(scored).select("doc_id", "lang", "n_tokens", "quality")
 
 
 @register("minhash_lsh_pairs", oracle=None)  # xxhash64-based → rows-only

@@ -1,0 +1,50 @@
+"""Snapshot-refresh as a stream (SURVEY.md §2.9's stretch slice).
+
+The reference fetches its "current state" source once per run
+(data_loader.py:142-146) and documents the staleness as a limitation
+(README.md:174). Here the refresh is modeled properly: each new snapshot
+file (the same disease.sh-shaped JSON array) becomes a micro-batch, and a
+streaming aggregation maintains the latest-per-entity state — the exact
+input the batch merge consumes, continuously fresh.
+
+Scale notes: latest-per-key over refreshes is a declarative streaming agg
+(``max_by`` on the update timestamp) — state is one row per entity,
+O(|countries|), no watermark needed for a bounded key domain. For an
+unbounded key domain, add a watermark on ``last_updated`` and
+``dropDuplicatesWithinWatermark`` upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.sources.readers import SNAPSHOT_SCHEMA, flatten_snapshot
+
+#: Metrics carried into the maintained state (subset of the flattened
+#: snapshot; extend freely — each is one more max_by in the agg).
+STATE_METRICS = ("current_cases", "current_deaths", "current_recovered", "population")
+
+
+def read_snapshot_stream(
+    spark: SparkSession, directory: str, glob: str = "*.json"
+) -> DataFrame:
+    """JSON-array snapshot files appearing in ``directory`` → flattened
+    snapshot stream (same projection as the batch reader S2–S4)."""
+    raw = (
+        spark.readStream.schema(SNAPSHOT_SCHEMA)
+        .option("multiLine", True)
+        .option("pathGlobFilter", glob)
+        .json(directory)
+    )
+    return flatten_snapshot(raw)
+
+
+def latest_snapshot_state(snapshots: DataFrame) -> DataFrame:
+    """Latest-per-entity state across refreshes: the streaming twin of the
+    batch ``latest_per_key`` alignment (A6), expressed as ``max_by`` on
+    the snapshot's own update timestamp (complete-mode capable)."""
+    return snapshots.groupBy("country").agg(
+        F.max("last_updated").alias("last_updated"),
+        *[F.max_by(m, "last_updated").alias(m) for m in STATE_METRICS],
+    )

@@ -92,3 +92,43 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
             assert got[u][2] == want[u][2]
     finally:
         q.stop()
+
+
+def test_snapshot_refresh_stream_latest_state_wins(spark, tmp_path):
+    """Two snapshot refreshes: the maintained per-country state must hold
+    the newer values (and keep countries absent from the second refresh)."""
+    import json
+
+    from covid_data_challenge_spark.streaming.snapshot import (
+        latest_snapshot_state,
+        read_snapshot_stream,
+    )
+
+    def rec(country, cases, deaths, updated_ms):
+        return {
+            "country": country,
+            "countryInfo": {"_id": 1, "iso2": "XX", "iso3": "XXX",
+                            "lat": 0.0, "long": 0.0, "flag": "u"},
+            "cases": cases, "deaths": deaths, "recovered": 0, "active": 0,
+            "critical": 0, "casesPerOneMillion": 0.0, "deathsPerOneMillion": 0.0,
+            "tests": 0, "testsPerOneMillion": 0.0, "population": 1000,
+            "todayCases": 0, "todayDeaths": 0, "todayRecovered": 0,
+            "updated": updated_ms,
+        }
+
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    (snap_dir / "t1.json").write_text(
+        json.dumps([rec("Aland", 100, 5, 1_000_000), rec("Borland", 200, 7, 1_000_000)])
+    )
+    (snap_dir / "t2.json").write_text(json.dumps([rec("Aland", 150, 6, 2_000_000)]))
+
+    stream = read_snapshot_stream(spark, str(snap_dir))
+    q = run_to_memory_sink(latest_snapshot_state(stream), "snapshot_state")
+    try:
+        state = {r["country"]: r for r in spark.sql("SELECT * FROM snapshot_state").collect()}
+        assert state["Aland"]["current_cases"] == 150  # refreshed value wins
+        assert state["Aland"]["current_deaths"] == 6
+        assert state["Borland"]["current_cases"] == 200  # absent from t2 → kept
+    finally:
+        q.stop()
