@@ -19,15 +19,41 @@ import covid_data_challenge_spark.queries  # noqa: F401 — populates REGISTRY
 import covid_data_challenge_spark.queries_ext  # noqa: F401 — populates REGISTRY
 from covid_data_challenge_spark.registry import REGISTRY
 
+#: Runtime-settable session confs the queries assume. The driver builds its
+#: own SparkSession; event-time windows hash-match the (tz-naive) DuckDB
+#: oracle only under UTC, and AQE/partition counts keep tiny-SF plans sane.
+_SESSION_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def _pin_session(spark: SparkSession) -> None:
+    for k, v in _SESSION_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # never let a read-only conf break a query
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _pin_session(spark)
     return REGISTRY["flagship_customer_snapshot"].spark(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: _wrap(spec.spark) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
