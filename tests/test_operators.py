@@ -202,3 +202,17 @@ def test_select_existing_is_schema_drift_tolerant(spark):
     out = select_existing(df, ["k", "missing_col", "v", "also_missing"])
     assert out.columns == ["k", "v"]
     assert out.collect() == [(1, 2.0)]
+
+
+def test_approx_count_distinct_scale_option(spark, sf_dir):
+    """SURVEY A2's scale note: approx_count_distinct (HLL++) must land
+    within 5% of the exact count — the sketch you switch to when exact
+    distinct over 100 TB is too expensive."""
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05
