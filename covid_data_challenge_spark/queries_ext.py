@@ -625,6 +625,56 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, date_part('hour', ts))
+""",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (type × hour → type → grand total) in one
+    pass — Spark expands the rollup into a single partial-agg plan, no
+    re-scan per level."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .rollup("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type counts via pivot with an EXPLICIT value
+    list — at scale never let pivot infer values (that's an extra
+    distinct pass over the fact table)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
     "user_running_totals_stream",
     oracle="""
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
