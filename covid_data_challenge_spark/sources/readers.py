@@ -63,6 +63,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Expose the tables as temp views so the whole surface is reachable
+    from ``spark.sql`` — the same names the DuckDB oracle uses, so any
+    oracle SQL in the registry is also (modulo dialect) a runnable Spark
+    SQL query against these views."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 # --- Historical time-series CSV (reference: OWID-shaped) -------------------
 
 # The 15 key columns the reference projects right after scan

@@ -106,3 +106,20 @@ def test_csv_export_and_file_sinks(spark, tmp_path):
     write_parquet(df, str(tmp_path / "pq_out"), partition_by=["v"])
     back_pq = spark.read.parquet(str(tmp_path / "pq_out"))
     assert sorted((r["k"], r["v"]) for r in back_pq.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_register_views_enables_spark_sql(spark, sf_dir):
+    from covid_data_challenge_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    r = spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_suppliers DESC, n.n_name LIMIT 3
+        """
+    ).collect()
+    assert len(r) == 3 and all(row["n_suppliers"] > 0 for row in r)
+    # events view gets the ns→µs conversion like the DataFrame reader
+    ts_type = dict(spark.sql("SELECT * FROM events").dtypes)["ts"]
+    assert ts_type == "timestamp"
