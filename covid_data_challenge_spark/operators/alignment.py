@@ -64,6 +64,66 @@ def trailing_window(df: DataFrame, ts_col: str, days: int) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Distributed as-of join: for every left row, the latest right row
+    with ``right_ts <= left_ts`` within the same ``by`` key (left outer —
+    unmatched left rows keep NULLs).
+
+    Spark has no native ASOF JOIN (DuckDB/kdb do); a naive inequality
+    join is a nested-loop O(n·m) per key. This is the scalable
+    formulation: tag and union both sides, ONE window pass per key
+    ordered by (ts, side) carrying the right values forward with
+    ``last(ignorenulls)``, then keep the left rows. Cost = one shuffle on
+    ``by`` — identical shape to any other window op, so it survives any
+    scale-up. Ties (right_ts == left_ts) match, right-before-left at
+    equal ts; the right side must be unique per (by, ts) for
+    deterministic results — pre-reduce with :func:`latest_per_key`.
+
+    Output: all left columns + ``<right_ts><suffix>`` + each value col as
+    ``<col><suffix>``.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(by).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r = right.select(
+        F.col(by).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *lcols,
+        "__side",
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
 def trend_metrics(
     df: DataFrame,
     keys: str | Sequence[str],

@@ -34,6 +34,7 @@ from covid_data_challenge_spark.operators.multimodal import (
     frame_sample_plan,
     synth_media_table,
 )
+from covid_data_challenge_spark.operators.alignment import asof_join, latest_per_key
 from covid_data_challenge_spark.operators.sessions import (
     sessionize,
     sliding_agg,
@@ -621,6 +622,45 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
         "n_events",
         "total_value",
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS ts_click, c.value AS value_click
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase ← the user's latest click at-or-before
+    it), verified against DuckDB's NATIVE ASOF JOIN. Spark formulation is
+    the union+window trick in alignment.asof_join — one shuffle, never a
+    per-key nested loop."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = latest_per_key(
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value"),
+        ["user_id", "ts"],
+        "event_id",
+    ).select("user_id", "ts", "value")
+    return asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], suffix="_click",
     )
 
 

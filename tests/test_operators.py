@@ -216,3 +216,33 @@ def test_approx_count_distinct_scale_option(spark, sf_dir):
         F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05
+
+
+def test_asof_join_tie_and_no_match_semantics(spark):
+    """ASOF semantics: right_ts == left_ts matches; no prior right row →
+    NULL; always the LATEST right row at-or-before wins."""
+    import datetime
+
+    from covid_data_challenge_spark.operators.alignment import asof_join
+
+    T = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, 1, T(2024, 1, 1, 10, 0)), (2, 1, T(2024, 1, 1, 12, 0)), (3, 2, T(2024, 1, 1, 9, 0))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 10.0),  # tie with left id=1 → matches
+            (1, T(2024, 1, 1, 11, 0), 20.0),  # latest before id=2
+            (2, T(2024, 1, 1, 9, 30), 30.0),  # AFTER left id=3 → no match
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["id"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, by="k", left_ts="ts", right_ts="ts",
+                           value_cols=["v"]).collect()
+    }
+    assert out[1] == (T(2024, 1, 1, 10, 0), 10.0)
+    assert out[2] == (T(2024, 1, 1, 11, 0), 20.0)
+    assert out[3] == (None, None)
