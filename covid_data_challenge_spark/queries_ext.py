@@ -626,6 +626,30 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_quantiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (A5 extended) — Spark's
+    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit; at
+    100 TB switch to ``approx_percentile`` (t-digest) and accept ε."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "events_asof_join",
     oracle="""
 WITH purchases AS (
@@ -661,6 +685,58 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
         value_cols=["value"], suffix="_click",
+    )
+
+
+@register(
+    "events_range_join",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id AS s_user, min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered WHERE user_id < 20 GROUP BY user_id, session_idx
+),
+purch AS (SELECT ts FROM events WHERE event_type = 'purchase' AND user_id >= 20)
+SELECT s_user, session_start, session_end, CAST(count(*) AS BIGINT) AS n_copurchases
+FROM sessions s JOIN purch p ON p.ts BETWEEN s.session_start AND s.session_end
+GROUP BY 1, 2, 3
+""",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unkeyed interval × point range join (sessions of users 0–19 vs
+    other users' purchases) via time-bin bucketing — an equi-join on the
+    bin id plus an exact between-filter, never a nested loop."""
+    from covid_data_challenge_spark.operators.joins import range_join_binned
+
+    ev = _events(spark, sf_dir)
+    sessions = (
+        sessionize(ev, gap_minutes=30)
+        .filter(F.col("user_id") < 20)
+        .select(
+            F.col("user_id").alias("s_user"), "session_start", "session_end"
+        )
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") >= 20)
+    ).select("ts")
+    joined = range_join_binned(
+        sessions, purchases, "session_start", "session_end", "ts", bin_seconds=1800
+    )
+    return joined.groupBy("s_user", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_copurchases")
     )
 
 
