@@ -626,6 +626,25 @@ def q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_users_sketch",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct
+FROM events GROUP BY event_type
+""",
+)
+def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via mergeable HLL sketches (sparse-mode
+    exact at test cardinality → hash-checkable; mergeable and ~1% at
+    100 TB where countDistinct would need the raw keys at every grain)."""
+    from covid_data_challenge_spark.operators.sketch import distinct_sketches
+
+    ev = _events(spark, sf_dir)
+    return distinct_sketches(ev, "event_type", "user_id").select(
+        "event_type", "approx_distinct"
+    )
+
+
+@register(
     "price_quantiles",
     oracle="""
 SELECT o_orderpriority,

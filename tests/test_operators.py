@@ -246,3 +246,27 @@ def test_asof_join_tie_and_no_match_semantics(spark):
     assert out[1] == (T(2024, 1, 1, 10, 0), 10.0)
     assert out[2] == (T(2024, 1, 1, 11, 0), 20.0)
     assert out[3] == (None, None)
+
+
+def test_hll_sketch_rollup_merges_without_rescan(spark, sf_dir):
+    """Union of per-group sketches must estimate the GLOBAL distinct count
+    (within HLL tolerance) — the mergeable-rollup property that makes
+    sketches the 100 TB distinct-count answer."""
+    from covid_data_challenge_spark.operators.sketch import (
+        distinct_sketches,
+        rollup_sketches,
+    )
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = distinct_sketches(ev, "event_type", "user_id")
+    exact_per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in per_type.select("event_type", "approx_distinct").collect():
+        exact = exact_per_type[r["event_type"]]
+        assert abs(r["approx_distinct"] - exact) / exact <= 0.05
+    rolled = rollup_sketches(per_type).collect()[0]["approx_distinct"]
+    exact_total = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    assert abs(rolled - exact_total) / exact_total <= 0.05
