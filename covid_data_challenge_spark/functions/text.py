@@ -86,6 +86,19 @@ def char_shingles(col: Column, k: int = 8) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
 
 
+def repetition_ratio(col: Column, n: int = 5, digits: int = 4) -> Column:
+    """Share of repeated word n-grams: 1 − distinct/total (0 for texts
+    shorter than n words). High values flag boilerplate/spam — a standard
+    training-data quality signal alongside :func:`quality_score`."""
+    from covid_data_challenge_spark.operators.dedup import word_shingle_expr
+
+    total = F.greatest(token_count(col) - F.lit(n - 1), F.lit(0))
+    distinct = F.size(word_shingle_expr(col, n))
+    return F.round(
+        F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0)), digits
+    )
+
+
 def punct_ratio(col: Column, digits: int | None = None) -> Column:
     """Share of punctuation characters in the raw text."""
     n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?]", ""))

@@ -197,6 +197,38 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_score",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+tot AS (SELECT doc_id, greatest(len(w) - 4, 0) AS n_total FROM docs),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 4
+),
+d AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_total AS INT) AS n_grams,
+       round(CASE WHEN t.n_total > 0
+                  THEN 1.0 - coalesce(d.n_distinct, 0) / t.n_total
+                  ELSE 0.0 END, 4) AS repetition
+FROM tot t LEFT JOIN d USING (doc_id)
+""",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated 5-gram share per document (boilerplate/spam signal)."""
+    from covid_data_challenge_spark.functions.text import repetition_ratio
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.greatest(token_count(F.col("text")) - F.lit(4), F.lit(0)).alias("n_grams"),
+        repetition_ratio(F.col("text"), n=5).alias("repetition"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
