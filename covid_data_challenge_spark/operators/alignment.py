@@ -170,3 +170,42 @@ def trend_metrics(
             F.when(first > 0, F.round((last - first) / first * 100, 2)).otherwise(F.lit(0.0)),
         )
     return out.filter(F.col("data_points_available") >= min_points)
+
+
+def trend_metrics_pandas(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """SURVEY §2.10's escape hatch, demonstrated: the same per-group trend
+    reduction as :func:`trend_metrics`, but as an Arrow-batched
+    ``applyInPandas`` grouped-map — the route to exact pandas NaN-edge
+    semantics if a parity corner ever demands it. The native
+    ``groupBy().agg`` version is the production path (map-side combine;
+    this one ships whole groups); equality of the two is pinned in
+    pytest."""
+    import pandas as pd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col])
+        if len(pdf) < min_points:
+            return pd.DataFrame(columns=[*keys, "data_points_available", "first_v", "last_v"])
+        first, last = pdf[value_col].iloc[0], pdf[value_col].iloc[-1]
+        return pd.DataFrame(
+            {
+                **{k: [pdf[k].iloc[0]] for k in keys},
+                "data_points_available": [len(pdf)],
+                "first_v": [0.0 if pd.isna(first) else float(first)],
+                "last_v": [0.0 if pd.isna(last) else float(last)],
+            }
+        )
+
+    schema = ", ".join(
+        [f"{k} {dict(df.dtypes)[k]}" for k in keys]
+        + ["data_points_available long", "first_v double", "last_v double"]
+    )
+    return df.groupBy(*keys).applyInPandas(reduce_group, schema=schema)

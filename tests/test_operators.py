@@ -270,3 +270,26 @@ def test_hll_sketch_rollup_merges_without_rescan(spark, sf_dir):
     rolled = rollup_sketches(per_type).collect()[0]["approx_distinct"]
     exact_total = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
     assert abs(rolled - exact_total) / exact_total <= 0.05
+
+
+def test_applyinpandas_escape_hatch_equals_native_trends(spark):
+    """The grouped-map pandas route must agree with the native single-pass
+    aggregation (SURVEY §2.10: zero UDFs needed — proven, not assumed)."""
+    from covid_data_challenge_spark.operators.alignment import (
+        trend_metrics,
+        trend_metrics_pandas,
+    )
+
+    rows = [(k, s, float(k * 10 + s) if (k + s) % 4 else None) for k in range(4) for s in range(6)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    native = {
+        r["k"]: (r["data_points_available"], r["first_v"], r["last_v"])
+        for r in trend_metrics(
+            df, keys="k", ts_col="seq", value_cols=["v"], window_days=None
+        ).collect()
+    }
+    pandas_route = {
+        r["k"]: (r["data_points_available"], r["first_v"], r["last_v"])
+        for r in trend_metrics_pandas(df, keys="k", ts_col="seq", value_col="v").collect()
+    }
+    assert pandas_route == native

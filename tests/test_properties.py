@@ -131,3 +131,49 @@ def test_trend_metrics_matches_pandas_loop(spark, rows):
             assert got[k][3] is None
         else:
             assert got[k][3] is not None and abs(got[k][3] - want[k][3]) <= 0.011
+
+
+_right_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=30),
+        st.floats(-1e6, 1e6, allow_nan=False, width=32),
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(left_rows=_rows, right_rows=_right_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """The union+window as-of join must agree with pandas merge_asof
+    (backward, exact matches allowed) on arbitrary keyed series."""
+    from covid_data_challenge_spark.operators.alignment import asof_join
+
+    left = spark.createDataFrame(
+        [(k, s) for k, s, _ in left_rows], "k long, seq long"
+    ).withColumn("lid", F.monotonically_increasing_id())
+    right = spark.createDataFrame(
+        [(k, s, float(v)) for k, s, v in right_rows] or [(99, 99, 0.0)],
+        "k long, seq long, rv double",
+    )
+    got = {
+        (r["k"], r["seq"]): (r["seq_asof"], r["rv_asof"])
+        for r in asof_join(
+            left, right, by="k", left_ts="seq", right_ts="seq", value_cols=["rv"]
+        ).collect()
+    }
+    lpdf = pd.DataFrame(sorted({(k, s) for k, s, _ in left_rows}), columns=["k", "seq"]).sort_values("seq")
+    rpdf = pd.DataFrame(
+        sorted(right_rows) or [(99, 99, 0.0)], columns=["k", "seq", "rv"]
+    ).sort_values("seq")
+    rpdf["seq_r"] = rpdf["seq"]
+    want = pd.merge_asof(lpdf, rpdf, on="seq", by="k", direction="backward")
+    for _, row in want.iterrows():
+        g_ts, g_v = got[(row["k"], row["seq"])]
+        if pd.isna(row["rv"]):
+            assert g_v is None and g_ts is None
+        else:
+            assert g_ts == row["seq_r"] and math.isclose(g_v, row["rv"], rel_tol=1e-9)
