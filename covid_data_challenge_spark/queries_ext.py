@@ -29,6 +29,10 @@ from covid_data_challenge_spark.operators.dedup import (
     simhash,
     simhash_neardup_pairs,
 )
+from covid_data_challenge_spark.operators.components import (
+    cluster_assignments,
+    dedup_keep_canonical,
+)
 from covid_data_challenge_spark.operators.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -40,6 +44,7 @@ from covid_data_challenge_spark.operators.sessions import (
     sliding_agg,
     tumbling_agg,
 )
+from covid_data_challenge_spark.operators.splits import assign_split, split_sql_case
 from covid_data_challenge_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_neardup_pairs,
@@ -894,4 +899,114 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("n_purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components) + deterministic splits
+# ---------------------------------------------------------------------------
+
+#: Shared CTE block recomputing the n-gram Jaccard near-dup edge list in
+#: DuckDB (same semantics as `ngram_jaccard_pairs`), for the clustering
+#: oracles below.
+_JACCARD_EDGE_CTES = f"""
+docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+),
+assigned AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES}
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM assigned
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the n-gram Jaccard edge list via
+    distributed connected components (large-star/small-star); the DuckDB
+    oracle recomputes the same clusters with a recursive CTE, so the
+    iterative DataFrame algorithm is value-checked end to end."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    return cluster_assignments(docs, pairs)
+
+
+@register(
+    "dedup_near_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES}
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN assigned a USING (doc_id)
+WHERE a.doc_id = a.cluster_id
+""",
+)
+def q_dedup_near_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup survivors: the minimum doc id of each connected
+    component — deterministic under any partitioning, unlike
+    ``dropDuplicates`` survivor choice."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    return dedup_keep_canonical(docs, pairs).select("doc_id", "lang", "source")
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+SELECT doc_id, {split_sql_case("doc_id", _SPLITS)} AS split FROM documents
+""",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic i.i.d. 80/10/10 split keyed on doc_id: a pure
+    md5-of-key expression — no shuffle, no rand(), stable for existing
+    rows as the corpus grows. Bit-exact vs the DuckDB oracle because md5
+    is engine-portable (Spark hash/xxhash64 are not)."""
+    return assign_split(_docs(spark, sf_dir).select("doc_id"), "doc_id", _SPLITS)
+
+
+@register(
+    "split_by_group",
+    oracle=f"""
+SELECT doc_id, source, {split_sql_case("source", _SPLITS)} AS split FROM documents
+""",
+)
+def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: keyed on the doc's source so every doc of a
+    group lands in the same split (near-dups within a source can never
+    straddle train/test)."""
+    return assign_split(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source", _SPLITS
     )

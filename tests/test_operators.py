@@ -293,3 +293,59 @@ def test_applyinpandas_escape_hatch_equals_native_trends(spark):
         for r in trend_metrics_pandas(df, keys="k", ts_col="seq", value_col="v").collect()
     }
     assert pandas_route == native
+
+
+def test_assign_split_deterministic_covering_and_group_safe(spark):
+    from covid_data_challenge_spark.operators.splits import assign_split
+
+    df = spark.range(0, 4000).withColumn("grp", (F.col("id") % 97).cast("string"))
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = assign_split(df, "id", splits).groupBy("split").count().collect()
+    fractions = {r["split"]: r["count"] / 4000 for r in a}
+    assert set(fractions) == {"train", "val", "test"}
+    assert abs(fractions["train"] - 0.8) < 0.03
+    assert abs(fractions["val"] - 0.1) < 0.02
+    assert abs(fractions["test"] - 0.1) < 0.02
+    # deterministic: same assignment on re-run and under repartitioning
+    one = assign_split(df, "id", splits).collect()
+    two = assign_split(df.repartition(7), "id", splits).collect()
+    assert {(r["id"], r["split"]) for r in one} == {(r["id"], r["split"]) for r in two}
+    # group-keyed: every row of a group gets the group's split
+    by_grp = (
+        assign_split(df, "grp", splits)
+        .groupBy("grp")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert by_grp == 1
+    # a different salt reshuffles assignments
+    salted = assign_split(df, "id", splits, salt="v2").collect()
+    assert {(r["id"], r["split"]) for r in salted} != {(r["id"], r["split"]) for r in one}
+
+
+def test_cluster_assignments_and_canonical_survivors(spark):
+    from covid_data_challenge_spark.operators.components import (
+        cluster_assignments,
+        dedup_keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # components: {0,1,2,3} via chain, {5,6} — 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in cluster_assignments(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, 4), 1: (0, 4), 2: (0, 4), 3: (0, 4),
+        4: (4, 1), 5: (5, 2), 6: (5, 2), 7: (7, 1),
+    }
+    survivors = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert survivors == [0, 4, 5, 7]

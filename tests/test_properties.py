@@ -177,3 +177,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
             assert g_v is None and g_ts is None
         else:
             assert g_ts == row["seq_r"] and math.isclose(g_v, row["rv"], rel_tol=1e-9)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=24), st.integers(min_value=0, max_value=24)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=_edges)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_matches_union_find(spark, edges):
+    """large-star/small-star must produce exactly the min-id labeling a
+    sequential union-find gives, on arbitrary graphs (self-loops, dups,
+    chains, isolated-by-filter nodes included)."""
+    from covid_data_challenge_spark.operators.components import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a), parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # want: node -> min id of its component, only for nodes on a real edge
+    on_edge = {x for a, b in edges if a != b for x in (a, b)}
+    comp_min: dict[int, int] = {}
+    for x in on_edge:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in on_edge}
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    assert got == want
