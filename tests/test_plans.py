@@ -60,3 +60,31 @@ def test_parity_surface_has_no_python_udf(spark, sf_dir):
         plan = _plan(spark, spec.spark(spark, sf_dir), "simple")
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses an unexpected pandas UDF"
+
+
+def test_partitioned_gold_table_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """A gold table written with partitionBy(date) must serve a one-day
+    query by reading ONLY that day's files — at 100 TB the difference
+    between a partition-pruned scan and a full scan is the whole game."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.sources.sinks import write_parquet
+
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    gold = str(tmp_path / "events_gold")
+    write_parquet(ev, gold, partition_by=["event_date"])
+
+    back = spark.read.parquet(gold)
+    day = back.select(F.min("event_date").alias("d")).collect()[0]["d"]
+    one_day = back.filter(F.col("event_date") == F.lit(day))
+
+    plan = _plan(spark, one_day)
+    scan = plan.split("PartitionFilters", 1)
+    assert len(scan) == 2 and "event_date" in scan[1][:300]
+
+    n_pruned = one_day.select(F.input_file_name()).distinct().count()
+    n_total = back.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_total
+    # pruning must not change results
+    assert one_day.count() == ev.filter(F.col("event_date") == F.lit(day)).count()
