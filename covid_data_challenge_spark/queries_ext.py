@@ -44,6 +44,11 @@ from covid_data_challenge_spark.operators.sessions import (
     sliding_agg,
     tumbling_agg,
 )
+from covid_data_challenge_spark.operators.packing import (
+    pack_greedy,
+    packing_oracle_sql,
+    packing_stats,
+)
 from covid_data_challenge_spark.operators.splits import assign_split, split_sql_case
 from covid_data_challenge_spark.operators.similarity import (
     ann_lsh_topk,
@@ -1010,3 +1015,41 @@ def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(
         _docs(spark, sf_dir).select("doc_id", "source"), "source", _SPLITS
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget bins for training batches)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=packing_oracle_sql(_PACK_BUDGET, _NORM),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing of the corpus into (shard, bin) packs:
+    md5-sharded streams, doc_id-ordered greedy fill (operators/packing.py).
+    The walk is a prefix sum *with reset* — not window-expressible — so
+    each shard packs in one Arrow-batched ``applyInPandas`` after a single
+    shuffle on the shard key. Pinned bit-for-bit by a DuckDB recursive-CTE
+    replay of the same spec."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_greedy(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+
+
+@register(
+    "packing_stats",
+    oracle=packing_oracle_sql(_PACK_BUDGET, _NORM, stats=True),
+)
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin packing utilization (docs, tokens, fraction of budget) —
+    what a batch loader reads to size epochs and audit padding waste."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_greedy(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+    return packing_stats(packed, "n_tokens", budget=_PACK_BUDGET)

@@ -349,3 +349,35 @@ def test_cluster_assignments_and_canonical_survivors(spark):
         r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect()
     )
     assert survivors == [0, 4, 5, 7]
+
+
+def test_pack_greedy_invariants(spark):
+    """Greedy packing: bins respect the budget (except single oversize
+    docs), bin ids are contiguous per shard, and each bin boundary is
+    forced (the first doc of bin b+1 would not have fit in bin b)."""
+    import pandas as pd
+
+    from covid_data_challenge_spark.operators.packing import pack_greedy, packing_stats
+
+    rows = [(i, 1 + (i * 37) % 90) for i in range(200)] + [(200, 999)]  # one oversize
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    packed = pack_greedy(df, "doc_id", "n_tokens", budget=100).toPandas()
+    assert len(packed) == 201 and packed["doc_id"].is_unique
+
+    for (_, _), grp in packed.groupby(["shard", "bin"]):
+        if len(grp) > 1:
+            assert grp["n_tokens"].sum() <= 100
+    for shard, grp in packed.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        bins = grp["bin"].tolist()
+        assert bins[0] == 0 and all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        fills = grp.groupby("bin")["n_tokens"].sum()
+        firsts = grp.drop_duplicates("bin").set_index("bin")["n_tokens"]
+        for b in fills.index[:-1]:
+            assert fills[b] + firsts[b + 1] > 100  # boundary was forced
+
+    stats = packing_stats(
+        spark.createDataFrame(packed), "n_tokens", budget=100
+    ).toPandas()
+    assert stats["tokens"].sum() == sum(t for _, t in rows)
+    assert (stats["utilization"] == stats["tokens"] / 100.0).all()
