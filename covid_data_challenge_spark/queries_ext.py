@@ -1053,3 +1053,36 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_greedy(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
     return packing_stats(packed, "n_tokens", budget=_PACK_BUDGET)
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+SELECT token,
+       CAST(count(*) AS BIGINT) AS freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 50
+""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency top-k — the tokenizer-vocabulary building
+    step of a training pipeline. explode → two-level agg; stopword skew
+    is absorbed by map-side partial aggregation, and the ordered take is
+    a TakeOrderedAndProject (no full sort shuffle). Tie-break on token
+    makes the top-k set deterministic for the oracle compare."""
+    from covid_data_challenge_spark.functions.text import tokens as _tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
