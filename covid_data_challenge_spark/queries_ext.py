@@ -179,24 +179,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_score",
-    oracle=f"""
+#: DuckDB twin of functions.text.quality_score over ``documents``
+#: (shared by quality_score and quality_percentile_filter).
+_QUALITY_SQL = f"""
 WITH t AS (
-    SELECT doc_id, text,
+    SELECT doc_id, lang, text,
            len(string_split({_NORM}, ' ')) AS n_tok,
            len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
            (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
                / greatest(len(text), 1) AS punct
     FROM documents
 )
-SELECT doc_id,
+SELECT doc_id, lang,
        CAST(n_tok AS INT) AS n_tokens,
        round((least(n_tok / 100.0, 1.0)
             + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
             + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
 FROM t
-""",
+"""
+
+
+@register(
+    "quality_score",
+    oracle=f"SELECT doc_id, n_tokens, quality FROM ({_QUALITY_SQL})",
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -204,6 +209,38 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+SELECT doc_id, lang, quality, round(pct, 6) AS quality_pct
+FROM (
+  SELECT doc_id, lang, quality,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pct
+  FROM ({_QUALITY_SQL})
+)
+WHERE pct >= 0.5
+""",
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter: keep docs at or above the median quality within
+    their language. ``percent_rank`` is rank-based, so ties resolve
+    identically in any engine — the filter is deterministic without a
+    tie-break column. One shuffle (window partition on lang); at 100 TB
+    swap the window for a two-pass approx-quantile threshold join
+    (compute per-lang cutoffs once, broadcast, filter map-side)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    pct = F.percent_rank().over(Window.partitionBy("lang").orderBy("quality"))
+    return (
+        docs.withColumn("pct", pct)
+        .filter(F.col("pct") >= 0.5)  # filter pre-round, exactly like the oracle
+        .select("doc_id", "lang", "quality", F.round("pct", 6).alias("quality_pct"))
     )
 
 
