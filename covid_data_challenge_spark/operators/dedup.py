@@ -296,3 +296,45 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination: word n-gram collisions between training
+    corpus docs and held-out eval docs, the standard benchmark-leakage
+    check run before training.
+
+    → (train_id, eval_id, n_common, eval_overlap) where ``eval_overlap``
+    is the fraction of the eval doc's shingles present in the train doc.
+
+    Scale shape: the eval side is tiny relative to a 100 TB corpus, so
+    its shingle table is **broadcast** — corpus shingles stream map-side
+    through the hash join and never shuffle; only the matched
+    (train, eval) pairs (bounded by eval-set size × collision rate) hit
+    the aggregation exchange.
+    """
+    tr = doc_shingles(corpus, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), "shingle"
+    )
+    ev = doc_shingles(evalset, id_col, text_col, n)
+    ev_sizes = ev.groupBy("id").agg(F.count(F.lit(1)).alias("n_eval_sh"))
+    common = (
+        tr.join(F.broadcast(ev.select(F.col("id").alias("eval_id"), "shingle")), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(ev_sizes.select(F.col("id").alias("eval_id"), "n_eval_sh")),
+            "eval_id",
+        )
+        .filter(F.col("n_common") >= min_common)
+        .withColumn("eval_overlap", F.round(F.col("n_common") / F.col("n_eval_sh"), 4))
+        .select("train_id", "eval_id", "n_common", "eval_overlap")
+    )

@@ -22,6 +22,7 @@ from covid_data_challenge_spark.functions.text import (
     token_count,
 )
 from covid_data_challenge_spark.operators.dedup import (
+    decontamination_overlap,
     dedup_exact_keep_first,
     exact_dedup_stats,
     jaccard_pairs,
@@ -1122,4 +1123,42 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "token")
         .limit(50)
+    )
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, source,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+ev AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+evsz AS (SELECT doc_id, count(*) AS n_eval_sh FROM ev GROUP BY doc_id),
+common AS (
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_common
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY 1, 2
+)
+SELECT train_id, eval_id, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / evsz.n_eval_sh, 4) AS eval_overlap
+FROM common JOIN evsz ON evsz.doc_id = eval_id
+WHERE n_common >= 2
+""",
+)
+def q_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word 3-gram collisions between the
+    training corpus (sources != src0) and a held-out eval set (src0).
+    The eval shingle table is broadcast, so corpus shingles stream
+    map-side and never shuffle (operators/dedup.py:decontamination_overlap)."""
+    docs = _docs(spark, sf_dir)
+    return decontamination_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        min_common=2,
     )
