@@ -10,16 +10,29 @@ by pytest recall tests against the exact operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_data_challenge_spark.functions.text import (
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
     bpe_pretoken_count,
     fingerprint,
     lang_hits,
     normalize_text,
+    pii_match_count,
     quality_score,
+    redact_pii,
     token_count,
+    tokens,
+)
+from covid_data_challenge_spark.operators.chunking import (
+    chunk_tokens,
+    chunking_oracle_sql,
+)
+from covid_data_challenge_spark.operators.sampling import (
+    mixture_oracle_sql,
+    mixture_sample,
 )
 from covid_data_challenge_spark.operators.dedup import (
     decontamination_overlap,
@@ -1162,3 +1175,162 @@ def q_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         min_common=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48  # 16-token overlap between windows
+
+
+@register(
+    "doc_chunks",
+    oracle=chunking_oracle_sql(_NORM, _CHUNK_SIZE, _CHUNK_STRIDE),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each doc's whitespace-token stream into 64-token windows with
+    a 48-token stride (16 overlapping). Map-side explode of pure column
+    exprs — no shuffle, no UDF; chunking 100 TB runs at scan speed
+    (operators/chunking.py)."""
+    docs = _docs(spark, sf_dir)
+    return chunk_tokens(
+        docs.select("doc_id", tokens(F.col("text")).alias("t")),
+        F.col("t"),
+        ["doc_id"],
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling (per-source epoch weights)
+# ---------------------------------------------------------------------------
+
+#: Mixture recipe: src0-3 upsampled 2.5 epochs, src4-9 kept whole,
+#: the long tail downsampled to 40 %.
+_MIX_WEIGHTS = {
+    **{f"src{i}": 2.5 for i in range(4)},
+    **{f"src{i}": 1.0 for i in range(4, 10)},
+    **{f"src{i}": 0.4 for i in range(10, 20)},
+}
+_MIX_SALT = "mix-v1"
+
+
+@register(
+    "mixture_sample",
+    oracle=mixture_oracle_sql("doc_id", "source", _MIX_WEIGHTS, _MIX_SALT),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: floor(weight) whole epochs per doc
+    plus one fractional-epoch copy decided by an md5 coin keyed on
+    doc_id. CASE-WHEN recipe + map-side explode — no join, no shuffle,
+    stable under reruns and repartitioning (operators/sampling.py)."""
+    return mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "doc_id",
+        "source",
+        _MIX_WEIGHTS,
+        _MIX_SALT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: The synthetic corpus has no PII, so both engines append the same
+#: deterministic contact line before redacting — the redactor then has
+#: real spans to find, and the oracle still checks end-to-end equality.
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
+          + len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INT) AS n_pii,
+       regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM pii
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/phones to typed placeholders with an audit count.
+    Pure regexp_replace chain (JVM codegen, no UDF) over engine-portable
+    RE2-safe patterns (functions/text.py:redact_pii)."""
+    docs = _docs(spark, sf_dir)
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return with_pii.select(
+        "doc_id",
+        pii_match_count(F.col("t")).alias("n_pii"),
+        redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube aggregation + ntile bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cube",
+    oracle="""
+SELECT event_type,
+       CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, date_part('hour', ts))
+""",
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-dimension subtotals (type × hour, type, hour, grand
+    total) in ONE pass — Spark expands the cube inside a single
+    partial-agg plan; the reference would need four scans."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .cube("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "quality_ntile",
+    oracle=f"""
+SELECT doc_id, lang, quality,
+       CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS INT) AS decile
+FROM ({_QUALITY_SQL})
+""",
+)
+def q_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles for stratified curation. doc_id
+    tie-break makes ntile's row assignment a total order, so any engine
+    agrees bucket-for-bucket. One window shuffle on lang."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+    ).withColumn("decile", F.ntile(10).over(w))

@@ -88,3 +88,24 @@ def test_partitioned_gold_table_scan_is_partition_pruned(spark, sf_dir, tmp_path
     assert 0 < n_pruned < n_total
     # pruning must not change results
     assert one_day.count() == ev.filter(F.col("event_date") == F.lit(day)).count()
+
+
+def test_chunking_and_mixture_are_map_side_only(spark, sf_dir):
+    """The corpus-prep explodes (chunking, mixture sampling) and the
+    regex redactor must stay shuffle-free: pure scan→project→generate
+    plans, no Exchange, no Python runner."""
+    for name in ("doc_chunks", "mixture_sample", "pii_redaction"):
+        simple = _plan(spark, REGISTRY[name].spark(spark, sf_dir), "simple")
+        assert "Exchange" not in simple, name
+        assert "Generate" in simple or name == "pii_redaction", name
+
+
+def test_events_cube_is_single_pass(spark, sf_dir):
+    """Cube subtotals expand in ONE aggregate plan — one scan of events,
+    partial agg before the single exchange."""
+    simple = _plan(spark, REGISTRY["events_cube"].spark(spark, sf_dir), "simple")
+    assert simple.count("Scan parquet") == 1
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "Expand" in simple
+    plan = _plan(spark, REGISTRY["events_cube"].spark(spark, sf_dir))
+    assert "partial_count" in plan or "partial" in plan
