@@ -100,3 +100,60 @@ SELECT {key_sql}, {group_sql}{extra_cols},
 FROM counted
 WHERE copies > 0
 """
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global corpus shuffle, the scalable way: hash each
+    row into one of ``n_shards`` equal hash-range shards, then rank
+    within its shard by the hash (tie-break on the key). This is the
+    shard-then-sort idiom training loaders expect (WebDataset-style):
+    no global row_number — a single-partition window that would
+    serialize 100 TB through one task — just one hash-partition shuffle
+    and per-shard parallel windows. Reading shards in order while
+    interleaving within shards reproduces the permutation exactly on
+    any engine (md5 is portable; see mixture_sample)."""
+    from pyspark.sql import Window
+
+    prefix = F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+    bounds = [
+        (str(i), format(((i + 1) * 16**_HEX_WIDTH) // n_shards - 1, f"0{_HEX_WIDTH}x"))
+        for i in range(n_shards)
+    ]
+    shard = F.lit(int(bounds[-1][0]))
+    for name, hexbound in reversed(bounds[:-1]):
+        shard = F.when(prefix <= F.lit(hexbound), F.lit(int(name))).otherwise(shard)
+    w = Window.partitionBy("shard").orderBy("shuffle_hash", key_col)
+    return (
+        df.withColumn("shuffle_hash", prefix)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def shuffle_shards_oracle_sql(
+    key_sql: str, n_shards: int, salt: str = "", table: str = "documents"
+) -> str:
+    """DuckDB replay of :func:`shuffle_shards` (same boundaries, same
+    tie-break)."""
+    bounds = [
+        (i, format(((i + 1) * 16**_HEX_WIDTH) // n_shards - 1, f"0{_HEX_WIDTH}x"))
+        for i in range(n_shards)
+    ]
+    case_sql = "CASE " + " ".join(
+        f"WHEN h <= '{hexbound}' THEN {i}" for i, hexbound in bounds[:-1]
+    ) + f" ELSE {bounds[-1][0]} END"
+    return f"""
+WITH hashed AS (
+  SELECT {key_sql},
+         substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, {_HEX_WIDTH}) AS h
+  FROM {table}
+)
+SELECT {key_sql}, h AS shuffle_hash, CAST({case_sql} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY {case_sql} ORDER BY h, {key_sql}) AS INT) AS pos
+FROM hashed
+"""

@@ -33,6 +33,8 @@ from covid_data_challenge_spark.operators.chunking import (
 from covid_data_challenge_spark.operators.sampling import (
     mixture_oracle_sql,
     mixture_sample,
+    shuffle_shards,
+    shuffle_shards_oracle_sql,
 )
 from covid_data_challenge_spark.operators.dedup import (
     decontamination_overlap,
@@ -1334,3 +1336,127 @@ def q_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         quality_score(F.col("text")).alias("quality"),
     ).withColumn("decile", F.ntile(10).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (shard-then-sort)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS, _SHUFFLE_SALT = 8, "shuf-v1"
+
+
+@register(
+    "corpus_shuffle",
+    oracle=shuffle_shards_oracle_sql("doc_id", _SHUFFLE_SHARDS, _SHUFFLE_SALT),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle as shard-then-sort: md5
+    hash-range shards + per-shard rank. One hash shuffle, parallel
+    windows — never a single-partition global row_number
+    (operators/sampling.py:shuffle_shards)."""
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", _SHUFFLE_SHARDS, _SHUFFLE_SALT
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·idf. The document
+    frequency table is vocabulary-sized (≪ corpus), so it broadcasts and
+    the corpus-side term stream never shuffles for the join; the corpus
+    count joins as a broadcast scalar. One window per doc for the top-k."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing z-score anomaly detection on the event stream
+# ---------------------------------------------------------------------------
+
+_Z_LOOKBACK, _Z_MIN_POINTS = 20, 5
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         avg(value)  OVER trail AS mu,
+         stddev_samp(value) OVER trail AS sigma,
+         count(*) OVER trail AS n_prev
+  FROM events
+  WINDOW trail AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CASE WHEN n_prev >= {_Z_MIN_POINTS} AND sigma > 0
+            THEN round((value - mu) / sigma, 4) END AS zscore,
+       coalesce(n_prev >= {_Z_MIN_POINTS} AND sigma > 0
+                AND abs((value - mu) / sigma) > 3, false) AS is_anomaly
+FROM w
+""",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing z-score over the previous 20 events (current row
+    excluded, ≥5 points required): the streaming-adjacent anomaly flag a
+    monitoring pipeline computes. One shuffle on user_id; the frame is
+    row-bounded so state is O(lookback) per key — the same op ports to
+    applyInPandasWithState for the live stream."""
+    ev = _events(spark, sf_dir)
+    trail = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    mu, sigma = F.avg("value").over(trail), F.stddev_samp("value").over(trail)
+    n_prev = F.count(F.lit(1)).over(trail)
+    ok = (n_prev >= _Z_MIN_POINTS) & (sigma > 0)
+    z = (F.col("value") - mu) / sigma
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.coalesce(ok & (F.abs(z) > 3), F.lit(False)).alias("is_anomaly"),
+    )

@@ -134,3 +134,71 @@ def test_redact_pii_goldens(spark):
     assert out[1] == ("call <PHONE> or <PHONE>", 2)
     assert out[2] == ("no pii here, just words and 42", 0)
     assert out[3] == ("<EMAIL> and <PHONE> both", 2)
+
+
+# ---------------------------------------------------------------------------
+# corpus shuffle (shard-then-sort)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_is_a_partitioning_invariant_permutation(spark):
+    from covid_data_challenge_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, "doc_id", 8, salt="t")
+    rows = out.collect()
+    assert len(rows) == 1000  # a permutation: nothing dropped or duplicated
+    assert len({r.doc_id for r in rows}) == 1000
+    # positions are contiguous 1..n within every shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # roughly balanced shards (md5-uniform): 1000/8 = 125 ± 5σ
+    assert all(70 <= len(ps) <= 180 for ps in by_shard.values())
+    # identical under a different input partitioning
+    again = shuffle_shards(df.repartition(17), "doc_id", 8, salt="t").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_shuffle_salt_changes_permutation(spark):
+    from covid_data_challenge_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id): (r.shard, r.pos) for r in shuffle_shards(df, "doc_id", 4, "a").collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in shuffle_shards(df, "doc_id", 4, "b").collect()}
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# trailing z-score
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_matches_pandas_rolling(spark):
+    import pandas as pd
+
+    import covid_data_challenge_spark.queries_ext  # noqa: F401 — populate REGISTRY
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    out = REGISTRY["events_anomaly_zscore"].spark(spark, "/root/testdata/sf0.001")
+    got = {r.event_id: r.zscore for r in out.collect() if r.zscore is not None}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["ts", "event_id"])
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        vals = g["value"].to_list()
+        for i, eid in enumerate(g["event_id"].to_list()):
+            prev = vals[max(0, i - 20) : i]
+            if len(prev) < 5:
+                assert eid not in got
+                continue
+            s = pd.Series(prev)
+            if s.std(ddof=1) <= 0:
+                continue
+            expect = round((vals[i] - s.mean()) / s.std(ddof=1), 4)
+            assert abs(got[eid] - expect) < 1e-9, eid
+            checked += 1
+    assert checked > 100
