@@ -1460,3 +1460,84 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 4)).alias("zscore"),
         F.coalesce(ok & (F.abs(z) > 3), F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling + per-group winsorization
+# ---------------------------------------------------------------------------
+
+_STRAT_K, _STRAT_SALT = 20, "strat-v1"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_STRAT_SALT}'), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {_STRAT_K}
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-class sample (the distributed reservoir): rank each
+    class's rows by a deterministic md5 draw and keep the first k. One
+    shuffle on the class key; WindowGroupLimit keeps only k rows per
+    class on the map side, so the shuffle moves O(k·classes) rows —
+    unlike rand()-based sampleBy, the pick is reproducible anywhere."""
+    docs = _docs(spark, sf_dir)
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_STRAT_SALT)))
+    w = Window.partitionBy("lang").orderBy(draw, "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _STRAT_K)
+    )
+
+
+@register(
+    "group_winsorize",
+    oracle="""
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       l.l_extendedprice,
+       round(least(greatest(l.l_extendedprice, c.p05), c.p95), 2) AS price_winsorized
+FROM lineitem l JOIN cuts c USING (l_returnflag)
+""",
+)
+def q_group_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping for numeric features: clamp each row's price into
+    its group's [p05, p95]. Two-pass shape that scales: the per-group
+    cut table is groups-sized → broadcast, so the fact table is clipped
+    map-side with NO shuffle of the data itself (a window-based
+    percentile would shuffle all 100 TB). Exact percentiles at test SF;
+    approx_percentile is the drop-in at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")), 2
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .join(F.broadcast(cuts), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            clipped.alias("price_winsorized"),
+        )
+    )

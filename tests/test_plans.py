@@ -109,3 +109,18 @@ def test_events_cube_is_single_pass(spark, sf_dir):
     assert "Expand" in simple
     plan = _plan(spark, REGISTRY["events_cube"].spark(spark, sf_dir))
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_stratified_sample_rank_limits_on_map_side(spark, sf_dir):
+    """k-per-class sampling must push the rank limit below the shuffle
+    (WindowGroupLimit) so only k·classes rows move."""
+    plan = _plan(spark, REGISTRY["stratified_sample"].spark(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_group_winsorize_broadcasts_cut_table(spark, sf_dir):
+    """The per-group percentile cuts must broadcast — the fact table is
+    clipped map-side, never shuffled for the join."""
+    plan = _plan(spark, REGISTRY["group_winsorize"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
