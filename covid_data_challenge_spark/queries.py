@@ -111,25 +111,36 @@ def flagship_customer_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
 
-    latest = latest_per_key(
-        orders, "o_custkey", "o_orderdate", tie_breakers=["o_orderkey"]
-    ).select(
-        "o_custkey",
-        F.col("o_orderdate").alias("latest_order_date"),
-        F.col("o_totalprice").alias("latest_order_price"),
-    )
-    stats = orders.groupBy("o_custkey").agg(
+    # Latest-per-key (A6) fused INTO the stats aggregation: `max_by` over a
+    # lexicographic (date, orderkey) struct picks the same row the
+    # row_number()=1 window would, but the whole per-customer state now
+    # computes in ONE partial-aggregated pass — one orders scan and one
+    # shuffle instead of two of each (the fact table is the 100 TB side).
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct(
+                F.col("o_orderdate").alias("latest_order_date"),
+                F.col("o_totalprice").alias("latest_order_price"),
+            ),
+            F.struct("o_orderdate", "o_orderkey"),
+        ).alias("__latest"),
         F.count(F.lit(1)).alias("order_count"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_order_price"),
+    ).select(
+        "o_custkey",
+        F.col("__latest.latest_order_date").alias("latest_order_date"),
+        F.col("__latest.latest_order_price").alias("latest_order_price"),
+        "order_count",
+        "total_spent",
+        "avg_order_price",
     )
+    # Global scalar: a one-column scan DuckDB/parquet stats make cheap.
     max_date = orders.agg(F.max("o_orderdate").alias("__max_date"))
 
-    merged = (
-        customer.join(latest, customer.c_custkey == latest.o_custkey, "inner")
-        .join(stats, "o_custkey")
-        .join(F.broadcast(max_date))
-    )
+    merged = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "inner"
+    ).join(F.broadcast(max_date))
     return (
         merged.select(
             "c_custkey",
