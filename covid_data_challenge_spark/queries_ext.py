@@ -1640,3 +1640,303 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention, gap-fill interpolation, JSON props, ranked top-k,
+# similarity join, inverted index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INT) AS week_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (the product-analytics staple the
+    reference's snapshot model cannot express): users are bucketed by the
+    week of their first event; each later active week increments that
+    cohort's ``week_offset`` cell. The first-seen table is one row per
+    user (≪ events) → broadcast, so the event stream is tagged map-side;
+    the only full shuffle is the final (cohort, offset) aggregation whose
+    key space is tiny. At 100 TB the distinct-activity pre-aggregation
+    keyed on user_id collapses the stream before the join."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("act_week")
+    ).distinct()
+    offset = (F.datediff("act_week", "cohort_week") / 7).cast("int")
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "events_gapfill_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+),
+scaffold AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.day, d.v
+  FROM scaffold s LEFT JOIN daily d USING (user_id, day)
+),
+filled AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS prev_day,
+    first_value(v IGNORE NULLS) OVER w_next AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS next_day
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE prev_v + (next_v - prev_v)
+                       * date_diff('day', prev_day, day)
+                       / date_diff('day', prev_day, next_day)
+             END, 4) AS value_filled,
+       v IS NULL AS interpolated
+FROM filled
+""",
+)
+def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + linear interpolation: scaffold every day in
+    each user's [min(day), max(day)] span via ``sequence``+``explode``
+    (map-side, no shuffle), left-join the observed daily totals, then
+    interpolate missing days between the bracketing observations with
+    two one-pass window frames (last/first ``ignorenulls``). Boundary
+    days are observed by construction, so interpolation is always
+    bracketed. One shuffle on user_id serves the join and both windows;
+    scaffold size is O(keys × span-days), independent of event volume."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    scaffold = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = scaffold.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_day = F.last(obs_day, ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_day = F.first(obs_day, ignorenulls=True).over(w_next)
+    interp = prev_v + (next_v - prev_v) * F.datediff(
+        F.col("day"), prev_day
+    ) / F.datediff(next_day, prev_day)
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(F.coalesce(F.col("v"), interp), 4).alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(k), 4) AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(CASE WHEN k >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: extract a field from the JSON
+    ``props`` column (``get_json_object``, JVM-side — no Python in the
+    loop) and aggregate per event type. At 100 TB the extraction is a
+    map-side scan op; pre-parsing hot fields into real columns at ingest
+    (schema-on-write) is the noted scale upgrade, but schema-on-read
+    must work for exploration."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") >= 90, 1).otherwise(0)).alias("n_hot"),
+        )
+    )
+
+
+@register(
+    "grouped_topk_ties",
+    oracle="""
+WITH oc AS (
+  SELECT c.c_nationkey, c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_custkey, n_orders,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, dense_rank() OVER (
+      PARTITION BY c_nationkey ORDER BY n_orders DESC) AS rnk
+  FROM oc
+)
+WHERE rnk <= 3
+""",
+)
+def q_grouped_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-preserving grouped top-k: ``dense_rank`` keeps every customer
+    whose order count ties into the top 3 ranks of their nation — the
+    semantics ``row_number`` silently breaks on ties. The rank result is
+    deterministic under ties (equal key → equal rank), so the output set
+    is stable across engines and partitionings. One shuffle for the
+    count, one on the small per-customer aggregate for the window."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    oc = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("n_orders").desc())
+    return (
+        oc.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "n_orders", "rnk")
+    )
+
+
+@register(
+    "simjoin_levenshtein",
+    oracle="""
+SELECT a.c_nationkey,
+       a.c_custkey AS custkey_a,
+       b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def q_simjoin_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-similarity self-join: candidate pairs share a block
+    key (nation) and are verified with exact edit distance ≤ 2 — the
+    classic block-then-verify shape that turns an O(n²) similarity join
+    into per-block quadratic work. ``levenshtein`` is a JVM built-in
+    (identical semantics in DuckDB, so the oracle is exact). At 100 TB
+    the block key comes from cheap canopies (length band + prefix) and
+    each block streams through a sort-merge join on the block key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_name"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            dist.alias("dist"),
+        )
+    )
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+WITH td AS (
+  SELECT DISTINCT term, doc_id
+  FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+)
+SELECT term,
+       count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td
+GROUP BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an inverted index (term → sorted posting list) for corpus
+    search: explode tokens map-side, dedupe (term, doc_id), aggregate
+    per term. One shuffle on the term key; posting lists are built with
+    ``collect_set`` + ``sort_array`` so the result is order-independent
+    and engine-portable. At 100 TB, postings for stop-word-grade terms
+    are the skew risk — the scale path shards hot terms by doc-id range
+    (salted term key) and stores postings as arrays in partitioned
+    parquet rather than a single row per term."""
+    docs = _docs(spark, sf_dir)
+    td = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    postings = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), postings.alias("postings")
+    )
