@@ -1940,3 +1940,233 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), postings.alias("postings")
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution, robust stats, vector centroids, grouping sets,
+# stream-stream join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END
+               IGNORE NULLS) OVER trail AS touch_event_id,
+    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+               IGNORE NULLS) OVER trail AS touch_type,
+    last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+               IGNORE NULLS) OVER trail AS touch_ts
+  FROM events
+  WINDOW trail AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       round(value, 2) AS purchase_value,
+       touch_event_id, touch_type, touch_ts
+FROM flagged WHERE event_type = 'purchase'
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent preceding view/click by the same user — an as-of lookup
+    expressed as ONE pass over the unified event stream (trailing
+    ignorenulls window), not a self-join. One shuffle on user_id; state
+    per key is a single carried touch row, so the same plan runs as an
+    ``applyInPandasWithState`` streaming op. Purchases with no prior
+    touch keep NULL (unattributed)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touch = lambda c: F.last(F.when(is_touch, F.col(c)), ignorenulls=True).over(w)  # noqa: E731
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            touch("event_id").alias("touch_event_id"),
+            touch("event_type").alias("touch_type"),
+            touch("ts").alias("touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+            "touch_event_id",
+            "touch_type",
+            "touch_ts",
+        )
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+       count(*) AS n_vectors
+FROM embeddings,
+     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+GROUP BY 1, 2
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids in long format (label, dim, value) —
+    the building block of IVF coarse quantizers and class-prototype
+    classifiers. ``posexplode`` streams (vector → dim rows) map-side;
+    one shuffle on the (label, dim) key with map-side partial averages.
+    Long format keeps the oracle engine-portable (no array hashing) and
+    at 100 TB lets dims of one label aggregate in parallel rather than
+    funneling each label through one reducer."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD × k estimates σ under normality
+
+
+@register(
+    "group_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+         any_value(m.med) AS med
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       round((e.value - s.med) / ({_MAD_K} * s.mad), 4) AS robust_z
+FROM events e JOIN mad s USING (event_type)
+WHERE abs(e.value - s.med) > 3 * {_MAD_K} * s.mad
+""",
+)
+def q_group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    (median/MAD resist the very outliers that corrupt mean/stddev — the
+    right screen for heavy-tailed event values). Two broadcast passes:
+    the per-group median table, then the per-group MAD table; the fact
+    scan is filtered map-side with NO data shuffle. Exact ``percentile``
+    at test SF; ``approx_percentile`` is the one-line switch at 100 TB."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    dev = F.col("value") - F.col("med")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(dev) > 3 * _MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.round(dev / (_MAD_K * F.col("mad")), 4).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(CAST(ts AS DATE)) AS INT) AS g_day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)), ())
+""",
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup) with
+    ``grouping()`` null-vs-subtotal disambiguation flags. Spark plans one
+    Expand over the scan — a single pass emits all four granularities
+    with map-side partial aggregation, vs four separate scans of 100 TB.
+    Expressed through the SQL facade (the DataFrame API exposes only
+    cube/rollup)."""
+    from covid_data_challenge_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(CAST(ts AS DATE)) AS INT) AS g_day,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS
+            ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)), ())
+        """
+    )
+
+
+@register(
+    "clicks_purchases_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts,
+       round(p.value, 2) AS purchase_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+)
+def q_clicks_purchases_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (the Structured Streaming flagship
+    the batch suite can't show): purchases pair with same-user clicks in
+    the trailing hour. The event-time bound + watermarks let Spark evict
+    buffered rows once the watermark passes — bounded state on an
+    unbounded stream. Held to the batch inequality-join oracle over the
+    same data."""
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_click_purchase_join,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    joined = streaming_click_purchase_join(clicks, purchases)
+    try:
+        run_to_memory_sink(joined, "clicks_purchases_stream_join_sink")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return spark.table("clicks_purchases_stream_join_sink")

@@ -102,6 +102,41 @@ def streaming_sessionize(
     )
 
 
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase pairs with the
+    same user's clicks in the trailing ``horizon``. Both sides carry a
+    watermark and the join condition bounds event-time distance, so Spark
+    evicts buffered state once the watermark passes — without the time
+    bound, stream-stream join state grows forever. Append-mode output.
+
+    Input frames must be pre-projected with disambiguated column names
+    (``click_ts`` / ``purchase_ts``)."""
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    return (
+        p.alias("p")
+        .join(c.alias("c"), cond)
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("p.user_id").alias("user_id"),
+            "purchase_ts",
+            F.col("c.event_id").alias("click_id"),
+            "click_ts",
+            F.round(F.col("p.value"), 2).alias("purchase_value"),
+        )
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, table_name: str, timeout_s: int = 120, mode: str | None = None
 ):
