@@ -2170,3 +2170,206 @@ def q_clicks_purchases_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     return spark.table("clicks_purchases_stream_join_sink")
+
+
+# ---------------------------------------------------------------------------
+# Rolling engagement, sequence mining, term co-occurrence, distribution ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_daily_active",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+mx AS (SELECT max(day) AS max_day FROM ud),
+wau AS (
+  SELECT day + CAST(i AS INT) AS day, count(DISTINCT user_id) AS wau
+  FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) t
+  WHERE day + CAST(i AS INT) <= (SELECT max_day FROM mx)
+  GROUP BY 1
+),
+dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day
+)
+SELECT w.day,
+       CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+       w.wau,
+       round(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau, 4) AS stickiness
+FROM wau w LEFT JOIN dau d USING (day)
+""",
+)
+def q_rolling_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (DAU/WAU stickiness) via
+    CONTRIBUTION EXPLODE: each (user, day) fans out to the 7 window days
+    it supports (map-side ×7), then one exact countDistinct per day —
+    instead of a day×events inequality join whose cost is O(days · |events|).
+    The (user, day) pre-distinct collapses the stream first, so the
+    explode factor applies to active-user-days, not raw events. At
+    100 TB the exact distinct swaps to approx_count_distinct or the
+    mergeable HLL sketch table (see distinct_users_sketch)."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    mx = ud.agg(F.max("day").alias("max_day"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, i)").alias("day"))
+    wau = (
+        contrib.join(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    dau_f = F.coalesce(F.col("dau"), F.lit(0).cast("long"))
+    return wau.join(dau, "day", "left").select(
+        "day",
+        dau_f.alias("dau"),
+        "wau",
+        F.round(dau_f.cast("double") / F.col("wau"), 4).alias("stickiness"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type, lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n_transitions,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 4)
+           AS p_transition
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``lead`` pairs each event with its successor (one shuffle
+    on user_id), then a (from, to) count and a row-normalized probability
+    via a window over the 5×5 aggregate — the sequence-mining primitive
+    behind session-flow and churn analysis. The matrix is |types|² rows
+    regardless of data volume, so the normalizing window is free."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = (
+        nxt.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / total, 4).alias("p_transition"),
+    )
+
+
+@register(
+    "term_cooccurrence_pmi",
+    oracle=f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, term
+  FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+),
+df AS (SELECT term, count(*) AS c FROM td GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs_both
+  FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, p.n_docs_both,
+       round(ln(CAST(p.n_docs_both AS DOUBLE) * n.nd / (da.c * db.c)), 4) AS pmi
+FROM pairs p
+JOIN df da ON da.term = p.term_a
+JOIN df db ON db.term = p.term_b
+CROSS JOIN n
+WHERE p.n_docs_both >= 2
+""",
+)
+def q_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over within-document term pairs —
+    the collocation / topic-affinity signal. The (doc, term) set is
+    deduped first, pairs come from a doc-keyed self-join (per-doc
+    quadratic, bounded by per-doc distinct terms), and both document-
+    frequency sides broadcast. At 100 TB the standard guards apply:
+    cap per-doc distinct terms and drop stop-word-grade terms (df cap)
+    BEFORE the pair join — both are map-side filters here."""
+    docs = _docs(spark, sf_dir)
+    td = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df_tbl = td.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    a, b = td.alias("a"), td.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+        .filter(F.col("n_docs_both") >= 2)
+    )
+    da = df_tbl.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    db = df_tbl.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        F.col("n_docs_both").cast("double") * F.col("nd") / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .join(F.broadcast(n))
+        .select("term_a", "term_b", "n_docs_both", F.round(pmi, 4).alias("pmi"))
+    )
+
+
+@register(
+    "value_cume_dist",
+    oracle="""
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER dist, 6) AS pct_rank,
+       round(cume_dist() OVER dist, 6) AS cum_dist
+FROM events
+WINDOW dist AS (PARTITION BY event_type ORDER BY value)
+""",
+)
+def q_value_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution position of every event's value within its type:
+    ``percent_rank`` (rank-based) and ``cume_dist`` (≤-share) — the
+    rank-normalization primitives for score calibration. Both are
+    deterministic under ties (equal value → equal rank), so the result
+    is engine-portable with no tie-break column. One shuffle on the
+    type key; at 100 TB swap to the broadcast-quantile-cuts shape
+    (group_winsorize) when per-row exact ranks aren't required."""
+    ev = _events(spark, sf_dir)
+    dist = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(dist), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(dist), 6).alias("cum_dist"),
+    )

@@ -124,3 +124,43 @@ def test_group_winsorize_broadcasts_cut_table(spark, sf_dir):
     plan = _plan(spark, REGISTRY["group_winsorize"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cohort_retention_broadcasts_first_seen(spark, sf_dir):
+    """The per-user first-seen table must broadcast so the activity
+    stream is tagged map-side, not shuffled for the join."""
+    plan = _plan(spark, REGISTRY["cohort_retention"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """Median and MAD tables are groups-sized — the event scan must be
+    filtered via broadcast, never shuffled on the group key."""
+    plan = _plan(spark, REGISTRY["group_mad_outliers"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_is_single_pass(spark, sf_dir):
+    """All four granularities must come from ONE Expand over one scan
+    with partial aggregation — not four scans."""
+    simple = _plan(spark, REGISTRY["events_grouping_sets"].spark(spark, sf_dir), "simple")
+    assert simple.count("Scan parquet") == 1
+    assert "Expand" in simple
+    assert simple.count("Exchange hashpartitioning") == 1
+
+
+def test_attribution_last_touch_single_shuffle(spark, sf_dir):
+    """The as-of style attribution is ONE window pass: exactly one
+    exchange (user_id), no self-join."""
+    simple = _plan(spark, REGISTRY["attribution_last_touch"].spark(spark, sf_dir), "simple")
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "Join" not in simple
+
+
+def test_transition_matrix_normalizer_reuses_partitioning(spark, sf_dir):
+    """The row-normalizing window runs on the |types|² aggregate — the
+    raw event stream is shuffled exactly once (user_id for the lead)."""
+    simple = _plan(spark, REGISTRY["event_transition_matrix"].spark(spark, sf_dir), "simple")
+    assert simple.count("Scan parquet") == 1
