@@ -2373,3 +2373,131 @@ def q_value_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(dist), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(dist), 6).alias("cum_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time range frames, calendar heatmap, snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_trailing_1h_sum",
+    oracle="""
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER trail, 4) AS trailing_1h_value,
+       CAST(count(*) OVER trail AS BIGINT) AS trailing_1h_events
+FROM events
+WINDOW trail AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def q_events_trailing_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE-HOUR (event-time, not row-count) aggregate per user:
+    a RANGE frame over epoch-microseconds — the load/velocity feature
+    behind rate limiting and fraud scoring. Range frames bound work by
+    time span, so bursty keys don't blow up row-frame assumptions. One
+    shuffle on user_id; ties in ts are peer rows in both engines, so the
+    result is deterministic without a tie-break column."""
+    ev = _events(spark, sf_dir)
+    trail = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(trail), 4).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(trail).alias("trailing_1h_events"),
+    )
+
+
+@register(
+    "activity_heatmap",
+    oracle="""
+SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (ISO weekday, Monday=1)
+    — the calendar-seasonality profile. Pure map-side date-part
+    extraction into a ≤168-cell aggregate with map-side partials; the
+    shuffle moves one row per cell per task regardless of data volume."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_DIFF_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+WITH old_ranked AS (
+  SELECT user_id, value, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{_DIFF_CUTOFF}'
+),
+new_ranked AS (
+  SELECT user_id, value, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+old AS (SELECT user_id, value AS old_value FROM old_ranked WHERE rn = 1),
+new AS (SELECT user_id, value AS new_value FROM new_ranked WHERE rn = 1)
+SELECT n.user_id, o.old_value, n.new_value,
+       CASE WHEN o.user_id IS NULL THEN 'added' ELSE 'changed' END AS change_type
+FROM new n LEFT JOIN old o USING (user_id)
+WHERE o.user_id IS NULL OR o.old_value <> n.new_value
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC diff: latest per-user state as of a
+    cutoff vs now, classified added/changed (drop unchanged). Both
+    snapshots are WindowGroupLimit argmax passes over the SAME user_id
+    partitioning, and the diff join is keyed on user_id too — one
+    logical partitioning serves all three stages, so at 100 TB the
+    whole diff is a single shuffle plus map-side compares. This is the
+    incremental-refresh primitive the reference recomputes from scratch."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("value").alias(alias))
+        )
+
+    old = snap(ev.filter(F.col("ts") < F.lit(_DIFF_CUTOFF).cast("timestamp")), "old_value")
+    new = snap(ev, "new_value")
+    return (
+        new.join(old, "user_id", "left")
+        .filter(
+            F.col("old_value").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "user_id",
+            "old_value",
+            "new_value",
+            F.when(F.col("old_value").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+        )
+    )
