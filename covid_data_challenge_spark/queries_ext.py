@@ -2501,3 +2501,44 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
         )
     )
+
+
+@register(
+    "bigram_topk",
+    oracle=f"""
+WITH toks AS (SELECT string_split({_NORM}, ' ') AS t FROM documents),
+big AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+)
+SELECT bigram, count(*) AS n
+FROM big GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 50
+""",
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram language-model statistic, n=2):
+    adjacent token pairs come from zipping the token array with its own
+    tail — a pure map-side array op, no self-join, no shuffle until the
+    bigram aggregation. Top-k is fully tie-broken (count desc, bigram)
+    so the result set is deterministic. At 100 TB the long tail is the
+    cost: count-min / frequency caps or a min-support HAVING filter
+    bound the aggregation state before the final TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )

@@ -164,3 +164,41 @@ def test_transition_matrix_normalizer_reuses_partitioning(spark, sf_dir):
     raw event stream is shuffled exactly once (user_id for the lead)."""
     simple = _plan(spark, REGISTRY["event_transition_matrix"].spark(spark, sf_dir), "simple")
     assert simple.count("Scan parquet") == 1
+
+def test_sorted_layout_gives_tight_rowgroup_stats_and_file_pruning(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must produce range-clustered files whose
+    row-group min/max stats on the sort key are tight (disjoint across
+    files), so a selective key predicate skips files/row groups instead
+    of scanning the table — the zone-map layout lever at 100 TB."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.sources.sinks import write_sorted_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    gold = str(tmp_path / "events_sorted")
+    write_sorted_parquet(ev, gold, sort_cols=["user_id"], num_files=8)
+
+    import glob as globmod
+
+    files = sorted(globmod.glob(f"{gold}/part-*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}["user_id"]
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    # range clustering ⇒ per-file key ranges are pairwise disjoint
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    # a one-key query touches exactly one file
+    back = spark.read.parquet(gold)
+    key = back.select(F.min("user_id").alias("k")).collect()[0]["k"]
+    touched = back.filter(F.col("user_id") == key).select(F.input_file_name()).distinct().count()
+    assert touched == 1
+    # layout must not change results
+    assert back.count() == ev.count()
