@@ -66,6 +66,7 @@ from covid_data_challenge_spark.operators.packing import (
     packing_stats,
 )
 from covid_data_challenge_spark.operators.splits import assign_split, split_sql_case
+from covid_data_challenge_spark.operators.timeseries import gapfill_interpolate
 from covid_data_challenge_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_neardup_pairs,
@@ -1744,38 +1745,7 @@ def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
-    bounds = daily.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    scaffold = bounds.select(
-        "user_id",
-        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
-    )
-    joined = scaffold.join(daily, ["user_id", "day"], "left")
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
-    prev_v = F.last("v", ignorenulls=True).over(w_prev)
-    prev_day = F.last(obs_day, ignorenulls=True).over(w_prev)
-    next_v = F.first("v", ignorenulls=True).over(w_next)
-    next_day = F.first(obs_day, ignorenulls=True).over(w_next)
-    interp = prev_v + (next_v - prev_v) * F.datediff(
-        F.col("day"), prev_day
-    ) / F.datediff(next_day, prev_day)
-    return joined.select(
-        "user_id",
-        "day",
-        F.round(F.coalesce(F.col("v"), interp), 4).alias("value_filled"),
-        F.col("v").isNull().alias("interpolated"),
-    )
+    return gapfill_interpolate(daily, key="user_id", day="day", val="v", round_to=4)
 
 
 @register(

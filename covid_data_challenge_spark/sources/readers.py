@@ -198,3 +198,38 @@ def flatten_snapshot(raw: DataFrame) -> DataFrame:
         F.col("todayRecovered").alias("today_recovered"),
         F.timestamp_millis(F.col("updated")).alias("last_updated"),
     )
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-input-tolerant JSON-lines scan: returns (good, quarantine).
+
+    The reference tolerates bad payloads by try/except around the whole
+    fetch (data_loader.py:124-163) — all-or-nothing. At pipeline scale a
+    single bad line must not poison a 100 TB ingest, and silently
+    dropping it (DROPMALFORMED) destroys the audit trail. PERMISSIVE
+    mode + ``columnNameOfCorruptRecord`` routes every unparseable line
+    into a dead-letter frame instead: ``good`` carries the declared
+    schema, ``quarantine`` carries the raw offending text for replay.
+    Both come from ONE scan (the split is two filters on a cached plan,
+    and the corrupt column is pruned out of ``good``).
+    """
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # Spark disallows filtering a raw scan on ONLY the
+        # corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching the
+        # parsed batch is the documented pattern and also makes the
+        # good/quarantine split one parse instead of two.
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantine

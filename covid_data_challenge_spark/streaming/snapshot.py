@@ -48,3 +48,57 @@ def latest_snapshot_state(snapshots: DataFrame) -> DataFrame:
         F.max("last_updated").alias("last_updated"),
         *[F.max_by(m, "last_updated").alias(m) for m in STATE_METRICS],
     )
+
+
+def incremental_gold_upsert(
+    stream_df: DataFrame,
+    gold_path: str,
+    key: str,
+    order_col: str,
+    checkpoint: str,
+    timeout_s: int = 120,
+):
+    """Maintain a parquet "gold" table from an update stream with
+    ``foreachBatch``: each micro-batch is merged into the stored table,
+    newest row per key wins (``max_by`` on ``order_col``).
+
+    This is the sink-side half of incremental refresh — the reference
+    recomputes its whole pipeline per run; here only the touched keys
+    are re-resolved per micro-batch. foreachBatch gives the batch
+    DataFrame API (joins against the existing gold table) inside a
+    streaming query with transactional checkpointing. On engines with
+    ACID table formats this is MERGE INTO; over raw parquet we rewrite
+    the merged table, which is correct (idempotent per batch) but
+    rewrite-cost O(|gold|) — the documented upgrade at 100 TB is a
+    partitioned rewrite of only the partitions a batch touches.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(gold_path)
+        except Exception:
+            existing = None
+        merged = batch_df if existing is None else existing.unionByName(batch_df)
+        latest = merged.groupBy(key).agg(
+            F.max(order_col).alias(order_col),
+            *[
+                F.max_by(c, order_col).alias(c)
+                for c in merged.columns
+                if c not in (key, order_col)
+            ],
+        )
+        # rewrite to a temp dir then swap would be the production move;
+        # overwrite is fine for the local harness (one writer).
+        latest.write.mode("overwrite").parquet(gold_path + "_next")
+        next_df = spark.read.parquet(gold_path + "_next")
+        next_df.write.mode("overwrite").parquet(gold_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

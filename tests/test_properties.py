@@ -223,3 +223,56 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "src", "dst").collect()
     }
     assert got == want
+
+
+# (key, day-offset, value) rows — unique (key, day) per example, values
+# non-null: gapfill's contract is one observation row per (key, day).
+_ts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=20),
+        st.floats(-1e3, 1e3, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=_ts_rows)
+@settings(**_SETTINGS)
+def test_gapfill_interpolate_matches_pandas(spark, rows):
+    """The scaffold+window interpolation must equal pandas
+    reindex(date_range).interpolate('linear') per key — on a complete
+    daily index, positional interpolation equals day-weighted."""
+    from datetime import date, timedelta
+
+    from covid_data_challenge_spark.operators.timeseries import gapfill_interpolate
+
+    base = date(2024, 1, 1)
+    data = [(k, base + timedelta(days=d), float(v)) for k, d, v in rows]
+    df = spark.createDataFrame(data, "k long, day date, v double")
+    out = (
+        gapfill_interpolate(df, key="k", day="day", val="v", round_to=6)
+        .toPandas()
+        .sort_values(["k", "day"])
+        .reset_index(drop=True)
+    )
+    expected_rows = []
+    pdf = pd.DataFrame(data, columns=["k", "day", "v"])
+    for k, grp in pdf.groupby("k"):
+        s = grp.set_index("day")["v"]
+        idx = pd.date_range(min(s.index), max(s.index), freq="D").date
+        filled = s.reindex(idx).interpolate("linear")
+        for d in idx:
+            expected_rows.append((k, d, filled[d], d not in s.index))
+    exp = (
+        pd.DataFrame(expected_rows, columns=["k", "day", "value_filled", "interpolated"])
+        .sort_values(["k", "day"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    for got, want in zip(out.itertuples(), exp.itertuples()):
+        assert got.k == want.k and got.day == want.day
+        assert got.interpolated == want.interpolated
+        assert math.isclose(got.value_filled, round(want.value_filled, 6), abs_tol=1e-6)

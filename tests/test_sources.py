@@ -123,3 +123,29 @@ def test_register_views_enables_spark_sql(spark, sf_dir):
     # events view gets the ns→µs conversion like the DataFrame reader
     ts_type = dict(spark.sql("SELECT * FROM events").dtypes)["ts"]
     assert ts_type == "timestamp"
+
+
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    """One bad line must not poison the scan (PERMISSIVE + dead-letter),
+    and the good side must keep the declared schema exactly."""
+    from pyspark.sql import types as T
+
+    from covid_data_challenge_spark.sources.readers import read_jsonl_with_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": null}\n'
+        '{"id": "not-a-number", "v": 3.0}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    good, quarantine = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert [f.name for f in good.schema.fields] == ["id", "v"]
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("not-a-number" in b for b in bad)

@@ -132,3 +132,55 @@ def test_snapshot_refresh_stream_latest_state_wins(spark, tmp_path):
         assert state["Borland"]["current_cases"] == 200  # absent from t2 → kept
     finally:
         q.stop()
+
+
+def test_incremental_gold_upsert_latest_wins(spark, tmp_path):
+    """foreachBatch gold maintenance: after two micro-batches, the gold
+    parquet holds one row per key with the newest values; a second
+    identical run (same checkpoint) is a no-op (exactly-once)."""
+    from covid_data_challenge_spark.streaming.snapshot import incremental_gold_upsert
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def batch_file(name, rows):
+        ids, vers, vals = zip(*rows)
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "ver": pa.array(vers, pa.int64()),
+                      "val": pa.array(vals, pa.float64())}),
+            str(src / name),
+        )
+
+    batch_file("b1.parquet", [(1, 10, 100.0), (2, 10, 200.0)])
+    batch_file("b2.parquet", [(2, 20, 250.0), (3, 20, 300.0)])
+
+    stream = (
+        spark.readStream.schema("id long, ver long, val double")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    q = incremental_gold_upsert(stream, gold, key="id", order_col="ver", checkpoint=ckpt)
+    q.stop()
+
+    state = {r["id"]: r for r in spark.read.parquet(gold).collect()}
+    assert len(state) == 3
+    assert state[1]["val"] == 100.0
+    assert state[2]["val"] == 250.0 and state[2]["ver"] == 20  # newer batch wins
+    assert state[3]["val"] == 300.0
+
+    # replay with the same checkpoint: no new data → gold unchanged
+    stream2 = (
+        spark.readStream.schema("id long, ver long, val double")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    q2 = incremental_gold_upsert(stream2, gold, key="id", order_col="ver", checkpoint=ckpt)
+    q2.stop()
+    state2 = {r["id"]: r for r in spark.read.parquet(gold).collect()}
+    assert state2 == state
