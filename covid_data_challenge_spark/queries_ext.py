@@ -2512,3 +2512,73 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression aggregates and per-user set profiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_value_trend_slope",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       round(regr_slope(value, d), 5) AS slope,
+       round(regr_intercept(value, d), 5) AS intercept,
+       round(regr_r2(value, d), 5) AS r2
+FROM (
+  SELECT user_id, value,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0 AS d
+  FROM events
+)
+GROUP BY user_id HAVING count(*) >= 3
+""",
+)
+def q_user_value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordinary-least-squares trend of event value over time
+    using the SQL-standard regression aggregates (``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2``) — one-pass, mergeable partial
+    state, so the 100 TB plan is a plain map-side-combined groupBy, not
+    a per-key fit loop. Time is centered to days-since-2024-01-01
+    before fitting: regression moments on raw epoch microseconds would
+    cancel catastrophically in ANY engine."""
+    ev = _events(spark, sf_dir)
+    d = (
+        F.unix_micros("ts") - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) / 86_400_000_000.0
+    return (
+        ev.select("user_id", "value", d.alias("d"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.regr_slope("value", "d"), 5).alias("slope"),
+            F.round(F.regr_intercept("value", "d"), 5).alias("intercept"),
+            F.round(F.regr_r2("value", "d"), 5).alias("r2"),
+        )
+        .filter(F.col("n_events") >= 3)
+    )
+
+
+@register(
+    "user_type_profiles",
+    oracle="""
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set,
+       CAST(count(DISTINCT event_type) AS INT) AS n_types,
+       bool_or(event_type = 'purchase') AS has_purchase
+FROM events GROUP BY user_id
+""",
+)
+def q_user_type_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile as a SET of event types: collect_set
+    + sort_array gives an order-independent canonical form (portable
+    across engines and partitionings), with a membership flag for
+    segment filters. The set is bounded by |event types|, so state per
+    key is tiny regardless of event volume."""
+    ev = _events(spark, sf_dir)
+    types = F.sort_array(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("type_set"),
+        F.size(types).alias("n_types"),
+        F.bool_or(F.col("event_type") == "purchase").alias("has_purchase"),
+    )
