@@ -2154,31 +2154,31 @@ WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 ),
 mx AS (SELECT max(day) AS max_day FROM ud),
-wau AS (
-  SELECT day + CAST(i AS INT) AS day, count(DISTINCT user_id) AS wau
+contrib AS (
+  SELECT user_id, CAST(i AS INT) AS i, day + CAST(i AS INT) AS day
   FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) t
-  WHERE day + CAST(i AS INT) <= (SELECT max_day FROM mx)
-  GROUP BY 1
-),
-dau AS (
-  SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day
 )
-SELECT w.day,
-       CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
-       w.wau,
-       round(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau, 4) AS stickiness
-FROM wau w LEFT JOIN dau d USING (day)
+SELECT day,
+       count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS dau,
+       count(DISTINCT user_id) AS wau,
+       round(CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS DOUBLE)
+             / count(DISTINCT user_id), 4) AS stickiness
+FROM contrib
+WHERE day <= (SELECT max_day FROM mx)
+GROUP BY day
 """,
 )
 def q_rolling_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct users per day (DAU/WAU stickiness) via
     CONTRIBUTION EXPLODE: each (user, day) fans out to the 7 window days
-    it supports (map-side ×7), then one exact countDistinct per day —
-    instead of a day×events inequality join whose cost is O(days · |events|).
-    The (user, day) pre-distinct collapses the stream first, so the
-    explode factor applies to active-user-days, not raw events. At
-    100 TB the exact distinct swaps to approx_count_distinct or the
-    mergeable HLL sketch table (see distinct_users_sketch)."""
+    it supports (map-side ×7), then ONE aggregation computes both
+    measures — WAU as the distinct users per window day, DAU as the
+    conditional distinct over the offset-0 contributions — instead of a
+    day×events inequality join plus a DAU/WAU join. The (user, day)
+    pre-distinct collapses the stream first, so the explode factor
+    applies to active-user-days, not raw events. At 100 TB the exact
+    distincts swap to approx_count_distinct or the mergeable HLL sketch
+    table (see distinct_users_sketch)."""
     ev = _events(spark, sf_dir)
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     mx = ud.agg(F.max("day").alias("max_day"))
@@ -2186,20 +2186,18 @@ def q_rolling_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
         "day",
-    ).select("user_id", F.expr("date_add(day, i)").alias("day"))
-    wau = (
+    ).select("user_id", "i", F.expr("date_add(day, i)").alias("day"))
+    dau = F.countDistinct(F.when(F.col("i") == 0, F.col("user_id")))
+    wau = F.countDistinct("user_id")
+    return (
         contrib.join(F.broadcast(mx))
         .filter(F.col("day") <= F.col("max_day"))
         .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
-    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    dau_f = F.coalesce(F.col("dau"), F.lit(0).cast("long"))
-    return wau.join(dau, "day", "left").select(
-        "day",
-        dau_f.alias("dau"),
-        "wau",
-        F.round(dau_f.cast("double") / F.col("wau"), 4).alias("stickiness"),
+        .agg(
+            dau.alias("dau"),
+            wau.alias("wau"),
+            F.round(dau.cast("double") / wau, 4).alias("stickiness"),
+        )
     )
 
 
