@@ -87,3 +87,25 @@ def histogram(df: DataFrame, col: str, bins: int = 30) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("bucket_count"))
         .orderBy("bucket")
     )
+
+
+def observe_quality(
+    df: DataFrame, cols: Sequence[str], name: str = "quality"
+):
+    """Attach free-riding data-quality metrics to a plan via
+    ``Observation``: row count plus per-column null counts are computed
+    AS THE JOB RUNS — no second scan, no extra action, and the same
+    mechanism works on streaming queries (per micro-batch). The
+    reference computes its quality report as a separate full pass
+    (data_cleaner.py:99-151); here the report is a side effect of
+    whatever action the caller was already running.
+
+    Returns (df_with_observation, observation); read
+    ``observation.get`` AFTER an action on the returned frame."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        _count_if(F.col(c).isNull()).alias(f"null_{c}") for c in cols
+    ]
+    return df.observe(obs, *metrics), obs

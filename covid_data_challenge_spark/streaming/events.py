@@ -160,3 +160,15 @@ def run_to_memory_sink(
 
 def _has_aggregation(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def streaming_enrich_with_static(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (slowly-changing) static dimension — no watermark needed, because
+    the static side is re-resolved per micro-batch, not buffered as
+    state. The planner broadcasts the dim when it fits; at 100 TB the
+    dim side becomes a bucketed gold table so each micro-batch joins
+    shuffle-free."""
+    return events.join(dim, key, "left")

@@ -381,3 +381,20 @@ def test_pack_greedy_invariants(spark):
     ).toPandas()
     assert stats["tokens"].sum() == sum(t for _, t in rows)
     assert (stats["utilization"] == stats["tokens"] / 100.0).all()
+
+
+def test_observe_quality_metrics_ride_along(spark, sf_dir):
+    """Observation metrics must report row count and null counts from
+    the SAME action that computes the result — no second scan."""
+    from covid_data_challenge_spark.operators.profiling import observe_quality
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount"
+    )
+    observed, obs = observe_quality(li, ["l_discount"])
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    expected_nulls = li.filter("l_discount IS NULL").count()
+    assert got["null_l_discount"] == expected_nulls

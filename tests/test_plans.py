@@ -202,3 +202,14 @@ def test_sorted_layout_gives_tight_rowgroup_stats_and_file_pruning(spark, sf_dir
     assert touched == 1
     # layout must not change results
     assert back.count() == ev.count()
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Registry-wide sweep: no query may plan a CartesianProduct — every
+    join must have an equi-key or a broadcast side. (1-row scalar
+    broadcasts plan as BroadcastNestedLoopJoin, which is fine; an
+    unconstrained CartesianProduct at 100 TB is a job killer.)"""
+    for name, spec in REGISTRY.items():
+        if "stream" in name:
+            continue  # streaming plans resolve at runtime
+        simple = _plan(spark, spec.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in simple, name

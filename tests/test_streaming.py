@@ -184,3 +184,36 @@ def test_incremental_gold_upsert_latest_wins(spark, tmp_path):
     q2.stop()
     state2 = {r["id"]: r for r in spark.read.parquet(gold).collect()}
     assert state2 == state
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static join: enriching the event stream with a static
+    per-user dimension must equal the batch join."""
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_enrich_with_static,
+    )
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    dim = (
+        ev_batch.groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "lifetime_events")
+    )
+    stream = read_event_stream(spark, sf_dir)
+    try:
+        enriched = streaming_enrich_with_static(
+            stream.select("event_id", "user_id"), dim
+        )
+        q = run_to_memory_sink(enriched, "enriched_sink", mode="append")
+        q.stop()
+        got = spark.table("enriched_sink")
+        expected = streaming_enrich_with_static(
+            ev_batch.select("event_id", "user_id"), dim
+        )
+        assert got.count() == expected.count()
+        assert got.exceptAll(expected).count() == 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
