@@ -2580,3 +2580,198 @@ def q_user_type_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(types).alias("n_types"),
         F.bool_or(F.col("event_type") == "purchase").alias("has_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic warehouse shapes on the fact tables (TPC-H Q10/Q7/Q17/Q22 forms)
+# ---------------------------------------------------------------------------
+
+
+def _rev_cents4():
+    """Discounted revenue in exact 10^-4 units: price and discount are
+    2-decimal quantities, so round-to-cents → BIGINT products sum
+    EXACTLY — immune to float summation order. The final /10000.0 is a
+    single IEEE division of the same integer in every engine, so the
+    result is bit-identical WITHOUT a final round (a final decimal
+    round would reintroduce engine-specific half-case behavior:
+    Spark rounds the shortest decimal repr, DuckDB the raw double)."""
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    return price_c * disc_c
+
+
+@register(
+    "returned_items_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+           / 10000.0 AS revenue_lost,
+       CAST(count(*) AS BIGINT) AS n_returned_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_lost DESC, c.c_custkey LIMIT 20
+""",
+)
+def q_returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue loss per customer (TPC-H Q10 shape): the
+    returnflag predicate pushes into the lineitem scan, customer and
+    nation broadcast, and the only big join (lineitem⋈orders) keys on
+    orderkey — at 100 TB both sides bucket on orderkey and it goes
+    shuffle-free. Top-20 plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum(_rev_cents4()) / 10000.0).alias("revenue_lost"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.col("revenue_lost").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+           / 10000.0 AS volume,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade volume by (supplier nation, customer nation,
+    ship year) — TPC-H Q7 shape. Four of the five joins are broadcast
+    dims (supplier, customer, nation×2); lineitem⋈orders is the only
+    shuffle join and keys on orderkey. The inequality filter runs on
+    broadcast-resolved nation names map-side, never as a join
+    condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            (F.sum(_rev_cents4()) / 10000.0).alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly_revenue_loss,
+       CAST(count(*) AS BIGINT) AS n_small_orders
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.2 * pa.avg_qty
+""",
+)
+def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-order revenue estimate (TPC-H Q17 shape): the correlated
+    scalar subquery 'below 20% of this part's average quantity' is
+    decorrelated into a per-part aggregate joined back to the fact —
+    the aggregate is |parts| rows (≪ lineitem) so it broadcasts and
+    the fact table is filtered map-side. At 100 TB both sides
+    partition on partkey if the part dimension outgrows broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias(
+                "avg_yearly_revenue_loss"
+            ),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+_DORMANT_CUTOFF = "2000-06-01"
+
+
+@register(
+    "rich_dormant_customers",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{_DORMANT_CUTOFF}')
+""",
+)
+def q_rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with NO recent orders (TPC-H Q22
+    shape — churn-risk screen): the NOT EXISTS is a LEFT ANTI join
+    against the distinct recent-order keys, the average balance is a
+    1-row broadcast scalar, and both filters run map-side. The date
+    predicate pushes into the orders scan BEFORE the distinct, so the
+    anti-join build side is only the recent slice."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_DORMANT_CUTOFF).cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
