@@ -2805,3 +2805,34 @@ def q_rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
         )
     )
+
+
+@register(
+    "salted_user_totals",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals through the SKEW-SALTED two-stage aggregation
+    (operators/skew.py): partial agg on (user_id, salt) spreads a hot
+    key across reducers, the final agg merges the salt partials — the
+    standard fix when one key holds 10% of 100 TB and map-side partials
+    are defeated. Values sum as exact integer cents, so the result is
+    bit-identical to the plain GROUP BY oracle no matter how the random
+    salt scatters the addition order."""
+    from covid_data_challenge_spark.operators.skew import salted_agg_sum_count
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = salted_agg_sum_count(ev, "user_id", ["cents"], salt=16)
+    return out.select(
+        "user_id",
+        F.col("n_rows"),
+        (F.col("sum_cents") / 100.0).alias("total_value"),
+    )
