@@ -61,3 +61,81 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (Spark 4 next-gen stateful API) ------------
+
+
+def user_stats_transform_with_state(events, output_mode: str = "Update"):
+    """Per-user lifetime stats via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState: typed state variables
+    (ValueState here; ListState/MapState/timers/TTL available), state
+    schema declared to the engine, Arrow-batched handling.
+
+    Emits one (user_id, n_events, total_value) row per user per
+    micro-batch — the running totals after folding that batch in.
+
+    Requires the RocksDB state store (transformWithState's state
+    layout is RocksDB-only; conf set here) and ``google.protobuf``
+    (the Python↔JVM state-server protocol) — the test container lacks
+    protobuf, so the pytest is import-gated and the
+    ``applyInPandasWithState`` twin (``running_user_totals``) is the
+    verified path in this environment.
+    """
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=out_schema,
+            outputMode=output_mode,
+            timeMode="None",
+        )
+    )

@@ -217,3 +217,44 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
         assert got.exceptAll(expected).count() == 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): after the
+    static stream drains, per-user running totals must equal the batch
+    aggregation — same contract as the applyInPandasWithState twin.
+
+    The state-server protocol needs google.protobuf, which this
+    container lacks — skip there (the applyInPandasWithState twin
+    covers the stateful contract either way)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf (absent here)")
+    from covid_data_challenge_spark.streaming.stateful import (
+        user_stats_transform_with_state,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    try:
+        q = run_to_memory_sink(
+            user_stats_transform_with_state(stream), "tws_user_totals", mode="update"
+        )
+        q.stop()
+        got = {}
+        for r in spark.sql("SELECT * FROM tws_user_totals").collect():
+            got[r["user_id"]] = (r["n_events"], r["total_value"])
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        )
+        want = {r["user_id"]: (r["n"], r["tv"]) for r in batch.collect()}
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u][0] == want[u][0]
+            assert abs(got[u][1] - want[u][1]) < 0.02
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
