@@ -2836,3 +2836,40 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows"),
         (F.col("sum_cents") / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(k), 4) AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same JSON-payload aggregation as ``json_props_stats``, through
+    Spark 4's VARIANT type: ``parse_json`` builds the binary variant
+    ONCE, then any number of ``variant_get`` extractions are O(1) path
+    reads — at 100 TB a multi-field extraction parses each payload once
+    instead of once per ``get_json_object`` call, and variant columns
+    stored in parquet keep that shredded form on disk. Oracle: DuckDB's
+    JSON extraction over the same strings."""
+    ev = _events(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

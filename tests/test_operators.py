@@ -398,3 +398,28 @@ def test_observe_quality_metrics_ride_along(spark, sf_dir):
     assert got["n_rows"] == n
     expected_nulls = li.filter("l_discount IS NULL").count()
     assert got["null_l_discount"] == expected_nulls
+
+
+def test_approx_percentile_error_bound_vs_exact(spark, sf_dir):
+    """The documented 100 TB switch (percentile → approx_percentile) must
+    actually hold its error contract on this data: with accuracy 10000,
+    the approx p50/p95 rank error is within 1/accuracy of exact."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact, approx = li.select(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+    ).collect()[0], None
+    n = li.count()
+    for lo, hi in ((exact["e50"], exact["a50"]), (exact["e95"], exact["a95"])):
+        # rank distance between exact and approx value ≤ n/accuracy (+1 slack)
+        rank_gap = li.filter(
+            (F.col("l_extendedprice") > F.lit(min(lo, hi)))
+            & (F.col("l_extendedprice") <= F.lit(max(lo, hi)))
+        ).count()
+        assert rank_gap <= n / 10000 + 1, (lo, hi, rank_gap)
