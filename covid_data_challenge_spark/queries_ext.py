@@ -2873,3 +2873,85 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders_both
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders_both DESC, part_a, part_b LIMIT 50
+""",
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: parts co-occurring in the same order
+    (the association-rule support counts). The (order, part) distinct
+    collapses line-level repeats first; the pair join keys on orderkey,
+    so the work is Σ(basket size²)/2 — bounded by the max basket, not
+    the table. At 100 TB the standard guards apply map-side: cap basket
+    size and drop ubiquitous parts before pairing (same df-cap logic as
+    term_cooccurrence_pmi). Fully tie-broken top-50."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+        .orderBy(F.col("n_orders_both").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "yearly_revenue_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT order_year, revenue, n_orders,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY order_year))
+             / lag(revenue) OVER (ORDER BY order_year), 2) AS yoy_pct
+FROM yearly
+""",
+)
+def q_yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: the window lag runs over the
+    YEARS-sized aggregate, not the fact table — aggregate first, window
+    the summary. Revenue sums as exact integer cents (order-independent);
+    the growth ratio is computed on identical doubles in both engines,
+    so the final round is safe. The single-partition window is fine
+    BECAUSE its input is |years| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        (F.sum(cents) / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "order_year",
+        "revenue",
+        "n_orders",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
+    )
