@@ -1739,8 +1739,10 @@ def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate missing days between the bracketing observations with
     two one-pass window frames (last/first ``ignorenulls``). Boundary
     days are observed by construction, so interpolation is always
-    bracketed. One shuffle on user_id serves the join and both windows;
-    scaffold size is O(keys × span-days), independent of event volume."""
+    bracketed. Two exchanges total (verified): the daily pre-aggregation
+    shuffles on (user_id, day), and ONE user_id exchange is shared by
+    the scaffold join and both window frames; scaffold size is
+    O(keys × span-days), independent of event volume."""
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
