@@ -2957,3 +2957,44 @@ def q_yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(100.0 * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
     )
+
+
+@register(
+    "favorite_event_type",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS favorite_type, CAST(cnt AS BIGINT) AS n_events
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM counts
+)
+WHERE rn = 1
+""",
+)
+def q_favorite_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user most-frequent event type — MODE with a deterministic
+    tie-break (count desc, then type name), which the built-in ``mode()``
+    aggregate cannot guarantee across engines. Two stages on ONE
+    partitioning: the (user, type) count reuses its shuffle for the
+    per-user argmax window, and WindowGroupLimit keeps only each user's
+    best row map-side."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("favorite_type"),
+            F.col("cnt").alias("n_events"),
+        )
+    )
