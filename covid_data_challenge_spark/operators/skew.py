@@ -43,8 +43,15 @@ def salted_join(
     sides — which is exactly the skewed-join shape: a big skewed fact
     against a modest dimension too large or too dynamic to broadcast).
     Result is identical to ``big.join(small, on, how)`` for inner/left
-    joins.
+    joins; any other join type would see each small row ``salt`` times
+    (wrong multiplicities / spurious NULL rows), so it is rejected.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the small side is exploded ×salt, which corrupts right/full/"
+            "semi/anti multiplicities"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_s = big.withColumn(_SALT, salt_column(salt))
     small_s = small.withColumn(

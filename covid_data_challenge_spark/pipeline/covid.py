@@ -16,7 +16,10 @@ Reference parity map (file:line cites into /root/reference):
 Differences by design (Spark semantics, SURVEY.md §7 "hard parts"):
 - order-dependent pandas ``last`` → explicit argmax (``latest_per_key``)
 - ``datetime.now()`` → injected ``now`` parameter (deterministic plans)
-- everything lazy; callers decide when to cache/materialize.
+- everything lazy; callers decide when to cache/materialize
+- EXCLUDE_REGIONS additionally drops the UK constituent nations
+  (England/Scotland/Wales/Northern Ireland) — OWID publishes them
+  alongside 'United Kingdom', double-counting the UK in global sums.
 """
 
 from __future__ import annotations
@@ -38,42 +41,48 @@ from covid_data_challenge_spark.operators.cleaning import (
 )
 from covid_data_challenge_spark.operators.joins import key_membership, prefixed
 
-#: Country-name harmonization between the two sources (the reference's
-#: 25-entry mapping, constants.py:14-41 — a data dictionary, reproduced as
-#: configuration).
+#: Country-name harmonization: OWID name → disease.sh API name, applied to
+#: the OWID history source ONLY (the API snapshot keeps its original names).
+#: The reference's dictionary, config/constants.py:14-41, reproduced
+#: verbatim as configuration data.
 COUNTRY_NAME_MAPPING: dict[str, str] = {
-    "USA": "United States",
-    "UK": "United Kingdom",
-    "S. Korea": "South Korea",
-    "Bosnia": "Bosnia and Herzegovina",
-    "Cabo Verde": "Cape Verde",
-    "Czechia": "Czech Republic",
-    "DRC": "Democratic Republic of Congo",
-    "CAR": "Central African Republic",
-    "UAE": "United Arab Emirates",
-    "Ivory Coast": "Cote d'Ivoire",
-    "Macedonia": "North Macedonia",
-    "Swaziland": "Eswatini",
-    "Burma": "Myanmar",
-    "Palestine": "Palestinian Territory",
-    "Timor-Leste": "Timor",
-    "Vatican City": "Vatican",
-    "St. Vincent Grenadines": "Saint Vincent and the Grenadines",
-    "Antigua and Barbuda": "Antigua",
-    "Trinidad and Tobago": "Trinidad",
-    "Saint Kitts and Nevis": "Saint Kitts",
-    "Congo": "Republic of Congo",
-    "Lao People's Democratic Republic": "Laos",
-    "Syrian Arab Republic": "Syria",
-    "Venezuela (Bolivarian Republic)": "Venezuela",
-    "Iran, Islamic Republic of": "Iran",
+    "Bosnia and Herzegovina": "Bosnia",
+    "Cape Verde": "Cabo Verde",
+    "Cote d'Ivoire": "Côte d'Ivoire",
+    "Democratic Republic of Congo": "DRC",
+    "East Timor": "Timor-Leste",
+    "Curacao": "Curaçao",
+    "Bonaire Sint Eustatius and Saba": "Caribbean Netherlands",
+    "United States": "USA",
+    "United Kingdom": "UK",
+    "South Korea": "S. Korea",
+    "Czech Republic": "Czechia",
+    "North Macedonia": "Macedonia",
+    "Myanmar": "Burma",
+    "Republic of the Congo": "Congo",
+    "Eswatini": "Swaziland",
+    "Vatican": "Holy See (Vatican City State)",
+    "Brunei": "Brunei Darussalam",
+    "Moldova": "Moldova, Republic of",
+    "Russia": "Russian Federation",
+    "Syria": "Syrian Arab Republic",
+    "Tanzania": "Tanzania, United Republic of",
+    "Turkey": "Turkey",
+    "Venezuela": "Venezuela, Bolivarian Republic of",
+    "Vietnam": "Viet Nam",
+    "Laos": "Lao People's Democratic Republic",
 }
 
-#: Aggregate pseudo-entities to drop (reference constants.py:44-61).
+#: Aggregate pseudo-entities to drop (reference constants.py:44-61,
+#: reproduced verbatim) plus the UK constituent nations — a deliberate
+#: extension beyond the reference: OWID publishes them alongside 'United
+#: Kingdom', double-counting the UK in any global aggregate.
 EXCLUDE_REGIONS: tuple[str, ...] = (
     "World", "Africa", "Asia", "Europe", "European Union", "North America",
     "South America", "Oceania", "International", "High income",
     "Upper middle income", "Lower middle income", "Low income",
+    "OECD countries", "MS Zaandam", "Diamond Princess",
+    # extension (not in the reference):
     "England", "Scotland", "Wales", "Northern Ireland",
 )
 
@@ -96,9 +105,16 @@ def _existing(df: DataFrame, cols) -> list[str]:
     return [c for c in cols if c in df.columns]
 
 
-def standardize_countries(df: DataFrame, key_col: str = "country") -> DataFrame:
-    """P7/J5: dictionary standardization with pass-through fallback."""
-    return standardize_keys(df, COUNTRY_NAME_MAPPING, key_col, "country_standardized")
+def standardize_countries(
+    df: DataFrame, key_col: str = "country", source: str = "owid"
+) -> DataFrame:
+    """P7/J5: dictionary standardization with pass-through fallback
+    (reference data_cleaner.py:28-53). The OWID→API mapping applies to
+    the OWID source only; API data keeps its original names (the
+    reference deliberately does NOT reverse-map)."""
+    if source == "owid":
+        return standardize_keys(df, COUNTRY_NAME_MAPPING, key_col, "country_standardized")
+    return df.withColumn("country_standardized", F.col(key_col))
 
 
 def filter_valid_countries(df: DataFrame, key_col: str = "country") -> DataFrame:
@@ -110,16 +126,20 @@ def filter_valid_countries(df: DataFrame, key_col: str = "country") -> DataFrame
 def clean_history(df: DataFrame) -> DataFrame:
     """Historical time-series cleaning (reference data_cleaner.py:155-199):
     standardize keys → drop aggregates → per-country forward-fill of
-    cumulative metrics → lag-diff daily increments (fill 0, clip ≥0) →
+    cumulative metrics → lag-diff daily increments (fill 0, clip ≥0,
+    computed ONLY when the source did not provide them — reference
+    data_cleaner.py:188-194 guards with ``if "new_cases" not in
+    df_clean.columns``; real OWID data ships reported daily values,
+    which must not be overwritten by diffs of ffilled cumulatives) →
     provenance literal."""
-    out = standardize_countries(df)
+    out = standardize_countries(df, source="owid")
     out = filter_valid_countries(out)
     fill_cols = _existing(out, CUMULATIVE_COLS)
     if fill_cols:
         out = forward_fill(out, "country_standardized", "date", fill_cols)
-    if "total_cases" in out.columns:
+    if "new_cases" not in out.columns and "total_cases" in out.columns:
         out = lag_diff(out, "country_standardized", "date", "total_cases", "new_cases")
-    if "total_deaths" in out.columns:
+    if "new_deaths" not in out.columns and "total_deaths" in out.columns:
         out = lag_diff(out, "country_standardized", "date", "total_deaths", "new_deaths")
     return out.withColumn("data_source", F.lit("owid_historical"))
 
@@ -128,7 +148,7 @@ def clean_snapshot(df: DataFrame) -> DataFrame:
     """Snapshot cleaning (reference data_cleaner.py:202-252): standardize →
     drop aggregates → clip negative counts (lat/long exempt) → per-100k +
     CFR derived columns → provenance literal."""
-    out = standardize_countries(df)
+    out = standardize_countries(df, source="api")
     out = filter_valid_countries(out)
     clip_cols = _existing(
         out,
@@ -234,13 +254,21 @@ def derive_metrics(merged: DataFrame, now: datetime.datetime | None = None) -> D
             "deaths_data_gap_percent",
             pct_gap(F.col("api_current_deaths"), F.col("owid_total_deaths")),
         )
-    if {"api_current_cases", "api_population"} <= cols:
+    # population-adjusted comparison metrics use the OWID population
+    # denominator and current_* names (reference data_merger.py:330-348)
+    if {"api_current_cases", "owid_population"} <= cols:
         out = out.withColumn(
-            "cases_per_100k", per_100k(F.col("api_current_cases"), F.col("api_population"))
+            "current_cases_per_100k",
+            per_100k(F.col("api_current_cases"), F.col("owid_population")),
+        )
+    if {"api_current_deaths", "owid_population"} <= cols:
+        out = out.withColumn(
+            "current_deaths_per_100k",
+            per_100k(F.col("api_current_deaths"), F.col("owid_population")),
         )
     if {"api_current_deaths", "api_current_cases"} <= cols:
         out = out.withColumn(
-            "case_fatality_rate",
+            "current_case_fatality_rate",
             guarded_div(F.col("api_current_deaths"), F.col("api_current_cases"), 100.0, digits=3),
         )
     now_col = F.lit(now) if now is not None else F.current_timestamp()

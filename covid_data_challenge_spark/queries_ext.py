@@ -325,9 +325,11 @@ sh AS (
         ON i <= len(w) - 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 10),
 common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
@@ -339,7 +341,16 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
 """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    """Exact n-gram Jaccard with the hot-shingle cap engaged
+    (``max_doc_freq=10``): shingles hotter than the cap are dropped
+    before the inverted-index self-join, bounding per-shingle join cost
+    at df² ≤ 100 no matter how large the corpus — the stop-word-shingle
+    quadratic blowup cannot happen. Union sizes still count all
+    shingles, so the reported jaccard is a documented lower bound for
+    pairs that share hot shingles (the DuckDB oracle mirrors the cap
+    exactly). MinHash-LSH remains the sub-quadratic scale path; this is
+    the exact-verification twin."""
+    return jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2, max_doc_freq=10)
 
 
 @register(
@@ -977,9 +988,11 @@ sh AS (
         ON i <= len(w) - 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 10),
 common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
 pairs AS (
@@ -1017,7 +1030,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same clusters with a recursive CTE, so the
     iterative DataFrame algorithm is value-checked end to end."""
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
     return cluster_assignments(docs, pairs)
 
 
@@ -1035,7 +1050,9 @@ def q_dedup_near_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     component — deterministic under any partitioning, unlike
     ``dropDuplicates`` survivor choice."""
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
     return dedup_keep_canonical(docs, pairs).select("doc_id", "lang", "source")
 
 
@@ -1671,22 +1688,25 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (the product-analytics staple the
     reference's snapshot model cannot express): users are bucketed by the
     week of their first event; each later active week increments that
-    cohort's ``week_offset`` cell. The first-seen table is one row per
-    user (≪ events) → broadcast, so the event stream is tagged map-side;
-    the only full shuffle is the final (cohort, offset) aggregation whose
-    key space is tiny. At 100 TB the distinct-activity pre-aggregation
-    keyed on user_id collapses the stream before the join."""
+    cohort's ``week_offset`` cell.
+
+    Scale shape: NO join at all. Because ``date_trunc('week')`` is
+    monotone, the cohort week equals ``min(act_week)`` per user, so a
+    window-min over the distinct (user, week) activity set tags every
+    activity row with its cohort in the same shuffle family. The event
+    stream collapses to distinct (user, week) pairs first (map-side
+    partial dedup), so per-user state is bounded by weeks-active —
+    never broadcast, never a driver-size risk at 100 TB of events."""
     ev = _events(spark, sf_dir)
-    first_seen = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
-    )
     activity = ev.select(
         "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("act_week")
     ).distinct()
+    tagged = activity.withColumn(
+        "cohort_week", F.min("act_week").over(Window.partitionBy("user_id"))
+    )
     offset = (F.datediff("act_week", "cohort_week") / 7).cast("int")
     return (
-        activity.join(F.broadcast(first_seen), "user_id")
-        .groupBy("cohort_week", offset.alias("week_offset"))
+        tagged.groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
 

@@ -126,12 +126,14 @@ def test_group_winsorize_broadcasts_cut_table(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_cohort_retention_broadcasts_first_seen(spark, sf_dir):
-    """The per-user first-seen table must broadcast so the activity
-    stream is tagged map-side, not shuffled for the join."""
-    plan = _plan(spark, REGISTRY["cohort_retention"].spark(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_cohort_retention_has_no_join_and_no_broadcast(spark, sf_dir):
+    """Cohort tagging is a window-min over the distinct (user, week)
+    activity set — NO join, and in particular no broadcast of the
+    per-user first-seen table (unbounded cardinality at 100 TB of
+    events would OOM the driver)."""
+    simple = _plan(spark, REGISTRY["cohort_retention"].spark(spark, sf_dir), "simple")
+    assert "Join" not in simple
+    assert "BroadcastExchange" not in simple
 
 
 def test_group_mad_outliers_broadcasts_stats(spark, sf_dir):

@@ -39,6 +39,18 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_unsupported_join_types(spark):
+    """The small side is exploded ×salt, so right/full/semi/anti joins
+    would return corrupted multiplicities — misuse must fail fast."""
+    import pytest
+
+    big = _skewed_fixture(spark)
+    small = spark.range(1, 3).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    for how in ("right", "full", "left_semi", "left_anti", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+
+
 def test_salted_agg_matches_plain_agg(spark):
     df = _skewed_fixture(spark)
     plain = {
