@@ -359,6 +359,41 @@ def compare_countries(merged: DataFrame, countries: list[str]) -> DataFrame:
     return merged.filter(F.col("country_standardized").isin(countries))
 
 
+def choropleth_frame(
+    merged: DataFrame, metric: str, name_col: str = "country_standardized"
+) -> DataFrame:
+    """World-map feed (reference streamlit_app.py:358-439): resolve the
+    ISO-code column suffix-tolerantly (post-merge frames may carry
+    ``iso_code_owid_meta`` / ``iso_code_api_meta`` variants), drop rows
+    without a usable location, and project (iso_code, name, metric).
+
+    Resolution order matches the reference exactly: first any column
+    containing ``iso_code`` that does NOT end in a ``_*_meta`` suffix,
+    then the explicit fallbacks. Resolution happens driver-side against
+    the schema (pre-plan, like the reference's defensive column checks),
+    so the executed plan is a pure filter + projection — both push down
+    to the scan."""
+    iso_col = None
+    for c in merged.columns:
+        if "iso_code" in c and not c.endswith("_api_meta") and not c.endswith("_owid_meta"):
+            iso_col = c
+            break
+    if iso_col is None:
+        for cand in ("iso_code_owid_meta", "iso_code_api_meta", "iso_code"):
+            if cand in merged.columns:
+                iso_col = cand
+                break
+    if iso_col is None or metric not in merged.columns:
+        iso_like = [c for c in merged.columns if "iso" in c.lower()]
+        raise ValueError(
+            f"choropleth needs an iso_code column and metric {metric!r}; "
+            f"iso-like columns present: {iso_like}"
+        )
+    return merged.filter(
+        F.col(iso_col).isNotNull() & (F.col(iso_col) != "")
+    ).select(F.col(iso_col).alias("iso_code"), name_col, metric)
+
+
 def overview_stats(merged: DataFrame) -> dict:
     """Dashboard tiles (streamlit_app.py:117-152) in one aggregation."""
     cols = set(merged.columns)

@@ -3018,3 +3018,62 @@ def q_favorite_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Choropleth map-feed projection (reference streamlit_app.py:358-439)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "choropleth_projection",
+    oracle="""
+WITH per AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS api_current_cases
+  FROM customer GROUP BY c_nationkey
+),
+merged AS (
+  SELECT n_name AS country_standardized,
+         CASE WHEN n_name = 'NATION_3' THEN NULL
+              WHEN n_name = 'NATION_7' THEN ''
+              ELSE upper(substr(n_name, 1, 3)) END AS iso_code_owid_meta,
+         coalesce(api_current_cases, 0) AS api_current_cases
+  FROM nation LEFT JOIN per ON n_nationkey = c_nationkey
+)
+SELECT iso_code_owid_meta AS iso_code, country_standardized, api_current_cases
+FROM merged
+WHERE iso_code_owid_meta IS NOT NULL AND iso_code_owid_meta <> ''
+""",
+)
+def q_choropleth_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The world-map feed behind the reference's choropleth
+    (streamlit_app.py:358-439): a merged-style frame whose ISO column
+    carries a merge suffix (``iso_code_owid_meta``) is resolved
+    suffix-tolerantly, rows with NULL/empty locations are dropped, and
+    (iso_code, name, metric) is projected. The fixture frame plants a
+    NULL and an empty ISO code so the valid-location filter is
+    exercised; resolution runs driver-side against the schema, so the
+    executed plan is a pure filter+projection over one small join."""
+    from covid_data_challenge_spark.pipeline.covid import choropleth_frame
+
+    nation = load_table(spark, sf_dir, "nation")
+    per = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("api_current_cases"))
+    )
+    iso = (
+        F.when(F.col("n_name") == "NATION_3", F.lit(None).cast("string"))
+        .when(F.col("n_name") == "NATION_7", F.lit(""))
+        .otherwise(F.upper(F.substring("n_name", 1, 3)))
+    )
+    merged = nation.join(
+        per, nation["n_nationkey"] == per["c_nationkey"], "left"
+    ).select(
+        F.col("n_name").alias("country_standardized"),
+        iso.alias("iso_code_owid_meta"),
+        F.coalesce("api_current_cases", F.lit(0).cast("long")).alias(
+            "api_current_cases"
+        ),
+    )
+    return choropleth_frame(merged, "api_current_cases")

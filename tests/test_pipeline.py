@@ -185,3 +185,29 @@ def test_standardize_fallback(spark):
         standardize_countries(df2, source="api").collect()[0]["country_standardized"]
         == "USA"
     )
+
+
+def test_choropleth_frame_resolution_and_filter(spark):
+    """Suffix-tolerant ISO resolution (reference streamlit_app.py:384-397):
+    a non-meta iso column wins; _*_meta-only frames use the fallback
+    order; NULL/empty locations are dropped; missing metric raises."""
+    from covid_data_challenge_spark.pipeline.covid import choropleth_frame
+
+    df = spark.createDataFrame(
+        [("Aland", "ALA", "XALA", 5), ("Nowhere", None, "XNW", 7), ("Empty", "", "XE", 9)],
+        "country_standardized string, iso_code_x string, iso_code_api_meta string, m long",
+    )
+    out = choropleth_frame(df, "m").collect()
+    # iso_code_x contains 'iso_code' and has no meta suffix → wins over api_meta
+    assert [(r["iso_code"], r["m"]) for r in out] == [("ALA", 5)]
+
+    meta_only = df.withColumnRenamed("iso_code_x", "iso_code_owid_meta")
+    out2 = {r["iso_code"] for r in choropleth_frame(meta_only, "m").collect()}
+    assert out2 == {"ALA"}  # fallback picks iso_code_owid_meta first
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iso-like columns"):
+        choropleth_frame(df.select("country_standardized", "m"), "m")
+    with _pytest.raises(ValueError, match="metric"):
+        choropleth_frame(df, "missing_metric")
