@@ -158,9 +158,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    # The band join moves ONLY (id, band, bucket) — 3 longs per exploded
+    # row, not the num_perm-element signature arrays (which would
+    # multiply the shuffle payload ~10× at 32 perms). Signatures are
+    # re-joined after candidate dedup, when each id appears once per
+    # surviving pair instead of once per band collision; the identical
+    # groupBy(id) exchange under sig is planned once and reused
+    # (ReusedExchange) for the banded and both signature sides.
     banded = sig.select(
         F.col(id_col).alias("id"),
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -177,7 +183,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -187,21 +193,20 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     )
     return (
-        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_perm), 4))
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_perm), 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
