@@ -27,6 +27,21 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for Column algebra: evaluate ``value`` ONCE and pass
+    it to ``body`` as a bound lambda variable.
+
+    Spark's higher-order functions re-evaluate any outer (non-lambda)
+    subexpression on every element, so an expression like
+    ``transform(seq, i -> f(expensive_expr, i))`` recomputes
+    ``expensive_expr`` per element. Binding it through a single-element
+    array — ``element_at(transform(array(value), v -> body(v)), 1)`` —
+    makes it a lambda variable, which is a slot read, not a subtree
+    re-evaluation. Used by the shingling/repetition expressions, where
+    the difference is O(len) vs O(len·shingles) per document."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     trim."""
@@ -81,9 +96,13 @@ def char_shingles(col: Column, k: int = 8) -> Column:
     choose whether to keep it as a set column or flatten it). Texts
     shorter than k yield a single whole-text shingle.
     """
-    norm = normalize_text(col)
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    return let(
+        normalize_text(col),
+        lambda norm: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(k)),
+        ),
+    )
 
 
 def repetition_ratio(col: Column, n: int = 5, digits: int = 4) -> Column:

@@ -26,23 +26,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from covid_data_challenge_spark.functions.text import fingerprint, normalize_text, tokens
+from covid_data_challenge_spark.functions.text import (
+    fingerprint,
+    let,
+    normalize_text,
+    tokens,
+)
 
 
 def word_shingle_expr(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the text → array<string>.
 
     Documents with fewer than ``n`` tokens yield an empty array.
+
+    The token array is let-bound (see :func:`functions.text.let`) so the
+    regex+split tokenization runs ONCE per document — referencing it
+    directly inside the per-gram ``transform`` lambda would re-tokenize
+    the whole text for every shingle (measured 7× slower at sf0.1).
     """
-    w = tokens(text_col)
-    count = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
-    # slice+concat_ws is ~4× faster than an element_at chain per gram
-    # (one array slice vs n catalyst expression evaluations per position).
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
-    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+
+    def build(w: Column) -> Column:
+        count = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+        # slice+concat_ws is ~4× faster than an element_at chain per gram
+        # (one array slice vs n catalyst expression evaluations per position).
+        grams = F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+        return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+
+    return let(tokens(text_col), build)
 
 
 def doc_shingles(
@@ -50,7 +63,8 @@ def doc_shingles(
 ) -> DataFrame:
     """Exploded (id, shingle) pairs, distinct per doc."""
     return docs.select(
-        F.col(id_col).alias("id"), F.explode(word_shingle_expr(F.col(text_col), n)).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(word_shingle_expr(F.col(text_col), n)).alias("shingle"),
     )
 
 

@@ -205,6 +205,17 @@ def test_sorted_layout_gives_tight_rowgroup_stats_and_file_pruning(spark, sf_dir
     # layout must not change results
     assert back.count() == ev.count()
 
+def test_capped_jaccard_has_no_self_join_and_two_scans(spark, sf_dir):
+    """The capped exact-Jaccard path must stay the group-pair-explode
+    shape: two corpus scans (main lineage + df pre-agg), no shingle
+    self-join, pairs emitted inside ≤cap groups."""
+    simple = _plan(spark, REGISTRY["ngram_jaccard_pairs"].spark(spark, sf_dir), "simple")
+    assert simple.count("Scan parquet") == 2
+    # the only join is the LeftSemi df-cap filter — no inner self-join
+    assert "Inner" not in simple
+    assert "LeftSemi" in simple
+
+
 def test_no_cartesian_product_anywhere(spark, sf_dir):
     """Registry-wide sweep: no query may plan a CartesianProduct — every
     join must have an equi-key or a broadcast side. (1-row scalar
