@@ -1894,24 +1894,41 @@ def q_simjoin_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+    # Candidate generation WITHOUT a self-join: group rows by
+    # (nation, variant) and explode i<j pairs inside each group. Group
+    # sizes are combinatorially bounded independent of corpus size (a
+    # variant's possible parents are the ≤(len+1)·10 one-digit
+    # insertions, ≤ ~3.6k for two; observed max 42 at sf0.1), so the
+    # per-group pair explosion is memory-safe and the whole operator is
+    # one explode + two shuffles (group, then pair-dedup).
     tagged = cust.select(
-        "c_nationkey", "c_custkey", "c_name", F.explode(variants).alias("variant")
+        "c_nationkey",
+        F.struct("c_custkey", "c_name").alias("rec"),
+        F.explode(variants).alias("variant"),
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
+    grp = tagged.groupBy("c_nationkey", "variant").agg(
+        F.collect_list("rec").alias("rs")
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "rs",
+                lambda x: F.transform(
+                    "rs",
+                    lambda y: F.struct(
+                        x["c_custkey"].alias("custkey_a"),
+                        y["c_custkey"].alias("custkey_b"),
+                        x["c_name"].alias("name_a"),
+                        y["c_name"].alias("name_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["custkey_a"] < p["custkey_b"],
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_nationkey").alias("c_nationkey"),
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
-        )
+        grp.select("c_nationkey", F.explode(pair).alias("p"))
+        .select("c_nationkey", "p.*")
         .distinct()
     )
     dist = F.levenshtein("name_a", "name_b")
