@@ -2931,24 +2931,38 @@ ORDER BY n_orders_both DESC, part_a, part_b LIMIT 50
 def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: parts co-occurring in the same order
     (the association-rule support counts). The (order, part) distinct
-    collapses line-level repeats first; the pair join keys on orderkey,
-    so the work is Σ(basket size²)/2 — bounded by the max basket, not
-    the table. At 100 TB the standard guards apply map-side: cap basket
-    size and drop ubiquitous parts before pairing (same df-cap logic as
+    collapses line-level repeats first; pairs are then exploded INSIDE
+    each basket (collect_set per order + i<j combinations) instead of a
+    fact-table self-join — baskets are bounded by order size (≤7 lines
+    in TPC-H; real carts are similarly small), so the per-group
+    explosion is memory-safe and the lineitem table is scanned once. At
+    100 TB the standard guards apply map-side: cap basket size and drop
+    ubiquitous parts before pairing (same df-cap logic as
     term_cooccurrence_pmi). Fully tie-broken top-50."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # collect_set subsumes the (order, part) distinct — one shuffle, not
+    # a distinct followed by a second group-by shuffle
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts",
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        ),
+        lambda p: p["part_a"] < p["part_b"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders_both"))
         .orderBy(F.col("n_orders_both").desc(), "part_a", "part_b")
         .limit(50)
