@@ -1406,16 +1406,19 @@ WHERE rn <= 3
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·idf. The document
-    frequency table is vocabulary-sized (≪ corpus), so it broadcasts and
-    the corpus-side term stream never shuffles for the join; the corpus
-    count joins as a broadcast scalar. One window per doc for the top-k."""
+    frequency table is vocabulary-sized — smaller than the corpus but
+    unbounded (it grows with the corpus per Heaps' law), so it carries
+    NO broadcast hint: AQE broadcasts it while it fits the threshold and
+    falls back to a term-keyed shuffle join when it doesn't. Only the
+    1-row corpus count is hint-broadcast. One window per doc for the
+    top-k."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_tbl), "term")
+        tf.join(df_tbl, "term")
         .join(F.broadcast(n))
         .withColumn(
             "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
@@ -1622,10 +1625,11 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: each stage is the earliest
     qualifying event strictly after the previous stage. The per-user
-    stage tables are one row per user (≪ events), so they broadcast and
-    each pass filters the event stream map-side; at cluster scale where
-    even users outgrow a broadcast, every join keys on user_id, so one
-    repartition serves all three stages."""
+    stage tables are one row per user (≪ events) but UNBOUNDED — at
+    100 TB of events they are billions of rows — so no join carries a
+    broadcast hint: AQE broadcasts a stage table while it fits and
+    degrades to shuffle joins when it doesn't, and since every join
+    keys on user_id one partitioning serves all three stages."""
     ev = _events(spark, sf_dir)
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1634,21 +1638,21 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
     return (
-        v.join(F.broadcast(c), "user_id", "left")
-        .join(F.broadcast(p), "user_id", "left")
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
         .select(
             "user_id",
             "t_view",
@@ -2344,11 +2348,13 @@ WHERE p.n_docs_both >= 2
 def q_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information over within-document term pairs —
     the collocation / topic-affinity signal. The (doc, term) set is
-    deduped first, pairs come from a doc-keyed self-join (per-doc
-    quadratic, bounded by per-doc distinct terms), and both document-
-    frequency sides broadcast. At 100 TB the standard guards apply:
-    cap per-doc distinct terms and drop stop-word-grade terms (df cap)
-    BEFORE the pair join — both are map-side filters here."""
+    deduped first; pairs come from a doc-keyed self-join (per-doc
+    quadratic, bounded by per-doc distinct terms). The document-
+    frequency sides are vocabulary-sized — unbounded — so they carry no
+    broadcast hint (AQE decides; the joins key on term either way). At
+    100 TB the standard guards apply: cap per-doc distinct terms and
+    drop stop-word-grade terms (df cap) BEFORE the pair join — both are
+    map-side filters here."""
     docs = _docs(spark, sf_dir)
     td = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
@@ -2376,8 +2382,8 @@ def q_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs_both").cast("double") * F.col("nd") / (F.col("c_a") * F.col("c_b"))
     )
     return (
-        pairs.join(F.broadcast(da), "term_a")
-        .join(F.broadcast(db), "term_b")
+        pairs.join(da, "term_a")
+        .join(db, "term_b")
         .join(F.broadcast(n))
         .select("term_a", "term_b", "n_docs_both", F.round(pmi, 4).alias("pmi"))
     )
@@ -2688,10 +2694,11 @@ ORDER BY revenue_lost DESC, c.c_custkey LIMIT 20
 )
 def q_returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item revenue loss per customer (TPC-H Q10 shape): the
-    returnflag predicate pushes into the lineitem scan, customer and
-    nation broadcast, and the only big join (lineitem⋈orders) keys on
-    orderkey — at 100 TB both sides bucket on orderkey and it goes
-    shuffle-free. Top-20 plans as TakeOrderedAndProject."""
+    returnflag predicate pushes into the lineitem scan, nation (25 rows)
+    hint-broadcasts, customer — which scales with SF — is left to AQE,
+    and the only big join (lineitem⋈orders) keys on orderkey — at
+    100 TB both sides bucket on orderkey and it goes shuffle-free.
+    Top-20 plans as TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select(
@@ -2700,7 +2707,7 @@ def q_returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -2733,11 +2740,11 @@ GROUP BY 1, 2, 3
 )
 def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-border trade volume by (supplier nation, customer nation,
-    ship year) — TPC-H Q7 shape. Four of the five joins are broadcast
-    dims (supplier, customer, nation×2); lineitem⋈orders is the only
-    shuffle join and keys on orderkey. The inequality filter runs on
-    broadcast-resolved nation names map-side, never as a join
-    condition."""
+    ship year) — TPC-H Q7 shape. The two 25-row nation dims
+    hint-broadcast; supplier and customer scale with SF, so AQE decides
+    their strategy; lineitem⋈orders is the only guaranteed shuffle join
+    and keys on orderkey. The inequality filter runs on resolved nation
+    names map-side, never as a join condition."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -2751,8 +2758,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -2784,14 +2791,15 @@ def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     """Small-order revenue estimate (TPC-H Q17 shape): the correlated
     scalar subquery 'below 20% of this part's average quantity' is
     decorrelated into a per-part aggregate joined back to the fact —
-    the aggregate is |parts| rows (≪ lineitem) so it broadcasts and
-    the fact table is filtered map-side. At 100 TB both sides
-    partition on partkey if the part dimension outgrows broadcast."""
+    the aggregate is |parts| rows (≪ lineitem but scaling with SF), so
+    it carries no broadcast hint: AQE broadcasts it while small and
+    partitions both sides on partkey once the part dimension outgrows
+    the threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
         li.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(pa), "l_partkey")
+        .join(pa, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias(
