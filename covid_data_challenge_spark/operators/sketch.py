@@ -36,3 +36,82 @@ def rollup_sketches(sketches: DataFrame) -> DataFrame:
     return sketches.agg(F.hll_union_agg("sketch").alias("sketch")).select(
         F.hll_sketch_estimate("sketch").alias("approx_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+#
+# The 100 TB frequency-estimation pattern: one pass over the facts folds
+# every key into a depth × width counter grid (width = 16^hex_chars
+# buckets per row, bucket = md5 hex prefix of ``row:key``). The grid is
+# tiny (depth·width rows), mergeable by plain addition across
+# days/partitions/clusters, and answers "how often does key k occur?"
+# with ``min`` over its depth buckets — overestimating by at most
+# ~2·N/width with probability 1-2^-depth, never underestimating.
+#
+# md5 (not Spark hash/xxhash64) keeps the bucket assignment
+# engine-portable, so a DuckDB oracle reproduces the sketch — and the
+# estimates — bit-for-bit (same discipline as operators/splits.py).
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, hex_chars: int = 2
+) -> DataFrame:
+    """Fold ``df[key_col]`` into a count-min sketch: one row per
+    (sk_row, bucket) with its collision count.
+
+    The explode emits ``depth`` rows per input row, but map-side partial
+    aggregation collapses them to ≤ depth·16^hex_chars rows per task
+    before the (tiny) shuffle — the scan dominates, as it should."""
+    bucketed = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("sk_row"),
+        F.col(key_col).cast("string").alias("k"),
+    ).select(
+        "sk_row",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("sk_row"), F.col("k"))), 1, hex_chars
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("sk_row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Estimated count per key in ``keys``: min over the key's ``depth``
+    sketch buckets. The sketch is depth·16^hex_chars rows — always
+    broadcast — so probing any candidate set is a map-side join."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("sk_row"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("sk_row"), F.col(key_col).cast("string"))
+            ),
+            1,
+            hex_chars,
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["sk_row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_sketch_sql(table: str, key_sql: str, depth: int = 4, hex_chars: int = 2) -> str:
+    """DuckDB twin of :func:`cms_build` as a CTE body (bit-exact)."""
+    return f"""
+SELECT t.i AS sk_row,
+       substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST({key_sql} AS VARCHAR)), 1, {hex_chars}) AS bucket,
+       count(*) AS cnt
+FROM {table} CROSS JOIN range(0, {depth}) t(i)
+GROUP BY 1, 2
+"""

@@ -3116,3 +3116,245 @@ def q_choropleth_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return choropleth_frame(merged, "api_current_cases")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 warehouse shapes (TPC-H Q4/Q14/Q15/Q18/Q2 forms) + CMS sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+""",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped after the order date,
+    counted per priority class (TPC-H Q4 shape). The EXISTS becomes a
+    LEFT SEMI hash join on orderkey with the date inequality as a
+    residual condition — the probe side never duplicates orders no
+    matter how many lineitems are late, and at 100 TB both sides bucket
+    on orderkey so the semi join goes shuffle-free. Only
+    (l_orderkey, l_shipdate) is read from the fact scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS promo_share,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share per ship year (TPC-H Q14 shape, yearly
+    instead of single-month so the result has grading surface). Revenue
+    folds as exact integer 10^-4 units, so both the share (one IEEE
+    division of two identical BIGINTs) and the total are bit-identical
+    to the oracle regardless of aggregation order. part scales with SF
+    → no broadcast hint; AQE broadcasts it while small and falls back
+    to a partkey-bucketable shuffle join at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = _rev_cents4()
+    promo_cents = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            (F.sum(promo_cents) / F.sum(cents)).alias("promo_share"),
+            (F.sum(cents) / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, rev_c / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+""",
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum quarterly revenue (TPC-H Q15 shape).
+    The quarter predicate pushes into the fact scan; per-supplier
+    revenue folds once as exact integer units; the max is a 1-row
+    broadcast joined back and compared in EXACT integer space (a
+    double-equality here would be flaky — BIGINT equality is not).
+    supplier scales with SF → no hint, AQE decides its side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_cents4()).alias("rev_c"))
+    mx = rev.agg(F.max("rev_c").alias("max_c"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("max_c"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_c") / 10000.0).alias("total_revenue"))
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, b.l_orderkey AS o_orderkey, b.total_qty
+FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind bulk orders — total quantity over 300 (TPC-H Q18
+    shape). The HAVING pre-aggregation shrinks the fact table to
+    |qualifying orders| BEFORE any join (quantities are integer-valued,
+    so the double sum is exact in any order and the BIGINT cast is
+    safe); the join chain then keys on orderkey → custkey with no
+    hints — at 100 TB the big side is already just the survivors."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_d"))
+        .filter(F.col("qty_d") > 300)
+        .select("l_orderkey", F.col("qty_d").cast("long").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS best_price
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, best_price,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY best_price, l_suppkey) AS rn
+  FROM unit
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, r.best_price
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn = 1
+""",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest observed supplier per part (TPC-H Q2's correlated
+    min-cost subquery, decorrelated): per-(part, supplier) best unit
+    price folds map-side, then the per-part ARGMIN fuses into a second
+    aggregation via struct-min — lexicographic (price, suppkey) min ≡
+    ORDER BY price, suppkey LIMIT 1, deterministic under ties, and two
+    agg passes replace the window sort entirely (the same fused-argmax
+    idiom as the flagship). Unit price is a per-row IEEE division,
+    identical in every engine; no rounding anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("best_price")
+    )
+    best = (
+        unit.groupBy("l_partkey")
+        .agg(F.min(F.struct("best_price", "l_suppkey")).alias("b"))
+        .select("l_partkey", F.col("b.best_price").alias("best_price"),
+                F.col("b.l_suppkey").alias("l_suppkey"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(sup, best.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "best_price")
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+WITH sketch AS (
+  SELECT t.i AS sk_row,
+         substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+         count(*) AS cnt
+  FROM events CROSS JOIN range(0, 4) t(i)
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT c.user_id, t.i AS sk_row,
+         substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(c.user_id AS VARCHAR)), 1, 2) AS bucket
+  FROM cand c CROSS JOIN range(0, 4) t(i)
+)
+SELECT p.user_id, CAST(min(s.cnt) AS BIGINT) AS est_count
+FROM probes p JOIN sketch s ON s.sk_row = p.sk_row AND s.bucket = p.bucket
+GROUP BY 1 ORDER BY est_count DESC, user_id LIMIT 15
+""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketch.py): one
+    pass folds every user_id into a 4×256 counter grid (map-side
+    partials collapse the explode to ≤1024 rows per task before a tiny
+    shuffle), then a candidate set probes the broadcast sketch with
+    min-over-rows. At 100 TB the grid is the only state — mergeable by
+    addition across days/clusters — and the probe is map-side whatever
+    the candidate count. md5 bucketing (splits.py discipline) makes the
+    sketch — and therefore every estimate, collisions included —
+    bit-identical to the DuckDB oracle. Candidates here are the
+    distinct keys so the oracle covers the whole key space; production
+    would pass a shortlist."""
+    from covid_data_challenge_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _events(spark, sf_dir).select("user_id")
+    sketch = cms_build(ev, "user_id", depth=4, hex_chars=2)
+    cand = ev.distinct()
+    est = cms_estimate(sketch, cand, "user_id", depth=4, hex_chars=2)
+    return est.orderBy(F.col("est_count").desc(), "user_id").limit(15)

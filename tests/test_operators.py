@@ -423,3 +423,23 @@ def test_approx_percentile_error_bound_vs_exact(spark, sf_dir):
             & (F.col("l_extendedprice") <= F.lit(max(lo, hi)))
         ).count()
         assert rank_gap <= n / 10000 + 1, (lo, hi, rank_gap)
+
+
+def test_cms_never_underestimates_and_is_tight_at_test_scale(spark, sf_dir):
+    """Count-min guarantees est ≥ exact for every key (min over
+    non-negative collision sums); at test cardinality (≪ width·depth
+    capacity) most keys must also be exact, and the worst overestimate
+    is bounded by the heaviest colliding key's count."""
+    from covid_data_challenge_spark.operators.sketch import cms_build, cms_estimate
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    exact = {r["user_id"]: r["c"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    sketch = cms_build(ev, "user_id", depth=4, hex_chars=2)
+    est = cms_estimate(sketch, ev.distinct(), "user_id", depth=4, hex_chars=2)
+    rows = {r["user_id"]: r["est_count"] for r in est.collect()}
+    assert set(rows) == set(exact)
+    assert all(rows[k] >= exact[k] for k in exact)
+    n_exact = sum(1 for k in exact if rows[k] == exact[k])
+    assert n_exact >= len(exact) * 0.5  # depth=4 keeps most keys collision-free here
+    assert all(rows[k] - exact[k] <= max(exact.values()) for k in exact)

@@ -226,3 +226,30 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
             continue  # streaming plans resolve at runtime
         simple = _plan(spark, spec.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in simple, name
+
+
+def test_late_shipment_is_semi_join_with_pruned_fact_scan(spark, sf_dir):
+    """The EXISTS must plan as LEFT SEMI (orders never duplicate however
+    many lineitems are late) and the fact scan must read only the join
+    key + ship date."""
+    plan = _plan(spark, REGISTRY["late_shipment_priority"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "l_extendedprice" not in plan  # fact columns pruned at the scan
+
+
+def test_cheapest_supplier_argmin_has_no_window_sort(spark, sf_dir):
+    """The per-part ARGMIN must stay the fused two-pass aggregation
+    (struct-min), never a window sort over the unit-price table."""
+    simple = _plan(spark, REGISTRY["cheapest_supplier_per_part"].spark(spark, sf_dir), "simple")
+    assert "Window" not in simple
+    plan = _plan(spark, REGISTRY["cheapest_supplier_per_part"].spark(spark, sf_dir))
+    assert "partial_min" in plan  # map-side combine on both agg passes
+
+
+def test_cms_sketch_probe_is_broadcast_and_partially_aggregated(spark, sf_dir):
+    """The sketch fold must map-side combine the ×depth explode before
+    its (tiny) shuffle, and the probe join must broadcast the sketch —
+    candidate probing stays map-side at any candidate count."""
+    plan = _plan(spark, REGISTRY["cms_heavy_hitters"].spark(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
