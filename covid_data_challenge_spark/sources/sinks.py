@@ -15,6 +15,7 @@ The reference exports query results as CSV strings for dashboard download
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def csv_export_string(df: DataFrame, max_rows: int = 100_000) -> str:
@@ -98,3 +99,72 @@ def write_sorted_parquet(
         else df.repartitionByRange(*sort_cols)
     )
     part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits_per_dim: int = 8) -> DataFrame:
+    """Add a ``_zkey`` column: the Morton (Z-order) interleaving of each
+    column's equal-width bucket index.
+
+    1-D sorting gives tight zone maps on ONE key; clustering by the
+    interleaved key gives *partial* locality on EVERY key — a range
+    predicate on any single dimension touches ~N^((d-1)/d) of the files
+    instead of all of them. This is the multi-dimensional layout lever
+    (Databricks OPTIMIZE ZORDER, Iceberg sort orders) expressed as pure
+    Column algebra: per-column min/max is a 1-row broadcast,
+    ``width_bucket`` normalizes each value to ``2^bits_per_dim`` equal
+    buckets, and the bit-interleave is a shiftleft/OR fold — no UDF, no
+    extra shuffle beyond the final range partitioning.
+
+    Equal-width bucketing keeps the key a pure per-row function (scan +
+    one scalar broadcast). For heavily skewed columns substitute
+    rank-based boundaries (``approx_percentile`` cut points) — same
+    interleave, skew-proportional buckets.
+    """
+    n = 1 << bits_per_dim
+    stats = df.agg(
+        *[F.min(c).alias(f"_min_{c}") for c in cols],
+        *[F.max(c).alias(f"_max_{c}") for c in cols],
+    )
+    out = df.join(F.broadcast(stats))
+    zkey = F.lit(0)
+    buckets = []
+    for c in cols:
+        b = F.width_bucket(
+            F.col(c).cast("double"),
+            F.col(f"_min_{c}").cast("double"),
+            # half-open upper bound so max lands in bucket n-1, not n
+            F.col(f"_max_{c}").cast("double") + 1e-9,
+            F.lit(n),
+        ) - 1
+        buckets.append(F.coalesce(b, F.lit(0)).cast("int"))
+    ndims = len(cols)
+    for i in range(bits_per_dim):
+        for d, b in enumerate(buckets):
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * ndims + d)
+            )
+    return out.withColumn("_zkey", zkey).drop(
+        *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols]
+    )
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+    bits_per_dim: int = 8,
+) -> None:
+    """Materialize a gold table Z-order-clustered on ``cols``: range
+    partition + sort on the Morton key, then drop it — the layout
+    survives in the row-group statistics of every clustered column, so
+    selective predicates on ANY of them skip files/row groups at scan
+    time."""
+    keyed = zorder_key(df, cols, bits_per_dim)
+    part = (
+        keyed.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    part.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)

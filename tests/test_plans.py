@@ -253,3 +253,52 @@ def test_cms_sketch_probe_is_broadcast_and_partially_aggregated(spark, sf_dir):
     plan = _plan(spark, REGISTRY["cms_heavy_hitters"].spark(spark, sf_dir))
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must give partial locality on EVERY clustered
+    column: a narrow range predicate on either dimension touches a
+    strict subset of the files, where the 1-D sorted layout serves only
+    its sort key (the second column's predicate hits every file)."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.sources.sinks import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    zpath, spath = str(tmp_path / "ev_z"), str(tmp_path / "ev_s")
+    write_zorder_parquet(ev, zpath, cols=["user_id", "value"], num_files=8)
+    write_sorted_parquet(ev, spath, sort_cols=["user_id"], num_files=8)
+    n_files = len(globmod.glob(f"{zpath}/part-*.parquet"))
+    assert n_files >= 4
+
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    u_pred = F.col("user_id") < lo_u + (hi_u - lo_u) / 16
+    v_pred = F.col("value") < lo_v + (hi_v - lo_v) / 16
+
+    def touched(path, pred):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    # z-layout: BOTH dimensions cluster → both predicates skip files
+    assert touched(zpath, u_pred) < n_files
+    assert touched(zpath, v_pred) < n_files
+    # 1-D layout: the non-sort column has no locality at all
+    assert touched(spath, v_pred) == n_files
+    # layout must not change results
+    zdf = spark.read.parquet(zpath)
+    assert zdf.count() == ev.count()
+    assert zdf.filter(u_pred).count() == ev.filter(u_pred).count()
+    assert zdf.filter(v_pred).count() == ev.filter(v_pred).count()
