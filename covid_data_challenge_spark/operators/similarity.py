@@ -38,18 +38,28 @@ def cosine_topk(
     excluded; ranking ties break on neighbor id so the result is
     deterministic.
     """
+    # Norms fold once per vector (|Q|+|corpus| folds, the query ones
+    # inside the broadcast build) instead of once per pair (2·|Q|·|corpus|);
+    # dot/(nq·nc) is the same double arithmetic as cosine(), so similarities
+    # stay bit-identical while per-pair work drops to a single fold.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__nq"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__nc"),
+    )
+    sim = F.when(
+        (F.col("__nq") > 0) & (F.col("__nc") > 0),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
+    ).otherwise(F.lit(0.0))
     sims = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
     return (
