@@ -47,6 +47,54 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Overwrite ONLY the partitions present in ``df``, leaving every
+    other partition untouched (``partitionOverwriteMode=dynamic``,
+    scoped to this write).
+
+    This is the idempotent-backfill primitive at 100 TB: re-running one
+    day's pipeline replaces that day's directory atomically per
+    partition instead of truncating the whole table (static overwrite)
+    or appending duplicates."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ≈``target_file_bytes`` files and
+    return the file count written.
+
+    Streaming micro-batches and over-parallel writers leave thousands of
+    tiny files; at 100 TB the per-file open/footer cost dominates scans
+    and crushes the namenode. Compaction sizes the output from the
+    ACTUAL input bytes (not a guessed partition count) and rewrites with
+    a shuffle-free coalesce when shrinking. Run it per partition
+    directory so only closed partitions rewrite."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    # coalesce (no shuffle) when shrinking; repartition only to grow
+    out = df.coalesce(n_files) if df.rdd.getNumPartitions() >= n_files else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    return int(n_files)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

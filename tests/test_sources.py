@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime
 import json
 
+from pyspark.sql import functions as F
+
 from covid_data_challenge_spark.sources.readers import (
     load_table,
     read_history_csv,
@@ -203,3 +205,58 @@ def test_union_by_name_schema_evolution(spark):
     assert rows[1]["v"] == 10.0
     assert rows[2]["v"] is None
     assert set(u.columns) == {"id", "src", "v"}
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """Compaction must size output files from actual input bytes: a
+    32-small-file directory rewrites to the computed file count with
+    identical data."""
+    import glob as globmod
+
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.sources.sinks import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    small = str(tmp_path / "small")
+    ev.repartition(32).write.parquet(small)
+    assert len(globmod.glob(f"{small}/part-*.parquet")) == 32
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, small, out, target_file_bytes=1 << 30)
+    files = globmod.glob(f"{out}/part-*.parquet")
+    assert len(files) == n == 1
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert (
+        back.agg(F.sum("event_id")).collect()[0][0]
+        == ev.agg(F.sum("event_id")).collect()[0][0]
+    )
+
+
+def test_overwrite_partitions_leaves_other_partitions_intact(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite must replace only the partitions in
+    the incoming frame — the idempotent-backfill contract."""
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.sources.sinks import (
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    gold = str(tmp_path / "gold")
+    write_parquet(ev, gold, partition_by=["event_type"])
+
+    patched = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.lit(0.0)
+    )
+    overwrite_partitions(patched, gold, partition_by=["event_type"])
+
+    back = spark.read.parquet(gold)
+    # the patched partition was replaced…
+    assert back.filter((F.col("event_type") == "click") & (F.col("value") != 0.0)).count() == 0
+    assert back.filter(F.col("event_type") == "click").count() == patched.count()
+    # …and every other partition is byte-identical to the original
+    others_before = ev.filter(F.col("event_type") != "click")
+    others_after = back.filter(F.col("event_type") != "click")
+    assert others_after.count() == others_before.count()
+    assert others_after.exceptAll(others_before.select("event_id", "value", "event_type")).count() == 0
