@@ -48,6 +48,21 @@ EXTENSION = [
     "ann_cosine_topk",
     "events_sessionize",
     "cohort_retention",
+    "cms_heavy_hitters",
+    "session_top_paths",
+]
+
+#: Warehouse-classic tier (TPC-H shapes on the fact tables).
+WAREHOUSE = [
+    "returned_items_revenue",
+    "nation_trade_volume",
+    "small_quantity_part_revenue",
+    "rich_dormant_customers",
+    "late_shipment_priority",
+    "promo_revenue_share",
+    "top_revenue_suppliers",
+    "large_volume_orders",
+    "cheapest_supplier_per_part",
 ]
 
 RUNS_PER_QUERY = 2
@@ -71,7 +86,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTENSION:
+    for name in HEADLINE + EXTENSION + WAREHOUSE:
         fn = REGISTRY[name].spark
         best = float("inf")
         for _ in range(RUNS_PER_QUERY):
@@ -91,6 +106,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": RUNS_PER_QUERY,
                 "extension_total": round(sum(timings[n] for n in EXTENSION), 3),
+                "warehouse_total": round(sum(timings[n] for n in WAREHOUSE), 3),
             }
         )
     )

@@ -54,6 +54,33 @@ def sliding_agg(
     )
 
 
+def session_index(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tie_breakers: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Events + ``__session_idx``: the gaps-and-islands assignment that
+    every session-grain operator shares (one hash partition by user, two
+    window passes, deterministic via tie-breaks)."""
+    order = [F.col(ts_col), *[F.col(c) for c in tie_breakers]]
+    w_user = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = gap_minutes * 60
+    is_new = (
+        F.when(
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w_user).cast("double")
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+    )
+    return events.withColumn(
+        "__session_idx",
+        F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
@@ -67,21 +94,7 @@ def sessionize(
     user exceeds ``gap_minutes``. Output grain: one row per session with
     start/end/count/value. Deterministic via event-id tie-breaks.
     """
-    order = [F.col(ts_col), *[F.col(c) for c in tie_breakers]]
-    w_user = Window.partitionBy(user_col).orderBy(*order)
-    gap_s = gap_minutes * 60
-    is_new = (
-        F.when(
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w_user).cast("double")
-            > gap_s,
-            1,
-        )
-        .otherwise(0)
-    )
-    numbered = events.withColumn(
-        "__session_idx",
-        F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    numbered = session_index(events, user_col, ts_col, gap_minutes, tie_breakers)
     return (
         numbered.groupBy(user_col, "__session_idx")
         .agg(
@@ -92,4 +105,51 @@ def sessionize(
         )
         .withColumn("session_idx", F.col("__session_idx").cast("long"))
         .drop("__session_idx")
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    max_len: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k in-session event sequences (path analysis): the ordered
+    prefix of each session's event types, counted across sessions.
+
+    The per-session ordering happens INSIDE the aggregation —
+    collect_list(struct(ts, tie, type)) then array_sort — so the second
+    shuffle moves one row per session, not per event, and no window sort
+    runs over the raw events beyond the shared session_index pass.
+    ``max_len`` caps the path prefix, bounding both string size and
+    distinct-path cardinality at 100 TB. Deterministic: struct sort ties
+    break on event_id, top-k ties break on path string.
+    """
+    numbered = session_index(events, user_col, ts_col, gap_minutes)
+    paths = numbered.groupBy(user_col, "__session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ts_col, "event_id", type_col))
+                    ),
+                    lambda x: x[type_col],
+                ),
+                1,
+                max_len,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
     )

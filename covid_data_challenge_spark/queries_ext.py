@@ -3358,3 +3358,43 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ev.distinct()
     est = cms_estimate(sketch, cand, "user_id", depth=4, hex_chars=2)
     return est.orderBy(F.col("est_count").desc(), "user_id").limit(15)
+
+
+@register(
+    "session_top_paths",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, session_idx,
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+    FROM numbered GROUP BY user_id, session_idx
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+""",
+)
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 in-session event sequences (operators/sessions.py
+    session_paths): per-session ordering happens inside collect_list +
+    array_sort, so beyond the shared session_index window pass the plan
+    shuffles one row per SESSION (grouped path aggregation), never raw
+    events; the prefix cap bounds path cardinality at 100 TB. Ties are
+    fully deterministic (event_id in the sort, path string in the
+    top-k)."""
+    from covid_data_challenge_spark.operators.sessions import session_paths
+
+    return session_paths(_events(spark, sf_dir), max_len=5, k=10)
