@@ -165,3 +165,27 @@ def pii_match_count(col: Column) -> Column:
     n_email = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0))
     n_phone = F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0))
     return (n_email + n_phone).cast("int")
+
+
+def char_entropy(col: Column, digits: int = 6) -> Column:
+    """Shannon entropy (nats) of the normalized character distribution —
+    the perplexity-proxy quality signal: gibberish/repetitive text sits
+    at the entropy extremes while natural language clusters mid-range.
+
+    Entirely row-local Column algebra (split → distinct → per-char
+    frequency → ordered -Σ p·ln p fold): no shuffle, no UDF, scales as a
+    pure map. The char list is let-bound (one split per doc, not per
+    distinct char), the fold runs over SORTED distinct chars so the
+    float summation order is engine-identical, and ``+ 0.0`` normalizes
+    the -0.0 a uniform doc would produce."""
+
+    def body(cs):
+        n = F.size(cs).cast("double")
+        ps = F.transform(
+            F.array_sort(F.array_distinct(cs)),
+            lambda d: F.size(F.filter(cs, lambda c: c == d)).cast("double") / n,
+        )
+        plogp = F.transform(ps, lambda p: p * F.log(p))
+        return -F.aggregate(plogp, F.lit(0.0), lambda a, x: a + x) + F.lit(0.0)
+
+    return F.round(let(F.split(normalize_text(col), ""), body), digits)

@@ -3398,3 +3398,86 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.sessions import session_paths
 
     return session_paths(_events(spark, sf_dir), max_len=5, k=10)
+
+
+@register(
+    "char_entropy",
+    oracle=f"""
+WITH cs AS (SELECT doc_id, string_split({_NORM}, '') AS cs FROM documents)
+SELECT doc_id,
+       round(-list_reduce(
+           list_transform(
+             list_transform(list_sort(list_distinct(cs)),
+               d -> CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE) / len(cs)),
+             p -> p * ln(p)),
+           (a, b) -> a + b) + 0.0, 6) AS char_entropy
+FROM cs
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (functions/text.py char_entropy):
+    the perplexity-proxy quality signal as pure row-local Column
+    algebra — no shuffle, no UDF, whole-stage codegen. The -Σ p·ln p
+    fold runs over sorted distinct chars, so float summation order is
+    engine-identical and the oracle hash-matches at 6 digits."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.text import char_entropy
+
+    return docs.select("doc_id", char_entropy(F.col("text")).alias("char_entropy"))
+
+
+@register(
+    "oov_rate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, term LIMIT 20
+  )
+),
+per AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS INT) AS n_tokens,
+         CAST(count(*) FILTER (t.term NOT IN (SELECT term FROM vocab)) AS INT) AS n_oov
+  FROM tok t GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM per
+""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-20
+    vocabulary — the tokenizer-coverage check a training pipeline runs
+    before committing to a vocab. The vocab is a top-k aggregate
+    (deterministic count-then-term order) broadcast into a LEFT ANTI
+    membership probe on the exploded tokens; per-doc totals and OOV
+    counts fold in one aggregation over the same explode, so the doc
+    corpus shuffles once on doc_id whatever the vocab size."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(20)
+        .select("term")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "term", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

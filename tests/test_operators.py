@@ -443,3 +443,24 @@ def test_cms_never_underestimates_and_is_tight_at_test_scale(spark, sf_dir):
     n_exact = sum(1 for k in exact if rows[k] == exact[k])
     assert n_exact >= len(exact) * 0.5  # depth=4 keeps most keys collision-free here
     assert all(rows[k] - exact[k] <= max(exact.values()) for k in exact)
+
+
+def test_char_entropy_bounds_and_extremes(spark):
+    """0 ≤ H ≤ ln(#distinct chars), uniform text hits the max, and
+    single-char text hits exactly 0 (never -0.0)."""
+    import math
+
+    from covid_data_challenge_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("abcd",), ("the quick brown fox",)], ["t"]
+    )
+    rows = df.select(
+        "t", char_entropy(F.col("t")).alias("h")
+    ).collect()
+    by_t = {r["t"]: r["h"] for r in rows}
+    assert by_t["aaaa"] == 0.0 and math.copysign(1, by_t["aaaa"]) == 1.0
+    assert abs(by_t["abab"] - math.log(2)) < 1e-6
+    assert abs(by_t["abcd"] - math.log(4)) < 1e-6
+    for t, h in by_t.items():
+        assert 0.0 <= h <= math.log(len(set(t))) + 1e-9
