@@ -255,3 +255,87 @@ def ann_lsh_topk(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory/SIMD tier between exact float and LSH
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(vec) -> "F.Column":
+    """L2-normalize then scalar-quantize a float vector to int8 range:
+    ``q_i = floor(127·x_i/‖x‖ + 0.5)``.
+
+    4× smaller than float32 and integer dot products are EXACT (no
+    float summation order to worry about), which is what lets the
+    quantized ANN tier keep a bit-exact cross-engine oracle. The norm is
+    let-bound — folded once per vector, not once per element (the HOF
+    re-evaluation trap). Zero-norm vectors quantize to the zero vector.
+    """
+    from covid_data_challenge_spark.functions.text import let
+
+    def body(n):
+        return F.when(
+            n > 0,
+            F.transform(
+                vec,
+                lambda x: F.floor(F.lit(127.0) * x.cast("double") / n + F.lit(0.5)).cast(
+                    "int"
+                ),
+            ),
+        ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+
+    return let(norm(vec), body)
+
+
+def int8_dot(a, b) -> "F.Column":
+    """Exact integer dot product of two quantized vectors (BIGINT fold —
+    order-independent because integer addition is associative)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors by quantized integer dot product (∝ cosine after
+    L2 normalization).
+
+    The scale shape matches :func:`cosine_topk` — broadcast query set,
+    per-pair work is ONE integer fold — but the corpus representation is
+    4× smaller and the arithmetic is exact, so results are reproducible
+    bit-for-bit on any engine/partitioning. Recall vs the float-exact
+    top-k is pinned in pytest (quantization noise, not implementation
+    drift, is the only divergence source)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_int8(F.col(vec_col)).alias("__qq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_int8(F.col(vec_col)).alias("__qc"),
+    )
+    sims = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int8_dot(F.col("__qq"), F.col("__qc")).alias("int_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("int_dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "int_dot", "rank")
+    )

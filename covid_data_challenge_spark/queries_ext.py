@@ -3481,3 +3481,81 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "ann_cosine_topk_int8",
+    oracle="""
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(127.0 * CAST(x AS DOUBLE) /
+                  sqrt(list_reduce(list_transform(embedding,
+                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b))
+                  + 0.5) AS INT)) AS qv
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS int_dot
+  FROM quant q JOIN quant c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, int_dot, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY int_dot DESC, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+""",
+)
+def q_ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-quantized dot product
+    (operators/similarity.py cosine_topk_int8): the scalar-quantization
+    ANN tier — 4× less memory than float32, integer-exact arithmetic
+    (no float summation order), so even this APPROXIMATE method keeps a
+    bit-exact cross-engine oracle. floor(x+0.5) quantization avoids
+    round(): engines disagree on double half-cases, floor never does.
+    Recall vs the float-exact top-k is pinned in pytest."""
+    from covid_data_challenge_spark.operators.similarity import cosine_topk_int8
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_int8(emb, queries, k=5)
+
+
+@register(
+    "incremental_batch_dedup",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string((string_split({_NORM}, ' '))[1:5], ' ')) AS fp
+  FROM documents
+),
+hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0)
+SELECT b.doc_id, b.fp,
+       CAST(CASE WHEN h.fp IS NULL THEN 0 ELSE 1 END AS INT) AS dup_of_history
+FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+""",
+)
+def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production incremental-ingest shape: dedup a NEW batch against
+    the historical corpus without ever re-shuffling history against
+    itself. Both sides reduce to (distinct) prefix fingerprints —
+    md5 of the first 5 normalized tokens, the opening-shingle key that
+    catches boilerplate-prefix duplicates exact hashing misses — and the
+    join keys on fp: at 100 TB the history side is a pre-built
+    fingerprint gold table (bucketed on fp), so each day's batch joins
+    shuffle-free against it. md5 keeps the fingerprint engine-portable
+    (splits.py discipline) → exact oracle."""
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5))).alias("fp"),
+    )
+    hist = fp.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    batch = fp.filter(F.col("doc_id") % 5 == 0)
+    return batch.join(
+        hist.withColumn("__seen", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id",
+        "fp",
+        F.when(F.col("__seen").isNull(), 0).otherwise(1).cast("int").alias("dup_of_history"),
+    )

@@ -227,3 +227,27 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     for r in approx_rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_int8_quantized_topk_recall_vs_float_exact(spark, sf_dir):
+    """Scalar quantization must stay faithful to the float-exact
+    ranking: top-5 overlap ≥ 0.8 across all queries, and the quantized
+    vectors stay within int8 range."""
+    from covid_data_challenge_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+        quantize_int8,
+    )
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    quant = cosine_topk_int8(emb, queries, k=5).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    qu = {(r["query_id"], r["neighbor_id"]) for r in quant}
+    assert len(qu & ex) / len(ex) >= 0.8
+
+    qv = emb.select(quantize_int8(F.col("embedding")).alias("q")).collect()
+    flat = [x for r in qv for x in r["q"]]
+    assert flat and all(-128 <= x <= 127 for x in flat)
