@@ -3559,3 +3559,42 @@ def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         F.when(F.col("__seen").isNull(), 0).otherwise(1).cast("int").alias("dup_of_history"),
     )
+
+
+@register(
+    "column_stats_profile",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_orderkey,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_returnflag,
+       CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS nulls_shipdate,
+       min(l_shipdate) AS min_shipdate,
+       max(l_shipdate) AS max_shipdate,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+""",
+)
+def q_column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column statistics (row count, per-column
+    NDV, null count, min/max) — what a catalog collects for CBO join
+    ordering and what zone-map layouts are built from. ONE scan: the
+    multi-NDV aggregation plans as a single pass with an Expand (3 rows
+    per input), all partially aggregated map-side. Exact countDistinct
+    here (oracle-checkable); at 100 TB each NDV swaps to the mergeable
+    HLL sketch (operators/sketch.py) without touching the query shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nulls_shipdate"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
