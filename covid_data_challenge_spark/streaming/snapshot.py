@@ -102,3 +102,53 @@ def incremental_gold_upsert(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def cms_stream_update(
+    stream_df: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    hex_chars: int = 2,
+    timeout_s: int = 120,
+):
+    """Maintain a count-min sketch gold grid from an event stream: each
+    micro-batch folds into its own depth×width grid (operators/sketch.py
+    cms_build) and merges into the stored grid by plain ADDITION on
+    (sk_row, bucket) — the mergeability that makes sketches the right
+    100 TB frequency state. The gold grid is O(depth·16^hex_chars) rows
+    forever, whatever the stream volume; heavy-hitter queries probe it
+    via cms_estimate without touching raw events. Identical md5
+    bucketing to the batch operator, so a streamed grid equals the
+    batch grid over the same rows EXACTLY (pinned in pytest).
+    """
+    from covid_data_challenge_spark.operators.sketch import cms_build
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = cms_build(batch_df.select(key_col), key_col, depth, hex_chars)
+        try:
+            existing = spark.read.parquet(gold_path)
+        except Exception:
+            existing = None
+        merged = (
+            grid
+            if existing is None
+            else existing.unionByName(grid)
+            .groupBy("sk_row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged.write.mode("overwrite").parquet(gold_path + "_next")
+        spark.read.parquet(gold_path + "_next").write.mode("overwrite").parquet(
+            gold_path
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

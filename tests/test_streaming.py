@@ -258,3 +258,36 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
             assert abs(got[u][1] - want[u][1]) < 0.02
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+
+def test_cms_stream_merge_equals_batch_grid(spark, sf_dir, tmp_path):
+    """A CMS grid maintained by addition across micro-batches must equal
+    the batch grid over the same rows EXACTLY — sketch mergeability is
+    the whole point of keeping one as streaming state."""
+    from covid_data_challenge_spark.operators.sketch import cms_build
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.streaming.snapshot import cms_stream_update
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "src")
+    # two files → maxFilesPerTrigger=1 forces at least two micro-batches
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("user_id") % 2 != 0).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gold = str(tmp_path / "cms_gold")
+    cms_stream_update(stream, gold, checkpoint=str(tmp_path / "ckpt"))
+
+    streamed = {
+        (r["sk_row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(gold).collect()
+    }
+    batch = {
+        (r["sk_row"], r["bucket"]): r["cnt"]
+        for r in cms_build(ev, "user_id").collect()
+    }
+    assert streamed == batch
