@@ -3598,3 +3598,101 @@ def q_column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "sole_late_supplier",
+    oracle="""
+WITH per AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT l.l_suppkey) FILTER (l.l_shipdate > o.o_orderdate) AS n_late_supp,
+         max(l.l_suppkey) FILTER (l.l_shipdate > o.o_orderdate) AS late_supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_sole_late_orders
+FROM per JOIN supplier s ON s.s_suppkey = per.late_supp
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY 1, 2 ORDER BY n_sole_late_orders DESC, s_suppkey LIMIT 10
+""",
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on multi-supplier orders
+    (TPC-H Q21's correlated EXISTS/NOT-EXISTS pair, decorrelated): both
+    existence tests collapse into ONE per-order aggregation — distinct
+    suppliers, distinct LATE suppliers (conditional countDistinct), and
+    the late supplier key when unique (conditional max) — so the fact
+    table is touched once and the only shuffles are the orderkey
+    pre-agg and the small per-supplier count. max(when(late, suppkey))
+    is well-defined exactly because the n_late_supp = 1 filter makes the
+    set a singleton."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.join(sup, per.late_supp == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_late_orders"))
+        .orderBy(F.col("n_sole_late_orders").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
+@register(
+    "daily_metric_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CASE WHEN event_type = 'click'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0 AS click_value,
+         sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0 AS purchase_value,
+         sum(CASE WHEN event_type = 'view'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0 AS view_value
+  FROM events GROUP BY 1
+)
+SELECT day, metric, total FROM wide
+UNPIVOT (total FOR metric IN (click_value, purchase_value, view_value))
+""",
+)
+def q_daily_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via native UNPIVOT (``DataFrame.unpivot``, the
+    melt Spark 3.4+ ships): daily per-type value totals pivot wide in
+    one conditional aggregation (exact integer cents — engine- and
+    order-independent), then unpivot back to (day, metric, total) rows.
+    Unpivot is a zero-shuffle Expand — the reshape costs 3 rows per
+    input row, no exchange, so the only shuffle is the day groupBy."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def m(t: str) -> "F.Column":
+        return (
+            F.sum(F.when(F.col("event_type") == t, cents).otherwise(F.lit(0)))
+            / 100.0
+        )
+
+    wide = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        m("click").alias("click_value"),
+        m("purchase").alias("purchase_value"),
+        m("view").alias("view_value"),
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=["click_value", "purchase_value", "view_value"],
+        variableColumnName="metric",
+        valueColumnName="total",
+    )
