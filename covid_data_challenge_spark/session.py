@@ -34,6 +34,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # mapping, LSH band tables) should broadcast; 64 MB covers every
     # dimension we ship while still refusing to broadcast a fact table.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Local-mode heap: Spark's 1g default driver heap cannot HOLD a
+    # 64 MB-threshold broadcast build (hashed relations inflate ~5-10×
+    # over on-disk size) and OOMs under a 10× data stress
+    # (SCALING.md §synthetic-sf1). In local[] the driver JVM IS the
+    # executor, so it gets the executor-grade sizing; on a real cluster
+    # the submitter's --driver-memory/--executor-memory override this.
+    "spark.driver.memory": "16g",
     # Read-side split size: 128 MB keeps scan tasks right-sized at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
 }
