@@ -79,10 +79,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: executor/codegen spin-up + parquet datasource/scan-infra init
-    # (so the first measured query isn't charged for one-time JVM costs).
+    # (so the first measured query isn't charged for one-time JVM costs),
+    # plus a full fact-table scan so the OS page cache is warm — without
+    # it the first measured query absorbs the cold-read penalty and
+    # round-over-round comparisons see phantom regressions.
     _execute(spark.range(1_000_000).selectExpr("sum(id) AS s"))
     _execute(
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).groupBy("r_name").count()
+    )
+    _execute(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_linestatus")
+        .count()
     )
 
     timings: dict[str, float] = {}
