@@ -3696,3 +3696,35 @@ def q_daily_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="total",
     )
+
+
+@register(
+    "split_by_cluster",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES}
+SELECT d.doc_id,
+       coalesce(a.cluster_id, d.doc_id) AS cluster_id,
+       {split_sql_case("coalesce(a.cluster_id, d.doc_id)", _SPLITS)} AS split
+FROM documents d LEFT JOIN assigned a USING (doc_id)
+""",
+)
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the NEAR-DUP CLUSTER id, not the
+    doc id — the leakage guard real training pipelines need: two
+    near-duplicate documents land in the same split BY CONSTRUCTION
+    (same cluster key → same md5 coin), so the test set can never
+    contain a near-copy of a training document. Composes the verified
+    connected-components clustering with the verified md5 split — and
+    both engines re-derive the same clusters (recursive CTE twin), so
+    the composition stays bit-exact."""
+    from covid_data_challenge_spark.operators.components import cluster_assignments
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    clustered = cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    keyed = docs.select("doc_id").join(clustered, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return assign_split(keyed, "cluster_id", _SPLITS)

@@ -202,3 +202,26 @@ def test_zscore_matches_pandas_rolling(spark):
             assert abs(got[eid] - expect) < 1e-9, eid
             checked += 1
     assert checked > 100
+
+
+def test_cluster_split_never_leaks_neardups_across_splits(spark, sf_dir):
+    """The whole point of cluster-keyed splitting: for EVERY near-dup
+    pair, both docs carry the same split label."""
+    import covid_data_challenge_spark.queries_ext as qe
+    from covid_data_challenge_spark.queries import REGISTRY
+
+    split = REGISTRY["split_by_cluster"].spark(spark, sf_dir)
+    pairs = qe.jaccard_pairs(
+        qe._docs(spark, sf_dir), n=3, threshold=0.2, max_doc_freq=10
+    ).select("doc_a", "doc_b")
+    a = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leaked = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert leaked == 0
+    # and the split is still roughly 80/10/10 over clusters
+    dist = {r["split"]: r["c"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(dist) == {"train", "val", "test"}
