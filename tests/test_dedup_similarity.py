@@ -251,3 +251,27 @@ def test_int8_quantized_topk_recall_vs_float_exact(spark, sf_dir):
     qv = emb.select(quantize_int8(F.col("embedding")).alias("q")).collect()
     flat = [x for r in qv for x in r["q"]]
     assert flat and all(-128 <= x <= 127 for x in flat)
+
+
+def test_ivf_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    """The IVF index is two gold tables: probing the reloaded index must
+    return exactly what probing the freshly built one returns — the
+    build-once / serve-many contract."""
+    from covid_data_challenge_spark.operators.ivf import ivf_build, ivf_probe
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids, inverted = ivf_build(emb, n_centroids=16, lloyd_iters=1)
+    direct = ivf_probe(centroids, inverted, queries, k=5, nprobe=4).collect()
+
+    cpath, ipath = str(tmp_path / "centroids"), str(tmp_path / "inverted")
+    centroids.write.parquet(cpath)
+    inverted.write.partitionBy("cid").parquet(ipath)
+    reloaded = ivf_probe(
+        spark.read.parquet(cpath), spark.read.parquet(ipath), queries, k=5, nprobe=4
+    ).collect()
+
+    assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, reloaded), key=lambda t: (t[0], t[3])
+    )
