@@ -3728,3 +3728,49 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
     return assign_split(keyed, "cluster_id", _SPLITS)
+
+
+@register(
+    "customer_value_skyline",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT c.c_custkey, c.c_name, p.total_spent, round(c.c_acctbal, 2) AS acctbal
+  FROM customer c JOIN per p ON c.c_custkey = p.o_custkey
+)
+SELECT c_custkey, c_name, total_spent, acctbal FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.total_spent >= p.total_spent AND q.acctbal >= p.acctbal
+    AND (q.total_spent > p.total_spent OR q.acctbal > p.acctbal)
+)
+""",
+)
+def q_customer_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of customers over (lifetime spend, account
+    balance) — the skyline operator (operators/skyline.py, EDBT 2023
+    pattern from PAPERS.md). Two-phase: grid-partitioned LOCAL sort
+    windows eliminate in parallel, then one global pass over the
+    surviving per-bucket frontiers (a sort of frontiers, never of the
+    data). The DuckDB oracle is the O(n²) NOT-EXISTS dominance
+    definition, so the distributed algorithm is value-checked against
+    the literal semantics. Spend folds as exact integer cents."""
+    from covid_data_challenge_spark.operators.skyline import skyline_2d
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0).alias(
+            "total_spent"
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    pts = cust.join(per, cust.c_custkey == per.o_custkey).select(
+        "c_custkey", "c_name", "total_spent", "acctbal"
+    )
+    return skyline_2d(pts, "total_spent", "acctbal")

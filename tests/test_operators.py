@@ -464,3 +464,28 @@ def test_char_entropy_bounds_and_extremes(spark):
     assert abs(by_t["abcd"] - math.log(4)) < 1e-6
     for t, h in by_t.items():
         assert 0.0 <= h <= math.log(len(set(t))) + 1e-9
+
+
+def test_skyline_matches_bruteforce_and_keeps_ties(spark):
+    """skyline_2d must equal the O(n²) dominance definition on random
+    points, and exact-duplicate points must BOTH survive (neither
+    dominates the other)."""
+    import random
+
+    from covid_data_challenge_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 30), rng.randint(0, 30)) for i in range(200)]
+    pts += [(900, 50, 1), (901, 50, 1)]  # duplicate frontier point
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+
+    got = {r["id"] for r in skyline_2d(df, "x", "y", buckets=4).collect()}
+    expect = {
+        i
+        for i, x, y in pts
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y) for _, qx, qy in pts
+        )
+    }
+    assert got == expect
+    assert {900, 901} <= got
