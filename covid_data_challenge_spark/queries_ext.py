@@ -3774,3 +3774,58 @@ def q_customer_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "total_spent", "acctbal"
     )
     return skyline_2d(pts, "total_spent", "acctbal")
+
+
+@register(
+    "funnel_timed_3way",
+    oracle="""
+SELECT CAST(v.ts AS DATE) AS view_day,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_users
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+  AND v.event_type = 'view'
+  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+GROUP BY 1
+""",
+)
+def q_funnel_timed_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained 3-way funnel (view → click ≤24h → purchase
+    ≤24h) — the multi-way join shape (ICDE multi-way stream join family,
+    PAPERS.md) expressed so that ONE user_id hash partitioning serves
+    BOTH joins: each stage equi-joins on user_id with the time bound as
+    a residual condition, so the second join consumes the first's
+    partitioning without a re-shuffle. Per-user event streams bound the
+    fan-out (type-filtered slices pushed into the scan); at 100 TB the
+    same plan runs over an events table bucketed on user_id, and the
+    streaming form is two chained stream-stream joins with watermarks
+    bounding exactly these 24h windows of state."""
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    day_s = 24 * 3600
+    vc = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {day_s} SECOND")),
+    )
+    vcp = vc.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {day_s} SECOND")),
+    )
+    return vcp.groupBy(F.col("v_ts").cast("date").alias("view_day")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
