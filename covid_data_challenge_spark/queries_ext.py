@@ -3829,3 +3829,62 @@ def q_funnel_timed_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triples"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "dq_violations",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS qty_range,
+         CAST(count(*) FILTER (l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS disc_range,
+         CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS shipdate_null,
+         CAST(count(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL) AS BIGINT) AS flag_domain,
+         CAST(count(*) FILTER (l_extendedprice IS NULL OR l_extendedprice <= 0) AS BIGINT) AS price_positive
+  FROM lineitem
+)
+SELECT rule, n_violations, round(n_violations * 1.0 / n_rows, 6) AS violation_rate
+FROM agg
+UNPIVOT (n_violations FOR rule IN (qty_range, disc_range, shipdate_null, flag_domain, price_positive))
+""",
+)
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (Great-Expectations shape):
+    FIVE rules — range, domain, null, positivity — evaluate as
+    conditional counts in ONE fact scan (map-side partials, single
+    1-row shuffle), then unpivot to a per-rule violation report. Adding
+    a rule adds a column to the aggregation, never a scan: at 100 TB
+    the cost of the whole expectation suite is one pass, which is the
+    only defensible shape for ingest gating."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bad(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    p = F.col("l_extendedprice")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        bad(q.isNull() | (q < 1) | (q > 50)).alias("qty_range"),
+        bad(d.isNull() | (d < 0) | (d > 0.1)).alias("disc_range"),
+        bad(F.col("l_shipdate").isNull()).alias("shipdate_null"),
+        bad(
+            F.col("l_returnflag").isNull()
+            | ~F.col("l_returnflag").isin("A", "N", "R")
+        ).alias("flag_domain"),
+        bad(p.isNull() | (p <= 0)).alias("price_positive"),
+    )
+    long = agg.unpivot(
+        ids=["n_rows"],
+        values=["qty_range", "disc_range", "shipdate_null", "flag_domain", "price_positive"],
+        variableColumnName="rule",
+        valueColumnName="n_violations",
+    )
+    return long.select(
+        "rule",
+        "n_violations",
+        F.round(F.col("n_violations") * 1.0 / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
