@@ -3888,3 +3888,84 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue_effect,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure-scan aggregate. ALL four predicates push into
+    the parquet scan (PushedFilters carries the date/discount/quantity
+    bounds — row groups outside them never decompress), the two used
+    columns are the only ones read, and the single 1-row shuffle is the
+    partial-agg merge. The simplest query in the suite and the one most
+    sensitive to scan efficiency at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(price_c * disc_c) / 10000.0).alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
+   OR (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
+   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15)
+""",
+)
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst splits the disjunction: the quantity envelope
+    (1–30) and the brand/size envelope push DOWN to their respective
+    scans as coarse pre-filters, while the exact cross-table
+    disjunction evaluates as the join's residual condition — so most
+    non-qualifying rows die at the parquet reader, not in the join. At
+    100 TB the part side is the smaller relation and AQE broadcasts or
+    shuffles it by partkey as size dictates (no hint)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arm = lambda brand, lo, hi, size: (
+        (F.col("p_brand") == brand) & (q >= lo) & (q <= hi) & (F.col("p_size") <= size)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            arm("Brand#1", 1, 11, 5)
+            | arm("Brand#13", 10, 20, 10)
+            | arm("Brand#19", 20, 30, 15)
+        )
+        .agg(
+            (F.sum(_rev_cents4()) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

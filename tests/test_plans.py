@@ -302,3 +302,21 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     assert zdf.count() == ev.count()
     assert zdf.filter(u_pred).count() == ev.filter(u_pred).count()
     assert zdf.filter(v_pred).count() == ev.filter(v_pred).count()
+
+
+def test_q6_scan_pushdown_and_column_pruning(spark, sf_dir):
+    """The pure-scan aggregate must push all four predicates into the
+    parquet reader and read only the columns it uses."""
+    plan = _plan(spark, REGISTRY["forecast_revenue_change"].spark(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    assert "l_orderkey" not in plan  # unused columns never leave parquet
+
+
+def test_q19_disjunction_splits_to_both_scans(spark, sf_dir):
+    """Catalyst must derive per-table envelopes from the OR-of-ANDs:
+    each scan's PushedFilters carries its side of the disjunction."""
+    plan = _plan(spark, REGISTRY["disjunctive_brand_revenue"].spark(spark, sf_dir))
+    assert plan.count("PushedFilters") >= 2
+    assert "p_brand" in plan.split("PushedFilters")[2].split("\n")[0] or "p_brand" in plan.split("PushedFilters")[1].split("\n")[0]
