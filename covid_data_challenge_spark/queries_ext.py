@@ -3969,3 +3969,99 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+WITH sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+         sn.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT order_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS BIGINT)
+         / CAST(sum(cents) AS BIGINT) AS market_share
+FROM sales GROUP BY 1
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of ASIA-customer revenue per year (TPC-H Q8
+    shape): a six-table star whose region predicate prunes through the
+    customer-nation arm, both 25-row nation dims and the 5-row region
+    hint-broadcast, customer/supplier are left to AQE, and the share is
+    one IEEE division of two identical exact-cents BIGINTs — so the
+    conditional aggregation is bit-identical to the oracle in any
+    partitioning. The only guaranteed shuffle join keys on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cents = _rev_cents4()
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"), "left_semi"
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(F.lit(0))
+    return sales.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg((F.sum(target) / F.sum(cents)).alias("market_share"))
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+WITH per AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per GROUP BY 1
+""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count (TPC-H Q13 shape): the
+    LEFT join keeps zero-order customers (count(o_orderkey) ignores the
+    NULLs a left-join miss produces — count(*) would not), the first
+    aggregation keys on custkey sharing the join's partitioning, and
+    the second groupBy runs over at most |distinct order counts| rows.
+    At 100 TB the orders side pre-aggregates per custkey before the
+    join, so the wide row never carries order payloads."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
