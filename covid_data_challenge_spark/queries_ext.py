@@ -4065,3 +4065,50 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "nation_revenue_share_in_region",
+    oracle="""
+WITH per AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, cents / 10000.0 AS revenue,
+       cents / CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) AS share_of_region
+FROM per
+""",
+)
+def q_nation_revenue_share_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's share of its region's revenue —
+    the unordered PARTITION-total window (no ORDER BY → no sort, one
+    pass over the 25-row aggregate, never over facts). Everything
+    heavy happens in the single fact aggregation (exact cents, nation/
+    region broadcast); the window and the share division are identical
+    integer arithmetic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_cents4()).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return per.select(
+        "region",
+        "nation",
+        (F.col("cents") / 10000.0).alias("revenue"),
+        (F.col("cents") / F.sum("cents").over(w)).alias("share_of_region"),
+    )
