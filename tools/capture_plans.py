@@ -23,7 +23,8 @@ from covid_data_challenge_spark.session import get_spark  # noqa: E402
 
 
 def documented_queries() -> list[str]:
-    heads = re.findall(r"^## (\w+)$", open("/root/repo/PLANS.md").read(), re.M)
+    # headings may carry a suffix, e.g. "## cms_heavy_hitters (round 2)"
+    heads = re.findall(r"^## (\w+)", open("/root/repo/PLANS.md").read(), re.M)
     return [h for h in heads if h in REGISTRY]
 
 
