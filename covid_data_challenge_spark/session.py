@@ -30,6 +30,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # Deterministic time semantics for oracle comparisons and streaming
     # window alignment.
     "spark.sql.session.timeZone": "UTC",
+    # Naive parquet timestamps (isAdjustedToUTC=false) must scan as plain
+    # TIMESTAMP, not TIMESTAMP_NTZ: NTZ breaks epoch arithmetic and
+    # watermarks, and with the UTC session the two types carry the same
+    # wall-clock anyway. Keeping the scan type TIMESTAMP (instead of a
+    # post-scan cast) preserves ts-predicate pushdown into parquet.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Dimension tables (region/nation/customer-at-small-SF, the country
     # mapping, LSH band tables) should broadcast; 64 MB covers every
     # dimension we ship while still refusing to broadcast a fact table.

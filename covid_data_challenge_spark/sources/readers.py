@@ -41,10 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Plain ``spark.read.parquet`` so Catalyst
     can push filters and prune columns into the scan.
 
-    The ``events`` table carries TIMESTAMP(NANOS) — a parquet type Spark
-    refuses by default. It is read via the nanos-as-long escape hatch and
-    truncated to microseconds, which is exactly what DuckDB (and therefore
-    the oracle) does when it coerces ns → µs timestamps.
+    The ``events`` table has shipped as TIMESTAMP(NANOS) (a parquet type
+    Spark refuses by default — read via the nanos-as-long escape hatch and
+    truncated to µs, matching DuckDB's ns → µs coercion) and, in later
+    driver drops, as naive TIMESTAMP(MICROS), which Spark 4 infers as
+    TIMESTAMP_NTZ. NTZ breaks epoch arithmetic (`cast(ts as double)`,
+    `unix_micros`) and streaming watermarks, so any NTZ column is
+    normalized to session-tz TIMESTAMP: with the UTC session the engine
+    pins (session.py), the wall-clock — which is what the DuckDB oracle
+    compares — is preserved exactly. Our own session also disables
+    `parquet.inferTimestampNTZ` so the scan itself yields TIMESTAMP and
+    ts-predicates keep pushing down; the cast below is the safety net for
+    foreign sessions (e.g. the driver's) that keep NTZ inference on.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -55,8 +63,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
         if dict(raw.dtypes).get("ts") == "bigint":
             raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return raw
-    return spark.read.parquet(path)
+    else:
+        raw = spark.read.parquet(path)
+    ntz_cols = [c for c, t in raw.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        raw = raw.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
+    return raw
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:

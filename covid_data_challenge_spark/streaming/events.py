@@ -22,31 +22,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: File-stream schema for the driver's events table. ``ts`` arrives as
-#: TIMESTAMP(NANOS) parquet → declared long (nanos) and converted, exactly
-#: as the batch reader does (sources/readers.py).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: File-stream schema for the nanos layout of the events table (``ts``
+#: shipped as TIMESTAMP(NANOS) parquet → declared long and converted).
+EVENTS_STREAM_SCHEMA = _events_stream_schema(T.LongType())
 
 
 def read_event_stream(spark: SparkSession, directory: str, glob: str = "events.parquet") -> DataFrame:
     """Parquet file stream over the events table (new files in
-    ``directory`` matching ``glob`` become micro-batches)."""
+    ``directory`` matching ``glob`` become micro-batches).
+
+    The driver has shipped ``ts`` both as TIMESTAMP(NANOS) — unreadable
+    as a timestamp by Spark, so declared long (nanos) and truncated to µs
+    exactly like the batch reader (sources/readers.py) — and as naive
+    TIMESTAMP(MICROS). File streams take a *declared* schema, so a wrong
+    guess doesn't error: the nanos schema would silently misparse µs
+    values into 1970 wall-clocks and the watermark would eat the data.
+    A one-off batch probe of the same files picks the right layout."""
+    ts_kind = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    try:
+        probe = spark.read.option("pathGlobFilter", glob).parquet(directory)
+        ts_kind = dict(probe.dtypes).get("ts")
+    finally:
+        if ts_kind != "bigint":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    if ts_kind == "bigint":
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", glob)
+            .parquet(directory)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # µs layout: declare TimestampType outright — the scan yields
+    # session-tz TIMESTAMP (UTC session ⇒ oracle wall-clock), watermarkable.
+    return (
+        spark.readStream.schema(_events_stream_schema(T.TimestampType()))
         .option("pathGlobFilter", glob)
         .parquet(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumbling_counts(
