@@ -416,3 +416,104 @@ def decontamination_overlap(
         .withColumn("eval_overlap", F.round(F.col("n_common") / F.col("n_eval_sh"), 4))
         .select("train_id", "eval_id", "n_common", "eval_overlap")
     )
+
+
+def hot_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Boilerplate detector: the ``top`` word n-grams by document
+    frequency → (shingle, df). Repeated headers/footers/license blocks
+    surface as n-grams shared by thousands of documents; this is the
+    standard first look before writing boilerplate-strip rules.
+
+    Scale shape: one explode + one groupBy on the shingle string (the
+    same shuffle family as every inverted-index op here) + a top-k that
+    plans as TakeOrderedAndProject — per-partition heaps of ``top``
+    rows, never a global sort. Ties at the cutoff break on the shingle
+    string so the result is deterministic in any partitioning.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle"))
+        .limit(top)
+    )
+
+
+def _bloom_positions(shingle: Column, k: int, hex_width: int) -> Column:
+    """The ``k`` Bloom bit positions of a shingle, as ``hex_width``-char
+    md5 prefixes (one shared 16^hex_width-slot array, k seeded hashes —
+    md5 so any engine with a hash function can replay the filter)."""
+    return F.array(
+        *[
+            F.substring(F.md5(F.concat(F.lit(f"b{i}:"), shingle)), 1, hex_width)
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 3,
+    hex_width: int = 5,
+    min_hit_grams: int = 2,
+) -> DataFrame:
+    """Bloom-filter eval-set decontamination: flag training docs whose
+    word n-grams hit the Bloom filter built from the eval set's n-grams
+    at least ``min_hit_grams`` times.
+
+    This is the constant-size alternative to the exact shingle join of
+    :func:`decontamination_overlap`: at 100 TB the eval shingle table
+    may still be millions of rows, but its Bloom filter is a fixed
+    16^hex_width-slot bit set (~1M slots at the default) REGARDLESS of
+    eval-set size — the classic trade of broadcast bytes for a bounded
+    false-positive rate (≈ load_factor^k per gram; false negatives are
+    impossible, which is the direction decontamination must never err
+    in).
+
+    Plan shape: the filter is built as a one-row ``collect_set`` of
+    set bit positions — never collected to the driver — and reaches
+    every corpus partition via a 1-row broadcast nested-loop join (the
+    same benign shape as the flagship's scalar-max join). Membership is
+    ``forall(positions, array_contains(bits, _))``, pure JVM column
+    algebra; the only corpus shuffle is the final per-doc aggregation.
+
+    → (doc_id, n_grams, n_hit_grams, hit_rate) for flagged docs.
+    """
+    ev_bits = (
+        doc_shingles(evalset, id_col, text_col, n)
+        .select(F.explode(_bloom_positions(F.col("shingle"), k, hex_width)).alias("pos"))
+        .agg(F.collect_set("pos").alias("bits"))
+    )
+    grams = doc_shingles(corpus, id_col, text_col, n)
+    hit = F.forall(
+        _bloom_positions(F.col("shingle"), k, hex_width),
+        lambda p: F.array_contains(F.col("bits"), p),
+    )
+    per_doc = (
+        grams.join(F.broadcast(ev_bits))
+        .select(F.col("id"), hit.cast("int").alias("__hit"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__hit").cast("long").alias("n_hit_grams"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_hit_grams") >= min_hit_grams)
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_hit_grams",
+            F.round(F.col("n_hit_grams") / F.col("n_grams"), 4).alias("hit_rate"),
+        )
+    )

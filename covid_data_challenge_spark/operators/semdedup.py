@@ -1,0 +1,116 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The embedding tier of the dedup ladder (after exact-hash, Jaccard,
+MinHash, SimHash — see operators/dedup.py): two documents whose
+embeddings are nearly parallel are semantic duplicates even when their
+token streams share nothing. Following the SemDeDup recipe (Abbas et al.
+2023, arXiv:2303.09540): k-means-cluster the corpus, compare pairs ONLY
+within a cluster, and greedily keep the lowest-id member of every
+near-parallel pair.
+
+Why this scales where brute force cannot: the all-pairs cosine matrix is
+O(n²) in the corpus; clustering first bounds the pair stage to
+O(Σ cluster²). With cluster count grown ∝ corpus (the operator takes it
+as a parameter; production SemDeDup uses ~100k clusters for billions of
+embeddings) the expected cluster size is constant, so the pair stage is
+linear in the corpus with a constant factor of (cluster size). Every
+stage is DataFrame algebra on the same shapes the IVF index uses
+(operators/ivf.py): centroid seeding + Lloyd refinement reuse that
+module verbatim, the pair stage is an equi-join on cluster id, and the
+survivor selection is one anti-join.
+
+Deterministic by construction (seeded centroids, lowest-id-wins) →
+pytest pins bit-exactness against a NumPy replica; the registry entry is
+rows-only (k-means is not ANSI-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.vector import dot, norm
+from covid_data_challenge_spark.operators.ivf import (
+    assign_to_centroids,
+    lloyd_refine,
+    seed_centroids,
+)
+
+
+def semdedup_assignments(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment stage: (id, vec, cid) with deterministic
+    seeded-Lloyd centroids (see operators/ivf.py)."""
+    centroids = lloyd_refine(
+        emb,
+        seed_centroids(emb, n_centroids, id_col, vec_col),
+        iters=lloyd_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return assign_to_centroids(emb, centroids, id_col, vec_col)
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    lloyd_iters: int = 1,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Per-embedding keep/prune decision → (id, cid, kept).
+
+    A vector is pruned when a LOWER-id vector in the same cluster has
+    cosine ≥ ``threshold`` with it (round-to-``digits`` before the
+    comparison, so the decision is bit-identical across engines and
+    partitionings). Keep-lowest-id is the same deterministic survivor
+    rule as exact dedup (dedup_exact_keep_first) — SemDeDup's "keep one
+    per ε-ball" with a total order instead of an arbitrary choice.
+
+    Plan: cluster assignment (broadcast centroid join + per-id argmax),
+    then a self-equi-join on cid bounded by cluster size, then an
+    anti-join of the corpus against the pruned-id set. No O(n²) stage,
+    no UDF, no driver state.
+    """
+    assigned = semdedup_assignments(emb, n_centroids, lloyd_iters, id_col, vec_col)
+    sized = assigned.select(
+        "id", "cid", F.col("vec").alias("__v"), norm(F.col("vec")).alias("__n")
+    )
+    a = sized.select(
+        F.col("cid"),
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = sized.select(
+        F.col("cid"),
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+    ).otherwise(F.lit(0.0))
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(sim, digits) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned.withColumn("__pruned", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -37,14 +37,17 @@ from covid_data_challenge_spark.operators.sampling import (
     shuffle_shards_oracle_sql,
 )
 from covid_data_challenge_spark.operators.dedup import (
+    bloom_decontaminate,
     decontamination_overlap,
     dedup_exact_keep_first,
     exact_dedup_stats,
+    hot_shingles,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash,
     simhash_neardup_pairs,
 )
+from covid_data_challenge_spark.operators.semdedup import semdedup_prune
 from covid_data_challenge_spark.operators.components import (
     cluster_assignments,
     dedup_keep_canonical,
@@ -4111,4 +4114,99 @@ def q_nation_revenue_share_in_region(spark: SparkSession, sf_dir: str) -> DataFr
         "nation",
         (F.col("cents") / 10000.0).alias("revenue"),
         (F.col("cents") / F.sum("cents").over(w)).alias("share_of_region"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: boilerplate detection, Bloom decontamination, SemDeDup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]
+                || ' ' || w[i + 4] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 4
+),
+freq AS (SELECT s AS shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+SELECT shingle, df FROM freq ORDER BY df DESC, shingle LIMIT 20
+""",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word 5-grams by document frequency — the boilerplate
+    (header/footer/license-block) detector run before writing strip
+    rules for a pretraining corpus. One explode + one shuffle on the
+    shingle string; the top-k plans as TakeOrderedAndProject with the
+    (df desc, shingle) total order making the cutoff deterministic
+    (operators/dedup.py:hot_shingles)."""
+    return hot_shingles(_docs(spark, sf_dir), n=5, top=20)
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, source,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+bits AS (
+    SELECT DISTINCT substr(md5('b' || j || ':' || s), 1, 5) AS pos
+    FROM sh JOIN (SELECT unnest(range(0, 3)) AS j) js ON true
+    WHERE source = 'src0'
+),
+hits AS (
+    SELECT doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (
+                 substr(md5('b0:' || s), 1, 5) IN (SELECT pos FROM bits)
+             AND substr(md5('b1:' || s), 1, 5) IN (SELECT pos FROM bits)
+             AND substr(md5('b2:' || s), 1, 5) IN (SELECT pos FROM bits)
+           ) AS n_hit_grams
+    FROM sh WHERE source <> 'src0' GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit_grams AS BIGINT) AS n_hit_grams,
+       round(n_hit_grams / n_grams, 4) AS hit_rate
+FROM hits WHERE n_hit_grams >= 2
+""",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: train docs (source != src0) whose
+    3-grams hit the Bloom filter of the eval set's (src0) 3-grams ≥ 2
+    times. The filter is a fixed ~1M-slot bit set built as a one-row
+    collect_set and shipped by 1-row broadcast — constant broadcast
+    bytes no matter how large the eval set, zero false negatives, and
+    the md5-derived positions make DuckDB replay the filter bit-exactly
+    (operators/dedup.py:bloom_decontaminate)."""
+    docs = _docs(spark, sf_dir)
+    return bloom_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        k=3,
+        hex_width=5,
+        min_hit_grams=2,
+    )
+
+
+@register("semdedup_prune")
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) keep/prune decisions over the
+    embedding corpus: seeded-Lloyd k-means (8 clusters at test SF —
+    grown ∝ corpus in production), within-cluster cosine ≥ 0.9 pairs,
+    lowest-id survivor per pair. Pair stage cost is Σ cluster², i.e.
+    linear in the corpus at constant cluster size — never O(n²).
+    k-means is not ANSI-SQL-expressible → rows-only here; bit-exactness
+    vs a NumPy replica is pinned in tests/test_dedup_similarity.py
+    (operators/semdedup.py)."""
+    return semdedup_prune(
+        _emb(spark, sf_dir), n_centroids=8, lloyd_iters=1, threshold=0.9
     )

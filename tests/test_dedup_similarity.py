@@ -275,3 +275,91 @@ def test_ivf_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, reloaded), key=lambda t: (t[0], t[3])
     )
+
+
+def test_semdedup_matches_numpy_replica(spark, sf_dir):
+    """semdedup_prune must be bit-identical to a NumPy replay of the
+    same recipe: seeded centroids (lowest ids) → 1 Lloyd iteration →
+    nearest-centroid assignment (cosine, centroid-id tiebreak) →
+    within-cluster cosine ≥ τ with round-4 → lowest-id survivor."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.semdedup import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    n_cent, tau = 4, 0.9
+
+    def assign(cent):
+        cn = np.linalg.norm(cent, axis=1)
+        vn = np.linalg.norm(V, axis=1)
+        denom = np.outer(vn, cn)
+        sims = np.where(denom > 0, (V @ cent.T) / np.where(denom == 0, 1, denom), 0.0)
+        # argmax with lowest-cid tiebreak == numpy argmax (first max wins)
+        return sims.argmax(axis=1)
+
+    cent = V[np.argsort(ids)[:n_cent]]  # lowest-id seeds (float32 data upcast)
+    cid = assign(cent)
+    cent = np.stack(
+        [
+            np.float32(V[cid == c].mean(axis=0)) if (cid == c).any() else cent[c]
+            for c in range(n_cent)
+        ]
+    )
+    cid = assign(cent)
+
+    pruned = set()
+    vn = np.linalg.norm(V, axis=1)
+    for c in range(n_cent):
+        members = np.where(cid == c)[0]
+        for bi in members:
+            for ai in members:
+                if ids[ai] >= ids[bi]:
+                    continue
+                denom = vn[ai] * vn[bi]
+                s = (V[ai] @ V[bi]) / denom if denom > 0 else 0.0
+                if round(s, 4) >= tau:
+                    pruned.add(int(ids[bi]))
+                    break
+
+    got = {
+        r.vec_id: (r.cid, r.kept)
+        for r in semdedup_prune(emb, n_centroids=n_cent, lloyd_iters=1, threshold=tau).collect()
+    }
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == cid[i], f"cluster mismatch for {vid}"
+        assert got[vid][1] == (vid not in pruned), f"keep/prune mismatch for {vid}"
+    assert any(not kept for _, kept in got.values()) or len(pruned) == 0
+
+
+def test_bloom_decontaminate_no_false_negatives_vs_exact(spark, sf_dir):
+    """Every doc the exact shingle join flags at min_common must also be
+    flagged by the Bloom pass (false negatives are impossible; false
+    positives are allowed and bounded)."""
+    from covid_data_challenge_spark.operators.dedup import (
+        bloom_decontaminate,
+        doc_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    # Exact twin of the Bloom semantics: distinct train-doc grams present
+    # in the union of eval grams (NOT per-eval-doc collision counts).
+    exact = (
+        doc_shingles(train, n=3)
+        .join(doc_shingles(ev, n=3).select("shingle").distinct(), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    exact_ids = {r.id for r in exact.collect()}
+    bloom_ids = {
+        r.doc_id
+        for r in bloom_decontaminate(train, ev, n=3, min_hit_grams=2).collect()
+    }
+    assert exact_ids, "fixture should produce at least one contaminated doc"
+    assert exact_ids <= bloom_ids
