@@ -72,24 +72,30 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Distributed as-of join: for every left row, the latest right row
-    with ``right_ts <= left_ts`` within the same ``by`` key (left outer —
+    with ``right_ts <= left_ts`` (``direction="backward"``, default) or
+    the earliest right row with ``right_ts >= left_ts``
+    (``direction="forward"``) within the same ``by`` key (left outer —
     unmatched left rows keep NULLs).
 
     Spark has no native ASOF JOIN (DuckDB/kdb do); a naive inequality
     join is a nested-loop O(n·m) per key. This is the scalable
     formulation: tag and union both sides, ONE window pass per key
-    ordered by (ts, side) carrying the right values forward with
-    ``last(ignorenulls)``, then keep the left rows. Cost = one shuffle on
-    ``by`` — identical shape to any other window op, so it survives any
-    scale-up. Ties (right_ts == left_ts) match, right-before-left at
-    equal ts; the right side must be unique per (by, ts) for
-    deterministic results — pre-reduce with :func:`latest_per_key`.
+    ordered by (ts, side) — descending for forward — carrying the right
+    values with ``last(ignorenulls)``, then keep the left rows. Cost =
+    one shuffle on ``by`` — identical shape to any other window op, so
+    it survives any scale-up. Ties (right_ts == left_ts) match in both
+    directions, right-before-left at equal ts; the right side must be
+    unique per (by, ts) for deterministic results — pre-reduce with
+    :func:`latest_per_key`.
 
     Output: all left columns + ``<right_ts><suffix>`` + each value col as
     ``<col><suffix>``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lcols = left.columns
     l = left.select(
         F.col(by).alias("__k"),
@@ -107,9 +113,10 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         F.col(right_ts).alias("__r_ts"),
     )
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).select(

@@ -153,3 +153,61 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def concurrent_peak_by_day(
+    sessions: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Per-day peak number of concurrently active sessions → (day,
+    peak_concurrent) — the capacity-planning staple (max simultaneous
+    users/connections/streams).
+
+    Classic sweep-line, distributed: each session [start, end]
+    (inclusive) is split into per-day segments (explode of the day
+    sequence, clipped to day bounds), each segment emits a +1 at its
+    start and a −1 at its end, and a running sum ordered by
+    (ts, +1-before-−1) within each day is the instantaneous concurrency;
+    the day's max is the peak.
+
+    Why partition by day instead of one global sweep: a single ordered
+    running sum is an all-data single-partition sort. Midnight-clipping
+    makes every day's sweep self-contained (sessions alive at 00:00
+    emit their +1 at 00:00), so days sweep independently and in
+    parallel — the sweep scales with days × sessions-per-day, and a
+    hot day can be salted further by hour with the same construction.
+    Determinism: +1s sort before −1s at equal ts (delta desc), so a
+    session ending exactly when another starts counts both — and the
+    prefix-max is invariant to the order of equal (ts, delta) rows.
+    """
+    day_ts = F.col("day").cast("timestamp")
+    next_day_end = F.col("day").cast("timestamp") + F.expr(
+        "INTERVAL 1 DAY - INTERVAL 1 MICROSECOND"
+    )
+    seg = sessions.select(
+        F.explode(
+            F.sequence(F.to_date(start_col), F.to_date(end_col))
+        ).alias("day"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    ).select(
+        "day",
+        F.greatest(F.col("__s"), day_ts).alias("seg_start"),
+        F.least(F.col("__e"), next_day_end).alias("seg_end"),
+    )
+    points = seg.select(
+        "day", F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        seg.select("day", F.col("seg_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        points.withColumn("__running", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("__running").cast("long").alias("peak_concurrent"))
+    )

@@ -4210,3 +4210,249 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(
         _emb(spark, sf_dir), n_centroids=8, lloyd_iters=1, threshold=0.9
     )
+
+
+@register(
+    "events_asof_forward",
+    oracle="""
+WITH clicks AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.ts AS ts_next_purchase, p.value AS value_next_purchase
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+)
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (each click → the user's next purchase
+    at-or-after it), verified against DuckDB's native forward ASOF
+    JOIN. Same union+window shape as the backward variant — the window
+    just scans descending — so it stays one shuffle on the key
+    (operators/alignment.py:asof_join, direction='forward')."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        "event_id",
+    ).select("user_id", "ts", "value")
+    return asof_join(
+        clicks, purchases, by="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], suffix="_next_purchase", direction="forward",
+    )
+
+
+@register(
+    "concurrent_sessions_peak",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+    FROM flagged
+),
+sessions AS (
+    SELECT min(ts) AS s, max(ts) AS e
+    FROM numbered GROUP BY user_id, session_idx
+),
+seg AS (
+    SELECT unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE), INTERVAL 1 DAY))::DATE AS day,
+           s, e
+    FROM sessions
+),
+clipped AS (
+    SELECT day,
+           greatest(s, CAST(day AS TIMESTAMP)) AS seg_start,
+           least(e, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS seg_end
+    FROM seg
+),
+points AS (
+    SELECT day, seg_start AS ts, 1 AS delta FROM clipped
+    UNION ALL
+    SELECT day, seg_end AS ts, -1 AS delta FROM clipped
+),
+swept AS (
+    SELECT day, sum(delta) OVER (
+        PARTITION BY day ORDER BY ts, delta DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS running
+    FROM points
+)
+SELECT day, CAST(max(running) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY day
+""",
+)
+def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions via a distributed sweep-line:
+    sessionize (30-min gap), split sessions at midnight, emit ±1
+    boundary points, running-sum per day, max. Partitioning the sweep
+    by day keeps it parallel (no global ordered sort) and the
+    +1-before-−1 tie rule makes back-to-back sessions count as
+    concurrent in both engines
+    (operators/sessions.py:concurrent_peak_by_day)."""
+    from covid_data_challenge_spark.operators.sessions import concurrent_peak_by_day
+
+    sessions = sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return concurrent_peak_by_day(sessions)
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+SELECT sn.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on widget parts by supplier nation and order year (TPC-H
+    Q9 shape; the synthetic schema has no partsupp, so unit cost is the
+    part's retail price — same join topology, documented proxy).
+    Catalyst pushes the p_name LIKE into the part scan; part after the
+    filter and the 25-row nation broadcast, the orders arm shuffles on
+    orderkey only. Profit is exact integer cents⁴ arithmetic (see
+    _rev_cents4) so the sum is partition-order-immune and the single
+    final division matches DuckDB bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost_c4 = (
+        F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.lit(100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg((F.sum(_rev_cents4() - cost_c4) / 10000.0).alias("profit"))
+    )
+
+
+@register(
+    "supplier_count_by_part_attr",
+    oracle="""
+WITH rel AS (
+    SELECT DISTINCT l.l_partkey, l.l_suppkey FROM lineitem l
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT rel.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel
+JOIN part p ON rel.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'ECONOMY'
+GROUP BY 1, 2, 3
+""",
+)
+def q_supplier_count_by_part_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) excluding one brand
+    and one type (TPC-H Q16 shape; the part-supplier relation is
+    derived from observed lineitem pairs since the synthetic schema has
+    no partsupp). The distinct on (partkey, suppkey) is a map-side
+    partial dedup before its shuffle, the part filters push into the
+    scan, and the final count-distinct groups on low-cardinality attrs
+    — no fact-table re-shuffle."""
+    rel = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#3") & (F.col("p_type") != "ECONOMY"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        rel.join(part, rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "charset_profile",
+    oracle="""
+WITH per AS (
+    SELECT source,
+           length(text) AS n,
+           length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space,
+           length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS n_nonascii
+    FROM documents
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       round(sum(n_alpha) / sum(n), 4) AS alpha_ratio,
+       round(sum(n_digit) / sum(n), 4) AS digit_ratio,
+       round(sum(n_space) / sum(n), 4) AS space_ratio,
+       round(sum(n_nonascii) / sum(n), 4) AS nonascii_ratio
+FROM per GROUP BY source
+""",
+)
+def q_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile (alpha/digit/space/non-ASCII
+    ratios) — the charset sanity check run before choosing encoders and
+    filters for a crawl snapshot. Pure column algebra via
+    length-after-strip deltas (no explode, no UDF): one map-side pass
+    plus a tiny per-source aggregation."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    strip = lambda pat: n - F.length(F.regexp_replace(F.col("text"), pat, ""))
+    per = docs.select(
+        "source",
+        n.alias("n"),
+        strip("[a-zA-Z]").alias("n_alpha"),
+        strip("[0-9]").alias("n_digit"),
+        strip("[ ]").alias("n_space"),
+        F.length(F.regexp_replace(F.col("text"), "[\\x00-\\x7F]", "")).alias("n_nonascii"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.round(F.sum("n_alpha") / F.sum("n"), 4).alias("alpha_ratio"),
+        F.round(F.sum("n_digit") / F.sum("n"), 4).alias("digit_ratio"),
+        F.round(F.sum("n_space") / F.sum("n"), 4).alias("space_ratio"),
+        F.round(F.sum("n_nonascii") / F.sum("n"), 4).alias("nonascii_ratio"),
+    )

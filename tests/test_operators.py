@@ -489,3 +489,68 @@ def test_skyline_matches_bruteforce_and_keeps_ties(spark):
     }
     assert got == expect
     assert {900, 901} <= got
+
+
+def test_asof_join_forward_semantics(spark):
+    """Forward ASOF: right_ts == left_ts matches; the EARLIEST right row
+    at-or-after wins; no later right row → NULL."""
+    import datetime
+
+    from covid_data_challenge_spark.operators.alignment import asof_join
+
+    T = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, 1, T(2024, 1, 1, 10, 0)), (2, 1, T(2024, 1, 1, 12, 0)), (3, 2, T(2024, 1, 1, 9, 0))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 10.0),  # tie with left id=1 → matches
+            (1, T(2024, 1, 1, 11, 0), 20.0),  # earliest after id=1 would be the tie row
+            (2, T(2024, 1, 1, 8, 30), 30.0),  # BEFORE left id=3 → no match
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["id"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, by="k", left_ts="ts", right_ts="ts",
+                           value_cols=["v"], direction="forward").collect()
+    }
+    assert out[1] == (T(2024, 1, 1, 10, 0), 10.0)  # tie matches, not 11:00
+    assert out[2] == (None, None)  # nothing at-or-after 12:00
+    assert out[3] == (None, None)  # purchase was before the click
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, by="k", left_ts="ts", right_ts="ts",
+                  value_cols=["v"], direction="nearest")
+
+
+def test_concurrent_peak_counts_midnight_spanning_sessions(spark):
+    """Sweep-line invariants: overlap counted, back-to-back sessions are
+    concurrent at the shared instant, and a midnight-spanning session is
+    active in BOTH days (clipped, not dropped)."""
+    import datetime
+
+    from covid_data_challenge_spark.operators.sessions import concurrent_peak_by_day
+
+    T = datetime.datetime
+    sessions = spark.createDataFrame(
+        [
+            # day 1: two overlapping + one back-to-back at 11:00
+            (T(2024, 1, 1, 10, 0), T(2024, 1, 1, 11, 0)),
+            (T(2024, 1, 1, 10, 30), T(2024, 1, 1, 12, 0)),
+            (T(2024, 1, 1, 11, 0), T(2024, 1, 1, 11, 30)),
+            # spans midnight into day 2
+            (T(2024, 1, 1, 23, 0), T(2024, 1, 2, 1, 0)),
+            # day 2 only
+            (T(2024, 1, 2, 0, 30), T(2024, 1, 2, 0, 45)),
+        ],
+        "session_start timestamp, session_end timestamp",
+    )
+    out = {r["day"].isoformat(): r["peak_concurrent"] for r in concurrent_peak_by_day(sessions).collect()}
+    # 11:00 instant: session1 ends, session2 active, session3 starts → 3
+    assert out["2024-01-01"] == 3
+    # 00:30-00:45: midnight session + day-2 session → 2
+    assert out["2024-01-02"] == 2
