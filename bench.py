@@ -50,6 +50,11 @@ EXTENSION = [
     "cohort_retention",
     "cms_heavy_hitters",
     "session_top_paths",
+    # round 2 additions
+    "boilerplate_ngrams",
+    "bloom_decontaminate",
+    "semdedup_prune",
+    "concurrent_sessions_peak",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -4456,3 +4456,145 @@ def q_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_space") / F.sum("n"), 4).alias("space_ratio"),
         F.round(F.sum("n_nonascii") / F.sum("n"), 4).alias("nonascii_ratio"),
     )
+
+
+@register(
+    "part_pagerank",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n.n AS rank FROM deg, n),
+it1 AS (
+  SELECT d.src AS node,
+         round(CAST(0.15 AS DOUBLE) / n.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.s, 0), 9) AS rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.rank / dg.d) AS s
+    FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON c.dst = d.src
+),
+it2 AS (
+  SELECT d.src AS node,
+         round(CAST(0.15 AS DOUBLE) / n.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.s, 0), 9) AS rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.rank / dg.d) AS s
+    FROM edges e JOIN it1 p ON e.src = p.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON c.dst = d.src
+),
+it3 AS (
+  SELECT d.src AS node,
+         round(CAST(0.15 AS DOUBLE) / n.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.s, 0), 9) AS rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.rank / dg.d) AS s
+    FROM edges e JOIN it2 p ON e.src = p.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON c.dst = d.src
+)
+SELECT node AS part, round(rank, 6) AS rank
+FROM it3 ORDER BY rank DESC, node LIMIT 20
+""",
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank over the order-co-occurrence graph
+    (3 fixed iterations, damping 0.85) — the iterative-DataFrame-loop
+    showcase alongside connected components. Each iteration is one
+    edges⋈ranks equi-join + one per-dst aggregation; ranks snap to a
+    1e-9 grid per iteration so the partition-order float jitter can't
+    diverge from the DuckDB unrolled-CTE oracle
+    (operators/graph.py:pagerank)."""
+    from covid_data_challenge_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # basket-explode instead of an items⋈items self-join: one shuffle on
+    # orderkey, then ordered pairs generated map-side inside each ≤7-part
+    # basket (same guard discussion as basket_part_pairs)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts",
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        ),
+        lambda s: s["src"] != s["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "part")
+        .limit(20)
+    )
+
+
+@register(
+    "user_daily_value_ewma",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+lists AS (
+    SELECT user_id, list(x ORDER BY day) AS xs FROM daily GROUP BY user_id
+)
+SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
+       round(list_reduce(CAST(xs AS DOUBLE[]),
+                         (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                                     + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+FROM lists
+""",
+)
+def q_user_daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α = 0.3) of
+    daily event value, y₁ = x₁, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ — the smoothing
+    recursion window functions can't express directly. Computed as a
+    JVM-side sequential fold (`aggregate`) over the per-user sorted
+    daily array: recursion order is explicit, so the result is
+    bit-identical to DuckDB's list_reduce replay (IEEE a·x + b·acc is
+    evaluation-order-fixed in both). Per-user state is bounded by the
+    day count (30 here); at 100 TB the daily pre-aggregation is the
+    only fact-table shuffle, and each day's partial sums are snapped
+    round-6 so partition order can't leak into the fold input."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    per = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
+    )
+    xs = F.transform(F.col("dx"), lambda s: s["x"])
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return per.select(
+        "user_id",
+        F.size("dx").cast("long").alias("n_days"),
+        F.round(ewma, 6).alias("ewma"),
+    )

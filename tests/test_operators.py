@@ -554,3 +554,18 @@ def test_concurrent_peak_counts_midnight_spanning_sessions(spark):
     assert out["2024-01-01"] == 3
     # 00:30-00:45: midnight session + day-2 session → 2
     assert out["2024-01-02"] == 2
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    """On an undirected star (center 0 — leaves 1..4) the center must
+    out-rank every leaf, leaves tie exactly, and total mass ≈ 1."""
+    from covid_data_challenge_spark.operators.graph import pagerank
+
+    leaves = list(range(1, 5))
+    undirected = [(0, v) for v in leaves] + [(v, 0) for v in leaves]
+    edges = spark.createDataFrame(undirected, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    assert all(ranks[0] > ranks[v] for v in leaves)
+    assert len({ranks[v] for v in leaves}) == 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
