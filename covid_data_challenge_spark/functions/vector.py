@@ -29,3 +29,16 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 when either vector has zero norm."""
     d, na, nb = dot(a, b), norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (the PQ/k-means metric) as an ordered
+    double fold — deterministic like the rest of this module."""
+    return _fold_sum(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+    )

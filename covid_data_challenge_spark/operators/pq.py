@@ -1,0 +1,218 @@
+"""IVF-PQ approximate nearest-neighbor search (the FAISS-style
+production vector-store layout) as pure DataFrame algebra.
+
+Two compressions compose:
+
+- **IVF (coarse)** — operators/ivf.py: corpus partitioned by nearest
+  coarse centroid; a query probes only its ``nprobe`` nearest
+  partitions, so the candidate set is corpus/C × nprobe instead of the
+  corpus.
+- **PQ (fine)** — this module: each vector is cut into ``n_sub``
+  subvectors; each subspace gets its own tiny k-means codebook
+  (``n_codes`` entries), and a vector is stored as ``n_sub`` small
+  codes (8 bytes here vs 256 bytes of float32 — the memory win that
+  lets billion-vector indexes fit in RAM). Query scoring is ADC
+  (asymmetric distance computation): the query precomputes a
+  ``n_sub × n_codes`` lookup table of exact subspace distances, and a
+  candidate's approximate distance is just ``n_sub`` table lookups —
+  no float vector is ever touched at scan time.
+
+Spark shapes: codebook training is one unified explode — every
+(vector, subspace) row trains in the same DataFrame, so the 8 codebooks
+cost one Lloyd pass, not 8. The per-query LUT is ``n_sub × n_codes``
+rows collapsed into a map column and broadcast; the probe join is the
+IVF equi-join on centroid id; ADC is ``aggregate`` over the code array
+with ``element_at`` map lookups — JVM column algebra end to end, no
+UDF, no shuffle after the probe join beyond the final per-query top-k.
+
+This variant encodes raw vectors (IVF-Flat + PQ), not residuals; the
+residual refinement changes accuracy, not the dataflow. Deterministic
+by construction (lowest-id seeds, lowest-code argmin tie-break) →
+recall vs exact L2 brute force is pinned in pytest; approximate by
+design → the registry entry is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.vector import l2sq
+from covid_data_challenge_spark.operators.ivf import ivf_build
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, n_sub: int, sub_dim: int
+) -> DataFrame:
+    """Explode each vector into (id, sub, subvec) rows."""
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda s: F.struct(
+                s.alias("sub"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("subvec"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), subs.alias("sv")).select(
+        "id", F.col("sv.sub").alias("sub"), F.col("sv.subvec").alias("subvec")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Train all ``n_sub`` subspace codebooks in one DataFrame →
+    (sub, code, cvec). Seeds are the subvectors of the ``n_codes``
+    lowest-id vectors (deterministic, same convention as
+    ivf.seed_centroids); each Lloyd iteration is one broadcast
+    assignment + one (sub, code, pos) mean rebuild — shared across all
+    subspaces."""
+    sub_dim = dim // n_sub
+    sv = _subvectors(corpus, id_col, vec_col, n_sub, sub_dim)
+    w = Window.partitionBy("sub").orderBy(F.col("id"))
+    codebook = (
+        sv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_codes)
+        .select("sub", (F.col("__rn") - 1).alias("code"), F.col("subvec").alias("cvec"))
+    )
+    for _ in range(lloyd_iters):
+        assigned = _pq_assign(sv, codebook)
+        by_dim = assigned.join(
+            sv, ["id", "sub"]
+        ).select("sub", "code", F.posexplode("subvec").alias("pos", "x"))
+        means = by_dim.groupBy("sub", "code", "pos").agg(F.avg("x").alias("m"))
+        codebook = (
+            means.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "sub",
+                "code",
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("cvec"),
+            )
+        )
+    return codebook
+
+
+def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (id, sub) → (id, sub, code). The
+    codebook is n_sub × n_codes rows — always broadcast."""
+    scored = sv.join(F.broadcast(codebook), "sub").select(
+        "id", "sub", "code", l2sq(F.col("subvec"), F.col("cvec")).alias("__d")
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.col("__d").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "sub", "code")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as its code array → (id, codes array<int>).
+    8 small ints replace the float vector — this table (plus the coarse
+    assignment) IS the persisted index."""
+    sub_dim = dim // n_sub
+    sv = _subvectors(corpus, id_col, vec_col, n_sub, sub_dim)
+    return (
+        _pq_assign(sv, codebook)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select("id", F.transform(F.col("sc"), lambda s: s["code"]).alias("codes"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ top-k: coarse probe (IVF) + ADC scoring (PQ) →
+    (query_id, rank, neighbor_id, adc_distance).
+
+    Build: IVF centroids + inverted lists (ivf_build), PQ codebooks
+    (pq_train), code table (pq_encode). Query: rank coarse centroids by
+    cosine (same as ivf_topk), keep ``nprobe``; precompute the per-query
+    ADC lookup map (sub·n_codes → exact subspace distance, a
+    ``map_from_entries`` over n_sub × n_codes rows); probe-join the
+    inverted lists on cid; score candidates with ``aggregate`` over
+    their code arrays. Ties (equal ADC distance) break on neighbor id.
+    """
+    from covid_data_challenge_spark.functions.vector import cosine
+
+    sub_dim = dim // n_sub
+    centroids, inverted = ivf_build(
+        corpus, n_centroids, lloyd_iters, id_col, vec_col
+    )
+    codebook = pq_train(corpus, n_sub, n_codes, lloyd_iters, id_col, vec_col, dim)
+    codes = pq_encode(corpus, codebook, n_sub, id_col, vec_col, dim).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    index = inverted.select("neighbor_id", "cid").join(codes, "neighbor_id")
+
+    # coarse probe ranking — same cosine convention as ivf.ivf_probe
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cent = centroids.select("cid", "cvec")
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cid"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "cid", cosine(F.col("__qv"), F.col("cvec")).alias("__cs"))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    qlut = (
+        _subvectors(queries, id_col, vec_col, n_sub, sub_dim)
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            F.col("id").alias("query_id"),
+            (F.col("sub") * n_codes + F.col("code")).alias("slot"),
+            l2sq(F.col("subvec"), F.col("cvec")).alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("slot", "d"))).alias("lut"))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.col("codes"),
+            lambda s, c: s * n_codes + c,
+        ),
+        F.lit(0.0),
+        lambda acc, slot: acc + F.element_at(F.col("lut"), slot),
+    )
+    cand = (
+        probes.join(index, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qlut), "query_id")
+        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_distance"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_distance")
+    )

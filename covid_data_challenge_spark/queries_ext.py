@@ -4598,3 +4598,20 @@ def q_user_daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("dx").cast("long").alias("n_days"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+@register("ann_ivfpq_topk", oracle=None)  # approximate by design → rows-only
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse IVF probe + product-quantization ADC scoring
+    (operators/pq.py) — the FAISS-style layout where the scan touches
+    8-byte code arrays instead of float vectors. Recall vs exact L2
+    brute force pinned in pytest (test_dedup_similarity)."""
+    from covid_data_challenge_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # 32×32 codebooks measured at 0.56 recall@5 on the (adversarial)
+    # uniform-random test embeddings vs 0.2 for 8×16 — see the pytest gate
+    return ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=8, n_sub=32, n_codes=32
+    )

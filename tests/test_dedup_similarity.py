@@ -363,3 +363,62 @@ def test_bloom_decontaminate_no_false_negatives_vs_exact(spark, sf_dir):
     }
     assert exact_ids, "fixture should produce at least one contaminated doc"
     assert exact_ids <= bloom_ids
+
+
+def test_ivfpq_topk_recall_vs_exact_l2(spark, sf_dir):
+    """IVF-PQ (16 coarse centroids, nprobe=8, 32×32 codebooks) must
+    recover a solid share of the true L2 top-5 — uniform random
+    embeddings are the adversarial case for PQ (no cluster structure),
+    so 0.4 is a real bar (measured 0.56) — and its ADC distances must
+    be non-decreasing within each query's ranking."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    qmask = ids % 100 == 0
+    exact = set()
+    for qi in np.where(qmask)[0]:
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            ((float(d[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != ids[qi])
+        )
+        exact |= {(int(ids[qi]), nid) for _, nid in order[:5]}
+
+    out = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5,
+        n_centroids=16, nprobe=8, n_sub=32, n_codes=32,
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_distance"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        dists = [d for _, d in rs]
+        assert dists == sorted(dists), f"ADC distances not monotone for query {q}"
+
+
+def test_ivfpq_planted_duplicate_is_rank_one(spark, sf_dir):
+    """An exact copy shares its original's coarse cell AND its full code
+    word, so the original achieves the global ADC minimum for the copy's
+    query — it must surface at rank 1 (id tie-break) with the copy's own
+    self-distance. A deterministic guarantee, not a statistical one."""
+    from covid_data_challenge_spark.operators.pq import ivfpq_topk
+
+    corpus, planted_ids = _planted_neardup_corpus(spark, sf_dir)
+    out = ivfpq_topk(
+        corpus, corpus.filter(F.col("vec_id") >= 1000000), k=3,
+        n_centroids=16, nprobe=4, n_sub=16, n_codes=16,
+    ).collect()
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert set(rank1) == planted_ids
+    for pid, nid in rank1.items():
+        assert nid == pid - 1000000, f"copy {pid} did not rank its original first"
