@@ -473,40 +473,44 @@ def bloom_decontaminate(
 
     This is the constant-size alternative to the exact shingle join of
     :func:`decontamination_overlap`: at 100 TB the eval shingle table
-    may still be millions of rows, but its Bloom filter is a fixed
-    16^hex_width-slot bit set (~1M slots at the default) REGARDLESS of
-    eval-set size — the classic trade of broadcast bytes for a bounded
-    false-positive rate (≈ load_factor^k per gram; false negatives are
-    impossible, which is the direction decontamination must never err
-    in).
+    may still be millions of rows, but its Bloom filter occupies at most
+    16^hex_width slots (~1M at the default) REGARDLESS of eval-set size
+    — the classic trade of filter bytes for a bounded false-positive
+    rate (≈ load_factor^k per gram; false negatives are impossible,
+    which is the direction decontamination must never err in).
 
-    Plan shape: the filter is built as a one-row ``collect_set`` of
-    set bit positions — never collected to the driver — and reaches
-    every corpus partition via a 1-row broadcast nested-loop join (the
-    same benign shape as the flagship's scalar-max join). Membership is
-    ``forall(positions, array_contains(bits, _))``, pure JVM column
-    algebra; the only corpus shuffle is the final per-doc aggregation.
+    Plan shape: the set-bit table stays a DataFrame keyed by position
+    and the membership test is a **broadcast hash join** — each of the
+    corpus's k·grams probe rows costs one O(1) hash lookup. (The first
+    cut shipped the bits as one array column and probed with
+    ``array_contains``; that is a linear scan per probe and measured
+    58× growth on 10× data — 186 s at sf0.1 vs 2.3 s for this form.
+    Moral: Catalyst array/map lookups are scans, joins are the hash
+    structure.) A gram is a hit when all k of its probe rows match
+    (sum == k); both aggregations shrink rows before their shuffle.
 
     → (doc_id, n_grams, n_hit_grams, hit_rate) for flagged docs.
     """
     ev_bits = (
         doc_shingles(evalset, id_col, text_col, n)
         .select(F.explode(_bloom_positions(F.col("shingle"), k, hex_width)).alias("pos"))
-        .agg(F.collect_set("pos").alias("bits"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
     )
     grams = doc_shingles(corpus, id_col, text_col, n)
-    hit = F.forall(
-        _bloom_positions(F.col("shingle"), k, hex_width),
-        lambda p: F.array_contains(F.col("bits"), p),
+    probes = grams.select(
+        "id",
+        "shingle",
+        F.explode(_bloom_positions(F.col("shingle"), k, hex_width)).alias("pos"),
     )
-    per_doc = (
-        grams.join(F.broadcast(ev_bits))
-        .select(F.col("id"), hit.cast("int").alias("__hit"))
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum("__hit").cast("long").alias("n_hit_grams"),
-        )
+    per_gram = (
+        probes.join(F.broadcast(ev_bits), "pos", "left")
+        .groupBy("id", "shingle")
+        .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0))) == k).alias("__hit"))
+    )
+    per_doc = per_gram.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("__hit").cast("int")).cast("long").alias("n_hit_grams"),
     )
     return (
         per_doc.filter(F.col("n_hit_grams") >= min_hit_grams)
