@@ -63,11 +63,18 @@ def assign_to_centroids(
         "cid",
         _sim(F.col("__v"), F.col("cvec"), F.col("__n"), F.col("__cn")).alias("__s"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("__s").desc(), F.col("cid"))
+    # argmax as a min_by hash aggregate, not a row_number window: same
+    # (sim desc, cid asc) tie rule via the (-sim, cid) struct order, but
+    # partial-aggregates map-side instead of sort-shuffling all C
+    # scored rows per vector. first("__v") is safe — __v is functionally
+    # dependent on the grouping key.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", F.col("__v").alias("vec"), "cid")
+        scored.groupBy("id")
+        .agg(
+            F.first("__v").alias("vec"),
+            F.min_by(F.col("cid"), F.struct((-F.col("__s")).alias("s"), F.col("cid"))).alias("cid"),
+        )
+        .select("id", "vec", "cid")
     )
 
 

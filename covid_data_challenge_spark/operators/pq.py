@@ -106,10 +106,11 @@ def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
     scored = sv.join(F.broadcast(codebook), "sub").select(
         "id", "sub", "code", l2sq(F.col("subvec"), F.col("cvec")).alias("__d")
     )
-    w = Window.partitionBy("id", "sub").orderBy(F.col("__d").asc(), F.col("code").asc())
+    # argmin as min_by hash aggregate (map-side partials) — same
+    # (distance asc, code asc) tie rule as a sorted window, cheaper.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy("id", "sub")
+        .agg(F.min_by(F.col("code"), F.struct("__d", "code")).alias("code"))
         .select("id", "sub", "code")
     )
 
@@ -162,14 +163,22 @@ def ivfpq_topk(
     from covid_data_challenge_spark.functions.vector import cosine
 
     sub_dim = dim // n_sub
+    # Index tables are tiny relative to the corpus but sit upstream of
+    # several consumers (probe ranking, LUT build, encoding) — persist
+    # so the Lloyd DAGs run once, not once per consumer. In production
+    # these four ARE the persisted index (parquet gold tables, see
+    # ivf_build's docstring); persist() is the in-session equivalent.
     centroids, inverted = ivf_build(
         corpus, n_centroids, lloyd_iters, id_col, vec_col
     )
-    codebook = pq_train(corpus, n_sub, n_codes, lloyd_iters, id_col, vec_col, dim)
+    centroids = centroids.persist()
+    codebook = pq_train(
+        corpus, n_sub, n_codes, lloyd_iters, id_col, vec_col, dim
+    ).persist()
     codes = pq_encode(corpus, codebook, n_sub, id_col, vec_col, dim).select(
         F.col("id").alias("neighbor_id"), "codes"
     )
-    index = inverted.select("neighbor_id", "cid").join(codes, "neighbor_id")
+    index = inverted.select("neighbor_id", "cid").join(codes, "neighbor_id").persist()
 
     # coarse probe ranking — same cosine convention as ivf.ivf_probe
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
