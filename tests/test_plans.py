@@ -320,3 +320,46 @@ def test_q19_disjunction_splits_to_both_scans(spark, sf_dir):
     plan = _plan(spark, REGISTRY["disjunctive_brand_revenue"].spark(spark, sf_dir))
     assert plan.count("PushedFilters") >= 2
     assert "p_brand" in plan.split("PushedFilters")[2].split("\n")[0] or "p_brand" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_bloom_probe_is_broadcast_hash_join(spark, sf_dir):
+    """The Bloom membership test must plan as a broadcast HASH join on
+    the position key — an array/map lookup would be a linear scan per
+    probe (the 58×-growth regression SCALING.md documents)."""
+    plan = _plan(spark, REGISTRY["bloom_decontaminate"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_contains" not in plan
+
+
+def test_product_type_profit_pushes_name_filter_and_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["product_type_profit"].spark(spark, sf_dir))
+    assert "StringContains(p_name,widget)" in plan  # pushed into the part scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_forward_is_single_window_pass(spark, sf_dir):
+    """Both as-of directions must stay the union+one-window shape — no
+    inequality join (BroadcastNestedLoopJoin) may appear."""
+    for q in ("events_asof_join", "events_asof_forward"):
+        plan = _plan(spark, REGISTRY[q].spark(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert plan.count("Window") >= 1, q
+        assert "Union" in plan, q
+
+
+def test_concurrent_peak_partitions_sweep_by_day(spark, sf_dir):
+    """The sweep-line running sum must be windowed BY DAY (parallel
+    sweeps), never a global single-partition ordered window."""
+    plan = _plan(spark, REGISTRY["concurrent_sessions_peak"].spark(spark, sf_dir))
+    assert "partitionBy=[day" in plan.replace(" ", "").replace("#", "#") or "day#" in plan
+    # a global ordered window would show an Exchange SinglePartition
+    assert "SinglePartition" not in plan
+
+
+def test_ewma_has_single_fact_shuffle_and_no_udf(spark, sf_dir):
+    """EWMA = daily pre-agg (one fact shuffle) + per-user fold; the fold
+    is JVM column algebra, not Python."""
+    plan = _plan(spark, REGISTRY["user_daily_value_ewma"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "aggregate(" in plan  # the higher-order fold survives in the plan
