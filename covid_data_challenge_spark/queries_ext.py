@@ -4615,3 +4615,86 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, k=5, n_centroids=16, nprobe=8, n_sub=32, n_codes=32
     )
+
+
+@register(
+    "events_sliding_stream",
+    oracle="""
+WITH ex AS (
+    SELECT event_type, value,
+           unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                   time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start
+    FROM events
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM ex GROUP BY 1, 2
+""",
+)
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding: watermarked hopping windows
+    (1 h width, 30 min slide) drained via Trigger.AvailableNow into a
+    memory sink — hash-matches the batch DuckDB oracle exactly, the
+    streaming-equals-batch claim the engine makes for every window
+    shape (streaming/events.py:streaming_sliding_counts)."""
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_sliding_counts,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = streaming_sliding_counts(stream, width="1 hour", slide="30 minutes", watermark="2 hours")
+    try:
+        run_to_memory_sink(agg, "events_sliding_stream_sink")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return spark.table("events_sliding_stream_sink")
+
+
+@register(
+    "ship_delay_priority_counts",
+    oracle="""
+WITH lines AS (
+    SELECT CASE
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) < 0 THEN 'pre-order'
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 30 THEN '0-30d'
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90 THEN '31-90d'
+             ELSE '>90d'
+           END AS delay_bucket,
+           o.o_orderpriority AS prio
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT delay_bucket,
+       CAST(count(*) FILTER (prio IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (prio NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+FROM lines GROUP BY delay_bucket
+""",
+)
+def q_ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority line counts by ship-delay bucket (TPC-H
+    Q12 shape; the synthetic schema has no l_shipmode, so the grouping
+    key is the order-to-ship delay). One orderkey join (the only
+    shuffle family), conditional counts fused into a single
+    aggregation pass over the 4-row bucket domain."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay < 0, "pre-order")
+        .when(delay <= 30, "0-30d")
+        .when(delay <= 90, "31-90d")
+        .otherwise(">90d")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+    )

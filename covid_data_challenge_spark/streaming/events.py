@@ -94,6 +94,28 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked sliding (hopping) window aggregation — streaming twin
+    of operators.sessions.sliding_agg. Each event lands in
+    width/slide overlapping windows; the watermark bounds how many
+    window panes stay open per key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), width, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "total_value")
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),
