@@ -55,6 +55,8 @@ EXTENSION = [
     "bloom_decontaminate",
     "semdedup_prune",
     "concurrent_sessions_peak",
+    "part_pagerank",
+    "user_daily_value_ewma",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -4698,3 +4698,36 @@ def q_ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
         )
     )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+WITH freq AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       round(max(n) / (sum(n) / count(*)), 4) AS skew_factor,
+       round(quantile_cont(n, 0.5), 4) AS p50_key_rows,
+       round(quantile_cont(n, 0.99), 4) AS p99_key_rows
+FROM freq
+""",
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew diagnosis: per-key row counts reduced to
+    the numbers that predict shuffle pathology at 100 TB — max key size
+    vs mean (the skew factor AQE's skew-join threshold keys off),
+    p50/p99 key sizes. One shuffle on the key, then a single-row
+    reduction; run this BEFORE choosing salting/broadcast strategies
+    (operators/skew.py is the mitigation toolkit)."""
+    freq = _events(spark, sf_dir).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return freq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.round(F.max("n") / (F.sum("n") / F.count(F.lit(1))), 4).alias("skew_factor"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_key_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_key_rows"),
+    )
