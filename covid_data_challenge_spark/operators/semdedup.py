@@ -74,12 +74,29 @@ def semdedup_prune(
     rule as exact dedup (dedup_exact_keep_first) — SemDeDup's "keep one
     per ε-ball" with a total order instead of an arbitrary choice.
 
-    Plan: cluster assignment (broadcast centroid join + per-id argmax),
-    then a self-equi-join on cid bounded by cluster size, then an
-    anti-join of the corpus against the pruned-id set. No O(n²) stage,
-    no UDF, no driver state.
+    Exact duplicates collapse FIRST (group on the vector itself, lowest
+    id is the representative): a copy is pruned by its rep by
+    definition (cosine 1 ≥ τ, rep id is minimal), and running the
+    cluster/pair stages on distinct vectors removes the worst case for
+    the pair join — k identical copies in one cluster would contribute
+    k²/2 pairs for zero information. The sf1 stress measured exactly
+    this: 10-way-replicated corpus sent the naive form to 14.5× growth;
+    with the collapse the pair stage only ever sees distinct vectors
+    (production pipelines run exact dedup before semantic dedup for the
+    same reason). Collapsing before seeding/Lloyd is part of the
+    operator's contract — the NumPy replica in pytest does the same.
+
+    Plan: exact-collapse groupBy, cluster assignment (broadcast
+    centroid join + per-id argmax), a self-equi-join on cid bounded by
+    cluster size, and a vector-keyed expansion join back to the full
+    corpus. No O(n²) stage, no UDF, no driver state.
     """
-    assigned = semdedup_assignments(emb, n_centroids, lloyd_iters, id_col, vec_col)
+    uniq = (
+        emb.groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, vec_col)
+    )
+    assigned = semdedup_assignments(uniq, n_centroids, lloyd_iters, id_col, vec_col)
     sized = assigned.select(
         "id", "cid", F.col("vec").alias("__v"), norm(F.col("vec")).alias("__n")
     )
@@ -106,11 +123,20 @@ def semdedup_prune(
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return (
-        assigned.join(pruned.withColumn("__pruned", F.lit(True)), "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "cid",
-            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("kept"),
-        )
+    reps = assigned.join(
+        pruned.withColumn("__pruned", F.lit(True)), "id", "left"
+    ).select(
+        F.col("id").alias("__rep_id"),
+        F.col("vec").alias("__rep_vec"),
+        "cid",
+        F.coalesce(~F.col("__pruned"), F.lit(True)).alias("__rep_kept"),
+    )
+    # expand back to the full corpus: a non-representative copy inherits
+    # its rep's cluster and is pruned (rep has the lower id, cosine 1)
+    return emb.select(F.col(id_col), F.col(vec_col)).join(
+        reps, F.col(vec_col) == F.col("__rep_vec")
+    ).select(
+        id_col,
+        "cid",
+        ((F.col(id_col) == F.col("__rep_id")) & F.col("__rep_kept")).alias("kept"),
     )

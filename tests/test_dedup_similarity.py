@@ -422,3 +422,28 @@ def test_ivfpq_planted_duplicate_is_rank_one(spark, sf_dir):
     assert set(rank1) == planted_ids
     for pid, nid in rank1.items():
         assert nid == pid - 1000000, f"copy {pid} did not rank its original first"
+
+
+def test_semdedup_collapses_exact_duplicates_invariantly(spark, sf_dir):
+    """Planting exact copies must (a) prune every copy in favor of its
+    lowest-id original and (b) leave the originals' cluster/keep
+    decisions EXACTLY as in the copy-free run — the collapse-first
+    contract that keeps the pair stage linear under duplication."""
+    from covid_data_challenge_spark.operators.semdedup import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, planted_ids = _planted_neardup_corpus(spark, sf_dir)
+    base = {
+        r.vec_id: (r.cid, r.kept)
+        for r in semdedup_prune(emb, n_centroids=4, threshold=0.9).collect()
+    }
+    with_copies = {
+        r.vec_id: (r.cid, r.kept)
+        for r in semdedup_prune(corpus, n_centroids=4, threshold=0.9).collect()
+    }
+    assert len(with_copies) == len(base) + len(planted_ids)
+    for pid in planted_ids:
+        assert with_copies[pid][1] is False, f"copy {pid} must be pruned"
+        assert with_copies[pid][0] == with_copies[pid - 1000000][0]  # same cluster as original
+    for vid, (cid, kept) in base.items():
+        assert with_copies[vid] == (cid, kept), f"original {vid} decision changed"

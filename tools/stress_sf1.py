@@ -38,8 +38,13 @@ DEFAULT_QUERIES = [
     "cms_heavy_hitters", "forward_fill", "lag_diff",
 ]
 _SHIFTS = {"lineitem": ("l_orderkey", 10_000_000), "orders": ("o_orderkey", 10_000_000),
-           "events": ("event_id", 100_000_000)}
-_COPY = ["customer", "supplier", "part", "nation", "region", "documents", "embeddings"]
+           "events": ("event_id", 100_000_000),
+           # round 2: replicate the corpus tables too (id-shifted) so the
+           # text/dedup/embedding operators get a true 10× stress — note
+           # this makes every document/vector a 10-way exact duplicate,
+           # which is the WORST case for pair-generating dedup ops
+           "documents": ("doc_id", 10_000_000), "embeddings": ("vec_id", 10_000_000)}
+_COPY = ["customer", "supplier", "part", "nation", "region"]
 
 
 def build(spark) -> None:
