@@ -31,6 +31,10 @@ _SESSION_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
+    # naive parquet timestamps must scan as TIMESTAMP, not NTZ (epoch
+    # arithmetic + watermarks; load_table also casts defensively, but the
+    # scan-level type keeps ts-predicates pushing down) — see session.py
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
