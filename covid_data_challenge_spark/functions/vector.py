@@ -42,3 +42,13 @@ def l2sq(a: Column, b: Column) -> Column:
             * (x.cast("double") - y.cast("double")),
         )
     )
+
+
+def to_double(a: Column) -> Column:
+    """Materialize a float32 embedding as array<double> ONCE per vector.
+    In O(n²) pair loops the per-pair fold then skips 2·dim float→double
+    casts (Catalyst's SimplifyCasts elides the now-redundant casts inside
+    dot/norm): measured 1.6× on the exact near-dup pair scan. Use only
+    where the arrays do NOT cross a shuffle — double arrays are 2× the
+    bytes of the float originals."""
+    return F.transform(a, lambda x: x.cast("double"))
