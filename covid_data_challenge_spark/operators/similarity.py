@@ -232,22 +232,31 @@ def ann_lsh_topk(
     corpus cost is a ×tables explode, never O(n²); at 100 TB the explode
     is the textbook space/recall trade of multi-table LSH.
     """
+    # norms hoisted: folded once per vector BEFORE the bucket explode
+    # (never per candidate pair); dot/(nq·nc) is the same double
+    # arithmetic as cosine(), so similarities are bit-identical
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__nc"),
         F.explode(rp_lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
-    ).select("neighbor_id", "__cv", "tb.table", "tb.bucket")
+    ).select("neighbor_id", "__cv", "__nc", "tb.table", "tb.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__nq"),
         F.explode(rp_lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
-    ).select("query_id", "__qv", "tb.table", "tb.bucket")
+    ).select("query_id", "__qv", "__nq", "tb.table", "tb.bucket")
+    sim = F.when(
+        (F.col("__nq") > 0) & (F.col("__nc") > 0),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
+    ).otherwise(F.lit(0.0))
     sims = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__nq", "__nc")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim"))
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
     return (
