@@ -4731,3 +4731,39 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_key_rows"),
         F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_key_rows"),
     )
+
+
+@register(
+    "events_dedup_stream",
+    oracle="""
+WITH d AS (SELECT DISTINCT ON (event_id) event_type FROM events ORDER BY event_id)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM d GROUP BY event_type
+""",
+)
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event counts from an at-least-once source:
+    dropDuplicatesWithinWatermark on event_id (bounded dedup state),
+    then per-type counts — drained via Trigger.AvailableNow and
+    hash-matched against the batch distinct. The synthetic feed has
+    unique event_ids, so the dedup must be lossless — which is exactly
+    the property worth pinning (a wrong watermark interaction silently
+    drops rows; see the r2 NTZ incident)
+    (streaming/events.py:streaming_dedup)."""
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    counts = (
+        streaming_dedup(stream, keys=("event_id",), watermark="2 hours")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    try:
+        run_to_memory_sink(counts, "events_dedup_stream_sink", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return spark.table("events_dedup_stream_sink")
