@@ -4767,3 +4767,169 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     return spark.table("events_dedup_stream_sink")
+
+
+@register(
+    "lang_mismatch_report",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["de"]}')) AS h_de,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["fr"]}')) AS h_fr,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["es"]}')) AS h_es
+    FROM documents
+),
+pred AS (
+    SELECT source, lang,
+           CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (predicted_lang <> lang) AS BIGINT) AS n_mismatch,
+       round(count(*) FILTER (predicted_lang <> lang) / count(*), 4) AS mismatch_rate
+FROM pred GROUP BY source
+""",
+)
+def q_lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language QA: per source, how often the
+    stopword-heuristic detector disagrees with the declared ``lang``
+    column — the standard crawl-quality screen (mislabeled languages
+    poison both filtering and mixture weights). Composes the lang_id
+    detector map-side; one tiny per-source aggregation."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    h = {lang: lang_hits(t, lang) for lang in ("en", "de", "fr", "es")}
+    predicted = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+    mism = (predicted != F.col("lang")).cast("int")
+    return (
+        docs.select("source", mism.alias("__m"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__m").cast("long").alias("n_mismatch"),
+            F.round(F.sum("__m") / F.count(F.lit(1)), 4).alias("mismatch_rate"),
+        )
+    )
+
+
+@register(
+    "dup_pairs_by_source",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 10),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+),
+lab AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b
+    FROM pairs
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM lab GROUP BY 1, 2
+""",
+)
+def q_dup_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (capped exact
+    Jaccard, the same recipe as ngram_jaccard_pairs) labeled with their
+    documents' sources, counted per unordered source pair — the "which
+    corpora copy from each other" screen that decides dedup ORDER in a
+    multi-source training mix. The doc→source joins are broadcast
+    (pair table is collision-bounded); sources canonicalized with
+    least/greatest so the matrix is triangular."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+
+
+@register(
+    "weekly_growth_accounting",
+    oracle="""
+WITH weekly AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+flagged AS (
+    SELECT user_id, week,
+           lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+    FROM weekly
+)
+SELECT week,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(count(*) FILTER (prev_week IS NULL) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (prev_week = week - INTERVAL 7 DAY) AS BIGINT) AS retained_users,
+       CAST(count(*) FILTER (prev_week IS NOT NULL
+                             AND prev_week < week - INTERVAL 7 DAY) AS BIGINT) AS resurrected_users
+FROM flagged GROUP BY week
+""",
+)
+def q_weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per week, active users split into new (first
+    week ever), retained (active previous week), and resurrected
+    (returning after a gap) — the standard product-health decomposition.
+    Like cohort_retention this needs NO join: one distinct over (user,
+    week), one lag window per user, one per-week aggregation — the same
+    two shuffle families at any scale."""
+    weekly = (
+        _events(spark, sf_dir)
+        .select("user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = weekly.withColumn("prev_week", F.lag("week").over(w))
+    is_new = F.col("prev_week").isNull()
+    is_retained = F.col("prev_week") == F.date_sub(F.col("week"), 7)
+    is_resurrected = F.col("prev_week").isNotNull() & (
+        F.col("prev_week") < F.date_sub(F.col("week"), 7)
+    )
+    return flagged.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        F.sum(is_new.cast("int")).cast("long").alias("new_users"),
+        # NULL-safe: prev_week IS NULL makes the equality NULL, and a
+        # group of all-NULL ints sums to NULL, not 0 (3-valued logic)
+        F.sum(F.coalesce(is_retained.cast("int"), F.lit(0))).cast("long").alias("retained_users"),
+        F.sum(is_resurrected.cast("int")).cast("long").alias("resurrected_users"),
+    )
