@@ -4933,3 +4933,124 @@ def q_weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(is_retained.cast("int"), F.lit(0))).cast("long").alias("retained_users"),
         F.sum(is_resurrected.cast("int")).cast("long").alias("resurrected_users"),
     )
+
+
+@register(
+    "dup_cluster_size_distribution",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+per AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM per GROUP BY cluster_size
+""",
+)
+def q_dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts over near-dup clusters: how many clusters exist
+    at each size — the shape that tells you whether duplication is a
+    few mega-clusters (boilerplate, mirrors) or a long tail of pairs,
+    and therefore what the dedup pass will actually delete. Reuses the
+    connected-components assignment; both follow-up aggregations run
+    over cluster-count-sized data."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    per = (
+        cluster_assignments(docs, pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return per.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH per AS (
+    SELECT o_custkey AS c_custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_order,
+           count(*) AS frequency,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY last_order, c_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency, c_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary_cents, c_custkey) AS m_score
+    FROM per
+)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartiled on recency (last order
+    date), frequency (order count), and monetary (exact-cents spend),
+    then counted per (R,F,M) cell — the classic CRM cube. The ntile
+    windows run over the per-customer aggregate (|customers| rows, not
+    orders), tie-broken on custkey so quartile boundaries are
+    deterministic in both engines; monetary is exact integer cents so
+    the ordering itself is float-free."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = per.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "c_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "c_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary_cents", "c_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "events_enriched_stream",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension per micro-batch (no state — the dim is re-resolved each
+    batch, the pattern for slowly-refreshing lookup tables), then
+    aggregates per market segment; drained via AvailableNow and
+    hash-matched against the batch join
+    (streaming/events.py:streaming_enrich_with_static)."""
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_enrich_with_static,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_event_stream(spark, sf_dir)
+    enriched = streaming_enrich_with_static(stream, dim, key="user_id")
+    counts = enriched.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    try:
+        run_to_memory_sink(counts, "events_enriched_stream_sink", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    return spark.table("events_enriched_stream_sink")
