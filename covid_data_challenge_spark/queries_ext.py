@@ -5054,3 +5054,105 @@ def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     return spark.table("events_enriched_stream_sink")
+
+
+@register(
+    "order_fill_latency_percentiles",
+    oracle="""
+WITH d AS (
+    SELECT o.o_orderpriority AS priority,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(quantile_cont(delay_days, 0.5), 4) AS p50_days,
+       round(quantile_cont(delay_days, 0.9), 4) AS p90_days,
+       round(quantile_cont(delay_days, 0.99), 4) AS p99_days
+FROM d GROUP BY priority
+""",
+)
+def q_order_fill_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency tail percentiles per priority class — the
+    SLA view (p50/p90/p99). Exact `percentile` (≡ DuckDB quantile_cont)
+    for oracle parity; `approx_percentile` with the same call shape is
+    the documented 100 TB switch (error contract pinned in
+    test_operators). One orderkey join, one 5-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_orderpriority").alias("priority"), delay.alias("__d"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(__d, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(__d, 0.9)"), 4).alias("p90_days"),
+            F.round(F.expr("percentile(__d, 0.99)"), 4).alias("p99_days"),
+        )
+    )
+
+
+@register(
+    "supplier_late_rate_wilson",
+    oracle="""
+WITH per AS (
+    SELECT l.l_suppkey AS s_suppkey,
+           count(*) AS n_lines,
+           count(*) FILTER (date_diff('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE)) > 90) AS n_late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+),
+scored AS (
+    SELECT s_suppkey, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_late AS BIGINT) AS n_late,
+           round(n_late / n_lines, 6) AS late_rate,
+           round((n_late / n_lines + 1.9208 / n_lines
+                  - 1.96 * sqrt((n_late / n_lines) * (1 - n_late / n_lines) / n_lines
+                                + 0.9604 / (n_lines * n_lines)))
+                 / (1 + 3.8416 / n_lines), 6) AS wilson_lower
+    FROM per
+)
+SELECT * FROM scored WHERE wilson_lower > 0.3
+""",
+)
+def q_supplier_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose late-shipment rate is significantly high: the
+    95% Wilson score LOWER bound on the per-supplier late rate must
+    clear the threshold — the small-sample-safe ranking (a 2/2-late
+    supplier doesn't outrank a 180/200 one, which a raw rate does
+    wrong). Pure column arithmetic over the per-supplier aggregate;
+    identical IEEE formula replayed by the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    ).cast("int")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(late).cast("long").alias("n_late"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_late") / n
+    z2 = 1.9208  # z²/2 for z=1.96
+    wilson = (
+        p + F.lit(z2) / n
+        - F.lit(1.96) * F.sqrt(p * (1 - p) / n + F.lit(0.9604) / (n * n))
+    ) / (1 + F.lit(3.8416) / n)
+    scored = per.select(
+        "s_suppkey",
+        "n_lines",
+        "n_late",
+        F.round(p, 6).alias("late_rate"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
+    return scored.filter(F.col("wilson_lower") > 0.3)
