@@ -5156,3 +5156,85 @@ def q_supplier_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wilson, 6).alias("wilson_lower"),
     )
     return scored.filter(F.col("wilson_lower") > 0.3)
+
+
+@register(
+    "dedup_savings_report",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(count(*) FILTER (a.doc_id <> a.cluster_id) AS BIGINT) AS n_removed,
+       CAST(coalesce(sum(d.n_chars) FILTER (a.doc_id <> a.cluster_id), 0) AS BIGINT)
+           AS chars_removed,
+       round(coalesce(sum(d.n_chars) FILTER (a.doc_id <> a.cluster_id), 0)
+             / sum(d.n_chars), 6) AS savings_ratio
+FROM documents d JOIN assigned a USING (doc_id)
+""",
+)
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the near-dedup pass actually buys: documents and characters
+    deleted if every cluster keeps only its canonical (min-id) member —
+    the capacity-planning number quoted before running corpus dedup at
+    scale (exact duplicates are a subset of the clusters, so this is
+    the combined exact+near figure). Reuses the connected-components
+    assignment; the report is a single reduction over doc-count rows."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    assigned = cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    removed = (F.col("doc_id") != F.col("cluster_id")).cast("int")
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(assigned, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(removed).cast("long").alias("n_removed"),
+            F.sum(removed * F.col("n_chars")).cast("long").alias("chars_removed"),
+            F.round(
+                F.sum(removed * F.col("n_chars")) / F.sum("n_chars"), 6
+            ).alias("savings_ratio"),
+        )
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH d AS (
+    SELECT CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(embedding)
+)
+SELECT dim,
+       round(avg(CAST(x AS DOUBLE)), 6) AS mean,
+       round(stddev_samp(CAST(x AS DOUBLE)), 6) AS std,
+       round(min(CAST(x AS DOUBLE)), 6) AS min_x,
+       round(max(CAST(x AS DOUBLE)), 6) AS max_x
+FROM d GROUP BY 1
+""",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (mean/std/min/max across
+    the corpus) — the dashboard that exposes collapsed dimensions
+    (std≈0), mean drift, and clipping before they poison similarity
+    search. (A norm-z-score outlier screen was tried first and is
+    degenerate on this corpus: the vectors are unit-normalized, so
+    norm variance is exactly zero — dimension-level stats are the
+    screen that still carries signal.) One posexplode + one
+    64-group aggregation; at 100 TB the explode is map-side and the
+    aggregate is dimension-bounded."""
+    emb = _emb(spark, sf_dir)
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(x), 6).alias("mean"),
+            F.round(F.stddev_samp(x), 6).alias("std"),
+            F.round(F.min(x), 6).alias("min_x"),
+            F.round(F.max(x), 6).alias("max_x"),
+        )
+    )
