@@ -5238,3 +5238,73 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(x), 6).alias("max_x"),
         )
     )
+
+
+@register(
+    "monthly_revenue_seasonality",
+    oracle="""
+WITH m AS (
+    SELECT CAST(month(o_orderdate) AS INT) AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+)
+SELECT month, cents / 100.0 AS revenue,
+       cents / CAST(sum(cents) OVER () AS BIGINT) AS share_of_year
+FROM m
+""",
+)
+def q_monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue seasonality with percent-of-total share —
+    exact integer cents, and the total comes from an unordered
+    whole-frame window over the 12-row aggregate (never a second scan
+    of orders; same shape as nation_revenue_share_in_region)."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").cast("int").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "month",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.col("cents") / F.sum("cents").over(w)).alias("share_of_year"),
+    )
+
+
+@register(
+    "user_inactivity_gaps",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           date_diff('day', CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DATE),
+                     CAST(ts AS DATE)) AS gap_days
+    FROM events
+)
+SELECT user_id,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(count(*) FILTER (gap_days >= 3) AS BIGINT) AS n_gaps_3d
+FROM gaps WHERE gap_days IS NOT NULL GROUP BY user_id
+""",
+)
+def q_user_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity profile: longest gap between consecutive
+    events (calendar days) and the count of ≥3-day gaps — the churn-risk
+    feature the growth-accounting view aggregates away. One lag window
+    per user, one aggregation on the same partitioning (no extra
+    shuffle)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lag("ts").over(w))
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.sum((F.col("gap_days") >= 3).cast("int")).cast("long").alias("n_gaps_3d"),
+    )
