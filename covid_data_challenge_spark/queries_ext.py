@@ -5308,3 +5308,66 @@ def q_user_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("long").alias("max_gap_days"),
         F.sum((F.col("gap_days") >= 3).cast("int")).cast("long").alias("n_gaps_3d"),
     )
+
+
+@register(
+    "doc_prefix_dup_rate",
+    oracle=f"""
+WITH p AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(string_split({_NORM}, ' '), 1, 8), ' ')) AS pfx
+    FROM documents
+),
+freq AS (SELECT pfx, count(*) AS n FROM p GROUP BY pfx)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_prefixes,
+       CAST(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT) AS n_docs_sharing,
+       round(coalesce(sum(n) FILTER (n > 1), 0) / sum(n), 6) AS prefix_dup_rate
+FROM freq
+""",
+)
+def q_doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplication screen: share of documents whose first-8-token
+    prefix is shared with at least one other document — the O(n)
+    pre-screen run before any pairwise dedup tier (a high rate predicts
+    boilerplate/mirrors and tells you exact-hash dedup alone will pay).
+    One md5-of-prefix groupBy plus a single-row reduction."""
+    docs = _docs(spark, sf_dir)
+    pfx = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
+    freq = docs.select(pfx.alias("pfx")).groupBy("pfx").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    shared = F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))
+    return freq.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        F.sum(shared).cast("long").alias("n_docs_sharing"),
+        F.round(F.sum(shared) / F.sum("n"), 6).alias("prefix_dup_rate"),
+    )
+
+
+@register(
+    "order_size_distribution",
+    oracle="""
+WITH per AS (
+    SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM per GROUP BY n_lines
+""",
+)
+def q_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order count-of-counts — the basket-size profile that
+    bounds every per-order explode in this engine (basket pairing,
+    PageRank edge generation are Σ basket² shapes; this query is the
+    evidence the bound is small). Two aggregations, the second over
+    the handful of distinct sizes."""
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return per.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
