@@ -5371,3 +5371,44 @@ def q_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
+
+
+@register(
+    "source_mixture_summary",
+    oracle=f"""
+WITH per AS (
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split({_NORM}, ' '))) AS n_tokens,
+           sum(n_chars) AS n_chars
+    FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT) AS token_share
+FROM per
+""",
+)
+def q_source_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture table every data recipe starts from: per source, doc
+    and token totals plus each source's share of corpus tokens (the
+    number the mixture_sample epoch weights are chosen against). Token
+    counts are the whitespace tokenizer's (functions/text.token_count);
+    the share divides integer token sums via one unordered whole-frame
+    window over the per-source aggregate."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_share"),
+    )
