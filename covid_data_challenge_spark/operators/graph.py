@@ -61,6 +61,21 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     base = F.lit(1.0 - damping)
+    try:
+        ranks = _iterate(e, nodes, n_nodes, ranks, iters, damping, base,
+                         src_col, dst_col, snap_digits)
+        # Materialize the final ranks before releasing the cached edge /
+        # node tables — callers get a lineage-truncated result (|nodes|
+        # rows) and repeated invocations (bench loops) don't accumulate
+        # cached blocks for the session's lifetime.
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
+def _iterate(e, nodes, n_nodes, ranks, iters, damping, base,
+             src_col, dst_col, snap_digits):
     for _ in range(iters):
         contrib = (
             e.join(ranks, e[src_col] == ranks["node"])
@@ -80,3 +95,5 @@ def pagerank(
             )
         )
     return ranks
+
+

@@ -4181,10 +4181,13 @@ FROM hits WHERE n_hit_grams >= 2
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination: train docs (source != src0) whose
     3-grams hit the Bloom filter of the eval set's (src0) 3-grams ≥ 2
-    times. The filter is a fixed ~1M-slot bit set built as a one-row
-    collect_set and shipped by 1-row broadcast — constant broadcast
-    bytes no matter how large the eval set, zero false negatives, and
-    the md5-derived positions make DuckDB replay the filter bit-exactly
+    times. The filter is a fixed ~1M-slot bit set materialized as a
+    (position) table of set bits and probed by a position-keyed
+    broadcast hash join — bounded broadcast bytes no matter how large
+    the eval set, zero false negatives, and the md5-derived positions
+    make DuckDB replay the filter bit-exactly. (The earlier one-row
+    collect_set + array-scan form was measured 58× slower and removed;
+    see test_bloom_probe_is_broadcast_hash_join.)
     (operators/dedup.py:bloom_decontaminate)."""
     docs = _docs(spark, sf_dir)
     return bloom_decontaminate(

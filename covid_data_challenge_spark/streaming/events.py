@@ -50,15 +50,27 @@ def read_event_stream(spark: SparkSession, directory: str, glob: str = "events.p
     TIMESTAMP(MICROS). File streams take a *declared* schema, so a wrong
     guess doesn't error: the nanos schema would silently misparse µs
     values into 1970 wall-clocks and the watermark would eat the data.
-    A one-off batch probe of the same files picks the right layout."""
+    A one-off batch probe of the same files picks the right layout; an
+    empty/new stream directory (nothing to probe — AnalysisException)
+    falls back to the µs schema, the driver's current layout. The
+    ``nanosAsLong`` conf is restored to its pre-call value on the
+    non-nanos paths rather than hardcoded, so a caller-pinned setting
+    survives; on the nanos path it must stay ``true`` for the stream's
+    lifetime (the file-stream scan itself needs it)."""
     ts_kind = None
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         probe = spark.read.option("pathGlobFilter", glob).parquet(directory)
         ts_kind = dict(probe.dtypes).get("ts")
+    except Exception:
+        ts_kind = None  # empty/new directory: no files to probe yet
     finally:
         if ts_kind != "bigint":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     if ts_kind == "bigint":
         raw = (
             spark.readStream.schema(EVENTS_STREAM_SCHEMA)

@@ -292,23 +292,22 @@ def test_semdedup_matches_numpy_replica(spark, sf_dir):
     V = np.array([r.embedding for r in rows], dtype=np.float64)
     n_cent, tau = 4, 0.9
 
-    def assign(cent):
+    def assign(cent, cids):
         cn = np.linalg.norm(cent, axis=1)
         vn = np.linalg.norm(V, axis=1)
         denom = np.outer(vn, cn)
         sims = np.where(denom > 0, (V @ cent.T) / np.where(denom == 0, 1, denom), 0.0)
-        # argmax with lowest-cid tiebreak == numpy argmax (first max wins)
-        return sims.argmax(axis=1)
+        # argmax with lowest-cid tiebreak == numpy argmax (first max wins,
+        # cids sorted ascending)
+        return cids[sims.argmax(axis=1)]
 
     cent = V[np.argsort(ids)[:n_cent]]  # lowest-id seeds (float32 data upcast)
-    cid = assign(cent)
-    cent = np.stack(
-        [
-            np.float32(V[cid == c].mean(axis=0)) if (cid == c).any() else cent[c]
-            for c in range(n_cent)
-        ]
-    )
-    cid = assign(cent)
+    cid = assign(cent, np.arange(n_cent))
+    # lloyd_refine drops a cluster that empties (the groupBy mean has no
+    # rows for it) — the replica must mirror that, not keep the stale seed
+    live = np.array([c for c in range(n_cent) if (cid == c).any()])
+    cent = np.stack([np.float32(V[cid == c].mean(axis=0)) for c in live])
+    cid = assign(cent, live)
 
     pruned = set()
     vn = np.linalg.norm(V, axis=1)

@@ -352,7 +352,10 @@ def test_concurrent_peak_partitions_sweep_by_day(spark, sf_dir):
     """The sweep-line running sum must be windowed BY DAY (parallel
     sweeps), never a global single-partition ordered window."""
     plan = _plan(spark, REGISTRY["concurrent_sessions_peak"].spark(spark, sf_dir))
-    assert "partitionBy=[day" in plan.replace(" ", "").replace("#", "#") or "day#" in plan
+    # the sweep Window's partition spec must be the day column — the
+    # formatted plan prints it as windowspecdefinition(day#N, ...); the
+    # prior 'day#' fallback was vacuous (matches any day reference)
+    assert "windowspecdefinition(day#" in plan
     # a global ordered window would show an Exchange SinglePartition
     assert "SinglePartition" not in plan
 

@@ -7,6 +7,7 @@ only sees the fixed synthetic tables."""
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -34,6 +35,16 @@ _rows = st.lists(
     max_size=40,
     unique_by=lambda r: (r[0], r[1]),
 )
+
+
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Round like Spark's ``F.round`` / DuckDB ``round`` (HALF_UP on the
+    shortest decimal repr of the double), NOT like Python's built-in
+    ``round`` (banker's half-even). ``repr(x)`` is the shortest repr, the
+    same string ``java.math.BigDecimal.valueOf(double)`` rounds — so exact
+    decimal midpoints (e.g. 1.3828125 @ 6 digits) agree with the engine."""
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _df(spark, rows):
@@ -120,7 +131,7 @@ def test_trend_metrics_matches_pandas_loop(spark, rows):
             len(g),
             0.0 if pd.isna(first) else first,
             0.0 if pd.isna(last) else last,
-            None if pd.isna(avg) else round(avg, 2),
+            None if pd.isna(avg) else _round_half_up(float(avg), 2),
         )
     assert set(got) == set(want)
     for k in want:
@@ -275,4 +286,6 @@ def test_gapfill_interpolate_matches_pandas(spark, rows):
     for got, want in zip(out.itertuples(), exp.itertuples()):
         assert got.k == want.k and got.day == want.day
         assert got.interpolated == want.interpolated
-        assert math.isclose(got.value_filled, round(want.value_filled, 6), abs_tol=1e-6)
+        assert math.isclose(
+            got.value_filled, _round_half_up(float(want.value_filled), 6), abs_tol=1e-6
+        )
