@@ -83,6 +83,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 4,
+    max_rows: int | None = 20_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (the dedup tier beyond
     text hashing: two documents whose embeddings point the same way are
@@ -90,10 +91,25 @@ def cosine_neardup_pairs(
 
     Output: (vec_a, vec_b, cosine_sim) for every unordered pair with
     cosine ≥ ``threshold``. The pair generation is O(n²) — this is the
-    exactness baseline for small corpora / verification; at 100 TB use
-    :func:`cosine_neardup_pairs_lsh`, which generates candidates through
-    an equi-join on LSH buckets and only verifies those.
+    exactness baseline for small corpora / verification, and it REFUSES
+    to run on a corpus larger than ``max_rows`` (a bounded ``limit``
+    probe, not a full count): pointing the all-pairs form at a real
+    corpus would be a job-killer, and the scale path —
+    :func:`cosine_neardup_pairs_lsh`, candidates via an equi-join on
+    LSH buckets, exact verify on candidates only — exists precisely so
+    nobody needs to. Pass ``max_rows=None`` to bypass (verification
+    harnesses only).
     """
+    if max_rows is not None:
+        probe = corpus.select(id_col).limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"cosine_neardup_pairs is the O(n^2) exactness baseline and "
+                f"refuses corpora over {max_rows} rows (got > {max_rows}); "
+                f"use cosine_neardup_pairs_lsh (LSH-bucketed candidates + "
+                f"exact verify) for production corpora, or pass "
+                f"max_rows=None to force."
+            )
     # Norms are precomputed per vector (n folds, not n²) and vectors
     # pre-cast to double once (to_double — saves 2·dim casts per pair,
     # measured 1.6×); dot/(na·nb) is the same double arithmetic either

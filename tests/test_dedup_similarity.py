@@ -161,6 +161,23 @@ def test_cosine_neardup_exact_finds_planted_pairs(spark, sf_dir):
     assert all(sim == 1.0 for sim in got.values())
 
 
+def test_cosine_neardup_refuses_oversized_corpus(spark):
+    """The O(n^2) exactness baseline must refuse a corpus over max_rows
+    (pointing at the LSH twin), so no unbounded all-pairs plan is
+    reachable; max_rows=None bypasses for verification harnesses."""
+    import pytest
+
+    big = spark.range(11).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="cosine_neardup_pairs_lsh"):
+        cosine_neardup_pairs(big, max_rows=10)
+    # at/below the cap it runs; None bypasses entirely
+    assert cosine_neardup_pairs(big.limit(10), max_rows=10).count() >= 0
+    assert cosine_neardup_pairs(big, max_rows=None).count() >= 0
+
+
 def test_cosine_neardup_lsh_full_recall_on_identical_vectors(spark, sf_dir):
     """Identical vectors share every LSH bucket → the scale path must
     recover 100% of the exact result for planted duplicates."""
