@@ -18,7 +18,10 @@ with no Python in the hot path:
 
 xxhash64-based ops are Spark-native (not reproducible in ANSI SQL), so
 their registry entries use the driver's rows-only check; correctness is
-pinned by pytest recall tests against the exact Jaccard operator.
+pinned by pytest recall tests against the exact Jaccard operator. The
+SimHash tier additionally ships an md5-nibble variant (simhash_md5)
+whose fingerprints — and therefore the banded near-dup pairs — replay
+bit-exactly in DuckDB, giving that tier a full hash-checked oracle.
 """
 
 from __future__ import annotations
@@ -311,6 +314,75 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return balances.select(F.col("id").alias(id_col), fp.alias("simhash"))
 
 
+def simhash_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document from md5 token hashes — the
+    engine-portable twin of :func:`simhash`.
+
+    Same plan shape (one explode + one fused groupBy of 64 bit-balance
+    sums), but the per-token bits come from the first 16 hex nibbles of
+    ``md5(token)`` instead of xxhash64, so a DuckDB oracle replays the
+    fingerprints bit-exactly (same portability discipline as
+    operators/sketch.py and operators/splits.py). md5 costs more per
+    token than xxhash64 — keep :func:`simhash` for throughput when
+    cross-engine replay isn't needed.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("hx", F.md5("tok"))
+    # nibble i = hex digit i of the md5 (0..15); bit j of the 64-bit
+    # fingerprint is bit (j%4) of nibble j//4 — both instr() and the
+    # shift/mask algebra exist verbatim in DuckDB
+    nibs = tok.select(
+        "id",
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring("hx", i + 1, 1)) - 1).alias(f"n{i}")
+            for i in range(16)
+        ],
+    )
+    balances = nibs.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long") if j < 63 else bit * F.lit(-(1 << 63))
+        fp = term if fp is None else fp + term
+    return balances.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_md5_sql(bits: int = 64) -> str:
+    """DuckDB twin of :func:`simhash_md5` as a CTE body over a ``tok``
+    relation with columns (doc_id, tok) — bit-exact fingerprint replay.
+    Bit 63 is the sign bit: its weight is -(2^63) in two's complement,
+    matching the Spark side's signed-long assembly."""
+
+    def balance(j: int) -> str:
+        nib = f"(strpos('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
+        return f"sum(CASE WHEN ({nib} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END)"
+
+    def weight(j: int) -> str:
+        return "(-9223372036854775807 - 1)" if j == 63 else str(1 << j)
+
+    terms = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({weight(j)} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    bals = ",\n       ".join(f"{balance(j)} AS b{j}" for j in range(bits))
+    return f"""
+SELECT doc_id, {terms} AS simhash
+FROM (SELECT doc_id, {bals} FROM tok GROUP BY doc_id)
+"""
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -321,6 +393,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """All document pairs whose SimHash fingerprints differ in at most
     ``max_hamming`` bits — WITHOUT an O(n²) stage.
@@ -335,7 +408,7 @@ def simhash_neardup_pairs(
     bands = max_hamming + 1
     width = (64 + bands - 1) // bands
     mask = (1 << width) - 1
-    fp = simhash(docs, id_col, text_col)
+    fp = (simhash_md5 if portable else simhash)(docs, id_col, text_col)
     banded = fp.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),

@@ -45,6 +45,8 @@ from covid_data_challenge_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash,
+    simhash_md5,
+    simhash_md5_sql,
     simhash_neardup_pairs,
 )
 from covid_data_challenge_spark.operators.semdedup import semdedup_prune
@@ -82,6 +84,45 @@ from covid_data_challenge_spark.sources.readers import load_table
 #: Normalized text in DuckDB SQL ('g' flag — DuckDB replaces first match
 #: only by default, Spark replaces all).
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _dd_dot(a: str, b: str) -> str:
+    """DuckDB twin of functions/vector.dot (ordered double fold)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def _dd_norm(v: str) -> str:
+    """DuckDB twin of functions/vector.norm."""
+    return (
+        f"sqrt(list_aggregate(list_transform({v}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+
+
+def _dd_cos(a: str, b: str) -> str:
+    """DuckDB twin of ivf._sim: dot/(|a||b|), 0.0 on a zero norm."""
+    return (
+        f"CASE WHEN {_dd_norm(a)} > 0 AND {_dd_norm(b)} > 0 "
+        f"THEN {_dd_dot(a, b)} / ({_dd_norm(a)} * {_dd_norm(b)}) ELSE 0.0 END"
+    )
+
+
+def _dd_assign(corpus: str, centroids: str) -> str:
+    """DuckDB twin of ivf.assign_to_centroids: nearest-centroid (max
+    cosine, lowest-cid tiebreak) via a window argmax."""
+    return f"""
+SELECT id, vec, cid FROM (
+    SELECT u.id, u.vec, c.cid,
+           row_number() OVER (
+               PARTITION BY u.id
+               ORDER BY {_dd_cos('u.vec', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM {corpus} u CROSS JOIN {centroids} c
+) WHERE rn = 1
+"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,16 +458,42 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_perm=32, bands=8, threshold=0.2)
 
 
-@register("simhash_fingerprints", oracle=None)  # xxhash64-based → rows-only
+_SIMHASH_TOK_SQL = f"SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents"
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH tok AS ({_SIMHASH_TOK_SQL}),
+fp AS ({simhash_md5_sql()})
+SELECT doc_id, simhash FROM fp
+""",
+)
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_docs(spark, sf_dir))
+    """64-bit SimHash fingerprints — md5-nibble variant, so the bit
+    balances (and thus every fingerprint) replay bit-exactly in DuckDB;
+    the xxhash64 variant stays available for raw throughput
+    (operators/dedup.py:simhash_md5)."""
+    return simhash_md5(_docs(spark, sf_dir))
 
 
-@register("simhash_neardup_pairs", oracle=None)  # xxhash64-based → rows-only
+@register(
+    "simhash_neardup_pairs",
+    oracle=f"""
+WITH tok AS ({_SIMHASH_TOK_SQL}),
+fp AS ({simhash_md5_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming≤k SimHash pairs via pigeonhole banding (exact recall, no
-    O(n²) stage); pinned exact against brute force in pytest."""
-    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+    O(n²) stage), on the portable md5 fingerprint — the banded plan must
+    reproduce the oracle's brute-force all-pairs answer exactly, which
+    checks the banding recall proof itself, not just the fingerprints."""
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3, portable=True)
 
 
 # ---------------------------------------------------------------------------
@@ -525,10 +592,62 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_neardup_corpus(spark, sf_dir), threshold=0.9)
 
 
-@register("ann_ivf_topk", oracle=None)  # approximate by design → rows-only
+def _ann_ivf_oracle() -> str:
+    """IVF-probed ANN unrolled as a DuckDB CTE chain: seeds → one Lloyd
+    iteration → inverted lists → per-query nprobe centroid ranking →
+    candidate cosine top-k. Deterministic (seeded centroids, fixed
+    iterations), so 'approximate' ANN still gets an exact oracle.
+
+    NOTE: the helper CTE names below (seeds/a1/cent) intentionally mirror
+    _SEMDEDUP_SQL — same Lloyd unroll, different corpus/counts."""
+    return f"""
+WITH uniq AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+    FROM uniq ORDER BY id LIMIT 16
+),
+a1 AS ({_dd_assign('uniq', 'seeds')}),
+by_dim AS (
+    SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM a1
+),
+cent AS (
+    SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS m FROM by_dim GROUP BY cid, pos)
+    GROUP BY cid
+),
+inv AS ({_dd_assign('uniq', 'cent')}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_dd_cos('q.qv', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= 4
+),
+cand AS (
+    SELECT p.query_id, i.id AS neighbor_id, {_dd_cos('p.qv', 'i.vec')} AS sim
+    FROM probes p JOIN inv i ON p.cid = i.cid
+    WHERE p.query_id <> i.id
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM cand
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_ann_ivf_oracle())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN (coarse centroids + inverted lists + nprobe) — the
-    second scale path next to sign-LSH; recall pinned in pytest."""
+    second scale path next to sign-LSH. Deterministic seeded-Lloyd build
+    → the whole probe unrolls into a DuckDB CTE oracle (hash-checked,
+    not rows-only); recall vs brute force additionally pinned in
+    pytest."""
     from covid_data_challenge_spark.operators.ivf import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -4200,16 +4319,55 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semdedup_prune")
+# The SemDeDup recipe unrolled as a CTE chain (the same move as
+# part_pagerank's oracle): exact-collapse → 8 lowest-id seeds → one Lloyd
+# iteration (assign, per-(cid,pos) mean, float32 snap — drops emptied
+# clusters exactly like ivf.lloyd_refine) → final assignment →
+# within-cluster round-4 cosine pairs → lowest-id survivor, expanded back
+# to the full corpus on vector equality.
+_SEMDEDUP_SQL = f"""
+WITH uniq AS (
+    SELECT min(vec_id) AS id, embedding AS vec FROM embeddings GROUP BY embedding
+),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+    FROM uniq ORDER BY id LIMIT 8
+),
+a1 AS ({_dd_assign('uniq', 'seeds')}),
+by_dim AS (
+    SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM a1
+),
+cent AS (
+    SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS m FROM by_dim GROUP BY cid, pos)
+    GROUP BY cid
+),
+a2 AS ({_dd_assign('uniq', 'cent')}),
+pruned AS (
+    SELECT DISTINCT b.id AS id
+    FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.id < b.id
+    WHERE round({_dd_cos('a.vec', 'b.vec')}, 4) >= 0.9
+),
+reps AS (
+    SELECT a2.id, a2.vec, a2.cid, p.id IS NULL AS rep_kept
+    FROM a2 LEFT JOIN pruned p ON a2.id = p.id
+)
+SELECT e.vec_id, r.cid, (e.vec_id = r.id AND r.rep_kept) AS kept
+FROM embeddings e JOIN reps r ON e.embedding = r.vec
+"""
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_SQL)
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) keep/prune decisions over the
     embedding corpus: seeded-Lloyd k-means (8 clusters at test SF —
     grown ∝ corpus in production), within-cluster cosine ≥ 0.9 pairs,
     lowest-id survivor per pair. Pair stage cost is Σ cluster², i.e.
     linear in the corpus at constant cluster size — never O(n²).
-    k-means is not ANSI-SQL-expressible → rows-only here; bit-exactness
-    vs a NumPy replica is pinned in tests/test_dedup_similarity.py
-    (operators/semdedup.py)."""
+    The fixed-iteration seeded Lloyd unrolls into a DuckDB CTE chain
+    (like part_pagerank's oracle), so this is a full hash-checked row,
+    not rows-only; bit-exactness vs a NumPy replica is additionally
+    pinned in tests/test_dedup_similarity.py (operators/semdedup.py)."""
     return semdedup_prune(
         _emb(spark, sf_dir), n_centroids=8, lloyd_iters=1, threshold=0.9
     )
