@@ -36,16 +36,60 @@ from covid_data_challenge_spark.operators.ivf import (
     seed_centroids,
 )
 
+#: Mean cluster size the sizing policy targets. SemDeDup's production
+#: configuration (arXiv:2303.09540 §3: ~100k clusters over the billions
+#: of LAION embeddings) works out to ~10k-50k vectors per cluster; 10k
+#: keeps the pair stage's per-cluster cost (size²·dim multiplies)
+#: comfortably inside one task while the centroid table stays tiny.
+TARGET_CLUSTER_SIZE = 10_000
+
+
+def default_n_centroids(
+    corpus_rows: int,
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
+    min_centroids: int = 8,
+    dim: int = 64,
+    broadcast_budget_bytes: int = 64 * 1024 * 1024,
+) -> int:
+    """Corpus-proportional cluster count: ``ceil(rows / target)``,
+    floored at ``min_centroids``.
+
+    Growing the count ∝ corpus is what keeps SemDeDup linear — constant
+    cluster count would send the Σ cluster² pair stage quadratic as the
+    corpus grows. The ceiling check asserts the other side of the
+    bargain: the centroid table (count × dim × 4 bytes float32) must
+    stay under the broadcast budget (session.py pins
+    autoBroadcastJoinThreshold to 64 MB), because every assignment is a
+    broadcast join against it. At 1 billion vectors the policy gives
+    100k centroids = ~25 MB of float32 — inside budget; a corpus that
+    would blow the budget raises rather than silently degrading to a
+    shuffled join.
+    """
+    n = max(min_centroids, -(-corpus_rows // target_cluster_size))
+    cbytes = n * dim * 4
+    if cbytes > broadcast_budget_bytes:
+        raise ValueError(
+            f"{n} centroids × {dim} float32 dims = {cbytes} bytes exceeds the "
+            f"{broadcast_budget_bytes}-byte broadcast budget; raise "
+            f"target_cluster_size (or shard the corpus) so the centroid "
+            f"table stays broadcastable."
+        )
+    return n
+
 
 def semdedup_assignments(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Cluster assignment stage: (id, vec, cid) with deterministic
-    seeded-Lloyd centroids (see operators/ivf.py)."""
+    seeded-Lloyd centroids (see operators/ivf.py). ``n_centroids=None``
+    applies the corpus-proportional policy (:func:`default_n_centroids`;
+    costs one count of the corpus)."""
+    if n_centroids is None:
+        n_centroids = default_n_centroids(emb.count())
     centroids = lloyd_refine(
         emb,
         seed_centroids(emb, n_centroids, id_col, vec_col),
@@ -58,7 +102,7 @@ def semdedup_assignments(
 
 def semdedup_prune(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     lloyd_iters: int = 1,
     threshold: float = 0.9,
     id_col: str = "vec_id",
@@ -90,6 +134,11 @@ def semdedup_prune(
     centroid join + per-id argmax), a self-equi-join on cid bounded by
     cluster size, and a vector-keyed expansion join back to the full
     corpus. No O(n²) stage, no UDF, no driver state.
+
+    ``n_centroids=None`` applies the corpus-proportional sizing policy
+    (:func:`default_n_centroids`): cluster count grows ∝ distinct
+    vectors so the pair stage stays linear, with a hard assert that the
+    centroid table stays under the broadcast budget.
     """
     uniq = (
         emb.groupBy(vec_col)

@@ -294,6 +294,26 @@ def test_ivf_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
     )
 
 
+def test_semdedup_centroid_sizing_policy():
+    """default_n_centroids grows ∝ corpus (constant target cluster size),
+    floors at the test-scale minimum, reproduces the paper's production
+    point (~100k clusters for 1B vectors, ~25 MB of float32 centroids —
+    inside the 64 MB broadcast budget), and refuses configurations whose
+    centroid table would not broadcast."""
+    import pytest
+
+    from covid_data_challenge_spark.operators.semdedup import default_n_centroids
+
+    assert default_n_centroids(500) == 8  # test-scale floor
+    assert default_n_centroids(10_000_000) == 1_000
+    assert default_n_centroids(1_000_000_000) == 100_000
+    assert 100_000 * 64 * 4 <= 64 * 1024 * 1024  # the production point fits
+    for small, big in [(10**6, 10**7), (10**7, 10**9)]:
+        assert default_n_centroids(small) <= default_n_centroids(big)
+    with pytest.raises(ValueError, match="broadcast"):
+        default_n_centroids(10**12)  # 100M centroids = 25.6 GB: refuse
+
+
 def test_semdedup_matches_numpy_replica(spark, sf_dir):
     """semdedup_prune must be bit-identical to a NumPy replay of the
     same recipe: seeded centroids (lowest ids) → 1 Lloyd iteration →

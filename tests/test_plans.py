@@ -360,6 +360,19 @@ def test_concurrent_peak_partitions_sweep_by_day(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_semdedup_policy_assignment_broadcasts_centroids(spark, sf_dir):
+    """Under the corpus-proportional sizing policy (n_centroids=None)
+    the centroid join must stay a broadcast — the policy's broadcast-
+    budget assert and this plan pin are two halves of one contract."""
+    from covid_data_challenge_spark.operators.semdedup import semdedup_assignments
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(spark, semdedup_assignments(emb, n_centroids=None), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ewma_has_single_fact_shuffle_and_no_udf(spark, sf_dir):
     """EWMA = daily pre-agg (one fact shuffle) + per-user fold; the fold
     is JVM column algebra, not Python."""
