@@ -72,6 +72,20 @@ WAREHOUSE = [
     "cheapest_supplier_per_part",
 ]
 
+#: 10×-growth watch tier, timed at BOTH sf0.1 and the synthetic sf1
+#: fixture (testing.build_synth_sf1) when benching the default sf0.1 dir.
+#: These are the queries whose growth factors the scaling story hangs on:
+#: the two output-bound pair generators VERDICT r2 flagged for a watch,
+#: the steepest relational grower (latest_per_key), one shuffle-heavy
+#: relational anchor, and the clustered dedup path.
+SCALE_SF1 = [
+    "latest_per_key",
+    "pricing_summary",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "semdedup_prune",
+]
+
 RUNS_PER_QUERY = 2
 
 
@@ -110,6 +124,29 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # sf1 tier: re-time the growth-watch queries on the synthetic 10×
+    # fixture so scale regressions are driver-visible in BENCH_r{N}.json,
+    # not just in SCALING.md prose. Only when benching the default sf0.1
+    # set (a fast sf0.01 probe shouldn't pay the fixture build);
+    # SPARK_GRAFT_SF1=0 opts out.
+    sf1: dict[str, object] = {}
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from covid_data_challenge_spark.testing import build_synth_sf1
+
+        synth_dir = build_synth_sf1(spark, sf_dir)
+        sf1_timings: dict[str, float] = {}
+        growth: dict[str, float] = {}
+        for name in SCALE_SF1:
+            fn = REGISTRY[name].spark
+            best = float("inf")
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.time()
+                _execute(fn(spark, synth_dir))
+                best = min(best, time.time() - t0)
+            sf1_timings[name] = round(best, 3)
+            growth[name] = round(best / timings[name], 2) if timings.get(name) else None
+        sf1 = {"queries": sf1_timings, "growth_vs_sf0.1": growth, "copies": 10}
+
     total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
@@ -122,6 +159,7 @@ def main() -> None:
                 "runs_per_query": RUNS_PER_QUERY,
                 "extension_total": round(sum(timings[n] for n in EXTENSION), 3),
                 "warehouse_total": round(sum(timings[n] for n in WAREHOUSE), 3),
+                "sf1": sf1,
             }
         )
     )

@@ -4761,12 +4761,129 @@ def q_user_daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivfpq_topk", oracle=None)  # approximate by design → rows-only
+def _dd_l2sq(a: str, b: str) -> str:
+    """DuckDB twin of functions/vector.l2sq (ordered double fold)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        f"* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')"
+    )
+
+
+def _ann_ivfpq_oracle(
+    n_centroids: int = 16, nprobe: int = 8, n_sub: int = 32, n_codes: int = 32, k: int = 5
+) -> str:
+    """IVF-PQ unrolled as a DuckDB CTE chain: the IVF half reuses the
+    ann_ivf_topk Lloyd unroll; the PQ half trains all subspace codebooks
+    (per-sub lowest-id seeds, one Lloyd iteration with float32 snap and
+    drop-empty), encodes the corpus at (id, sub, code) granularity, and
+    scores candidates by ADC — the per-(query,neighbor) sum is an
+    ORDERED sub-ascending fold (list(d ORDER BY sub) → list_aggregate)
+    to match the Spark side's F.aggregate fold bit-for-bit. Ranking is
+    on the ROUND-6 ADC, as in operators/pq.ivfpq_topk."""
+    sub_dim = 64 // n_sub
+    return f"""
+WITH uniq AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+    FROM uniq ORDER BY id LIMIT {n_centroids}
+),
+a1 AS ({_dd_assign('uniq', 'seeds')}),
+by_dim AS (
+    SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM a1
+),
+cent AS (
+    SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS m FROM by_dim GROUP BY cid, pos)
+    GROUP BY cid
+),
+inv AS ({_dd_assign('uniq', 'cent')}),
+sv AS (
+    SELECT id, s.sub, vec[s.sub * {sub_dim} + 1 : s.sub * {sub_dim} + {sub_dim}] AS subvec
+    FROM uniq CROSS JOIN (SELECT unnest(range({n_sub})) AS sub) s
+),
+cb0 AS (
+    SELECT sub, CAST(rn - 1 AS INT) AS code, subvec AS cvec FROM (
+        SELECT sub, subvec, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM sv
+    ) WHERE rn <= {n_codes}
+),
+asg1 AS (
+    SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, c.code,
+               row_number() OVER (
+                   PARTITION BY s.id, s.sub
+                   ORDER BY {_dd_l2sq('s.subvec', 'c.cvec')}, c.code
+               ) AS rn
+        FROM sv s JOIN cb0 c ON s.sub = c.sub
+    ) WHERE rn = 1
+),
+cb_dim AS (
+    SELECT a.sub, a.code, unnest(s.subvec) AS x, generate_subscripts(s.subvec, 1) AS pos
+    FROM asg1 a JOIN sv s ON a.id = s.id AND a.sub = s.sub
+),
+cb AS (
+    SELECT sub, code, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT sub, code, pos, avg(CAST(x AS DOUBLE)) AS m FROM cb_dim GROUP BY sub, code, pos)
+    GROUP BY sub, code
+),
+enc AS (
+    SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, c.code,
+               row_number() OVER (
+                   PARTITION BY s.id, s.sub
+                   ORDER BY {_dd_l2sq('s.subvec', 'c.cvec')}, c.code
+               ) AS rn
+        FROM sv s JOIN cb c ON s.sub = c.sub
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_dd_cos('q.qv', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {nprobe}
+),
+qsv AS (
+    SELECT query_id, s.sub, qv[s.sub * {sub_dim} + 1 : s.sub * {sub_dim} + {sub_dim}] AS subvec
+    FROM q CROSS JOIN (SELECT unnest(range({n_sub})) AS sub) s
+),
+lut AS (
+    SELECT s.query_id, s.sub, c.code, {_dd_l2sq('s.subvec', 'c.cvec')} AS d
+    FROM qsv s JOIN cb c ON s.sub = c.sub
+),
+adc AS (
+    SELECT p.query_id, i.id AS neighbor_id,
+           round(list_aggregate(list(l.d ORDER BY e.sub), 'sum'), 6) AS adc_distance
+    FROM probes p
+    JOIN inv i ON p.cid = i.cid AND p.query_id <> i.id
+    JOIN enc e ON e.id = i.id
+    JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
+    GROUP BY p.query_id, i.id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_distance
+FROM (
+    SELECT query_id, neighbor_id, adc_distance,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_distance, neighbor_id
+           ) AS rank
+    FROM adc
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_ann_ivfpq_oracle())
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: coarse IVF probe + product-quantization ADC scoring
     (operators/pq.py) — the FAISS-style layout where the scan touches
-    8-byte code arrays instead of float vectors. Recall vs exact L2
-    brute force pinned in pytest (test_dedup_similarity)."""
+    8-byte code arrays instead of float vectors. Deterministic build
+    (lowest-id seeds, fixed Lloyd iterations) → the full two-level
+    index unrolls into a DuckDB CTE oracle (hash-checked); recall vs
+    exact L2 brute force additionally pinned in pytest
+    (test_dedup_similarity)."""
     from covid_data_challenge_spark.operators.pq import ivfpq_topk
 
     emb = _emb(spark, sf_dir)

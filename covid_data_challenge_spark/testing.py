@@ -78,3 +78,49 @@ def compare_query(spark, con, fn, sql: str, sf_dir: str) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir).toPandas()
     odf = con.execute(sql).fetchdf()
     return values_match(normalize(sdf), normalize(odf))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic 10× scale fixture (SCALING.md §synthetic-sf1; bench sf1 tier)
+# ---------------------------------------------------------------------------
+
+#: Key-shifted fact/corpus tables; dims are copied as-is. Replicating the
+#: corpus makes every document/vector a 10-way exact duplicate — the WORST
+#: case for pair-generating dedup operators, which is the point.
+SYNTH_SHIFTS = {
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 100_000_000),
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+}
+SYNTH_COPY = ["customer", "supplier", "part", "nation", "region"]
+
+
+def build_synth_sf1(
+    spark, src: str = "/root/testdata/sf0.1", dst: str = "/tmp/sfsynth1", copies: int = 10
+) -> str:
+    """Materialize a synthetic ``copies``× replica of ``src`` under
+    ``dst`` (skipping tables that already exist) and return ``dst``.
+    Used by tools/stress_sf1.py and bench.py's sf1 tier — the driver
+    ships no sf1 testdata, so 10×-growth regressions are measured on
+    this fixture."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    os.makedirs(dst, exist_ok=True)
+    for name, (key, span) in SYNTH_SHIFTS.items():
+        if os.path.exists(f"{dst}/{name}.parquet"):
+            continue
+        df = load_table(spark, src, name)
+        out = df
+        for i in range(1, copies):
+            out = out.unionByName(df.withColumn(key, F.col(key) + F.lit(i * span)))
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+    for name in SYNTH_COPY:
+        if not os.path.exists(f"{dst}/{name}.parquet"):
+            load_table(spark, src, name).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+    return dst

@@ -20,12 +20,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F  # noqa: E402
-
 import covid_data_challenge_spark.queries_ext  # noqa: F401,E402
 from covid_data_challenge_spark.queries import REGISTRY  # noqa: E402
 from covid_data_challenge_spark.session import get_spark  # noqa: E402
-from covid_data_challenge_spark.sources.readers import load_table  # noqa: E402
+from covid_data_challenge_spark.testing import build_synth_sf1  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sfsynth1"
@@ -37,35 +35,10 @@ DEFAULT_QUERIES = [
     "events_sessionize", "cohort_retention", "session_top_paths",
     "cms_heavy_hitters", "forward_fill", "lag_diff",
 ]
-_SHIFTS = {"lineitem": ("l_orderkey", 10_000_000), "orders": ("o_orderkey", 10_000_000),
-           "events": ("event_id", 100_000_000),
-           # round 2: replicate the corpus tables too (id-shifted) so the
-           # text/dedup/embedding operators get a true 10× stress — note
-           # this makes every document/vector a 10-way exact duplicate,
-           # which is the WORST case for pair-generating dedup ops
-           "documents": ("doc_id", 10_000_000), "embeddings": ("vec_id", 10_000_000)}
-_COPY = ["customer", "supplier", "part", "nation", "region"]
-
-
-def build(spark) -> None:
-    for name, (key, span) in _SHIFTS.items():
-        if os.path.exists(f"{DST}/{name}.parquet"):
-            continue
-        df = load_table(spark, SRC, name)
-        out = df
-        for i in range(1, COPIES):
-            out = out.unionByName(df.withColumn(key, F.col(key) + F.lit(i * span)))
-        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
-    for name in _COPY:
-        if not os.path.exists(f"{DST}/{name}.parquet"):
-            load_table(spark, SRC, name).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
-
-
 def main() -> None:
     spark = get_spark(app_name="stress-sf1")
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(DST, exist_ok=True)
-    build(spark)
+    build_synth_sf1(spark, SRC, DST, COPIES)
 
     def run(fn, sf_dir: str) -> float:
         best = float("inf")
