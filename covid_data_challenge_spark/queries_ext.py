@@ -538,8 +538,72 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
-@register("ann_lsh_topk", oracle=None)  # approximate by design → rows-only
+def _dd_lsh_buckets(vec: str, bits: int, tables: int, dim: int = 64, seed: int = 42) -> list[str]:
+    """Per-table DuckDB bucket expressions embedding the SAME seeded ±1
+    plane literals the engine uses (similarity._signed_planes) — the
+    'random' hyperplanes are driver-side constants, so the oracle can
+    replay the sign-of-projection bucketing bit-exactly."""
+    from covid_data_challenge_spark.operators.similarity import _signed_planes
+
+    planes = _signed_planes(bits * tables, dim, seed)
+
+    def proj(plane: list[float]) -> str:
+        lit = "[" + ", ".join("1.0" if w > 0 else "-1.0" for w in plane) + "]"
+        return (
+            f"list_aggregate(list_transform(list_zip({vec}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
+        )
+
+    return [
+        "("
+        + " + ".join(
+            f"CASE WHEN {proj(planes[t * bits + j])} >= 0 THEN {1 << j} ELSE 0 END"
+            for j in range(bits)
+        )
+        + ")"
+        for t in range(tables)
+    ]
+
+
+def _dd_lsh_banded(source_sql: str, id_as: str, vec: str, bits: int, tables: int) -> str:
+    """UNION-ALL banded relation (id, vec, tbl, bucket) over ``source_sql``
+    (which must expose the embedding as ``{vec}``)."""
+    buckets = _dd_lsh_buckets(vec, bits, tables)
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id AS {id_as}, {vec} AS vec, {t} AS tbl, {buckets[t]} AS bucket FROM ({source_sql})"
+        for t in range(tables)
+    )
+
+
+def _ann_lsh_oracle(bits: int = 4, tables: int = 12, k: int = 5) -> str:
+    corpus = "SELECT vec_id, embedding FROM embeddings"
+    queries = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0"
+    return f"""
+WITH c AS ({_dd_lsh_banded(corpus, 'neighbor_id', 'embedding', bits, tables)}),
+q AS ({_dd_lsh_banded(queries, 'query_id', 'embedding', bits, tables)}),
+cand AS (
+    SELECT DISTINCT q.query_id, c.neighbor_id, q.vec AS qv, c.vec AS cv
+    FROM c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+    WHERE q.query_id <> c.neighbor_id
+),
+sims AS (
+    SELECT query_id, neighbor_id, {_dd_cos('qv', 'cv')} AS sim FROM cand
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-k. The 'random' hyperplanes are seeded
+    driver-side ±1 literals, so even this approximate path replays in a
+    DuckDB oracle (the oracle embeds the identical plane constants) —
+    hash-checked, not rows-only."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ann_lsh_topk(emb, queries, k=5, bits=4, tables=12)
@@ -655,10 +719,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
 
 
-@register("embedding_neardup_lsh", oracle=None)  # approximate path → rows-only
+def _neardup_lsh_oracle(bits: int = 8, tables: int = 6, threshold: float = 0.9) -> str:
+    return f"""
+WITH banded AS ({_dd_lsh_banded(_NEARDUP_CORPUS_SQL, 'id', 'embedding', bits, tables)}),
+cand AS (
+    SELECT DISTINCT a.id AS vec_a, b.id AS vec_b, a.vec AS va, b.vec AS vb
+    FROM banded a JOIN banded b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+sims AS (SELECT vec_a, vec_b, {_dd_cos('va', 'vb')} AS sim FROM cand)
+SELECT vec_a, vec_b, round(sim, 4) AS cosine_sim
+FROM sims WHERE sim >= {threshold}
+"""
+
+
+@register("embedding_neardup_lsh", oracle=_neardup_lsh_oracle())
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for the same semantic dedup: LSH-bucketed candidates +
-    exact cosine verify; recall vs the exact operator pinned in pytest."""
+    exact cosine verify. The seeded ±1 hyperplanes are driver-side
+    constants, so the oracle replays the bucketing (and therefore the
+    exact candidate set) bit-exactly — hash-checked, not rows-only;
+    recall vs the exact operator additionally pinned in pytest."""
     return cosine_neardup_pairs_lsh(
         _neardup_corpus(spark, sf_dir), threshold=0.9, bits=8, tables=6
     )
