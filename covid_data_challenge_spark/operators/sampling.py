@@ -102,6 +102,40 @@ WHERE copies > 0
 """
 
 
+def hash_reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-key uniform sample of ``n`` rows — the
+    hash-ranked equivalent of reservoir sampling, used as the per-source
+    document cap in training-data recipes ("at most N docs from any one
+    crawl/domain").
+
+    Rows rank within their key by ``md5(id || salt)`` (uniform, engine-
+    portable — same discipline as :func:`mixture_sample`) and the ``n``
+    smallest survive. Identical in distribution to a true reservoir but
+    stable across reruns, partitionings, and engines, so a DuckDB oracle
+    replays it bit-for-bit. The rank-limit window compiles to
+    WindowGroupLimit (partial before the exchange), so capping a 100 TB
+    corpus shuffles ~n·|keys| rows, not the corpus — same plan family as
+    latest_per_key (pinned in test_plans).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col("__rh"), F.col(id_col))
+    return (
+        df.withColumn(
+            "__rh", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .drop("__rh")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key_col: str,

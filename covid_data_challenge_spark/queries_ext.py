@@ -5771,3 +5771,36 @@ def q_source_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: per-source reservoir cap + stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reservoir_sample_per_source",
+    oracle="""
+SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 50
+""",
+)
+def q_reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: a deterministic hash-ranked 'reservoir'
+    keeps at most 50 docs per source — the standard per-domain/crawl cap
+    in training-data recipes, as a WindowGroupLimit plan that prunes
+    map-side before the shuffle (operators/sampling.py:
+    hash_reservoir_per_key)."""
+    from covid_data_challenge_spark.operators.sampling import hash_reservoir_per_key
+
+    docs = _docs(spark, sf_dir)
+    return hash_reservoir_per_key(docs, key_col="source", id_col="doc_id", n=50).select(
+        "source", "doc_id", "sample_rank"
+    )
+

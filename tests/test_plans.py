@@ -360,6 +360,15 @@ def test_concurrent_peak_partitions_sweep_by_day(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_reservoir_sample_uses_rank_limit_pushdown(spark, sf_dir):
+    """The per-source cap must prune map-side (WindowGroupLimit partial
+    + final) — capping a 100 TB corpus moves ~n·|sources| rows, not the
+    corpus."""
+    plan = _plan(spark, REGISTRY["reservoir_sample_per_source"].spark(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
 def test_semdedup_policy_assignment_broadcasts_centroids(spark, sf_dir):
     """Under the corpus-proportional sizing policy (n_centroids=None)
     the centroid join must stay a broadcast — the policy's broadcast-
