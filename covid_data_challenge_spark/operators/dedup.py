@@ -16,12 +16,15 @@ with no Python in the hot path:
 - **SimHash**: 64-bit locality-sensitive fingerprint from token hashes;
   near-dups differ in few bits. One explode + one groupBy.
 
-xxhash64-based ops are Spark-native (not reproducible in ANSI SQL), so
-their registry entries use the driver's rows-only check; correctness is
-pinned by pytest recall tests against the exact Jaccard operator. The
-SimHash tier additionally ships an md5-nibble variant (simhash_md5)
-whose fingerprints — and therefore the banded near-dup pairs — replay
-bit-exactly in DuckDB, giving that tier a full hash-checked oracle.
+The xxhash64 hash families are Spark-native (not reproducible in ANSI
+SQL) and exist for raw throughput; each fuzzy tier also ships a
+PORTABLE family the registry queries run on — SimHash from md5 hex
+nibbles (simhash_md5), MinHash from seeded affine permutations of a
+31-bit md5 base hash (minhash_signatures(portable=True), exact in
+int64 on every engine) — so the banded candidate generation and the
+estimates themselves replay bit-exactly in the DuckDB oracle.
+Correctness is additionally pinned by pytest recall tests against the
+exact Jaccard operator.
 """
 
 from __future__ import annotations
@@ -195,20 +198,70 @@ def jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^31-1 — the modulus of the portable MinHash
+#: permutation family. With a 31-bit base hash and 31-bit coefficients,
+#: ``a*h + b`` peaks below 2^62: exact in a signed 64-bit integer in BOTH
+#: Spark and DuckDB (no overflow, no bignum), which is what makes the
+#: affine permutations engine-portable.
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Seeded affine-permutation coefficients (a, b) — driver-side
+    constants shared by the engine and the DuckDB oracle builder (same
+    move as the sign-LSH plane literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_perm)
+    ]
+
+
+def _md5_h31(hex_col: Column) -> Column:
+    """31-bit base hash from the first 8 hex nibbles of an md5 column —
+    the same instr/positional arithmetic DuckDB replays verbatim."""
+    h = None
+    for i in range(8):
+        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(hex_col, i + 1, 1)) - 1).cast(
+            "long"
+        )
+        term = nib * F.lit(16 ** (7 - i)).cast("long")
+        h = term if h is None else h + term
+    return h % F.lit(MERSENNE31)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
-    """Per-doc MinHash signature: minimum of ``xxhash64(seed, shingle)``
-    per seed, computed as ONE groupBy over the exploded shingles (all P
-    minima are fused into a single aggregation pass)."""
+    """Per-doc MinHash signature: minimum of a per-permutation shingle
+    hash, computed as ONE groupBy over the exploded shingles (all P
+    minima are fused into a single aggregation pass).
+
+    ``portable=False`` (throughput): permutation p is
+    ``xxhash64(p, shingle)`` — Spark-native, not SQL-reproducible.
+    ``portable=True``: one md5 per shingle → 31-bit base hash → P seeded
+    affine permutations ``(a·h + b) mod 2^31-1`` (:func:`minhash_coeffs`)
+    — bit-exactly replayable in DuckDB, giving the LSH pair query a full
+    hash-checked oracle."""
     sh = doc_shingles(docs, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}") for p in range(num_perm)
-    ]
+    if portable:
+        sh = sh.withColumn("__h31", _md5_h31(F.md5(F.col("shingle"))))
+        mins = [
+            F.min((F.lit(a) * F.col("__h31") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"h{p}")
+            for p, (a, b) in enumerate(minhash_coeffs(num_perm))
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}")
+            for p in range(num_perm)
+        ]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select(
         F.col("id").alias(id_col),
@@ -224,6 +277,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -231,9 +285,14 @@ def minhash_lsh_pairs(
     docs colliding in any band become candidates; the estimated Jaccard is
     the fraction of agreeing signature positions. No O(n²) stage exists:
     the candidate join is on (band_idx, band_hash).
+
+    ``portable=True`` uses the md5-affine signature family and joins on
+    the band's raw value tuple instead of an xxhash64 band digest (the
+    digest isn't SQL-reproducible); payload per banded row grows from 1
+    to ``num_perm/bands`` longs — the price of the DuckDB oracle.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    sig = minhash_signatures(docs, id_col, text_col, n, num_perm, portable)
     # The band join moves ONLY (id, band, bucket) — 3 longs per exploded
     # row, not the num_perm-element signature arrays (which would
     # multiply the shuffle payload ~10× at 32 perms). Signatures are
@@ -241,20 +300,19 @@ def minhash_lsh_pairs(
     # surviving pair instead of once per band collision; the identical
     # groupBy(id) exchange under sig is planned once and reused
     # (ReusedExchange) for the banded and both signature sides.
+    def band_bucket(b: int):
+        vals = [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        return F.array(*vals) if portable else F.xxhash64(*vals)
+
     banded = sig.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )

@@ -453,9 +453,69 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_keep_first(scored).select("doc_id", "lang", "n_tokens", "quality")
 
 
-@register("minhash_lsh_pairs", oracle=None)  # xxhash64-based → rows-only
+def _minhash_lsh_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """Banded MinHash-LSH replay: 3-gram shingles → 31-bit md5 base hash
+    (nibble arithmetic) → the SAME seeded affine permutations the engine
+    uses (dedup.minhash_coeffs) → per-band value-tuple candidate join →
+    agreeing-position estimate. Bit-exact end to end."""
+    from covid_data_challenge_spark.operators.dedup import MERSENNE31, minhash_coeffs
+
+    rpb = num_perm // bands
+    h31 = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + f") % {MERSENNE31}"
+    )
+    perm_rows = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash_coeffs(num_perm)))
+    return f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+h AS (SELECT doc_id, {h31} AS h31 FROM sh),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sig AS (
+    SELECT doc_id, p, min((a * h31 + b) % {MERSENNE31}) AS v
+    FROM h CROSS JOIN perms GROUP BY doc_id, p
+),
+sigarr AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM sig GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, bb.band, sig[bb.band * {rpb} + 1 : bb.band * {rpb} + {rpb}] AS bucket
+    FROM sigarr CROSS JOIN (SELECT CAST(unnest(range({bands})) AS INT) AS band) bb
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / {num_perm}.0, 4)
+           AS est_jaccard
+FROM cand
+JOIN sigarr sa ON sa.doc_id = doc_a
+JOIN sigarr sb ON sb.doc_id = doc_b
+WHERE round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / {num_perm}.0, 4)
+      >= {threshold}
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_lsh_oracle())
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_perm=32, bands=8, threshold=0.2)
+    """Banded MinHash-LSH near-dup pairs on the portable md5-affine
+    permutation family: one md5 per shingle → 31-bit base hash → seeded
+    affine permutations mod 2^31-1 (exact in int64 on every engine), so
+    the banding, candidate generation, AND the agreeing-position
+    estimates all hash-match a DuckDB oracle. The xxhash64 family stays
+    available for raw throughput (operators/dedup.py:minhash_signatures)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_perm=32, bands=8, threshold=0.2, portable=True
+    )
 
 
 _SIMHASH_TOK_SQL = f"SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents"
