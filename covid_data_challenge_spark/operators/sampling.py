@@ -102,6 +102,45 @@ WHERE copies > 0
 """
 
 
+def md5_unit_fraction(key: Column) -> Column:
+    """Deterministic uniform-[0,1) draw per key: the first 8 hex nibbles
+    of md5(key) as an integer over 2^32, via the same positional
+    arithmetic DuckDB replays verbatim (no conv(), which DuckDB lacks).
+    The per-row coin behind weighted sampling."""
+    hx = F.md5(key.cast("string"))
+    h = None
+    for i in range(8):
+        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(hx, i + 1, 1)) - 1).cast("long")
+        term = nib * F.lit(16 ** (7 - i)).cast("long")
+        h = term if h is None else h + term
+    return h.cast("double") / F.lit(float(1 << 32))
+
+
+def md5_unit_fraction_sql(key_sql: str) -> str:
+    """DuckDB twin of :func:`md5_unit_fraction`."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(CAST({key_sql} AS VARCHAR)), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ") / 4294967296.0"
+    )
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str) -> DataFrame:
+    """Soft (probability-weighted) filter: keep each row with probability
+    ``weight_col`` (a [0,1] score), decided by a deterministic per-key
+    uniform draw — the FineWeb/DataComp-style 'soft quality filtering'
+    move, where a hard threshold would discard every mid-quality
+    document instead of thinning them proportionally. Map-side only (a
+    filter on a scan), stable across reruns/partitionings/engines, and
+    the decision replays bit-exactly in a DuckDB oracle because both the
+    draw and the weight are exact-replayable columns."""
+    return df.filter(md5_unit_fraction(F.col(key_col)) < F.col(weight_col))
+
+
 def hash_reservoir_per_key(
     df: DataFrame,
     key_col: str,

@@ -77,6 +77,60 @@ def cosine_topk(
     )
 
 
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    digits: int = 4,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    MOST similar corpus vectors with a DIFFERENT label — the standard
+    negatives-selection stage for training embedding/retrieval models
+    (similar enough to be hard, different-labeled so they're negatives).
+
+    Same broadcast + per-query rank shape as :func:`cosine_topk` with a
+    label-mismatch predicate in the join; exact, so the DuckDB oracle is
+    a direct SQL twin. At 100 TB the same mining runs on top of the IVF
+    or LSH candidate tiers instead of the full corpus scan.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        to_double(F.col(vec_col)).alias("__qv"),
+        norm(F.col(vec_col)).alias("__nq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        to_double(F.col(vec_col)).alias("__cv"),
+        norm(F.col(vec_col)).alias("__nc"),
+    )
+    sim = F.when(
+        (F.col("__nq") > 0) & (F.col("__nc") > 0),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
+    ).otherwise(F.lit(0.0))
+    sims = (
+        c.join(F.broadcast(q), F.col("__cl") != F.col("__ql"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.col("__cl").alias("neg_label"), sim.alias("__sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round(F.col("__sim"), digits).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

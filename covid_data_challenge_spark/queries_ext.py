@@ -5864,3 +5864,63 @@ def q_reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
         "source", "doc_id", "sample_rank"
     )
 
+
+
+from covid_data_challenge_spark.operators.sampling import md5_unit_fraction_sql  # noqa: E402
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH q AS (
+    SELECT d.doc_id, d.source, s.quality
+    FROM documents d JOIN ({_QUALITY_SQL}) s USING (doc_id)
+)
+SELECT doc_id, source, quality FROM q
+WHERE {md5_unit_fraction_sql('doc_id')} < quality
+""",
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (FineWeb/DataComp-style): each doc survives
+    with probability equal to its quality score, decided by a
+    deterministic md5 unit-fraction draw - thins mid-quality docs
+    proportionally instead of cliff-dropping them at a threshold
+    (operators/sampling.py:weighted_sample). Map-side only."""
+    from covid_data_challenge_spark.functions.text import quality_score
+    from covid_data_challenge_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return weighted_sample(docs, key_col="doc_id", weight_col="quality")
+
+
+@register(
+    "hard_negatives_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0),
+sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+           {_dd_cos('q.embedding', 'c.embedding')} AS sim
+    FROM q JOIN embeddings c
+      ON c.label <> q.label AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, neg_label, round(sim, 4) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, neg_label, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+) WHERE rank <= 5
+""",
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query embedding, the 5 most
+    similar vectors with a DIFFERENT label (operators/similarity.py:
+    hard_negatives_topk) — the negatives-selection stage for training
+    retrieval/embedding models."""
+    from covid_data_challenge_spark.operators.similarity import hard_negatives_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return hard_negatives_topk(emb, queries, k=5)
