@@ -115,3 +115,75 @@ SELECT t.i AS sk_row,
 FROM {table} CROSS JOIN range(0, {depth}) t(i)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The third mergeable sketch next to HLL (distinct) and count-min
+# (frequency): a fixed-width histogram whose per-(group, bin) counts merge
+# by addition across days/partitions/clusters — one map-side-combined
+# shuffle on (group, bin) no matter the data volume — and answer quantile
+# queries by cumulative walk + linear interpolation inside the straddling
+# bin. Error is bounded by the bin width (vs t-digest's adaptive bins);
+# the fixed grid is what makes the sketch trivially mergeable AND
+# engine-portable, so the estimates — not just the counts — replay
+# bit-exactly in DuckDB.
+
+
+def quantile_sketch_build(
+    df: DataFrame, group_col: str, value_col: str, bin_width: float
+) -> DataFrame:
+    """(group, bin, cnt) histogram grid; bin = floor(value / width)."""
+    return (
+        df.select(
+            F.col(group_col),
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    group_col: str,
+    quantiles: list[float],
+    bin_width: float,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group quantile estimates from the grid → (group, q, est).
+
+    For each requested q: walk the cumulative counts to the straddling
+    bin, then interpolate ``bin_start + width·(q·total − cum_below)/cnt``.
+    The walk is a per-group window cumsum + an argmin over qualifying
+    bins — all grid-sized work (|groups| × |bins|), independent of the
+    row count the grid summarized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = sketch.select(
+        group_col,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("__total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q")
+    hit = (
+        cum.select(group_col, "bin", "cnt", "__cum", "__total", qs)
+        .filter(F.col("__cum") >= F.col("q") * F.col("__total"))
+        .groupBy(group_col, "q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "__cum", "__total"), F.col("bin")
+            ).alias("__b")
+        )
+        .select(group_col, "q", "__b.*")
+    )
+    est = (
+        F.col("bin") * bin_width
+        + bin_width * (F.col("q") * F.col("__total") - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return hit.select(group_col, "q", F.round(est, digits).alias("est"))

@@ -5982,3 +5982,47 @@ def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return hard_negatives_topk(emb, queries, k=5)
+
+
+@register(
+    "value_quantile_sketch",
+    oracle="""
+WITH grid AS (
+    SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS total
+    FROM grid
+),
+qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+hit AS (
+    SELECT event_type, q, bin, cnt, cum, total,
+           row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+    FROM cum CROSS JOIN qs
+    WHERE cum >= q * total
+)
+SELECT event_type, q,
+       round(bin * 5.0 + 5.0 * (q * total - (cum - cnt)) / cnt, 4) AS est
+FROM hit WHERE rn = 1
+""",
+)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch (p50/p95/p99 of event value
+    per type): the third sketch next to HLL-distinct and count-min —
+    per-(group, bin) counts merge by addition across days/partitions/
+    clusters, and the interpolated estimates replay bit-exactly in
+    DuckDB because the grid is fixed, not adaptive
+    (operators/sketch.py:quantile_sketch_build/estimate)."""
+    from covid_data_challenge_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    events = _events(spark, sf_dir)
+    grid = quantile_sketch_build(events, "event_type", "value", bin_width=5.0)
+    return quantile_sketch_estimate(
+        grid, "event_type", quantiles=[0.5, 0.95, 0.99], bin_width=5.0
+    )

@@ -445,6 +445,53 @@ def test_cms_never_underestimates_and_is_tight_at_test_scale(spark, sf_dir):
     assert all(rows[k] - exact[k] <= max(exact.values()) for k in exact)
 
 
+def test_quantile_sketch_merges_and_bounds_error(spark, sf_dir):
+    """The fixed-bin grid must merge by addition (two halves summed ==
+    whole-data grid, the mergeability that makes it a sketch), and each
+    estimate's guarantee is in RANK, not value: the cumulative walk
+    selects exactly the bin containing the ceil(q·n)-th smallest value,
+    so the estimate must land within one bin width of that order
+    statistic (a value-distance bound against the *interpolated* exact
+    quantile would be false in sparse tails, where adjacent order stats
+    can be many bins apart)."""
+    import math
+    from covid_data_challenge_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = 5.0
+    whole = quantile_sketch_build(ev, "event_type", "value", w)
+    lo = quantile_sketch_build(ev.filter(F.col("value") < 50), "event_type", "value", w)
+    hi = quantile_sketch_build(ev.filter(F.col("value") >= 50), "event_type", "value", w)
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    qs = [0.5, 0.95, 0.99]
+    est = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in quantile_sketch_estimate(whole, "event_type", qs, w).collect()
+    }
+    by_type: dict[str, list[float]] = {}
+    for r in ev.collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    exact = {}
+    for et, vals in by_type.items():
+        vals.sort()
+        for q in qs:
+            k = max(1, math.ceil(q * len(vals)))
+            exact[(et, q)] = vals[k - 1]
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= w, (k, est[k], exact[k])
+
+
 def test_char_entropy_bounds_and_extremes(spark):
     """0 ≤ H ≤ ln(#distinct chars), uniform text hits the max, and
     single-char text hits exactly 0 (never -0.0)."""
