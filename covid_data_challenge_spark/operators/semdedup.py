@@ -145,6 +145,12 @@ def semdedup_prune(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, vec_col)
     )
+    # The assignment table feeds both sides of the pair self-join and the
+    # reps projection; Catalyst plans the shared aggregation once and
+    # reuses the exchange (an eager localCheckpoint here was measured
+    # SLOWER at sf0.1 — 2.9 s vs 2.6 s — the materialization costs more
+    # than the recompute it saves). On a cluster, persist the assignment
+    # as the index gold table instead (see ivf_build's docstring).
     assigned = semdedup_assignments(uniq, n_centroids, lloyd_iters, id_col, vec_col)
     sized = assigned.select(
         "id", "cid", F.col("vec").alias("__v"), norm(F.col("vec")).alias("__n")
