@@ -84,6 +84,11 @@ SCALE_SF1 = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "semdedup_prune",
+    # round 3 additions: the stateful session path and the broadcast
+    # Bloom probe — both shapes whose state/broadcast sizing is the thing
+    # that breaks first at scale
+    "events_sessionize",
+    "bloom_decontaminate",
 ]
 
 RUNS_PER_QUERY = 2

@@ -2,10 +2,13 @@
 ``documents`` / ``embeddings`` / ``events`` tables (SURVEY.md §7 step 9
 "north-star extensions", graded alongside the §2 parity surface).
 
-Same oracle discipline as queries.py. xxhash64-backed operators (MinHash
-LSH, SimHash, sign-LSH ANN) are not ANSI-SQL-expressible → registered
-without an oracle (driver records rows-only); their correctness is pinned
-by pytest recall tests against the exact operators.
+Same oracle discipline as queries.py — and since round 3 it covers the
+entire registry: the hash/sketch/clustering operators run on portable
+families (md5-nibble fingerprints, seeded affine permutations and ±1
+planes, unrolled seeded-Lloyd CTEs), so every registered query — the
+"approximate" tier and the multimodal mapInPandas stage included — is
+hash-checked against DuckDB; pytest recall tests against the exact
+operators pin the algorithmic quality on top.
 """
 
 from __future__ import annotations
@@ -895,8 +898,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal columns — binary payloads through Arrow-batched mapInPandas.
 # The corpus is synthesized deterministically (no media tables exist in the
-# driver's testdata); row counts/values are fixed → rows-only check, with
-# value-level assertions in tests/test_multimodal.py.
+# driver's testdata) from sha256-derived payloads, which is what lets even
+# this tier carry full DuckDB oracles (see below); value-level assertions
+# also live in tests/test_multimodal.py.
 # ---------------------------------------------------------------------------
 
 
