@@ -289,3 +289,35 @@ def test_gapfill_interpolate_matches_pandas(spark, rows):
         assert math.isclose(
             got.value_filled, _round_half_up(float(want.value_filled), 6), abs_tol=1e-6
         )
+
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+_docs_words = st.lists(
+    st.lists(_word, min_size=1, max_size=12), min_size=1, max_size=6
+)
+
+
+@given(docs=_docs_words, seed=st.integers(0, 2**16))
+@settings(**_SETTINGS)
+def test_simhash_md5_is_token_order_invariant(spark, docs, seed):
+    """SimHash is a bag-of-tokens fingerprint: the bit balances sum over
+    the token multiset, so permuting a document's words must leave the
+    md5-variant fingerprint bit-identical (the property the near-dup
+    banding relies on — word-order edits alone cannot move a doc out of
+    its Hamming neighborhood)."""
+    import random
+
+    from covid_data_challenge_spark.operators.dedup import simhash_md5
+
+    rng = random.Random(seed)
+    orig = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    perm = []
+    for i, ws in enumerate(docs):
+        shuffled = ws[:]
+        rng.shuffle(shuffled)
+        perm.append((i, " ".join(shuffled)))
+    a = simhash_md5(spark.createDataFrame(orig, "doc_id long, text string"))
+    b = simhash_md5(spark.createDataFrame(perm, "doc_id long, text string"))
+    fa = {r["doc_id"]: r["simhash"] for r in a.collect()}
+    fb = {r["doc_id"]: r["simhash"] for r in b.collect()}
+    assert fa == fb
