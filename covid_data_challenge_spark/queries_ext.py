@@ -6030,3 +6030,49 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_estimate(
         grid, "event_type", quantiles=[0.5, 0.95, 0.99], bin_width=5.0
     )
+
+
+@register(
+    "token_gini_by_source",
+    oracle=f"""
+WITH per AS (
+    SELECT source, doc_id,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS x
+    FROM documents
+),
+ranked AS (
+    SELECT source, x,
+           row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+    FROM per
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS BIGINT) AS n_tokens,
+       round((2.0 * sum(i * x) - (count(*) + 1) * sum(x))
+             / (count(*) * sum(x)), 6) AS gini
+FROM ranked GROUP BY source
+""",
+)
+def q_token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balance metric: the Gini coefficient of per-document token
+    counts within each source (0 = every doc the same length, →1 = a few
+    giant docs hold all the tokens) — the length-concentration check run
+    before choosing chunking/packing parameters for a source. The rank
+    formula ``(2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)`` stays in exact integer
+    arithmetic until the final division (bit-exact across engines); the
+    per-source window parallelizes across sources and the totals are one
+    map-side-combined aggregation."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = per.withColumn("i", F.row_number().over(w))
+    n, s = F.count(F.lit(1)), F.sum("x")
+    return ranked.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        s.cast("long").alias("n_tokens"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x")) - (n + 1) * s) / (n * s), 6
+        ).alias("gini"),
+    )
