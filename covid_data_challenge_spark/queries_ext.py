@@ -6076,3 +6076,44 @@ def q_token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.sum(F.col("i") * F.col("x")) - (n + 1) * s) / (n * s), 6
         ).alias("gini"),
     )
+
+
+@register(
+    "bpe_first_merge_candidates",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+pairs AS (
+    SELECT substr(w, i, 2) AS pair
+    FROM words JOIN (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def q_bpe_first_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step one: the top-20 adjacent character pairs
+    by corpus frequency — exactly the counts the first BPE merge is
+    chosen from (each further merge re-runs the same shape on the merged
+    vocabulary). Map-side position explode, one aggregation on a tiny
+    key space (≤ alphabet²), TakeOrderedAndProject top-k: counting pairs
+    over 100 TB of text is a scan plus a kilobyte-scale shuffle."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0))),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
