@@ -152,3 +152,51 @@ def cms_stream_update(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def quantile_grid_stream_update(
+    stream_df: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 5.0,
+    timeout_s: int = 120,
+):
+    """Maintain the fixed-bin quantile grid (operators/sketch.py:
+    quantile_sketch_build) as streaming state: each micro-batch bins its
+    own rows and merges into the stored grid by ADDITION on
+    (group, bin) — same mergeability argument as cms_stream_update, so
+    a streamed grid equals the batch grid over the same rows exactly
+    (pinned in pytest). Quantile queries read the O(|groups|·|bins|)
+    gold table via quantile_sketch_estimate without touching raw
+    events."""
+    from covid_data_challenge_spark.operators.sketch import quantile_sketch_build
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = quantile_sketch_build(batch_df, group_col, value_col, bin_width)
+        try:
+            existing = spark.read.parquet(gold_path)
+        except Exception:
+            existing = None
+        merged = (
+            grid
+            if existing is None
+            else existing.unionByName(grid)
+            .groupBy(group_col, "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged.write.mode("overwrite").parquet(gold_path + "_next")
+        spark.read.parquet(gold_path + "_next").write.mode("overwrite").parquet(
+            gold_path
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -291,3 +291,36 @@ def test_cms_stream_merge_equals_batch_grid(spark, sf_dir, tmp_path):
         for r in cms_build(ev, "user_id").collect()
     }
     assert streamed == batch
+
+
+def test_quantile_grid_stream_merge_equals_batch_grid(spark, sf_dir, tmp_path):
+    """The fixed-bin quantile grid maintained by addition across
+    micro-batches must equal the batch grid over the same rows exactly —
+    the same mergeability contract as the CMS grid, for the value-
+    distribution sketch."""
+    from covid_data_challenge_spark.operators.sketch import quantile_sketch_build
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.streaming.snapshot import quantile_grid_stream_update
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("value") < 50).coalesce(1).write.parquet(src)
+    ev.filter(F.col("value") >= 50).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gold = str(tmp_path / "qgrid_gold")
+    quantile_grid_stream_update(stream, gold, checkpoint=str(tmp_path / "ckpt"))
+
+    streamed = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in spark.read.parquet(gold).collect()
+    }
+    batch = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in quantile_sketch_build(ev, "event_type", "value", 5.0).collect()
+    }
+    assert streamed == batch
