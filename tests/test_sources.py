@@ -260,3 +260,43 @@ def test_overwrite_partitions_leaves_other_partitions_intact(spark, sf_dir, tmp_
     others_after = back.filter(F.col("event_type") != "click")
     assert others_after.count() == others_before.count()
     assert others_after.exceptAll(others_before.select("event_id", "value", "event_type")).count() == 0
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """The ORC gold twin must roundtrip values exactly and push
+    predicates + projections into the scan like parquet."""
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.sources.sinks import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, orders.collect())) == sorted(map(tuple, back.collect()))
+
+    scan = back.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert "ReadSchema" in plan  # projection reaches the ORC scan
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """partition_by on the ORC sink must enable partition pruning for
+    downstream readers (the pruned partition never appears in the scan)."""
+    from covid_data_challenge_spark.sources.readers import load_table
+    from covid_data_challenge_spark.sources.sinks import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    path = str(tmp_path / "orders_orc_part")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path).filter(F.col("o_orderstatus") == "F")
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
