@@ -6117,3 +6117,64 @@ def q_bpe_first_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "corpus_prep_recipe",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           len(string_split({_NORM}, ' ')) AS n_tok,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(len(text), 1) AS punct,
+           md5({_NORM}) AS f
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, source, f,
+           round((least(n_tok / 100.0, 1.0)
+                + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+                + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
+    FROM scored
+),
+soft AS (
+    SELECT * FROM quality WHERE {md5_unit_fraction_sql('doc_id')} < quality
+),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM soft GROUP BY f),
+deduped AS (SELECT s.doc_id, s.source, s.quality FROM soft s JOIN keep USING (doc_id)),
+capped AS (
+    SELECT doc_id, source, quality,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM deduped
+)
+SELECT doc_id, source, quality, CAST(rn AS INT) AS sample_rank
+FROM capped WHERE rn <= 100
+""",
+)
+def q_corpus_prep_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep recipe composed end to end — what a user of
+    this engine actually runs before training: quality scoring → SOFT
+    quality sampling (survival probability = score) → exact dedup with
+    deterministic survivor → per-source reservoir cap. Three shuffles
+    total at any scale (dedup groupBy, dedup semi-join, per-source
+    window) on top of one scan; every stage is the registered operator,
+    and the oracle chains the same four stages in SQL — the composition
+    itself is hash-checked, not just the parts."""
+    from covid_data_challenge_spark.functions.text import quality_score
+    from covid_data_challenge_spark.operators.sampling import (
+        hash_reservoir_per_key,
+        weighted_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source", "text", quality_score(F.col("text")).alias("quality")
+    )
+    soft = weighted_sample(scored, key_col="doc_id", weight_col="quality")
+    deduped = dedup_exact_keep_first(soft)
+    capped = hash_reservoir_per_key(deduped, key_col="source", id_col="doc_id", n=100)
+    return capped.select("doc_id", "source", "quality", "sample_rank")
