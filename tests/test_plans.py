@@ -369,6 +369,17 @@ def test_reservoir_sample_uses_rank_limit_pushdown(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
 
 
+def test_corpus_prep_recipe_is_three_shuffles(spark, sf_dir):
+    """The composed curation recipe must stay three exchanges (dedup
+    groupBy, dedup semi-join side, per-source cap window) over one scan
+    — the composition cannot silently grow extra shuffles."""
+    plan = _plan(spark, REGISTRY["corpus_prep_recipe"].spark(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the soft-sample coin is a pushed filter, not a join or python stage
+    assert "WindowGroupLimit" in plan  # per-source cap pruned map-side
+
+
 def test_semdedup_policy_assignment_broadcasts_centroids(spark, sf_dir):
     """Under the corpus-proportional sizing policy (n_centroids=None)
     the centroid join must stay a broadcast — the policy's broadcast-
