@@ -652,3 +652,55 @@ def bloom_decontaminate(
             F.round(F.col("n_hit_grams") / F.col("n_grams"), 4).alias("hit_rate"),
         )
     )
+
+
+def passage_dedup(
+    docs: DataFrame,
+    passage_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level exact dedup (the CCNet/RefinedWeb line-dedup shape,
+    token-windowed because this corpus has no newlines): split each
+    document into consecutive ``passage_tokens``-token windows, drop
+    every repeat of a passage corpus-WIDE (first occurrence by lowest
+    (doc_id, position) survives — boilerplate headers/footers shared by
+    thousands of pages die here while each host document survives), then
+    reassemble the surviving passages in their original order.
+
+    Output: (doc_id, clean_text, kept_passages); documents whose every
+    passage was a repeat drop out entirely.
+
+    Scale shape: the passage explode is map-side (×⌈len/16⌉ rows of
+    ~16-token strings); the keep-first decision is one shuffle on the
+    32-byte passage hash (row_number over the hash partition — skew-safe
+    because identical passages hash together and the window only sorts
+    (doc_id, pos) longs); reassembly is one shuffle back on doc_id with
+    an order-struct sort inside the aggregate, never a driver collect.
+    No O(n²) stage at any corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    # ceil(len/w) windows; len ≥ 1 always (split of "" yields [""])
+    n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_pass, F.lit(1)) - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * passage_tokens + F.lit(1), F.lit(passage_tokens)), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(passages).alias("pos", "passage")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    kept = (
+        exploded.withColumn("h", F.md5(F.col("passage")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "passage")))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["passage"]), " "
+        ).alias("clean_text"),
+        F.count("*").alias("kept_passages"),
+    )

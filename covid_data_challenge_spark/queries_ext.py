@@ -47,6 +47,7 @@ from covid_data_challenge_spark.operators.dedup import (
     hot_shingles,
     jaccard_pairs,
     minhash_lsh_pairs,
+    passage_dedup,
     simhash,
     simhash_md5,
     simhash_md5_sql,
@@ -6178,3 +6179,305 @@ def q_corpus_prep_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_exact_keep_first(soft)
     capped = hash_reservoir_per_key(deduped, key_col="source", id_col="doc_id", n=100)
     return capped.select("doc_id", "source", "quality", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# round 3 late wave: remaining TPC-H query shapes + passage-level corpus ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returned_order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+""",
+)
+def q_returned_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority in 1996-Q1 that had at least one returned line
+    (TPC-H Q4 shape; the reference data lacks commit/receipt dates, so the
+    per-line EXISTS predicate is the return flag). The EXISTS is a LEFT
+    SEMI join between two filtered fact scans — the quarter predicate
+    pushes into the orders scan, the flag predicate into the lineitem
+    scan, and the semi join shuffles only (orderkey) pairs of the two
+    slices; the build side never materializes duplicate matches."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "bilateral_trade_volume",
+    oracle="""
+WITH sales AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS ship_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+)
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(sum(cents) AS BIGINT) / 10000.0 AS volume
+FROM sales GROUP BY 1, 2, 3
+""",
+)
+def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped revenue between two nations, both directions, by ship year
+    (TPC-H Q7 shape). The two 1-row nation slices broadcast into the
+    supplier/customer dims FIRST, so both fact arms shrink to the two
+    nations' ~8% before the only guaranteed shuffle (orderkey); the
+    OR-pair predicate then runs on two tiny joined columns. Revenue sums
+    as exact integer cents — bit-identical in any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = ["NATION_1", "NATION_2"]
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    sup2 = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust2 = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    sales = (
+        li.join(F.broadcast(sup2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust2, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return sales.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg((F.sum(_rev_cents4()) / 10000.0).alias("volume"))
+
+
+@register(
+    "major_value_parts",
+    oracle="""
+WITH vals AS (
+  SELECT l.l_partkey AS part_key,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS part_c
+  FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE s.s_suppkey = l.l_suppkey AND n.n_name = 'NATION_3')
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(part_c) AS BIGINT) AS total_c FROM vals)
+SELECT part_key, part_c / 10000.0 AS value
+FROM vals, tot
+WHERE part_c * 1000 > total_c
+""",
+)
+def q_major_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose NATION_3-supplied revenue exceeds 0.1% of that
+    nation's total (TPC-H Q11 shape: a grouped aggregate HAVING against
+    a global scalar over the SAME aggregate). The nation slice reaches
+    lineitem as a broadcast semi join before the per-part shuffle; the
+    global total is a second pass over the small per-part aggregate
+    (not the fact table), shipped back as a 1-row broadcast; and the
+    threshold compares exact integer cents — no float epsilon at the
+    cut line in either engine."""
+    n3 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup3 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup3), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    vals = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(_rev_cents4()).alias("part_c")
+    )
+    tot = vals.agg(F.sum("part_c").alias("total_c"))
+    return (
+        vals.join(F.broadcast(tot))
+        .filter(F.col("part_c") * 1000 > F.col("total_c"))
+        .select("part_key", (F.col("part_c") / 10000.0).alias("value"))
+    )
+
+
+@register(
+    "heavy_promo_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    AND EXISTS (SELECT 1 FROM part p
+                WHERE p.p_partkey = l.l_partkey AND p.p_type = 'PROMO')
+  GROUP BY 1
+  HAVING sum(CAST(round(l.l_quantity * 100) AS BIGINT)) > 30000
+)
+""",
+)
+def q_heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 300 units of PROMO-type parts in
+    1997 (TPC-H Q20 shape: a semi join against an aggregated, itself
+    semi-joined, subquery — the candidate-supplier screen for a
+    promotion). Both inner predicates push to their scans, the part
+    slice reaches lineitem as a broadcast semi join BEFORE the per-
+    supplier shuffle, and the outer supplier probe is a broadcast semi
+    join against the tiny qualifying-keys aggregate. Quantities sum as
+    exact integer centi-units."""
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li97 = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    heavy = (
+        li97.groupBy("l_suppkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .filter(F.col("qty_c") > 30000)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "passage_dedup",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+pass AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
+  FROM toks JOIN (SELECT unnest(range(0, 100000)) AS i) idx ON i * 16 < len(w)
+),
+kept AS (
+  SELECT doc_id, pos, passage FROM (
+    SELECT doc_id, pos, passage,
+           row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, pos) AS rn
+    FROM pass
+  ) WHERE rn = 1
+)
+SELECT doc_id,
+       string_agg(passage, ' ' ORDER BY pos) AS clean_text,
+       count(*) AS kept_passages
+FROM kept GROUP BY doc_id
+""",
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage-level exact dedup (CCNet/RefinedWeb line
+    dedup, token-windowed): every 16-token window occurs once in the
+    whole corpus — lowest (doc_id, pos) wins — and documents are
+    reassembled from their surviving passages. Two shuffles at any
+    corpus size: passage-hash keep-first, doc_id reassembly
+    (operators/dedup.py:passage_dedup)."""
+    return passage_dedup(_docs(spark, sf_dir), passage_tokens=16)
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per_source),
+shares AS (
+  SELECT source, tokens,
+         CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e9)
+              AS BIGINT) AS w_units
+  FROM per_source, tot
+)
+SELECT source, tokens, share,
+       CAST(w_units AS DOUBLE) / CAST(sum(w_units) OVER () AS DOUBLE) AS weight,
+       (CAST(w_units AS DOUBLE) / CAST(sum(w_units) OVER () AS DOUBLE)) / share
+         AS effective_epochs
+FROM shares
+""",
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the mT5/XLM-R α=0.5
+    up-sampling rule): sampling weight ∝ share^α over per-source token
+    counts, plus the effective-epochs multiplier each source gets.
+    α is fixed at 0.5 because sqrt is IEEE-correctly-rounded on every
+    engine (pow(x, 0.7) is libm-dependent and would break the hash);
+    per-row weights quantize to integer 1e-9 units before the
+    normalizing sum so the result is bit-identical under any summation
+    order. One scan + one tiny aggregate; the whole-frame window runs
+    over #sources rows, never the corpus."""
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("tokens")
+    )
+    tot = per_source.agg(F.sum("tokens").alias("total_tokens"))
+    share = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    shares = per_source.join(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * F.lit(1e9)).cast("long").alias("w_units"),
+    )
+    w_all = Window.partitionBy()
+    weight = F.col("w_units").cast("double") / F.sum("w_units").over(w_all).cast("double")
+    return shares.select(
+        "source",
+        "tokens",
+        "share",
+        weight.alias("weight"),
+        (weight / F.col("share")).alias("effective_epochs"),
+    )

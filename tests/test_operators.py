@@ -616,3 +616,44 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     assert all(ranks[0] > ranks[v] for v in leaves)
     assert len({ranks[v] for v in leaves}) == 1
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_passage_dedup_kills_boilerplate_keeps_first(spark):
+    """A boilerplate passage shared by three docs survives only in the
+    lowest-(doc_id,pos) spot; a doc that is ALL boilerplate drops out;
+    passage order inside a surviving doc is preserved."""
+    from covid_data_challenge_spark.operators.dedup import passage_dedup
+
+    boiler = " ".join(["cookie"] * 4)  # one full 4-token passage
+    uniq_a = " ".join(f"a{i}" for i in range(4))
+    uniq_b = " ".join(f"b{i}" for i in range(4))
+    rows = [
+        (1, boiler + " " + uniq_a),   # keeps boiler (first) + uniq_a
+        (2, boiler + " " + uniq_b),   # boiler deduped away, keeps uniq_b
+        (3, boiler),                  # all passages duplicate → drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.kept_passages)
+        for r in passage_dedup(df, passage_tokens=4).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (boiler + " " + uniq_a, 2)
+    assert got[2] == (uniq_b, 1)
+
+
+def test_passage_dedup_short_doc_single_partial_passage(spark):
+    """A doc shorter than one window is a single (partial) passage and
+    survives verbatim; an intra-doc repeat dedups within the doc too."""
+    from covid_data_challenge_spark.operators.dedup import passage_dedup
+
+    rep = " ".join(["x"] * 4)
+    rows = [(1, "tiny doc"), (2, rep + " " + rep + " tail words go here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.kept_passages)
+        for r in passage_dedup(df, passage_tokens=4).collect()
+    }
+    assert got[1] == ("tiny doc", 1)
+    # doc 2: window 1 = rep, window 2 = rep again (dropped), window 3 = tail
+    assert got[2] == (rep + " tail words go here", 2)
