@@ -4908,7 +4908,10 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
-    ranks = pagerank(edges, iters=3, damping=0.85)
+    # parts are a catalog dimension (bounded by schema, not SF), so the
+    # 20k-row rank table broadcasts and the 2.4M-row edge list is never
+    # shuffled inside the loop — measured ~2x per iteration at sf0.1
+    ranks = pagerank(edges, iters=3, damping=0.85, broadcast_ranks=True)
     return (
         ranks.select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "part")
@@ -6480,4 +6483,148 @@ def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         "share",
         weight.alias("weight"),
         (weight / F.col("share")).alias("effective_epochs"),
+    )
+
+
+@register(
+    "observed_quality_report",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_discount_lines,
+       CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS negative_qty_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         / 10000.0 AS revenue
+FROM lineitem
+WHERE l_returnflag <> 'R'
+""",
+)
+def q_observed_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass piggybacked DQ metrics via ``df.observe``: the counters
+    ride the SAME job that materializes the kept-lines output (a noop
+    sink here, the real gold write in production) — row count, rule
+    violations, and exact-cents revenue appear as a side effect of the
+    action, with NO second scan of the fact table. This is the Spark-
+    native replacement for the reference's separate quality pass
+    (data_cleaner.py:99-151) at 100 TB: profiling a table you were
+    writing anyway costs zero extra I/O
+    (operators/profiling.py:observe_quality shows the general form)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") != "R")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("high_discount_lines"),
+        F.sum(F.when(F.col("l_quantity") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_qty_lines"),
+        (F.sum(_rev_cents4()) / 10000.0).alias("revenue"),
+    )
+    # the action the caller was running anyway (gold write stand-in)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["high_discount_lines"],
+                m["negative_qty_lines"],
+                m["revenue"],
+            )
+        ],
+        "n_rows long, high_discount_lines long, negative_qty_lines long, revenue double",
+    )
+
+
+@register(
+    "bpe_second_merge_candidates",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+pairs1 AS (
+    SELECT substr(w, i, 2) AS pair
+    FROM words JOIN (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+win AS (
+    SELECT pair FROM pairs1 GROUP BY pair
+    ORDER BY count(*) DESC, pair LIMIT 1
+),
+merged AS (
+    SELECT replace(w, win.pair, chr(1)) AS w2, win.pair AS wp
+    FROM words, win
+),
+pairs2 AS (
+    SELECT replace(substr(w2, i, 1), chr(1), wp)
+             || replace(substr(w2, i + 1, 1), chr(1), wp) AS pair
+    FROM merged JOIN (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i) idx
+        ON i <= len(w2) - 1
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs2 GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def q_bpe_second_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step two: apply the winning first merge and
+    recount adjacent-symbol pairs — one full BPE iteration, entirely as
+    a DataFrame plan. The winning pair is chosen by a 1-row
+    TakeOrderedAndProject and threaded into the corpus rewrite as a
+    BROADCAST scalar feeding a column-argument ``replace`` (plain
+    string replace is greedy leftmost non-overlapping — exactly BPE's
+    merge order), so the iteration has NO driver round-trip: at 100 TB
+    each merge step is scan → kilobyte shuffle → scan, and successive
+    steps chain the same shape. Merged symbols travel as a reserved
+    \\x01 byte and are expanded back for the output counts."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    pairs1 = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0))),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    win = (
+        pairs1.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("wp"))
+    )
+    sep = "\x01"
+    merged = words.join(F.broadcast(win)).select(
+        F.replace(F.col("w"), F.col("wp"), F.lit(sep)).alias("w2"), "wp"
+    )
+    sym = lambda c: F.replace(c, F.lit(sep), F.col("wp"))  # noqa: E731
+    pairs2 = merged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w2") - 1, F.lit(0))),
+                # sequence(1, 0) descends for 1-char words — the i >= 1
+                # guard drops the spurious i=0 slot (substring treats
+                # pos 0 as 1 and would double-count the first char)
+                lambda i: F.when(
+                    (i >= F.lit(1)) & (i < F.length("w2")),
+                    F.concat(
+                        sym(F.substring(F.col("w2"), i, 1)),
+                        sym(F.substring(F.col("w2"), i + F.lit(1), 1)),
+                    ),
+                ),
+            )
+        ).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    return (
+        pairs2.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
     )
