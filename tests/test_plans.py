@@ -399,3 +399,57 @@ def test_ewma_has_single_fact_shuffle_and_no_udf(spark, sf_dir):
     plan = _plan(spark, REGISTRY["user_daily_value_ewma"].spark(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "aggregate(" in plan  # the higher-order fold survives in the plan
+
+
+def test_passage_dedup_two_exchanges_with_rank_limit_pushdown(spark, sf_dir):
+    """Passage dedup must be exactly two shuffles (passage-hash
+    keep-first, doc_id reassembly) and the keep-first must prune on the
+    map side (WindowGroupLimit Partial) so only per-partition winners
+    reach the hash exchange."""
+    simple = _plan(spark, REGISTRY["passage_dedup"].spark(spark, sf_dir), "simple")
+    assert simple.count("Exchange hashpartitioning") == 2
+    assert simple.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "CartesianProduct" not in simple
+
+
+def test_bilateral_trade_broadcasts_all_dim_arms(spark, sf_dir):
+    """The two nation slices and the pruned supplier arm are hinted
+    broadcasts — the fact table must never feed a cartesian and the
+    hinted joins must stay broadcast regardless of stats."""
+    simple = _plan(spark, REGISTRY["bilateral_trade_volume"].spark(spark, sf_dir), "simple")
+    assert simple.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in simple
+
+
+def test_pagerank_broadcast_loop_never_shuffles_edges(spark):
+    """With broadcast_ranks=True every iteration join is a
+    BroadcastHashJoin — the edge list crosses no exchange inside the
+    loop (the whole point of the hint: at dimension-sized node sets the
+    big edge relation is shuffle-free for the entire run)."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.graph import _iterate
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src int, dst int"
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    e = edges.join(deg, "src").persist()  # as pagerank() itself does
+    nodes = deg.select(F.col("src").alias("node")).persist()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = nodes.join(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    out = _iterate(
+        e, nodes, n_nodes, ranks, 3, 0.85, F.lit(0.15), "src", "dst", 9,
+        broadcast_ranks=True,
+    )
+    simple = _plan(spark, out, "simple")
+    e.unpersist()
+    nodes.unpersist()
+    # 2 broadcast joins per iteration; the only SortMergeJoin strings in
+    # the explain output are the cached edges⋈deg BUILD plan rendered
+    # beneath each InMemoryTableScan (keyed on src) — the loop's own
+    # joins are keyed on node and must never sort-merge
+    assert simple.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin [node" not in simple
