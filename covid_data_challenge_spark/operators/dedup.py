@@ -679,6 +679,20 @@ def passage_dedup(
     an order-struct sort inside the aggregate, never a driver collect.
     No O(n²) stage at any corpus size.
     """
+    exploded = _passage_explode(docs, passage_tokens, id_col, text_col)
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return _passage_reassemble(kept)
+
+
+def _passage_explode(
+    docs: DataFrame, passage_tokens: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, pos, passage, h): consecutive ``passage_tokens``-token
+    windows of the normalized text, md5-keyed — entirely map-side."""
     toks = tokens(F.col(text_col))
     # ceil(len/w) windows; len ≥ 1 always (split of "" yields [""])
     n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
@@ -688,15 +702,14 @@ def passage_dedup(
             F.slice(toks, i * passage_tokens + F.lit(1), F.lit(passage_tokens)), " "
         ),
     )
-    exploded = docs.select(
+    return docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(passages).alias("pos", "passage")
-    )
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    kept = (
-        exploded.withColumn("h", F.md5(F.col("passage")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    ).withColumn("h", F.md5(F.col("passage")))
+
+
+def _passage_reassemble(kept: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, kept_passages): surviving passages rejoined
+    in original order — one shuffle on doc_id, sort inside the agg."""
     ordered = F.array_sort(F.collect_list(F.struct("pos", "passage")))
     return kept.groupBy("doc_id").agg(
         F.array_join(
@@ -704,3 +717,34 @@ def passage_dedup(
         ).alias("clean_text"),
         F.count("*").alias("kept_passages"),
     )
+
+
+def boilerplate_passage_strip(
+    docs: DataFrame,
+    max_df: int = 4,
+    passage_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate REMOVAL, the complement of :func:`passage_dedup`:
+    a passage appearing in more than ``max_df`` distinct documents is
+    boilerplate (header/footer/cookie banner) and is stripped from ALL
+    of them — no "first occurrence" survives, unlike dedup, because the
+    first page carrying a cookie banner doesn't own it. Within-doc
+    repeats of a non-boilerplate passage are kept as-is.
+
+    Scale shape: document frequency is one (hash → countDistinct doc)
+    aggregation; the hot-hash set is tiny by construction (passages
+    repeated across >max_df docs), so the strip is a broadcast ANTI
+    join against it — the corpus is never shuffled for the decision,
+    only for the doc_id reassembly.
+    """
+    exploded = _passage_explode(docs, passage_tokens, id_col, text_col)
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    kept = exploded.join(F.broadcast(hot), "h", "left_anti")
+    return _passage_reassemble(kept)

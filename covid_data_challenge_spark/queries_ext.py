@@ -6628,3 +6628,121 @@ def q_bpe_second_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+lm_pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_bg GROUP BY 1
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(floor(1e9 * CAST(l.c_ab AS DOUBLE) / CAST(p.c_a AS DOUBLE))
+                AS BIGINT) AS p_units
+    FROM bg b
+    JOIN lm_bg l ON b.bg = l.bg
+    JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_units) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1e9) AS lm_score
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus bigram language-model fluency score (the CCNet
+    perplexity-filter shape, arXiv:1911.00359, self-trained so no
+    external model is needed): train MLE bigram probabilities
+    p(b|a) = C(ab)/C(a·) over the whole corpus in two aggregations,
+    then score each document by its mean bigram probability. Documents
+    whose token sequences are unusual for the corpus score low (noise,
+    garbled text); formulaic ones score high — the complement of
+    repetition_score for quality filtering.
+
+    Hash-exactness across engines: each probability quantizes to
+    integer 1e-9 units BEFORE the per-doc sum (exact integer addition
+    in any order), and the final mean is one IEEE division — no libm
+    log() whose last ulp differs per engine. Scale shape: the LM is
+    |distinct bigrams| rows built by map-side-combined aggs; scoring is
+    one shuffle join of exploded doc-bigrams against the LM on the
+    bigram key (never broadcast-dependent), then a per-doc re-agg."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .filter(F.col("bg").contains(" "))  # drop the padded tail slot
+    )
+    lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    lm_pre = (
+        lm_bg.groupBy(F.substring_index("bg", " ", 1).alias("pre"))
+        .agg(F.sum("c_ab").alias("c_a"))
+    )
+    lm = lm_bg.join(
+        lm_pre, F.substring_index(lm_bg.bg, " ", 1) == lm_pre.pre
+    ).select("bg", "c_ab", "c_a")
+    p_units = F.floor(
+        F.lit(1e9) * F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+    ).cast("long")
+    return (
+        bg.join(lm, "bg")
+        .select("doc_id", p_units.alias("p_units"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("p_units").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+            ).alias("lm_score"),
+        )
+    )
+
+
+@register(
+    "boilerplate_passage_strip",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+pass AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
+  FROM toks JOIN (SELECT unnest(range(0, 100000)) AS i) idx ON i * 16 < len(w)
+),
+keyed AS (SELECT doc_id, pos, passage, md5(passage) AS h FROM pass),
+hot AS (
+  SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT doc_id) > 4
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.passage
+  FROM keyed k WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = k.h)
+)
+SELECT doc_id,
+       string_agg(passage, ' ' ORDER BY pos) AS clean_text,
+       count(*) AS kept_passages
+FROM kept GROUP BY doc_id
+""",
+)
+def q_boilerplate_passage_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate passage removal: any 16-token window shared by more
+    than 4 distinct documents is stripped from ALL of them (no
+    first-occurrence survivor — the first page carrying a cookie banner
+    doesn't own it); the strip decision is a broadcast ANTI join against
+    the tiny hot-passage set (operators/dedup.py:boilerplate_passage_strip)."""
+    from covid_data_challenge_spark.operators.dedup import boilerplate_passage_strip
+
+    return boilerplate_passage_strip(_docs(spark, sf_dir), max_df=4)

@@ -657,3 +657,25 @@ def test_passage_dedup_short_doc_single_partial_passage(spark):
     assert got[1] == ("tiny doc", 1)
     # doc 2: window 1 = rep, window 2 = rep again (dropped), window 3 = tail
     assert got[2] == (rep + " tail words go here", 2)
+
+
+def test_boilerplate_strip_removes_from_all_docs_keeps_intra_doc_repeats(spark):
+    """df > max_df passages vanish from EVERY doc (no first-occurrence
+    survivor — the dedup/strip semantic difference); a within-doc repeat
+    of a rare passage is NOT boilerplate and survives twice."""
+    from covid_data_challenge_spark.operators.dedup import boilerplate_passage_strip
+
+    banner = " ".join(["banner"] * 4)
+    rep = " ".join(["rare"] * 4)
+    rows = [(i, banner + f" doc {i} unique words") for i in range(1, 4)]
+    rows.append((9, rep + " " + rep))  # intra-doc repeat, df=1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.kept_passages)
+        for r in boilerplate_passage_strip(df, max_df=2, passage_tokens=4).collect()
+    }
+    # banner df=3 > 2 → stripped everywhere, including doc 1
+    for i in (1, 2, 3):
+        assert "banner" not in got[i][0]
+        assert got[i] == (f"doc {i} unique words", 1)
+    assert got[9] == (rep + " " + rep, 2)
