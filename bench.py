@@ -89,6 +89,10 @@ SCALE_SF1 = [
     # that breaks first at scale
     "events_sessionize",
     "bloom_decontaminate",
+    # round 3 late wave: the two new corpus-wide shuffle shapes — the
+    # passage hash keep-first window and the doc-bigrams⋈LM join
+    "passage_dedup",
+    "bigram_lm_score",
 ]
 
 RUNS_PER_QUERY = 2

@@ -6746,3 +6746,73 @@ def q_boilerplate_passage_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.dedup import boilerplate_passage_strip
 
     return boilerplate_passage_strip(_docs(spark, sf_dir), max_df=4)
+
+
+@register(
+    "corpus_prep_recipe_v2",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+pass AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
+  FROM toks JOIN (SELECT unnest(range(0, 100000)) AS i) idx ON i * 16 < len(w)
+),
+keyed AS (SELECT doc_id, pos, passage, md5(passage) AS h FROM pass),
+hot AS (SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT doc_id) > 4),
+clean AS (
+  SELECT k.doc_id, string_agg(k.passage, ' ' ORDER BY k.pos) AS ct
+  FROM keyed k WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = k.h)
+  GROUP BY k.doc_id
+),
+q AS (
+  SELECT doc_id, ct,
+         len(string_split(ct, ' ')) AS n_tok,
+         len(regexp_extract_all(ct, '{_LANG_SQL_HITS["en"]}')) AS h_en,
+         (len(ct) - len(regexp_replace(ct, '[.,;:!?]', '', 'g')))
+             / greatest(len(ct), 1) AS punct
+  FROM clean
+),
+scored AS (
+  SELECT doc_id, ct, CAST(n_tok AS INT) AS n_tokens_clean,
+         round((least(n_tok / 100.0, 1.0)
+              + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+              + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
+  FROM q
+),
+gated AS (SELECT * FROM scored WHERE quality >= 0.3),
+dd AS (
+  SELECT doc_id, n_tokens_clean, quality,
+         row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')))
+             ORDER BY doc_id
+         ) AS rn
+  FROM gated
+)
+SELECT doc_id, n_tokens_clean, quality FROM dd WHERE rn = 1
+""",
+)
+def q_corpus_prep_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep recipe, round-3 edition — the web-scale cleaning
+    chain (RefinedWeb/CCNet order): boilerplate passage strip → quality
+    gate on the CLEANED text → exact dedup with deterministic survivor.
+    Each stage is the registered operator; the whole composition is
+    hash-checked end to end, as with corpus_prep_recipe (which stays
+    pinned as the v1 sampling-centric chain). Shuffle budget: passage
+    df-count, doc reassembly, dedup groupBy + semi join — all keyed
+    shuffles, no O(n²) stage, broadcast only for the tiny hot-passage
+    set."""
+    from covid_data_challenge_spark.operators.dedup import (
+        boilerplate_passage_strip,
+        dedup_exact_keep_first,
+    )
+
+    clean = boilerplate_passage_strip(_docs(spark, sf_dir), max_df=4)
+    scored = clean.select(
+        "doc_id",
+        F.col("clean_text"),
+        token_count(F.col("clean_text")).alias("n_tokens_clean"),
+        quality_score(F.col("clean_text")).alias("quality"),
+    )
+    gated = scored.filter(F.col("quality") >= 0.3)
+    deduped = dedup_exact_keep_first(gated, text_col="clean_text")
+    return deduped.select("doc_id", "n_tokens_clean", "quality")
