@@ -104,16 +104,16 @@ WHERE copies > 0
 
 def md5_unit_fraction(key: Column) -> Column:
     """Deterministic uniform-[0,1) draw per key: the first 8 hex nibbles
-    of md5(key) as an integer over 2^32, via the same positional
-    arithmetic DuckDB replays verbatim (no conv(), which DuckDB lacks).
-    The per-row coin behind weighted sampling."""
+    of md5(key) as an integer over 2^32. Spark parses the prefix with
+    one ``conv(hex, 16, 10)``; the DuckDB twin keeps the positional
+    strpos arithmetic (DuckDB has no conv()) — value-identical, pinned
+    by every weighted-sampling oracle. The per-row coin behind weighted
+    sampling."""
     hx = F.md5(key.cast("string"))
-    h = None
-    for i in range(8):
-        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(hx, i + 1, 1)) - 1).cast("long")
-        term = nib * F.lit(16 ** (7 - i)).cast("long")
-        h = term if h is None else h + term
-    return h.cast("double") / F.lit(float(1 << 32))
+    return (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").cast("double")
+        / F.lit(float(1 << 32))
+    )
 
 
 def md5_unit_fraction_sql(key_sql: str) -> str:
