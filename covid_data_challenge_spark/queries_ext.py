@@ -6644,13 +6644,19 @@ lm_pre AS (
     SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
     FROM lm_bg GROUP BY 1
 ),
+vocab AS (
+    SELECT CAST(count(DISTINCT t.tok) AS BIGINT) AS v
+    FROM (SELECT unnest(w) AS tok FROM toks) t
+),
 scored AS (
     SELECT b.doc_id,
-           CAST(floor(1e9 * CAST(l.c_ab AS DOUBLE) / CAST(p.c_a AS DOUBLE))
+           CAST(floor(1e9 * (CAST(l.c_ab AS DOUBLE) + 1.0)
+                      / (CAST(p.c_a AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
                 AS BIGINT) AS p_units
     FROM bg b
     JOIN lm_bg l ON b.bg = l.bg
     JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN vocab
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -6662,20 +6668,23 @@ FROM scored GROUP BY doc_id
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-corpus bigram language-model fluency score (the CCNet
     perplexity-filter shape, arXiv:1911.00359, self-trained so no
-    external model is needed): train MLE bigram probabilities
-    p(b|a) = C(ab)/C(a·) over the whole corpus in two aggregations,
-    then score each document by its mean bigram probability. Documents
-    whose token sequences are unusual for the corpus score low (noise,
-    garbled text); formulaic ones score high — the complement of
-    repetition_score for quality filtering.
+    external model is needed): train add-one-smoothed bigram
+    probabilities p(b|a) = (C(ab)+1)/(C(a·)+V) over the whole corpus in
+    two aggregations, then score each document by its mean bigram
+    probability. The smoothing is load-bearing for the semantics:
+    under raw MLE a doc of unique gibberish tokens scores a perfect
+    1.0 (C(ab)=C(a)=1), whereas add-one sends singleton bigrams to
+    ≈2/V — so unusual-for-the-corpus text scores LOW, formulaic text
+    high, the complement of repetition_score for quality filtering.
 
     Hash-exactness across engines: each probability quantizes to
     integer 1e-9 units BEFORE the per-doc sum (exact integer addition
     in any order), and the final mean is one IEEE division — no libm
     log() whose last ulp differs per engine. Scale shape: the LM is
-    |distinct bigrams| rows built by map-side-combined aggs; scoring is
-    one shuffle join of exploded doc-bigrams against the LM on the
-    bigram key (never broadcast-dependent), then a per-doc re-agg."""
+    |distinct bigrams| rows built by map-side-combined aggs; V is a
+    1-row broadcast; scoring is one shuffle join of exploded
+    doc-bigrams against the LM on the bigram key (never
+    broadcast-dependent), then a per-doc re-agg."""
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     pairs = F.transform(
@@ -6697,11 +6706,18 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = lm_bg.join(
         lm_pre, F.substring_index(lm_bg.bg, " ", 1) == lm_pre.pre
     ).select("bg", "c_ab", "c_a")
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
     p_units = F.floor(
-        F.lit(1e9) * F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+        F.lit(1e9)
+        * (F.col("c_ab").cast("double") + F.lit(1.0))
+        / (F.col("c_a").cast("double") + F.col("v").cast("double"))
     ).cast("long")
     return (
         bg.join(lm, "bg")
+        .join(F.broadcast(vocab))
         .select("doc_id", p_units.alias("p_units"))
         .groupBy("doc_id")
         .agg(

@@ -679,3 +679,25 @@ def test_boilerplate_strip_removes_from_all_docs_keeps_intra_doc_repeats(spark):
         assert "banner" not in got[i][0]
         assert got[i] == (f"doc {i} unique words", 1)
     assert got[9] == (rep + " " + rep, 2)
+
+
+def test_bigram_lm_score_smoothing_ranks_gibberish_low(spark, tmp_path):
+    """Add-one smoothing is load-bearing: a doc of corpus-common bigrams
+    must outscore a doc of unique gibberish (raw MLE would score the
+    gibberish a perfect 1.0)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    common = " ".join(["the cat"] * 10)
+    rows = [(i, common) for i in range(1, 6)]
+    rows.append((9, "qzx wvu ponm lkj hgf dsa"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: r.lm_score
+        for r in REGISTRY["bigram_lm_score"].spark(spark, sf).collect()
+    }
+    assert got[9] < 0.3  # singleton bigrams ≈ 2/V each (V is tiny here)
+    for i in range(1, 6):
+        assert got[i] > got[9] * 2
