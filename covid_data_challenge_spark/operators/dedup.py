@@ -344,6 +344,79 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental near-dup screen: NEW-batch docs that collide with a
+    HISTORY doc in any MinHash band, with the agreeing-position Jaccard
+    estimate — the daily-ingest twin of :func:`minhash_lsh_pairs`.
+
+    The band join is history-bands ⋈ batch-bands only, so candidate
+    cost is ∝ |batch| × collision rate and history is NEVER paired
+    against itself (re-running the full pair query per ingest would
+    re-pay the whole corpus every day). At 100 TB the history
+    signatures/bands are a pre-built gold table bucketed on
+    (band, bucket) — the daily join is then shuffle-free on the history
+    side; here both are computed inline so the oracle can replay them.
+
+    Output: (batch_doc, hist_doc, est_jaccard ≥ threshold).
+    """
+    rows_per_band = num_perm // bands
+    sig_h = minhash_signatures(history, id_col, text_col, n, num_perm, portable)
+    sig_b = minhash_signatures(batch, id_col, text_col, n, num_perm, portable)
+
+    def band_bucket(b: int):
+        vals = [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        return F.array(*vals) if portable else F.xxhash64(*vals)
+
+    def banded(sig):
+        return sig.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bucket")
+
+    h, nb = banded(sig_h).alias("h"), banded(sig_b).alias("nb")
+    cand = (
+        h.join(
+            nb,
+            (F.col("h.band") == F.col("nb.band"))
+            & (F.col("h.bucket") == F.col("nb.bucket")),
+        )
+        .select(F.col("nb.id").alias("batch_doc"), F.col("h.id").alias("hist_doc"))
+        .dropDuplicates(["batch_doc", "hist_doc"])
+    )
+    sa = sig_b.select(F.col(id_col).alias("batch_doc"), F.col("signature").alias("sig_a"))
+    sb = sig_h.select(F.col(id_col).alias("hist_doc"), F.col("signature").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        cand.join(sa, "batch_doc")
+        .join(sb, "hist_doc")
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_perm), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_doc", "hist_doc", "est_jaccard")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 

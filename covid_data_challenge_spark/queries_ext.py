@@ -6832,3 +6832,79 @@ def q_corpus_prep_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scored.filter(F.col("quality") >= 0.3)
     deduped = dedup_exact_keep_first(gated, text_col="clean_text")
     return deduped.select("doc_id", "n_tokens_clean", "quality")
+
+
+def _minhash_lsh_incremental_oracle(
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.2
+) -> str:
+    """Incremental replay of the banded MinHash screen: same portable
+    signature pipeline as :func:`_minhash_lsh_oracle`, but candidates
+    come only from history-bands ⋈ batch-bands (batch = doc_id % 5 = 0,
+    the incremental_batch_dedup convention)."""
+    from covid_data_challenge_spark.operators.dedup import MERSENNE31, minhash_coeffs
+
+    rpb = num_perm // bands
+    h31 = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + f") % {MERSENNE31}"
+    )
+    perm_rows = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash_coeffs(num_perm))
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+h AS (SELECT doc_id, {h31} AS h31 FROM sh),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sig AS (
+    SELECT doc_id, p, min((a * h31 + b) % {MERSENNE31}) AS v
+    FROM h CROSS JOIN perms GROUP BY doc_id, p
+),
+sigarr AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM sig GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, bb.band, sig[bb.band * {rpb} + 1 : bb.band * {rpb} + {rpb}] AS bucket
+    FROM sigarr CROSS JOIN (SELECT CAST(unnest(range({bands})) AS INT) AS band) bb
+),
+cand AS (
+    SELECT DISTINCT nb.doc_id AS batch_doc, hb.doc_id AS hist_doc
+    FROM banded hb JOIN banded nb
+      ON hb.band = nb.band AND hb.bucket = nb.bucket
+    WHERE nb.doc_id % 5 = 0 AND hb.doc_id % 5 <> 0
+)
+SELECT batch_doc, hist_doc,
+       round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / {num_perm}.0, 4)
+           AS est_jaccard
+FROM cand
+JOIN sigarr sa ON sa.doc_id = batch_doc
+JOIN sigarr sb ON sb.doc_id = hist_doc
+WHERE round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / {num_perm}.0, 4)
+      >= {threshold}
+"""
+
+
+@register("minhash_neardup_incremental", oracle=_minhash_lsh_incremental_oracle())
+def q_minhash_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest near-dup screen: NEW-batch docs (doc_id % 5 = 0, the
+    incremental_batch_dedup convention) banded against HISTORY only —
+    candidate cost ∝ |batch| × collision rate, history never pairs
+    against itself. At 100 TB the history bands are a pre-built gold
+    table bucketed on (band, bucket) and the daily join is shuffle-free
+    on the history side
+    (operators/dedup.py:minhash_lsh_pairs_incremental)."""
+    from covid_data_challenge_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_pairs_incremental(history, batch, portable=True)
