@@ -321,3 +321,69 @@ def test_simhash_md5_is_token_order_invariant(spark, docs, seed):
     fa = {r["doc_id"]: r["simhash"] for r in a.collect()}
     fb = {r["doc_id"]: r["simhash"] for r in b.collect()}
     assert fa == fb
+
+
+@given(docs=_docs_words)
+@settings(**_SETTINGS)
+def test_passage_dedup_is_lossless_without_duplicates(spark, docs):
+    """When every passage is globally unique, passage dedup must be the
+    identity on the normalized text (reassembly preserves order and
+    content exactly). Uniqueness is forced by prefixing each doc's
+    tokens with a doc-unique marker token inside every window."""
+    from covid_data_challenge_spark.operators.dedup import passage_dedup
+
+    w = 4
+    rows = []
+    for i, ws in enumerate(docs):
+        # inject 'd<i>' every w tokens so every window is doc-unique
+        toks = []
+        for j, t in enumerate(ws):
+            if j % (w - 1) == 0:
+                toks.append(f"d{i}x")
+            toks.append(t)
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text for r in passage_dedup(df, passage_tokens=w).collect()}
+    assert got == {i: t for i, t in rows}
+
+
+@given(docs=_docs_words)
+@settings(**_SETTINGS)
+def test_boilerplate_strip_with_huge_threshold_is_identity(spark, docs):
+    """max_df ≥ corpus size → nothing is boilerplate → identity on the
+    normalized text (strip must not drop or reorder anything on its
+    own)."""
+    from covid_data_challenge_spark.operators.dedup import boilerplate_passage_strip
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_passage_strip(df, max_df=len(docs) + 1, passage_tokens=4)
+    got = {r.doc_id: r.clean_text for r in out.collect()}
+    assert got == {i: t for i, t in rows}
+
+
+def test_minhash_incremental_finds_planted_history_dup(spark):
+    """A batch doc that is a verbatim copy of a history doc shares every
+    signature position, so it MUST surface with est_jaccard = 1.0
+    (recall 1.0 for exact copies is structural: identical docs share
+    every band); unrelated docs must not pair at high estimate."""
+    from covid_data_challenge_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    hist_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    batch_rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),  # copy of 1
+        (20, "totally different words nothing shared here at all"),
+    ]
+    out = minhash_lsh_pairs_incremental(
+        spark.createDataFrame(hist_rows, "doc_id long, text string"),
+        spark.createDataFrame(batch_rows, "doc_id long, text string"),
+        portable=True,
+    ).collect()
+    pairs = {(r.batch_doc, r.hist_doc): r.est_jaccard for r in out}
+    assert pairs.get((10, 1)) == 1.0
+    assert (20, 1) not in pairs and (20, 2) not in pairs
