@@ -267,6 +267,42 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) banded view of a signature table — the
+    candidate-join key. ``portable=True`` buckets are the raw value
+    tuple (SQL-replayable array); otherwise a single xxhash64 digest
+    long. This is also the frame to MATERIALIZE as the history gold
+    table for incremental dedup: written bucketed on (band, bucket),
+    every future batch screen joins it shuffle-free on the history side
+    (pinned by test_skew_bucketing.test_history_bands_gold_join)."""
+    rows_per_band = num_perm // bands
+
+    def band_bucket(b: int):
+        vals = [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        return F.array(*vals) if portable else F.xxhash64(*vals)
+
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -289,7 +325,6 @@ def minhash_lsh_pairs(
     digest isn't SQL-reproducible); payload per banded row grows from 1
     to ``num_perm/bands`` longs — the price of the DuckDB oracle.
     """
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_perm, portable)
     # The band join moves ONLY (id, band, bucket) — 3 longs per exploded
     # row, not the num_perm-element signature arrays (which would
@@ -298,25 +333,7 @@ def minhash_lsh_pairs(
     # surviving pair instead of once per band collision; the identical
     # groupBy(id) exchange under sig is planned once and reused
     # (ReusedExchange) for the banded and both signature sides.
-    def band_bucket(b: int):
-        vals = [
-            F.element_at("signature", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        return F.array(*vals) if portable else F.xxhash64(*vals)
-
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-
+    banded = minhash_bands(sig, id_col, num_perm, bands, portable)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -369,31 +386,10 @@ def minhash_lsh_pairs_incremental(
 
     Output: (batch_doc, hist_doc, est_jaccard ≥ threshold).
     """
-    rows_per_band = num_perm // bands
     sig_h = minhash_signatures(history, id_col, text_col, n, num_perm, portable)
     sig_b = minhash_signatures(batch, id_col, text_col, n, num_perm, portable)
-
-    def band_bucket(b: int):
-        vals = [
-            F.element_at("signature", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        return F.array(*vals) if portable else F.xxhash64(*vals)
-
-    def banded(sig):
-        return sig.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("id", "bb.band", "bb.bucket")
-
-    h, nb = banded(sig_h).alias("h"), banded(sig_b).alias("nb")
+    h = minhash_bands(sig_h, id_col, num_perm, bands, portable).alias("h")
+    nb = minhash_bands(sig_b, id_col, num_perm, bands, portable).alias("nb")
     cand = (
         h.join(
             nb,

@@ -89,3 +89,39 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_history_bands_gold_join_is_shuffle_free_on_history(spark, sf_dir):
+    """The incremental-dedup scale claim, proven: history MinHash bands
+    materialized as a gold table bucketed on (band, bucket) serve the
+    daily batch screen with NO exchange on the history side — only the
+    (small) batch bands shuffle to align. At 100 TB the pay-once write
+    replaces a per-ingest shuffle of the whole corpus."""
+    from covid_data_challenge_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    hb = minhash_bands(minhash_signatures(hist))
+    write_bucketed_table(hb, "hist_bands_b", ["band", "bucket"], num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bb = minhash_bands(minhash_signatures(batch)).withColumnRenamed("id", "batch_doc")
+        joined = spark.table("hist_bands_b").join(bb, ["band", "bucket"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the history arm — everything between the join node and the
+        # gold-table scan — must contain no Exchange (bucket-aligned);
+        # only the batch side pays an alignment shuffle. (Sanity: with
+        # an unbucketed history table this very segment shows
+        # "Exchange hashpartitioning(band, bucket, ...)".)
+        assert "hist_bands_b" in plan
+        left, _, _ = plan.partition("hist_bands_b")
+        hist_arm = left.split("SortMergeJoin")[-1]
+        assert "Exchange" not in hist_arm
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS hist_bands_b")
