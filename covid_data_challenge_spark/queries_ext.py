@@ -6685,17 +6685,23 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast; scoring is one shuffle join of exploded
     doc-bigrams against the LM on the bigram key (never
     broadcast-dependent), then a per-doc re-agg."""
+    from covid_data_challenge_spark.functions.text import let
+
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-        ),
-    )
+
+    # let-bind the token array: an element_at(tokens(text), i) lambda
+    # re-tokenizes the whole text per position (the HOF re-evaluation
+    # trap, O(len²) per doc — measured 7.0 s → 1.4 s at sf0.1)
+    def _pairs(w):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        )
+
     bg = (
         docs.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.explode(let(toks, _pairs)).alias("bg"))
         .filter(F.col("bg").contains(" "))  # drop the padded tail slot
     )
     lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
