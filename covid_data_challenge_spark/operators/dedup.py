@@ -763,16 +763,23 @@ def _passage_explode(
     docs: DataFrame, passage_tokens: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(doc_id, pos, passage, h): consecutive ``passage_tokens``-token
-    windows of the normalized text, md5-keyed — entirely map-side."""
-    toks = tokens(F.col(text_col))
-    # ceil(len/w) windows; len ≥ 1 always (split of "" yields [""])
-    n_pass = F.ceil(F.size(toks) / F.lit(passage_tokens)).cast("int")
-    passages = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_pass, F.lit(1)) - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * passage_tokens + F.lit(1), F.lit(passage_tokens)), " "
-        ),
-    )
+    windows of the normalized text, md5-keyed — entirely map-side.
+
+    The token array is let-bound so tokenization runs once per doc, not
+    once per window (the HOF re-evaluation trap — see bigram_lm_score's
+    7→1.4 s history and word_shingle_expr)."""
+
+    def build(w):
+        # ceil(len/w) windows; len ≥ 1 always (split of "" yields [""])
+        n_pass = F.ceil(F.size(w) / F.lit(passage_tokens)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_pass, F.lit(1)) - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * passage_tokens + F.lit(1), F.lit(passage_tokens)), " "
+            ),
+        )
+
+    passages = let(tokens(F.col(text_col)), build)
     return docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(passages).alias("pos", "passage")
     ).withColumn("h", F.md5(F.col("passage")))
