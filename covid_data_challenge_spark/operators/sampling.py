@@ -230,3 +230,36 @@ SELECT {key_sql}, h AS shuffle_hash, CAST({case_sql} AS INT) AS shard,
        CAST(row_number() OVER (PARTITION BY {case_sql} ORDER BY h, {key_sql}) AS INT) AS pos
 FROM hashed
 """
+
+
+def mixture_sample_dynamic(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    epochs: DataFrame,
+    epoch_col: str = "effective_epochs",
+    salt: str = "",
+) -> DataFrame:
+    """Mixture sampling with DATA-DEPENDENT epoch weights: like
+    :func:`mixture_sample`, but the per-group weight comes from a
+    (small, broadcast) table computed upstream — e.g. the α-temperature
+    weights of ``temperature_mixture_weights`` — instead of a literal
+    dict baked into the plan. copies = ⌊e⌋ + (md5-coin < frac(e)), so
+    expected copies per row is exactly its group's epoch weight and the
+    decision is a pure function of (key, salt) — reproducible on any
+    engine or partitioning. The fractional coin compares two doubles
+    that are bit-identical across engines (md5_unit_fraction and the
+    upstream weight pipeline both quantize integer-first)."""
+    j = df.join(F.broadcast(epochs.select(group_col, epoch_col)), group_col)
+    e = F.col(epoch_col)
+    whole = F.floor(e).cast("int")
+    coin = F.when(
+        md5_unit_fraction(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+        < e - F.floor(e),
+        1,
+    ).otherwise(0)
+    copies = whole + coin
+    seq = F.when(
+        copies > 0, F.sequence(F.lit(0), copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return j.withColumn("copy_idx", F.explode(seq))

@@ -6914,3 +6914,73 @@ def q_minhash_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     history = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return minhash_lsh_pairs_incremental(history, batch, portable=True)
+
+
+@register(
+    "temperature_resampled_corpus",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per_source),
+shares AS (
+  SELECT source,
+         CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e9)
+              AS BIGINT) AS w_units
+  FROM per_source, tot
+),
+epochs AS (
+  SELECT source,
+         (CAST(w_units AS DOUBLE) / CAST(sum(w_units) OVER () AS DOUBLE)) / share
+           AS e
+  FROM shares
+),
+counted AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(ep.e) AS INT)
+           + CASE WHEN {md5_unit_fraction_sql('d.doc_id')} < ep.e - floor(ep.e)
+                  THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN epochs ep ON d.source = ep.source
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(0, copies - 1)) AS INT) AS copy_idx
+FROM counted WHERE copies > 0
+""",
+)
+def q_temperature_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature loop CLOSED: the α=0.5 mixture weights computed
+    from the corpus (temperature_mixture_weights) drive the actual
+    resampling — each doc emits ⌊e⌋ + (md5-coin < frac(e)) copies where
+    e is its source's effective-epochs multiplier, so under-represented
+    sources upsample and over-represented ones thin, deterministically.
+    Data-dependent weights flow through a broadcast join (no literal
+    recipe baked into the plan); the whole two-stage computation — weight
+    derivation AND per-row sampling — hash-checks end to end
+    (operators/sampling.py:mixture_sample_dynamic)."""
+    from covid_data_challenge_spark.operators.sampling import mixture_sample_dynamic
+
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("tokens")
+    )
+    tot = per_source.agg(F.sum("tokens").alias("total_tokens"))
+    share = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    shares = per_source.join(F.broadcast(tot)).select(
+        "source",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * F.lit(1e9)).cast("long").alias("w_units"),
+    )
+    w_all = Window.partitionBy()
+    weight = (
+        F.col("w_units").cast("double")
+        / F.sum("w_units").over(w_all).cast("double")
+    )
+    epochs = shares.select(
+        "source", (weight / F.col("share")).alias("effective_epochs")
+    )
+    out = mixture_sample_dynamic(
+        docs.select("doc_id", "source"), "doc_id", "source", epochs
+    )
+    return out.select("doc_id", "source", "copy_idx")
