@@ -6645,8 +6645,7 @@ lm_pre AS (
     FROM lm_bg GROUP BY 1
 ),
 vocab AS (
-    SELECT CAST(count(DISTINCT t.tok) AS BIGINT) AS v
-    FROM (SELECT unnest(w) AS tok FROM toks) t
+    SELECT CAST(count(*) AS BIGINT) AS v FROM lm_pre
 ),
 scored AS (
     SELECT b.doc_id,
@@ -6712,10 +6711,11 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = lm_bg.join(
         lm_pre, F.substring_index(lm_bg.bg, " ", 1) == lm_pre.pre
     ).select("bg", "c_ab", "c_a")
-    vocab = (
-        docs.select(F.explode(toks).alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
-    )
+    # V = |distinct conditioning contexts| — derived from the (tiny)
+    # prefix table rather than a THIRD full-corpus scan+explode; the
+    # smoothing denominator wants the size of the conditioning
+    # vocabulary, which is exactly lm_pre's key set
+    vocab = lm_pre.agg(F.count(F.lit(1)).alias("v"))
     p_units = F.floor(
         F.lit(1e9)
         * (F.col("c_ab").cast("double") + F.lit(1.0))
