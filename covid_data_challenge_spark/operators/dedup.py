@@ -812,10 +812,14 @@ def boilerplate_passage_strip(
     repeats of a non-boilerplate passage are kept as-is.
 
     Scale shape: document frequency is one (hash → countDistinct doc)
-    aggregation; the hot-hash set is tiny by construction (passages
-    repeated across >max_df docs), so the strip is a broadcast ANTI
-    join against it — the corpus is never shuffled for the decision,
-    only for the doc_id reassembly.
+    aggregation; the hot-hash set is small by construction (passages
+    repeated across >max_df docs), so the anti join against it is
+    AQE-converted to a broadcast at runtime — deliberately NOT a forced
+    broadcast hint, because "small" is a statistical expectation, not a
+    bound: a pathological corpus (one template, millions of variants)
+    could push the hot set past executor memory, and the hint would
+    turn a safe shuffle into an OOM. AQE picks broadcast whenever the
+    runtime stats allow, which is the common case.
     """
     exploded = _passage_explode(docs, passage_tokens, id_col, text_col)
     hot = (
@@ -824,5 +828,5 @@ def boilerplate_passage_strip(
         .filter(F.col("df") > max_df)
         .select("h")
     )
-    kept = exploded.join(F.broadcast(hot), "h", "left_anti")
+    kept = exploded.join(hot, "h", "left_anti")
     return _passage_reassemble(kept)

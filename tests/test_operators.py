@@ -701,3 +701,31 @@ def test_bigram_lm_score_smoothing_ranks_gibberish_low(spark, tmp_path):
     assert got[9] < 0.3  # singleton bigrams ≈ 2/V each (V is tiny here)
     for i in range(1, 6):
         assert got[i] > got[9] * 2
+
+
+def test_corpus_operators_survive_empty_input(spark, tmp_path):
+    """Day-one pipeline reality: a brand-new ingest partition is EMPTY.
+    The corpus operators must plan and return zero rows on a 0-row
+    documents table, not throw on a sequence/greatest/aggregate edge."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    empty.write.parquet(f"{sf}/documents.parquet")
+    for name in [
+        "passage_dedup",
+        "boilerplate_passage_strip",
+        "bigram_lm_score",
+        "temperature_mixture_weights",
+        "temperature_resampled_corpus",
+        "minhash_neardup_incremental",
+        "dedup_exact_stats",
+        "corpus_prep_recipe_v2",
+    ]:
+        rows = REGISTRY[name].spark(spark, sf).collect()
+        if name == "dedup_exact_stats":
+            continue  # global-agg summary row is fine either way
+        assert rows == [], f"{name} returned rows on empty input"
