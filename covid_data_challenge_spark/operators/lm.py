@@ -1,0 +1,92 @@
+"""Self-trained bigram language model as a build-once / serve-many pair.
+
+Companion to operators/ivf.py (same gold-table discipline): the LM is a
+flat, self-contained table — (bg, c_ab, c_a, v) with the smoothing
+vocabulary denormalized onto every row — so it can be written to parquet
+once and then score any number of future batches without touching the
+training corpus again. At 100 TB: train on the corpus snapshot, persist
+(ideally bucketed on ``bg`` — the score join key), and the daily probe is
+one join of the new batch's bigrams against the gold table.
+
+Semantics and hash-exactness match queries_ext.q_bigram_lm_score exactly
+(add-one smoothing over conditioning contexts, integer-quantized
+probabilities before the per-doc sum); the parquet-roundtrip identity is
+pinned in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.text import let, tokens
+
+
+def doc_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, bg) bigram instances of the normalized text — let-bound
+    token array (one tokenization per doc, not per position)."""
+    toks = tokens(F.col(text_col))
+
+    def _pairs(w):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        )
+
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(let(toks, _pairs)).alias("bg"))
+        .filter(F.col("bg").contains(" "))  # drop the 1-token tail slot
+    )
+
+
+def bigram_lm_build(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Train the LM: one row per distinct corpus bigram with its count,
+    its conditioning-context count, and the (denormalized) context
+    vocabulary size. Two map-side-combined aggregations over the bigram
+    stream; output size is |distinct bigrams|, independent of corpus
+    row count."""
+    bg = doc_bigrams(docs, id_col, text_col)
+    lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    lm_pre = lm_bg.groupBy(F.substring_index("bg", " ", 1).alias("pre")).agg(
+        F.sum("c_ab").alias("c_a")
+    )
+    vocab = lm_pre.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        lm_bg.join(lm_pre, F.substring_index(lm_bg.bg, " ", 1) == lm_pre.pre)
+        .join(F.broadcast(vocab))
+        .select("bg", "c_ab", "c_a", "v")
+    )
+
+
+def bigram_lm_score_with(
+    docs: DataFrame, lm: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score documents against a (possibly persisted) LM table: mean
+    add-one-smoothed bigram probability, integer-quantized before the
+    per-doc sum so the result is bit-identical under any summation
+    order. Bigrams absent from the LM (possible when scoring a batch
+    the LM wasn't trained on) contribute the unseen-mass floor
+    1/(c_a + v) with c_a = 0 — i.e. 1/v — via the left join coalesce."""
+    bg = doc_bigrams(docs, id_col, text_col)
+    v_row = lm.select("v").limit(1)
+    joined = bg.join(lm, "bg", "left").join(F.broadcast(v_row.withColumnRenamed("v", "__v")))
+    p_units = F.floor(
+        F.lit(1e9)
+        * (F.coalesce(F.col("c_ab"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (
+            F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+            + F.col("__v").cast("double")
+        )
+    ).cast("long")
+    return (
+        joined.select("doc_id", p_units.alias("p_units"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("p_units").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+            ).alias("lm_score"),
+        )
+    )

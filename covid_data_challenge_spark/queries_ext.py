@@ -6683,57 +6683,17 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct bigrams| rows built by map-side-combined aggs; V is a
     1-row broadcast; scoring is one shuffle join of exploded
     doc-bigrams against the LM on the bigram key (never
-    broadcast-dependent), then a per-doc re-agg."""
-    from covid_data_challenge_spark.functions.text import let
+    broadcast-dependent), then a per-doc re-agg. The LM is a
+    build-once/serve-many gold table (operators/lm.py — persisted
+    parquet scores future batches identically; roundtrip pinned in
+    pytest)."""
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_score_with,
+    )
 
     docs = _docs(spark, sf_dir)
-    toks = tokens(F.col("text"))
-
-    # let-bind the token array: an element_at(tokens(text), i) lambda
-    # re-tokenizes the whole text per position (the HOF re-evaluation
-    # trap, O(len²) per doc — measured 7.0 s → 1.4 s at sf0.1)
-    def _pairs(w):
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-        )
-
-    bg = (
-        docs.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(let(toks, _pairs)).alias("bg"))
-        .filter(F.col("bg").contains(" "))  # drop the padded tail slot
-    )
-    lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
-    lm_pre = (
-        lm_bg.groupBy(F.substring_index("bg", " ", 1).alias("pre"))
-        .agg(F.sum("c_ab").alias("c_a"))
-    )
-    lm = lm_bg.join(
-        lm_pre, F.substring_index(lm_bg.bg, " ", 1) == lm_pre.pre
-    ).select("bg", "c_ab", "c_a")
-    # V = |distinct conditioning contexts| — derived from the (tiny)
-    # prefix table rather than a THIRD full-corpus scan+explode; the
-    # smoothing denominator wants the size of the conditioning
-    # vocabulary, which is exactly lm_pre's key set
-    vocab = lm_pre.agg(F.count(F.lit(1)).alias("v"))
-    p_units = F.floor(
-        F.lit(1e9)
-        * (F.col("c_ab").cast("double") + F.lit(1.0))
-        / (F.col("c_a").cast("double") + F.col("v").cast("double"))
-    ).cast("long")
-    return (
-        bg.join(lm, "bg")
-        .join(F.broadcast(vocab))
-        .select("doc_id", p_units.alias("p_units"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (
-                F.sum("p_units").cast("double")
-                / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
-            ).alias("lm_score"),
-        )
-    )
+    return bigram_lm_score_with(docs, bigram_lm_build(docs))
 
 
 @register(

@@ -729,3 +729,32 @@ def test_corpus_operators_survive_empty_input(spark, tmp_path):
         if name == "dedup_exact_stats":
             continue  # global-agg summary row is fine either way
         assert rows == [], f"{name} returned rows on empty input"
+
+
+def test_bigram_lm_gold_table_roundtrip_scores_identically(spark, sf_dir, tmp_path):
+    """Build-once/serve-many: the LM persisted to parquet and read back
+    must score a batch bit-identically to the inline LM, and a bigram
+    the LM never saw gets the unseen-mass floor ≈ 1/v (left-join
+    coalesce path)."""
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_score_with,
+    )
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = bigram_lm_build(docs)
+    gold = str(tmp_path / "lm_gold")
+    lm.write.parquet(gold)
+    lm2 = spark.read.parquet(gold)
+    a = sorted(bigram_lm_score_with(docs, lm).collect())
+    b = sorted(bigram_lm_score_with(docs, lm2).collect())
+    assert a == b
+    # unseen batch: every bigram misses the LM → score == floor(1e9/v)/1e9
+    v = lm.select("v").first()["v"]
+    unseen = spark.createDataFrame(
+        [(999, "zzqq wwxx yyvv uutt")], "doc_id long, text string"
+    )
+    row = bigram_lm_score_with(unseen, lm2).collect()[0]
+    import math
+    assert row.lm_score == math.floor(1e9 / v) / 1e9
