@@ -6944,3 +6944,33 @@ def q_temperature_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         docs.select("doc_id", "source"), "doc_id", "source", epochs
     )
     return out.select("doc_id", "source", "copy_idx")
+
+
+@register(
+    "monthly_users_from_daily_sketches",
+    oracle="""
+SELECT strftime(ts, '%Y-%m') AS month,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days_merged,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct
+FROM events GROUP BY 1
+""",
+)
+def q_monthly_users_from_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch RE-AGGREGATION pattern end to end: per-day HLL
+    sketches of user_id union into monthly distinct counts WITHOUT
+    re-scanning the facts — at 100 TB you persist the tiny per-day
+    sketch table once and answer any date-range distinct query by
+    merging sketches (count(DISTINCT) would need the raw keys at every
+    grain). Sparse-mode exactness at test cardinality (150 users ≪
+    2^14/2) makes the estimate equal the exact count, so the merge
+    chain itself — sketch → union → estimate — is hash-checked
+    (operators/sketch.py)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    return daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_merged"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
+    )
