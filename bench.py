@@ -102,6 +102,17 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time_best(spark, name: str, directory: str) -> float:
+    """Best-of-RUNS_PER_QUERY wall time for one registered query."""
+    fn = REGISTRY[name].spark
+    best = float("inf")
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.time()
+        _execute(fn(spark, directory))
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -125,13 +136,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTENSION + WAREHOUSE:
-        fn = REGISTRY[name].spark
-        best = float("inf")
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.time()
-            _execute(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _time_best(spark, name, sf_dir)
 
     # sf1 tier: re-time the growth-watch queries on the synthetic 10×
     # fixture so scale regressions are driver-visible in BENCH_r{N}.json,
@@ -147,24 +152,16 @@ def main() -> None:
         # isn't already in the headline/extension/warehouse lists
         for name in SCALE_SF1:
             if name not in timings:
-                fn = REGISTRY[name].spark
-                best = float("inf")
-                for _ in range(RUNS_PER_QUERY):
-                    t0 = time.time()
-                    _execute(fn(spark, sf_dir))
-                    best = min(best, time.time() - t0)
-                timings[name] = round(best, 3)
+                timings[name] = _time_best(spark, name, sf_dir)
         sf1_timings: dict[str, float] = {}
         growth: dict[str, float] = {}
         for name in SCALE_SF1:
-            fn = REGISTRY[name].spark
-            best = float("inf")
-            for _ in range(RUNS_PER_QUERY):
-                t0 = time.time()
-                _execute(fn(spark, synth_dir))
-                best = min(best, time.time() - t0)
-            sf1_timings[name] = round(best, 3)
-            growth[name] = round(best / timings[name], 2) if timings.get(name) else None
+            sf1_timings[name] = _time_best(spark, name, synth_dir)
+            growth[name] = (
+                round(sf1_timings[name] / timings[name], 2)
+                if timings.get(name)
+                else None
+            )
         sf1 = {"queries": sf1_timings, "growth_vs_sf0.1": growth, "copies": 10}
 
     total = round(sum(timings[n] for n in HEADLINE), 3)

@@ -29,14 +29,14 @@ def doc_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
     def _pairs(w):
         return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            F.sequence(F.lit(1), F.size(w) - 1),
             lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
         )
 
-    return (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.col(id_col).alias("doc_id"), F.explode(let(toks, _pairs)).alias("bg"))
-        .filter(F.col("bg").contains(" "))  # drop the 1-token tail slot
+    # size >= 2 guarantees sequence(1, size-1) is non-degenerate and
+    # every slice is a full 2-token window — no tail-slot guard needed
+    return docs.filter(F.size(toks) >= 2).select(
+        F.col(id_col).alias("doc_id"), F.explode(let(toks, _pairs)).alias("bg")
     )
 
 
@@ -66,16 +66,32 @@ def bigram_lm_score_with(
     add-one-smoothed bigram probability, integer-quantized before the
     per-doc sum so the result is bit-identical under any summation
     order. Bigrams absent from the LM (possible when scoring a batch
-    the LM wasn't trained on) contribute the unseen-mass floor
-    1/(c_a + v) with c_a = 0 — i.e. 1/v — via the left join coalesce."""
+    the LM wasn't trained on) still smooth against their CONTEXT's true
+    count — p = 1/(C(a·)+V) via a second left join on the prefix — so
+    an unseen continuation of a common context scores LOW, not the 1/V
+    floor that would let never-seen text outscore seen-but-rare text;
+    only a fully unseen context falls back to 1/V."""
     bg = doc_bigrams(docs, id_col, text_col)
     v_row = lm.select("v").limit(1)
-    joined = bg.join(lm, "bg", "left").join(F.broadcast(v_row.withColumnRenamed("v", "__v")))
+    prefixes = (
+        lm.select(F.substring_index("bg", " ", 1).alias("__pre"), "c_a")
+        .dropDuplicates(["__pre"])
+        .withColumnRenamed("c_a", "__pre_c_a")
+    )
+    joined = (
+        bg.join(lm.select("bg", "c_ab", "c_a"), "bg", "left")
+        .join(
+            prefixes,
+            F.substring_index(F.col("bg"), " ", 1) == F.col("__pre"),
+            "left",
+        )
+        .join(F.broadcast(v_row.withColumnRenamed("v", "__v")))
+    )
     p_units = F.floor(
         F.lit(1e9)
         * (F.coalesce(F.col("c_ab"), F.lit(0)).cast("double") + F.lit(1.0))
         / (
-            F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+            F.coalesce(F.col("c_a"), F.col("__pre_c_a"), F.lit(0)).cast("double")
             + F.col("__v").cast("double")
         )
     ).cast("long")

@@ -6463,7 +6463,17 @@ def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     normalizing sum so the result is bit-identical under any summation
     order. One scan + one tiny aggregate; the whole-frame window runs
     over #sources rows, never the corpus."""
-    docs = _docs(spark, sf_dir)
+    return _temperature_epochs(_docs(spark, sf_dir)).select(
+        "source", "tokens", "share", "weight", "effective_epochs"
+    )
+
+
+def _temperature_epochs(docs: DataFrame) -> DataFrame:
+    """(source, tokens, share, weight, effective_epochs) — the α=0.5
+    temperature recipe shared by temperature_mixture_weights (reports
+    it) and temperature_resampled_corpus (samples by it); one shared
+    implementation so the reported weights can never diverge from the
+    weights the resampler actually applies."""
     per_source = docs.groupBy("source").agg(
         F.sum(token_count(F.col("text")).cast("long")).alias("tokens")
     )
@@ -6922,24 +6932,7 @@ def q_temperature_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     from covid_data_challenge_spark.operators.sampling import mixture_sample_dynamic
 
     docs = _docs(spark, sf_dir)
-    per_source = docs.groupBy("source").agg(
-        F.sum(token_count(F.col("text")).cast("long")).alias("tokens")
-    )
-    tot = per_source.agg(F.sum("tokens").alias("total_tokens"))
-    share = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
-    shares = per_source.join(F.broadcast(tot)).select(
-        "source",
-        share.alias("share"),
-        F.floor(F.sqrt(share) * F.lit(1e9)).cast("long").alias("w_units"),
-    )
-    w_all = Window.partitionBy()
-    weight = (
-        F.col("w_units").cast("double")
-        / F.sum("w_units").over(w_all).cast("double")
-    )
-    epochs = shares.select(
-        "source", (weight / F.col("share")).alias("effective_epochs")
-    )
+    epochs = _temperature_epochs(docs).select("source", "effective_epochs")
     out = mixture_sample_dynamic(
         docs.select("doc_id", "source"), "doc_id", "source", epochs
     )

@@ -758,3 +758,31 @@ def test_bigram_lm_gold_table_roundtrip_scores_identically(spark, sf_dir, tmp_pa
     row = bigram_lm_score_with(unseen, lm2).collect()[0]
     import math
     assert row.lm_score == math.floor(1e9 / v) / 1e9
+
+
+def test_bigram_lm_unseen_continuation_of_seen_context_scores_low(spark):
+    """The serve-many smoothing flaw the r3 review caught: an UNSEEN
+    continuation of a common context must smooth against that context's
+    true count (1/(C(a.)+V)), scoring BELOW a seen bigram of the same
+    context — not against c_a=0, which would hand never-seen text the
+    1/V floor and let it outscore seen-but-rare text."""
+    import math
+
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_score_with,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat " * 20) for i in range(5)], "doc_id long, text string"
+    )
+    lm = bigram_lm_build(train)
+    batch = spark.createDataFrame(
+        [(1, "the cat"), (2, "the qqq")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lm_score for r in bigram_lm_score_with(batch, lm).collect()}
+    assert got[2] < got[1]
+    # and the unseen continuation must NOT get the fully-unseen 1/V
+    # floor (its context 'the' was seen heavily → larger denominator)
+    v = lm.select("v").first()["v"]
+    assert got[2] < math.floor(1e9 / v) / 1e9
