@@ -98,6 +98,75 @@ def dedup_exact_keep_first(
     return fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
 
 
+def pair_overlap_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Shared candidate-pair machinery for the exact set-overlap tiers:
+    ``(doc_a, doc_b, n_common, n_a, n_b)`` for every doc pair sharing at
+    least one (cap-surviving) shingle, with ``doc_a < doc_b``. Both
+    :func:`jaccard_pairs` (symmetric) and :func:`containment_pairs`
+    (asymmetric) are one projection away from this table — the overlap
+    counting, the df cap, and the in-group i<j explode are identical, so
+    the scale analysis in :func:`jaccard_pairs` applies verbatim."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    if max_doc_freq is not None:
+        freq = (
+            doc_shingles(docs, id_col, text_col, n)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle", "left_semi")
+        grp = sh.groupBy("shingle").agg(
+            F.collect_list(F.struct("id", "n_sh")).alias("ds")
+        )
+        pair = F.filter(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x: F.transform(
+                        "ds",
+                        lambda y: F.struct(
+                            x["id"].alias("doc_a"),
+                            y["id"].alias("doc_b"),
+                            x["n_sh"].alias("n_a"),
+                            y["n_sh"].alias("n_b"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: p["doc_a"] < p["doc_b"],
+        )
+        return (
+            grp.select(F.explode(pair).alias("p"))
+            .select("p.*")
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+            )
+        )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("a.n_sh").alias("n_a"),
+            F.max("b.n_sh").alias("n_b"),
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -132,60 +201,7 @@ def jaccard_pairs(
     inverted-index self-join — group sizes are unbounded there, so
     per-group pair explosion could OOM an executor on a hot shingle.
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    if max_doc_freq is not None:
-        freq = (
-            doc_shingles(docs, id_col, text_col, n)
-            .groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-        )
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle", "left_semi")
-        grp = sh.groupBy("shingle").agg(
-            F.collect_list(F.struct("id", "n_sh")).alias("ds")
-        )
-        pair = F.filter(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x: F.transform(
-                        "ds",
-                        lambda y: F.struct(
-                            x["id"].alias("doc_a"),
-                            y["id"].alias("doc_b"),
-                            x["n_sh"].alias("n_a"),
-                            y["n_sh"].alias("n_b"),
-                        ),
-                    ),
-                )
-            ),
-            lambda p: p["doc_a"] < p["doc_b"],
-        )
-        common = (
-            grp.select(F.explode(pair).alias("p"))
-            .select("p.*")
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.count(F.lit(1)).alias("n_common"),
-                F.max("n_a").alias("n_a"),
-                F.max("n_b").alias("n_b"),
-            )
-        )
-    else:
-        a, b = sh.alias("a"), sh.alias("b")
-        common = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-            .agg(
-                F.count(F.lit(1)).alias("n_common"),
-                F.max("a.n_sh").alias("n_a"),
-                F.max("b.n_sh").alias("n_b"),
-            )
-        )
+    common = pair_overlap_counts(docs, id_col, text_col, n, max_doc_freq)
     return (
         common.withColumn(
             "jaccard",
@@ -195,6 +211,39 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 10,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram set CONTAINMENT:
+    ``|A ∩ B| / min(|A|, |B|)`` — the smaller document's shingle set
+    contained in the larger one's.
+
+    Jaccard misses subset duplication: a paragraph quoted inside a much
+    longer page scores ``|A|/|B| ≈ 0`` on Jaccard but ~1.0 on
+    containment, which is why corpus pipelines (Broder's original
+    resemblance/containment pair, and e.g. CCNet-style dedup audits) run
+    both. Candidate generation and overlap counting are shared with
+    :func:`jaccard_pairs` via :func:`pair_overlap_counts` — same df cap,
+    same skew analysis, no extra corpus scan. Reference scope: the
+    reference has only exact duplicate checks (tests/test_integration.py
+    fixture-level); this is part of the training-data extension tier.
+    """
+    common = pair_overlap_counts(docs, id_col, text_col, n, max_doc_freq)
+    return (
+        common.withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment")
     )
 
 

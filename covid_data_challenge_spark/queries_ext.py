@@ -41,6 +41,7 @@ from covid_data_challenge_spark.operators.sampling import (
 )
 from covid_data_challenge_spark.operators.dedup import (
     bloom_decontaminate,
+    containment_pairs,
     decontamination_overlap,
     dedup_exact_keep_first,
     exact_dedup_stats,
@@ -52,6 +53,7 @@ from covid_data_challenge_spark.operators.dedup import (
     simhash_md5,
     simhash_md5_sql,
     simhash_neardup_pairs,
+    word_shingle_expr,
 )
 from covid_data_challenge_spark.operators.semdedup import semdedup_prune
 from covid_data_challenge_spark.operators.components import (
@@ -6966,4 +6968,184 @@ def q_monthly_users_from_daily_sketches(spark: SparkSession, sf_dir: str) -> Dat
     return daily.groupBy("month").agg(
         F.count(F.lit(1)).cast("long").alias("n_days_merged"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup, BM25 retrieval, per-source n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "containment_neardup_pairs",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 10),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / least(sa.n_sh, sb.n_sh), 4) >= 0.5
+""",
+)
+def q_containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by shingle CONTAINMENT (|A∩B| / min set
+    size): catches a short document embedded verbatim in a long one,
+    which Jaccard scores near zero. Shares the capped inverted-index
+    candidate machinery with ``ngram_jaccard_pairs``
+    (operators/dedup.py:pair_overlap_counts) — same df≤10 hot-shingle
+    cap bounding join fan-out, same in-group i<j explode, no self-join
+    — so the 100 TB analysis there carries over unchanged."""
+    return containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_doc_freq=10
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS term FROM docs)
+    WHERE term IN ('spark', 'vector', 'stream')
+    GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({_BM25_K1} + 1)
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ) AS s
+    FROM tf
+    JOIN dfq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY 1
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (Okapi, k1=1.2 b=0.75) for a fixed
+    3-term query — the retrieval scorer a RAG/data-curation stack runs
+    over the inverted index. Plan: tokenize once (doc length rides the
+    explode map-side, so the corpus-sized dl table is never joined),
+    filter to the query terms BEFORE the tf aggregation (the shuffle
+    carries only matching postings — at 100 TB that is |postings(q)|,
+    not the corpus), then broadcast the |q|-row df table and the 1-row
+    corpus stats; TakeOrderedAndProject caps the result at k. The idf
+    uses the +1 'BM25+'-style floor so scores stay positive even when
+    df > N/2."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("w")).alias("avgdl"),
+    )
+    posts = docs.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = posts.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_td = (
+        F.col("tf")
+        * F.lit(k1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * w_td), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ngram_novelty_by_source",
+    oracle=f"""
+WITH docs AS (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT source,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+per_gram AS (SELECT s, count(*) AS n_src, min(source) AS owner FROM sh GROUP BY s),
+tot AS (SELECT source, count(*) AS n_shingles FROM sh GROUP BY source),
+ex AS (SELECT owner AS source, count(*) AS n_exclusive
+       FROM per_gram WHERE n_src = 1 GROUP BY owner)
+SELECT source,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_exclusive, 0) AS BIGINT) AS n_exclusive,
+       round(coalesce(n_exclusive, 0) / n_shingles, 6) AS novelty_ratio
+FROM tot LEFT JOIN ex USING (source)
+""",
+)
+def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus NOVELTY: the share of a source's distinct word
+    3-grams that appear in no other source — the standard signal for
+    'is this new crawl/source adding anything' before paying to ingest
+    it at full weight. Plan: one (source, gram) distinct, then two
+    map-side-combinable aggregations (per-gram source count with a
+    min(source) owner tag, and per-source totals) — no gram-keyed join
+    of corpus-sized tables ever happens; the final join is
+    |sources|-sized and broadcast by AQE."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "source",
+        F.explode(word_shingle_expr(F.col("text"), 3)).alias("s"),
+    ).distinct()
+    per_gram = sh.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_src"), F.min("source").alias("owner")
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ex = (
+        per_gram.filter(F.col("n_src") == 1)
+        .groupBy(F.col("owner").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_exclusive"))
+    )
+    return tot.join(ex, "source", "left").select(
+        "source",
+        "n_shingles",
+        F.coalesce("n_exclusive", F.lit(0)).alias("n_exclusive"),
+        F.round(
+            F.coalesce("n_exclusive", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("novelty_ratio"),
     )

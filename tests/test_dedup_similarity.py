@@ -483,3 +483,82 @@ def test_semdedup_collapses_exact_duplicates_invariantly(spark, sf_dir):
         assert with_copies[pid][0] == with_copies[pid - 1000000][0]  # same cluster as original
     for vid, (cid, kept) in base.items():
         assert with_copies[vid] == (cid, kept), f"original {vid} decision changed"
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    from covid_data_challenge_spark.operators.dedup import containment_pairs
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (0, para),                      # short doc
+        (1, para + " " + filler),       # long doc quoting doc 0 verbatim
+        (2, "totally different words about nothing shared at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.5, max_doc_freq=None).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5, max_doc_freq=None).collect()
+    }
+    # every 3-gram of doc 0 appears in doc 1 -> containment 1.0 ...
+    assert cont == {(0, 1): 1.0}
+    # ... while symmetric Jaccard misses the subset pair entirely at 0.5
+    assert jac == {}
+
+
+def test_containment_capped_path_matches_uncapped_on_cold_corpus(spark):
+    from covid_data_challenge_spark.operators.dedup import containment_pairs
+
+    docs = _doc_corpus(spark)
+    # cap far above every df in this tiny fixture: identical results
+    capped = sorted(
+        tuple(r) for r in containment_pairs(docs, threshold=0.2, max_doc_freq=100).collect()
+    )
+    uncapped = sorted(
+        tuple(r) for r in containment_pairs(docs, threshold=0.2, max_doc_freq=None).collect()
+    )
+    assert capped == uncapped and capped  # non-empty: 0/1 exact dup pair
+
+
+def test_bm25_ranks_term_dense_short_doc_first(spark, sf_dir, monkeypatch):
+    import covid_data_challenge_spark.queries_ext as qe
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, "spark spark vector stream"),          # dense + short
+        (1, "spark " + "padding " * 60),           # one hit, long
+        (2, "nothing relevant whatsoever in here"),  # no hits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(qe, "_docs", lambda _s, _d: docs.withColumn(
+        "lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")))
+    out = REGISTRY["bm25_topk"].spark(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 0 and 2 not in ids
+    assert all(out[i]["bm25"] >= out[i + 1]["bm25"] for i in range(len(out) - 1))
+
+
+def test_ngram_novelty_disjoint_vs_copied_sources(spark, sf_dir, monkeypatch):
+    import covid_data_challenge_spark.queries_ext as qe
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    uniq = "one two three four five six seven eight"
+    rows = [
+        (0, uniq, "en", "srcA", 1),
+        (1, uniq, "en", "srcB", 1),   # srcB copies srcA -> 0 novelty both
+        (2, "red green blue cyan magenta yellow black", "en", "srcC", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qe, "_docs", lambda _s, _d: docs)
+    out = {
+        r["source"]: r["novelty_ratio"]
+        for r in REGISTRY["ngram_novelty_by_source"].spark(spark, sf_dir).collect()
+    }
+    assert out["srcA"] == 0.0 and out["srcB"] == 0.0 and out["srcC"] == 1.0
