@@ -57,6 +57,10 @@ EXTENSION = [
     "concurrent_sessions_peak",
     "part_pagerank",
     "user_daily_value_ewma",
+    # round 3 late wave: asymmetric containment pairs (shares the capped
+    # inverted index with ngram_jaccard_pairs) and BM25 retrieval
+    "containment_neardup_pairs",
+    "bm25_topk",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -93,6 +97,9 @@ SCALE_SF1 = [
     # passage hash keep-first window and the doc-bigrams⋈LM join
     "passage_dedup",
     "bigram_lm_score",
+    # third pair generator: containment shares jaccard's candidate
+    # machinery, so its growth should track ngram_jaccard_pairs
+    "containment_neardup_pairs",
 ]
 
 RUNS_PER_QUERY = 2

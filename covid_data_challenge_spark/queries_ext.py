@@ -7107,45 +7107,44 @@ sh AS (
     FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
         ON i <= len(w) - 2
 ),
-per_gram AS (SELECT s, count(*) AS n_src, min(source) AS owner FROM sh GROUP BY s),
-tot AS (SELECT source, count(*) AS n_shingles FROM sh GROUP BY source),
-ex AS (SELECT owner AS source, count(*) AS n_exclusive
-       FROM per_gram WHERE n_src = 1 GROUP BY owner)
+tagged AS (SELECT source, count(*) OVER (PARTITION BY s) AS n_src FROM sh)
 SELECT source,
-       CAST(n_shingles AS BIGINT) AS n_shingles,
-       CAST(coalesce(n_exclusive, 0) AS BIGINT) AS n_exclusive,
-       round(coalesce(n_exclusive, 0) / n_shingles, 6) AS novelty_ratio
-FROM tot LEFT JOIN ex USING (source)
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       round(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS novelty_ratio
+FROM tagged GROUP BY source
 """,
 )
 def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus NOVELTY: the share of a source's distinct word
     3-grams that appear in no other source — the standard signal for
     'is this new crawl/source adding anything' before paying to ingest
-    it at full weight. Plan: one (source, gram) distinct, then two
-    map-side-combinable aggregations (per-gram source count with a
-    min(source) owner tag, and per-source totals) — no gram-keyed join
-    of corpus-sized tables ever happens; the final join is
-    |sources|-sized and broadcast by AQE."""
+    it at full weight. Plan: ONE corpus scan — (source, gram) distinct,
+    a count window over the gram key (partition sizes are bounded by
+    |sources| after the distinct, so the window cannot skew the way a
+    raw-occurrence gram window would), then one map-side-combinable
+    per-source aggregation. No joins at all."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "source",
         F.explode(word_shingle_expr(F.col("text"), 3)).alias("s"),
     ).distinct()
-    per_gram = sh.groupBy("s").agg(
-        F.count(F.lit(1)).alias("n_src"), F.min("source").alias("owner")
-    )
-    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ex = (
-        per_gram.filter(F.col("n_src") == 1)
-        .groupBy(F.col("owner").alias("source"))
-        .agg(F.count(F.lit(1)).alias("n_exclusive"))
-    )
-    return tot.join(ex, "source", "left").select(
-        "source",
-        "n_shingles",
-        F.coalesce("n_exclusive", F.lit(0)).alias("n_exclusive"),
-        F.round(
-            F.coalesce("n_exclusive", F.lit(0)) / F.col("n_shingles"), 6
-        ).alias("novelty_ratio"),
+    n_src = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    excl = F.sum(F.when(F.col("n_src") == 1, 1).otherwise(0))
+    return (
+        sh.withColumn("n_src", n_src)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            excl.alias("n_exclusive"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_exclusive",
+            F.round(F.col("n_exclusive") / F.col("n_shingles"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
     )

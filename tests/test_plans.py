@@ -453,3 +453,37 @@ def test_pagerank_broadcast_loop_never_shuffles_edges(spark):
     # joins are keyed on node and must never sort-merge
     assert simple.count("BroadcastHashJoin") >= 6
     assert "SortMergeJoin [node" not in simple
+
+
+def test_containment_shares_jaccard_plan_shape(spark, sf_dir):
+    """Containment must keep the capped inverted-index shape: two corpus
+    scans, no shingle self-join — same pins as ngram_jaccard_pairs, since
+    both project off pair_overlap_counts."""
+    simple = _plan(
+        spark, REGISTRY["containment_neardup_pairs"].spark(spark, sf_dir), "simple"
+    )
+    assert simple.count("Scan parquet") == 2
+    assert "Inner" not in simple
+    assert "LeftSemi" in simple
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark, sf_dir):
+    """BM25 must cap the result via TakeOrderedAndProject (never a global
+    sort) and bring the |q|-row df table + 1-row corpus stats in by
+    broadcast — the posting-list aggregate is the only corpus-sized
+    shuffle."""
+    plan = _plan(spark, REGISTRY["bm25_topk"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_is_single_scan_no_join(spark, sf_dir):
+    """Novelty is one corpus scan: distinct → gram-key count window
+    (partitions bounded by |sources| post-distinct) → per-source agg.
+    No join of any kind, and never a second scan of the corpus."""
+    plan = _plan(
+        spark, REGISTRY["ngram_novelty_by_source"].spark(spark, sf_dir), "simple"
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
