@@ -1,0 +1,185 @@
+"""BPE tokenizer training as a DataFrame plan: K chained merges.
+
+Generalizes the single-step queries (``bpe_first_merge_candidates``,
+``bpe_second_merge_candidates`` in queries_ext.py) into the actual
+training loop that produces a MERGE TABLE — the ranked list of winning
+symbol pairs that IS a BPE tokenizer's model artifact.
+
+Scale design — the part that matters at 100 TB:
+
+- The corpus is scanned ONCE, into a ``(word, n)`` count table. Real BPE
+  trainers (Sennrich et al. 2016, arXiv:1508.07909, §3) train on the
+  word-frequency dictionary, not on raw occurrences: the distinct-word
+  table is vocabulary-sized (Heaps' law — sublinear in corpus size), so
+  every subsequent merge iteration runs over a table thousands of times
+  smaller than the corpus, with pair counts weighted by ``sum(n)``.
+  Counting over the dictionary is EXACT — identical totals to counting
+  raw occurrences.
+- Each merge iteration is: pair-explode → kilobyte-sized aggregate →
+  1-row TakeOrderedAndProject winner → broadcast the winner back into a
+  greedy leftmost ``replace`` over the dictionary. No driver round-trip
+  anywhere: the whole K-merge loop is one lazy plan, and the winner
+  selection exchanges are tiny. The word-count aggregation exchange is
+  reused across iterations (AQE ReusedExchange) rather than re-scanning
+  the corpus.
+- Merged symbols travel as reserved control bytes (\\x01, \\x02, ...)
+  so a merged pair stays a single character for the next iteration's
+  ``substr`` pair windows; sentinels are expanded back to readable
+  strings only in the final merge-table projection (a chain of 1-row
+  broadcast joins).
+
+The same construction is emitted as an unrolled DuckDB CTE by
+:func:`bpe_merge_oracle_sql`, so the full training loop — winner
+tie-breaks included — is hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.text import tokens
+
+
+def _sym_pairs(wdf: DataFrame, wcol: str) -> DataFrame:
+    """Adjacent symbol pairs of each dictionary word, weighted by the
+    word's corpus count ``n``: (pair, cnt) aggregate."""
+    w = F.col(wcol)
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(w) - 1, F.lit(0))),
+            # sequence(1, 0) descends for 1-char words — the guard drops
+            # the spurious i=0 slot (substring treats pos 0 as 1)
+            lambda i: F.when(
+                (i >= F.lit(1)) & (i < F.length(w)), F.substring(w, i, 2)
+            ),
+        )
+    ).alias("pair")
+    return (
+        wdf.select(pair, "n")
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+def _win(pairs: DataFrame) -> DataFrame:
+    """Top-1 pair by weighted count (raw-symbol tie-break — sentinels
+    are single chars < 0x80, so byte order matches DuckDB exactly)."""
+    return pairs.orderBy(F.col("cnt").desc(), "pair").limit(1)
+
+
+def bpe_merge_table(
+    docs: DataFrame, k: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Train ``k`` BPE merges; return the merge table
+    ``(rank, pair, cnt)`` with sentinel symbols expanded to the merged
+    strings (rank-1 merges may appear inside later pairs)."""
+    wc = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # Each iteration's dictionary is consumed TWICE (winner selection +
+    # next rewrite), and winner k's subtree embeds every earlier
+    # iteration — fully lazy, the plan re-derives the chain once per
+    # consumer (measured 61 corpus scans at k=4). Persisting the
+    # vocab-sized dictionaries linearizes the loop to exactly one
+    # corpus scan, same contract as operators/graph.py:pagerank.
+    cached: list[DataFrame] = []
+    try:
+        wins: list[DataFrame] = []
+        cur = wc.persist()
+        cached.append(cur)
+        for step in range(1, k + 1):
+            win = _win(_sym_pairs(cur, "w")).select(
+                F.col("pair").alias(f"wp{step}"), F.col("cnt").alias(f"cnt{step}")
+            )
+            wins.append(win)
+            if step < k:
+                sep = chr(step)
+                cur = (
+                    cur.join(F.broadcast(win))
+                    .select(
+                        F.replace(
+                            F.col("w"), F.col(f"wp{step}"), F.lit(sep)
+                        ).alias("w"),
+                        "n",
+                    )
+                    .persist()
+                )
+                cached.append(cur)
+
+        # 1-row frame holding every winner: chain of 1-row broadcast joins.
+        allw = wins[0]
+        for win in wins[1:]:
+            allw = allw.join(F.broadcast(win))
+
+        def expand(step: int) -> Column:
+            """Replace sentinels (descending — later sentinels may expand
+            to strings containing earlier ones) with their merged
+            strings."""
+            col: Column = F.col(f"wp{step}")
+            for j in range(step - 1, 0, -1):
+                col = F.replace(col, F.lit(chr(j)), expand(j))
+            return col
+
+        rows = [
+            allw.select(
+                F.lit(step).cast("int").alias("rank"),
+                expand(step).alias("pair"),
+                F.col(f"cnt{step}").alias("cnt"),
+            )
+            for step in range(1, k + 1)
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        # Materialize the k-row table before releasing the cached
+        # dictionaries so callers get a lineage-truncated result and
+        # bench loops don't accumulate cached blocks.
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
+def bpe_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_merge_table`, unrolled for fixed ``k``.
+    ``norm_expr`` is the SQL expression for the normalized text."""
+    ctes = [
+        f"wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ("
+        f"SELECT unnest(string_split({norm_expr}, ' ')) AS w FROM documents"
+        f") GROUP BY w)",
+        "idx AS (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i)",
+    ]
+    prev = "wc"
+    for step in range(1, k + 1):
+        ctes.append(
+            f"p{step} AS (SELECT substr(w, i, 2) AS pair, "
+            f"CAST(sum(n) AS BIGINT) AS cnt "
+            f"FROM {prev} JOIN idx ON i <= len(w) - 1 GROUP BY 1)"
+        )
+        ctes.append(
+            f"w{step} AS (SELECT pair, cnt FROM p{step} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if step < k:
+            ctes.append(
+                f"m{step} AS (SELECT replace(w, (SELECT pair FROM w{step}), "
+                f"chr({step})) AS w, n FROM {prev})"
+            )
+            prev = f"m{step}"
+
+    def expand(step: int) -> str:
+        expr = f"(SELECT pair FROM w{step})"
+        for j in range(step - 1, 0, -1):
+            expr = f"replace({expr}, chr({j}), {expand(j)})"
+        return expr
+
+    selects = [
+        f"SELECT CAST({step} AS INT) AS rank, {expand(step)} AS pair, "
+        f"(SELECT cnt FROM w{step}) AS cnt"
+        for step in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -7148,3 +7148,29 @@ def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE training loop: K-merge table (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+from covid_data_challenge_spark.operators.bpe import (  # noqa: E402
+    bpe_merge_oracle_sql,
+    bpe_merge_table,
+)
+
+_BPE_MERGES = 4
+
+
+@register("bpe_merge_table", oracle=bpe_merge_oracle_sql(_NORM, _BPE_MERGES))
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual loop: 4 chained merges over
+    the word-frequency dictionary, producing the ranked merge table
+    that IS the tokenizer artifact. One corpus scan builds the
+    vocab-sized (word, n) table; every iteration after that is
+    pair-explode → tiny aggregate → 1-row TakeOrderedAndProject winner
+    → broadcast greedy replace, with no driver round-trip anywhere
+    (operators/bpe.py has the Sennrich-dictionary scale argument). The
+    DuckDB oracle unrolls the identical loop as CTEs, so winner
+    tie-breaks and sentinel expansion are hash-checked end to end."""
+    return bpe_merge_table(_docs(spark, sf_dir), k=_BPE_MERGES)

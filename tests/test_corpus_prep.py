@@ -225,3 +225,29 @@ def test_cluster_split_never_leaks_neardups_across_splits(spark, sf_dir):
     # and the split is still roughly 80/10/10 over clusters
     dist = {r["split"]: r["c"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert set(dist) == {"train", "val", "test"}
+
+
+def test_bpe_merge_table_greedy_merges_and_sentinel_expansion(spark):
+    from covid_data_challenge_spark.operators.bpe import bpe_merge_table
+
+    # 'abc' x3: merge 1 is 'ab' (ties broken lexically: ab < bc), and
+    # merge 2 must EXPAND the sentinel — ('ab','c') reads back as 'abc'.
+    docs = spark.createDataFrame(
+        [(0, "abc abc abc")], "doc_id long, text string"
+    )
+    table = sorted(
+        (r["rank"], r["pair"], r["cnt"]) for r in bpe_merge_table(docs, k=2).collect()
+    )
+    assert table == [(1, "ab", 3), (2, "abc", 3)]
+
+
+def test_bpe_merge_table_weighted_by_word_frequency(spark):
+    from covid_data_challenge_spark.operators.bpe import bpe_merge_table
+
+    # 'xy' appears in 3 word instances (2 distinct forms), 'cd' in 2:
+    # the dictionary weighting must count instances, not distinct words.
+    docs = spark.createDataFrame(
+        [(0, "xy xy xyz cd cd")], "doc_id long, text string"
+    )
+    first = {r["rank"]: (r["pair"], r["cnt"]) for r in bpe_merge_table(docs, k=1).collect()}
+    assert first[1] == ("xy", 3)
