@@ -27,7 +27,7 @@ from covid_data_challenge_spark.session import get_spark  # noqa: E402
 #: Queries whose callable executes its own action (streaming runs,
 #: df.observe) — their returned frame's plan is the post-action shell,
 #: so the census would mislead; skip with a note instead.
-_RUNS_OWN_ACTION = ("stream", "observed_quality_report")
+_RUNS_OWN_ACTION = ("stream", "observed_quality_report", "bpe_merge_table")
 
 
 def main() -> int:
