@@ -7174,3 +7174,105 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle unrolls the identical loop as CTEs, so winner
     tie-breaks and sentinel expansion are hash-checked end to end."""
     return bpe_merge_table(_docs(spark, sf_dir), k=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE (upsert/delete apply) against a gold snapshot
+# ---------------------------------------------------------------------------
+
+#: md5-prefix thresholds for the deterministic synthetic change feed:
+#: ~5% deletes, ~10% updates, ~5% inserts (same hex-prefix idiom as
+#: operators/splits.py — engine-portable, reproducible on any layout).
+_CDC_SALT = "cdc-v1"
+_CDC_DEL, _CDC_UPD, _CDC_INS = "0ccccccc", "26666666", "33333333"
+_CDC_INS_OFFSET = 100_000_000
+
+
+@register(
+    "cdc_upsert_apply",
+    oracle=f"""
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+feed AS (
+    SELECT o_orderkey, cents,
+           substr(md5(CAST(o_orderkey AS VARCHAR) || '{_CDC_SALT}'), 1, 8) AS h
+    FROM base
+),
+changes AS (
+    SELECT CASE WHEN h >= '{_CDC_UPD}' THEN o_orderkey + {_CDC_INS_OFFSET}
+                ELSE o_orderkey END AS o_orderkey,
+           CASE WHEN h < '{_CDC_DEL}' THEN 'D'
+                WHEN h < '{_CDC_UPD}' THEN 'U'
+                ELSE 'I' END AS op,
+           CASE WHEN h < '{_CDC_DEL}' THEN NULL
+                WHEN h < '{_CDC_UPD}'
+                    THEN CAST(floor((cents * 11 + 5) / 10) AS BIGINT)
+                ELSE cents END AS new_cents
+    FROM feed WHERE h < '{_CDC_INS}'
+)
+SELECT o_orderkey,
+       coalesce(c.new_cents, b.cents) AS price_cents,
+       CASE WHEN c.op = 'U' THEN 'updated'
+            WHEN c.op = 'I' THEN 'inserted'
+            ELSE 'kept' END AS action
+FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+WHERE c.op IS NULL OR c.op <> 'D'
+""",
+)
+def q_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO without a table format: apply a change batch
+    (inserts / updates / deletes) to a gold snapshot in one
+    full-outer join — the lakehouse upsert Spark OSS lacks without
+    Delta/Iceberg, expressed as a plan any engine can run. The change
+    feed is synthesized deterministically from the snapshot itself
+    (md5-prefix buckets: ~5% D / ~10% U / ~5% I, update = +10% in
+    exact integer cents) so the apply is hash-checkable end to end.
+
+    Scale shape: ONE shuffle join on the merge key — and with the
+    snapshot stored bucketed on that key (sinks.write_bucketed_table)
+    the base side's exchange disappears entirely, which is how a daily
+    100 TB upsert stays bounded by the (much smaller) change batch.
+    Deletes filter post-join; actions are emitted for audit parity with
+    MERGE's matched/not-matched clauses."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(_CDC_SALT))),
+        1,
+        8,
+    )
+    feed = base.withColumn("h", h).filter(F.col("h") < _CDC_INS)
+    changes = feed.select(
+        F.when(F.col("h") >= _CDC_UPD, F.col("o_orderkey") + _CDC_INS_OFFSET)
+        .otherwise(F.col("o_orderkey"))
+        .alias("o_orderkey"),
+        F.when(F.col("h") < _CDC_DEL, "D")
+        .when(F.col("h") < _CDC_UPD, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.when(F.col("h") < _CDC_DEL, F.lit(None).cast("long"))
+        .when(
+            F.col("h") < _CDC_UPD,
+            F.floor((F.col("cents") * 11 + 5) / 10).cast("long"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("new_cents"),
+    )
+    merged = base.join(changes, "o_orderkey", "full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "o_orderkey",
+        F.coalesce("new_cents", "cents").alias("price_cents"),
+        F.when(F.col("op") == "U", "updated")
+        .when(F.col("op") == "I", "inserted")
+        .otherwise("kept")
+        .alias("action"),
+    )

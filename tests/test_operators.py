@@ -786,3 +786,33 @@ def test_bigram_lm_unseen_continuation_of_seen_context_scores_low(spark):
     # floor (its context 'the' was seen heavily → larger denominator)
     v = lm.select("v").first()["v"]
     assert got[2] < math.floor(1e9 / v) / 1e9
+
+
+def test_cdc_upsert_apply_action_mix_and_exactness(spark, sf_dir):
+    """The MERGE apply must: drop every delete, re-price every update by
+    exactly +10% in integer cents (half-up), keep inserts at the shifted
+    key range, and leave everything else untouched."""
+    import covid_data_challenge_spark.queries_ext as qe
+    from covid_data_challenge_spark.registry import REGISTRY
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    out = {r["o_orderkey"]: r for r in REGISTRY["cdc_upsert_apply"].spark(spark, sf_dir).collect()}
+    base = {
+        r["o_orderkey"]: int(round(r["o_totalprice"] * 100))
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    actions = {}
+    for k, r in out.items():
+        actions[r["action"]] = actions.get(r["action"], 0) + 1
+        if r["action"] == "kept":
+            assert out[k]["price_cents"] == base[k]
+        elif r["action"] == "updated":
+            assert r["price_cents"] == (base[k] * 11 + 5) // 10
+        else:  # inserted: shifted key, source row's price
+            src = k - qe._CDC_INS_OFFSET
+            assert src in base and r["price_cents"] == base[src]
+    assert set(actions) == {"kept", "updated", "inserted"}
+    # deletes really removed rows: merged < base + inserts
+    assert len(out) == len(base) + actions["inserted"] - (
+        len(base) - actions["kept"] - actions["updated"]
+    )
