@@ -562,3 +562,25 @@ def test_ngram_novelty_disjoint_vs_copied_sources(spark, sf_dir, monkeypatch):
         for r in REGISTRY["ngram_novelty_by_source"].spark(spark, sf_dir).collect()
     }
     assert out["srcA"] == 0.0 and out["srcB"] == 0.0 and out["srcC"] == 1.0
+
+
+def test_containment_dominates_jaccard_on_every_pair(spark, sf_dir):
+    """Mathematical invariant on real data: for any candidate pair,
+    n_common/min(|A|,|B|) >= n_common/|A∪B|, so containment at threshold
+    t must cover every jaccard pair at t and score each at least as
+    high."""
+    from covid_data_challenge_spark.operators.dedup import containment_pairs
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.3, max_doc_freq=10).collect()
+    }
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.3, max_doc_freq=10).collect()
+    }
+    assert jac, "fixture must produce at least one jaccard pair"
+    for pair, j in jac.items():
+        assert pair in cont and cont[pair] >= j, pair
