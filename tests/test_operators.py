@@ -724,10 +724,17 @@ def test_corpus_operators_survive_empty_input(spark, tmp_path):
         "minhash_neardup_incremental",
         "dedup_exact_stats",
         "corpus_prep_recipe_v2",
+        # round-3 late wave
+        "containment_neardup_pairs",
+        "bm25_topk",
+        "ngram_novelty_by_source",
+        "bpe_merge_table",
     ]:
         rows = REGISTRY[name].spark(spark, sf).collect()
         if name == "dedup_exact_stats":
             continue  # global-agg summary row is fine either way
+        if name == "bpe_merge_table":
+            continue  # k merge-table rows with null pairs/0 counts are fine
         assert rows == [], f"{name} returned rows on empty input"
 
 
