@@ -7265,14 +7265,8 @@ def q_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("cents"))
         .alias("new_cents"),
     )
-    merged = base.join(changes, "o_orderkey", "full_outer")
-    return merged.filter(
-        F.col("op").isNull() | (F.col("op") != "D")
-    ).select(
-        "o_orderkey",
-        F.coalesce("new_cents", "cents").alias("price_cents"),
-        F.when(F.col("op") == "U", "updated")
-        .when(F.col("op") == "I", "inserted")
-        .otherwise("kept")
-        .alias("action"),
-    )
+    from covid_data_challenge_spark.operators.cdc import apply_changes
+
+    return apply_changes(
+        base, changes, "o_orderkey", "cents", "new_cents", "op"
+    ).withColumnRenamed("cents", "price_cents")

@@ -324,3 +324,63 @@ def test_quantile_grid_stream_merge_equals_batch_grid(spark, sf_dir, tmp_path):
         for r in quantile_sketch_build(ev, "event_type", "value", 5.0).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_cdc_upsert_versions_match_sequential_batch_apply(spark, tmp_path):
+    """The CDC change stream (I/U/D) applied per micro-batch must land
+    exactly where sequential batch apply_changes lands — including a
+    delete, and an update in batch 2 of a key inserted in batch 1 —
+    and a checkpointed replay must be a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from covid_data_challenge_spark.operators.cdc import apply_changes
+    from covid_data_challenge_spark.streaming.upsert import (
+        init_gold,
+        read_gold,
+        start_streaming_upsert,
+    )
+
+    gold = str(tmp_path / "gold")
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.createDataFrame([(1, 100), (2, 200), (3, 300)], "key long, value long")
+    init_gold(base, gold)
+
+    def change_file(name, rows):
+        ks, ops, vs = zip(*rows)
+        pq.write_table(
+            pa.table({"key": pa.array(ks, pa.int64()),
+                      "op": pa.array(ops, pa.string()),
+                      "new_value": pa.array(vs, pa.int64())}),
+            str(changes_dir / name),
+        )
+
+    b1 = [(2, "U", 250), (3, "D", None), (4, "I", 400)]
+    b2 = [(4, "U", 450), (1, "D", None), (5, "I", 500)]
+    change_file("b1.parquet", b1)
+    change_file("b2.parquet", b2)
+
+    q = start_streaming_upsert(spark, str(changes_dir), gold, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    streamed = {r["key"]: r["value"] for r in read_gold(spark, gold).collect()}
+
+    # sequential batch replay of the same two batches
+    expect_df = base
+    for rows in (b1, b2):
+        ch = spark.createDataFrame(rows, "key long, op string, new_value long")
+        expect_df = apply_changes(expect_df, ch, "key", "value", with_action=False)
+    expected = {r["key"]: r["value"] for r in expect_df.collect()}
+
+    assert streamed == expected == {2: 250, 4: 450, 5: 500}
+
+    # replay with the same checkpoint: no new files -> version unchanged
+    from covid_data_challenge_spark.streaming.upsert import _latest_version
+    v_before = _latest_version(gold)
+    q2 = start_streaming_upsert(spark, str(changes_dir), gold, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert _latest_version(gold) == v_before
+    assert {r["key"]: r["value"] for r in read_gold(spark, gold).collect()} == expected
