@@ -487,3 +487,46 @@ def test_ngram_novelty_is_single_scan_no_join(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_kicks_in_when_dim_cannot_broadcast(spark, sf_dir):
+    """The 100 TB big-big join story: while the filtered dim side fits
+    the broadcast threshold no runtime filter is needed (the broadcast
+    hash join IS the filter); force the join to sort-merge (as at real
+    scale, where both sides are TBs) and Spark must inject a runtime
+    Bloom filter — bloom_filter_agg on the selective side, might_contain
+    pre-filtering the fact scan — cutting the fact shuffle to ~matching
+    rows. Confs are restored so later tests see the session defaults."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderpriority").count()
+    assert "bloomFilter" not in j._jdf.queryExecution().optimizedPlan().toString()
+
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prior_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # fixture scans are KBs; at real scale the default 10GB gate passes
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        j2 = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prior_app,
+        )
