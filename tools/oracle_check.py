@@ -28,7 +28,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="oracle-check")
+    # progress bars interleave \r frames into piped logs and can
+    # overwrite PASS/FAIL lines — keep the tool's output grep-clean
+    spark = get_spark(
+        app_name="oracle-check",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb_connection(sf_dir)
 
     qs = entrymod.queries()
