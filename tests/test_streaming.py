@@ -384,3 +384,27 @@ def test_streaming_cdc_upsert_versions_match_sequential_batch_apply(spark, tmp_p
     q2.awaitTermination(120)
     assert _latest_version(gold) == v_before
     assert {r["key"]: r["value"] for r in read_gold(spark, gold).collect()} == expected
+
+
+def test_streaming_upsert_crash_before_commit_leaves_old_version_live(spark, tmp_path):
+    """The commit-log claim: a batch that dies AFTER writing its v{N+1}
+    parquet but BEFORE the marker move must leave readers on the old
+    complete snapshot — the half-written version is invisible until the
+    atomic marker swap."""
+    from covid_data_challenge_spark.streaming.upsert import (
+        _latest_version,
+        init_gold,
+        read_gold,
+    )
+
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([(1, 100), (2, 200)], "key long, value long")
+    init_gold(base, gold)
+
+    # simulate the crashed batch: v1 data lands, marker move never runs
+    spark.createDataFrame([(1, 999)], "key long, value long").write.parquet(
+        f"{gold}/v1"
+    )
+    assert _latest_version(gold) == 0
+    state = {r["key"]: r["value"] for r in read_gold(spark, gold).collect()}
+    assert state == {1: 100, 2: 200}  # old version still served, intact
