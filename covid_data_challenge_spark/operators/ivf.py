@@ -196,3 +196,33 @@ def ivf_probe(
             "rank",
         )
     )
+
+
+def ivf_append(
+    centroids: DataFrame,
+    inverted: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: assign a NEW vector batch to the
+    EXISTING centroids and append to the inverted lists — no
+    re-clustering, no touch of the historical lists.
+
+    This is the production vector-store ingest path: centroids are
+    retrained on a refresh cadence (weekly), while the daily/hourly
+    batch only pays one broadcast-centroid argmax over ITS OWN rows and
+    an append write. Cost is O(|batch| × n_centroids) — independent of
+    index size, which is what makes continuous ingest at billions of
+    vectors viable (probe recall slowly degrades as the data drifts
+    from the frozen centroids; the refresh cadence bounds that drift).
+    With the inverted list partitioned by ``cid`` at write time
+    (sinks.write_parquet(partition_by=["cid"])), the append only
+    creates files under the cids the batch actually hits.
+
+    Returns the batch's inverted-list rows (same schema as
+    :func:`ivf_build`'s ``inverted``) — union/append to the gold table.
+    """
+    return assign_to_centroids(batch, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("__cv"), "cid"
+    )

@@ -584,3 +584,47 @@ def test_containment_dominates_jaccard_on_every_pair(spark, sf_dir):
     assert jac, "fixture must produce at least one jaccard pair"
     for pair, j in jac.items():
         assert pair in cont and cont[pair] >= j, pair
+
+
+def test_ivf_append_matches_full_rebuild_assignment(spark, sf_dir):
+    """Incremental ingest contract: appending a new batch against the
+    frozen centroids must give each new vector exactly the cid a full
+    re-assignment over (old ∪ new) would give it, and probing the
+    appended index must find planted new vectors."""
+    from covid_data_challenge_spark.operators.ivf import (
+        assign_to_centroids,
+        ivf_append,
+        ivf_build,
+        ivf_probe,
+    )
+    from covid_data_challenge_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+
+    centroids, inverted = ivf_build(old, n_centroids=8)
+    centroids = centroids.localCheckpoint(eager=True)  # freeze the model
+    appended = ivf_append(centroids, inverted, new)
+
+    got = {r["neighbor_id"]: r["cid"] for r in appended.collect()}
+    full = {
+        r["id"]: r["cid"]
+        for r in assign_to_centroids(
+            old.unionByName(new), centroids
+        ).collect()
+    }
+    assert got and all(full[i] == c for i, c in got.items())
+
+    # probing the appended index with a COPY of a new vector (different
+    # id — self-matches are excluded by contract) must hit the planted
+    # appended vector at cosine 1.0
+    union = inverted.unionByName(appended)
+    planted = new.orderBy("vec_id").limit(1)
+    probe_q = planted.withColumn("vec_id", F.col("vec_id") + 1000000)
+    top = ivf_probe(centroids, union, probe_q, k=1, nprobe=8).collect()
+    assert top
+    assert top[0]["neighbor_id"] == planted.collect()[0]["vec_id"]
+    assert top[0]["cosine_sim"] == 1.0
