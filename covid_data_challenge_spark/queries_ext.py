@@ -7270,3 +7270,89 @@ def q_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(
         base, changes, "o_orderkey", "cents", "new_cents", "op"
     ).withColumnRenamed("cents", "price_cents")
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: text -> fixed-dim vector, no vocabulary (hashing trick)
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 16
+_FH_SALT = "fh-v1"
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{_FH_SALT}'), 1, 8)) AS BIGINT)
+              % {_FH_DIMS} + {_FH_DIMS}) % {_FH_DIMS} AS INT) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2
+),
+dense AS (
+    SELECT b.doc_id, d.bucket, coalesce(cnt, 0) AS cnt
+    FROM (SELECT DISTINCT doc_id FROM bucketed) b
+    CROSS JOIN (SELECT CAST(unnest(range(0, {_FH_DIMS})) AS INT) AS bucket) d
+    LEFT JOIN bucketed USING (doc_id, bucket)
+)
+SELECT doc_id,
+       string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bucket) AS features
+FROM dense GROUP BY doc_id
+""",
+)
+def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens hash into a
+    FIXED number of buckets, giving every document a dense count vector
+    with no vocabulary table, no fitting, no second pass — the
+    featurization that bridges the text tier into the vector tier (the
+    output array feeds the cosine/LSH/IVF operators directly). Plan:
+    one scan, one (doc, bucket) aggregation, then the dense vector is
+    rebuilt row-locally (sequence + map lookup — no per-dimension
+    explode join). md5-derived buckets make the vectors bit-identical
+    across engines, so the whole featurization is hash-checked."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("term"), F.lit(_FH_SALT))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _FH_DIMS
+            + _FH_DIMS
+        )
+        % _FH_DIMS
+    ).cast("int")
+    counts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("cnt")
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIMS - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.col("m"), b.cast("int")), F.lit(0)
+        ).cast("long"),
+    )
+    # serialized as a comma-joined string (registry convention for
+    # array outputs — the compare harness hashes scalars); the array
+    # form for the ANN operators is the same `dense` expression unjoined
+    return per_doc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(dense, lambda x: x.cast("string")), ","
+        ).alias("features"),
+    )

@@ -251,3 +251,24 @@ def test_bpe_merge_table_weighted_by_word_frequency(spark):
     )
     first = {r["rank"]: (r["pair"], r["cnt"]) for r in bpe_merge_table(docs, k=1).collect()}
     assert first[1] == ("xy", 3)
+
+
+def test_feature_hashing_is_count_preserving_and_deterministic(spark, sf_dir):
+    """The hashed vector's component sum must equal the document's token
+    count (hashing redistributes counts, never loses them), and two runs
+    must agree bit-for-bit (md5 buckets, no rand)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401 — populate
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    out1 = {r["doc_id"]: r["features"] for r in
+            REGISTRY["doc_feature_hashing"].spark(spark, sf_dir).collect()}
+    out2 = {r["doc_id"]: r["features"] for r in
+            REGISTRY["doc_feature_hashing"].spark(spark, sf_dir).collect()}
+    assert out1 == out2
+    toks = {r["doc_id"]: r["n"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id",
+                        "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) AS n")
+            .collect()}
+    for d, feat in out1.items():
+        assert sum(int(x) for x in feat.split(",")) == toks[d]
