@@ -120,3 +120,27 @@ def start_streaming_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_gold(gold_dir: str, keep_versions: int = 2) -> list[int]:
+    """Retention: delete snapshot versions older than the newest
+    ``keep_versions`` (the committed version is always kept). The
+    versioned layout makes this trivially safe — the marker never
+    points at a pruned version, and a reader that resolved the marker
+    before the prune reads a version inside the retention window, the
+    same time-travel-window contract as Delta's VACUUM. Returns the
+    pruned version numbers."""
+    import re
+    import shutil
+
+    latest = _latest_version(gold_dir)
+    versions = sorted(
+        int(m.group(1))
+        for name in os.listdir(gold_dir)
+        if (m := re.fullmatch(r"v(\d+)", name))
+    )
+    cutoff = latest - keep_versions + 1
+    pruned = [v for v in versions if v < cutoff]
+    for v in pruned:
+        shutil.rmtree(os.path.join(gold_dir, f"v{v}"))
+    return pruned

@@ -408,3 +408,27 @@ def test_streaming_upsert_crash_before_commit_leaves_old_version_live(spark, tmp
     assert _latest_version(gold) == 0
     state = {r["key"]: r["value"] for r in read_gold(spark, gold).collect()}
     assert state == {1: 100, 2: 200}  # old version still served, intact
+
+
+def test_vacuum_gold_prunes_old_versions_keeps_committed(spark, tmp_path):
+    from covid_data_challenge_spark.streaming.upsert import (
+        _commit,
+        init_gold,
+        read_gold,
+        vacuum_gold,
+    )
+
+    gold = str(tmp_path / "gold")
+    base = spark.createDataFrame([(1, 100)], "key long, value long")
+    init_gold(base, gold)
+    for v in (1, 2, 3):
+        spark.createDataFrame([(1, 100 + v)], "key long, value long").write.parquet(
+            f"{gold}/v{v}"
+        )
+        _commit(gold, v)
+
+    pruned = vacuum_gold(gold, keep_versions=2)
+    assert pruned == [0, 1]
+    # committed version still serves, previous retained version intact
+    assert {r["value"] for r in read_gold(spark, gold).collect()} == {103}
+    assert spark.read.parquet(f"{gold}/v2").count() == 1
