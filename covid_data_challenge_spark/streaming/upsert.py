@@ -56,9 +56,13 @@ def _latest_version(gold_dir: str) -> int:
         return 0
 
 
-def read_gold(spark: SparkSession, gold_dir: str) -> DataFrame:
-    """Current snapshot = the version the marker points at."""
-    v = _latest_version(gold_dir)
+def read_gold(
+    spark: SparkSession, gold_dir: str, version: int | None = None
+) -> DataFrame:
+    """Current snapshot = the version the marker points at; pass
+    ``version`` to time-travel to any version still inside the
+    retention window (see :func:`vacuum_gold`)."""
+    v = _latest_version(gold_dir) if version is None else version
     return spark.read.parquet(os.path.join(gold_dir, f"v{v}"))
 
 

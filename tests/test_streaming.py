@@ -432,3 +432,18 @@ def test_vacuum_gold_prunes_old_versions_keeps_committed(spark, tmp_path):
     # committed version still serves, previous retained version intact
     assert {r["value"] for r in read_gold(spark, gold).collect()} == {103}
     assert spark.read.parquet(f"{gold}/v2").count() == 1
+
+
+def test_read_gold_time_travel_within_retention(spark, tmp_path):
+    from covid_data_challenge_spark.streaming.upsert import (
+        _commit,
+        init_gold,
+        read_gold,
+    )
+
+    gold = str(tmp_path / "gold")
+    init_gold(spark.createDataFrame([(1, 100)], "key long, value long"), gold)
+    spark.createDataFrame([(1, 101)], "key long, value long").write.parquet(f"{gold}/v1")
+    _commit(gold, 1)
+    assert read_gold(spark, gold).collect()[0]["value"] == 101
+    assert read_gold(spark, gold, version=0).collect()[0]["value"] == 100
