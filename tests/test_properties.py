@@ -80,7 +80,11 @@ def test_lag_diff_matches_pandas_diff_fill_clip(spark, rows):
     )
     got = {(r["k"], r["seq"]): r["d"] for r in out.collect()}
     pdf = pd.DataFrame(rows, columns=["k", "seq", "v"]).sort_values(["k", "seq"])
-    pdf["d"] = pdf.groupby("k")["v"].diff().fillna(0).clip(lower=0)
+    # float cast first: on an all-None hypothesis draw the column is
+    # object dtype and .fillna would object-downcast (FutureWarning)
+    pdf["d"] = (
+        pdf.groupby("k")["v"].diff().astype(float).fillna(0).clip(lower=0)
+    )
     for _, row in pdf.iterrows():
         assert math.isclose(got[(row["k"], row["seq"])], row["d"], rel_tol=1e-9)
 
