@@ -90,26 +90,31 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``decoder="real"`` marks where PIL/ffmpeg would decode — unavailable
-    in this environment → NotImplementedError (by contract, see module
-    docstring). The Spark-side plumbing is identical for both.
+    ``decoder="ppm"`` runs a REAL decode → image-statistics kernel
+    (pure-numpy P6 parser, see :func:`ppm_features`) with per-row
+    quarantine (undecodable payload → null features).
+    ``decoder="real"`` marks where PIL/ffmpeg would decode JPEG/PNG —
+    unavailable in this environment → NotImplementedError (by contract,
+    see module docstring). The Spark-side plumbing is identical for all.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("fake", "real", "ppm"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if decoder == "real":
                 raise NotImplementedError(
-                    "real media decoding requires image/audio libraries not "
-                    "present in this container; use decoder='fake'"
+                    "JPEG/PNG/audio decoding requires libraries not present "
+                    "in this container; use decoder='ppm' (pure-numpy real "
+                    "decode) or decoder='fake'"
                 )
+            kernel = ppm_features if decoder == "ppm" else _fake_features
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "features": pdf["payload"].map(_fake_features),
+                    "features": pdf["payload"].map(kernel),
                 }
             )
 
@@ -132,3 +137,107 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .withColumn("sample_ts_ms", F.col("frame_idx") * every_ms)
         .select("media_id", "frame_idx", "sample_ts_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path for PPM (P6) — pure numpy, no external media libs.
+# Proves the decode→feature kernel end to end in this container; JPEG/PNG
+# remain environment-gated behind decoder="real" exactly as before.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic valid P6 image: pixel (x, y, c) = a small affine
+    pattern mod 256. Test/fixture generator — any P6 from any source
+    decodes the same way."""
+    import numpy as np
+
+    y, x, c = np.mgrid[0:height, 0:width, 0:3]
+    img = ((x * 7 + y * 13 + c * 29 + seed) % 256).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary P6 PPM into an (h, w, 3) uint8 array, or None for
+    anything malformed (corrupt media must quarantine, never kill the
+    job — the standard contract for web-scale media ingest)."""
+    import numpy as np
+
+    try:
+        if not payload.startswith(b"P6"):
+            return None
+        # header = magic + 3 whitespace-separated ints, '#' comments legal
+        tokens: list[int] = []
+        i = 2
+        while len(tokens) < 3 and i < len(payload):
+            ch = payload[i : i + 1]
+            if ch == b"#":
+                i = payload.index(b"\n", i) + 1
+            elif ch.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                tokens.append(int(payload[i:j]))
+                i = j
+        w, h, maxval = tokens
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        body = payload[i + 1 : i + 1 + w * h * 3]
+        if len(body) < w * h * 3:
+            return None
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+    except Exception:
+        return None
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize by integer index maps — the numpy-only
+    resize kernel (what PIL's NEAREST does)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(int)
+    cols = (np.arange(out_w) * w // out_w).astype(int)
+    return img[rows][:, cols]
+
+
+def ppm_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Decode → REAL image features: per-channel means, brightness,
+    contrast (std), horizontal/vertical edge energy, aspect ratio — all
+    in [0, 1], rounded for cross-run stability. None for undecodable
+    payloads."""
+    import numpy as np
+
+    img = decode_ppm(bytes(payload))
+    if img is None:
+        return None
+    f = img.astype(np.float64) / 255.0
+    gray = f.mean(axis=2)
+    feats = [
+        f[:, :, 0].mean(),
+        f[:, :, 1].mean(),
+        f[:, :, 2].mean(),
+        gray.mean(),
+        gray.std(),
+        np.abs(np.diff(gray, axis=1)).mean() if img.shape[1] > 1 else 0.0,
+        np.abs(np.diff(gray, axis=0)).mean() if img.shape[0] > 1 else 0.0,
+        min(img.shape[1] / img.shape[0], img.shape[0] / img.shape[1]),
+    ]
+    return [round(float(v), 6) for v in feats[:dim]]
+
+
+def synth_ppm_table(spark: SparkSession, n: int = 32) -> DataFrame:
+    """Media table whose image payloads are REAL decodable P6 PPMs
+    (varying sizes), with one deliberately corrupt payload (id 0 of
+    every 16) to exercise the quarantine path."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 5, 6 + i % 4
+        payload = (
+            b"NOT-A-PPM" if i % 16 == 0 else encode_ppm(w, h, seed=i)
+        )
+        rows.append((i, "image", bytearray(payload), "image/x-portable-pixmap",
+                     w, h, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
