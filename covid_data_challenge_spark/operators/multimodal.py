@@ -97,7 +97,7 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     unavailable in this environment → NotImplementedError (by contract,
     see module docstring). The Spark-side plumbing is identical for all.
     """
-    if decoder not in ("fake", "real", "ppm"):
+    if decoder not in ("fake", "real", "ppm", "wav"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,7 +108,11 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
                     "in this container; use decoder='ppm' (pure-numpy real "
                     "decode) or decoder='fake'"
                 )
-            kernel = ppm_features if decoder == "ppm" else _fake_features
+            kernel = {
+                "ppm": ppm_features,
+                "wav": wav_features,
+                "fake": _fake_features,
+            }[decoder]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -241,3 +245,87 @@ def synth_ppm_table(spark: SparkSession, n: int = 32) -> DataFrame:
         rows.append((i, "image", bytearray(payload), "image/x-portable-pixmap",
                      w, h, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path for WAV (PCM16) — pure numpy, the audio twin of PPM.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """Deterministic valid mono PCM16 WAV (RIFF) for fixtures/tests."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n_samples)
+    # two mixed tones + a seed-keyed phase — deterministic, nontrivial
+    wave = (
+        0.5 * np.sin(2 * np.pi * (220 + seed) * t / sample_rate)
+        + 0.25 * np.sin(2 * np.pi * (880 + 3 * seed) * t / sample_rate)
+    )
+    pcm = (wave * 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes):
+    """Parse a mono PCM16 RIFF/WAVE into (samples float64 in [-1, 1],
+    sample_rate), or None for anything malformed/unsupported — same
+    quarantine contract as :func:`decode_ppm`."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        i = 12
+        fmt = None
+        while i + 8 <= len(payload):
+            cid, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                if fmt is None:
+                    return None
+                audio_fmt, channels, rate, _, _, bits = fmt
+                if audio_fmt != 1 or channels != 1 or bits != 16:
+                    return None  # only mono PCM16 in the pure-numpy path
+                samples = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32768.0
+                return samples, rate
+            i += 8 + size + (size % 2)
+        return None
+    except Exception:
+        return None
+
+
+def wav_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Decode → REAL audio features: RMS energy, peak, zero-crossing
+    rate, duration (log-scaled to [0,1]), and a 4-bin coarse energy
+    envelope. None for undecodable payloads."""
+    import numpy as np
+
+    decoded = decode_wav(bytes(payload))
+    if decoded is None:
+        return None
+    samples, rate = decoded
+    if len(samples) == 0:
+        return None
+    env = [
+        float(np.sqrt((chunk**2).mean())) if len(chunk) else 0.0
+        for chunk in np.array_split(samples, 4)
+    ]
+    feats = [
+        float(np.sqrt((samples**2).mean())),
+        float(np.abs(samples).max()),
+        float((np.diff(np.signbit(samples)) != 0).mean()) if len(samples) > 1 else 0.0,
+        min(len(samples) / rate / 60.0, 1.0),
+        *env,
+    ]
+    return [round(v, 6) for v in feats[:dim]]

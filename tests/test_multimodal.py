@@ -109,3 +109,36 @@ def test_ppm_roundtrip_and_real_feature_kernel(spark):
             assert got is None
         else:
             assert [round(v, 6) for v in got] == ref
+
+
+def test_wav_roundtrip_and_real_audio_kernel(spark):
+    """The pure-numpy WAV path: encode→decode recovers the PCM samples,
+    the Arrow-batched features match the direct kernel, and corrupt /
+    non-PCM16 payloads quarantine to null."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        encode_wav,
+        extract_features,
+        wav_features,
+    )
+
+    payload = encode_wav(4000, sample_rate=8000, seed=2)
+    samples, rate = decode_wav(payload)
+    assert rate == 8000 and len(samples) == 4000
+    assert np.abs(samples).max() <= 1.0 and np.abs(samples).max() > 0.5
+
+    rows = [
+        (0, "audio", bytearray(payload), "audio/wav", -1, -1, 500),
+        (1, "audio", bytearray(b"garbage-not-riff"), "audio/wav", -1, -1, 1),
+        (2, "audio", bytearray(encode_wav(800, seed=9)), "audio/wav", -1, -1, 100),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"]
+           for r in extract_features(media, decoder="wav").collect()}
+    assert out[1] is None
+    for mid in (0, 2):
+        ref = wav_features(bytes(rows[mid][2]))
+        assert [round(v, 6) for v in out[mid]] == ref
