@@ -97,7 +97,7 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     unavailable in this environment → NotImplementedError (by contract,
     see module docstring). The Spark-side plumbing is identical for all.
     """
-    if decoder not in ("fake", "real", "ppm", "wav"):
+    if decoder not in ("fake", "real", "ppm", "wav", "y4m"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,6 +111,7 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             kernel = {
                 "ppm": ppm_features,
                 "wav": wav_features,
+                "y4m": y4m_features,
                 "fake": _fake_features,
             }[decoder]
             yield pd.DataFrame(
@@ -329,3 +330,106 @@ def wav_features(payload: bytes, dim: int = FEATURE_DIM):
         *env,
     ]
     return [round(v, 6) for v in feats[:dim]]
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path for Y4M video (YUV4MPEG2, C420) — completes the
+# image/audio/video trio of pure-numpy kernels.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic valid YUV4MPEG2 clip (C420: full-res Y plane +
+    quarter-res U/V). Frame f's luma is the PPM-style affine pattern
+    shifted by f, so motion exists between frames."""
+    import numpy as np
+
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    cw, ch = width // 2, height // 2
+    for f in range(n_frames):
+        y, x = np.mgrid[0:height, 0:width]
+        luma = ((x * 7 + y * 13 + f * 31 + seed) % 256).astype(np.uint8)
+        cy, cx = np.mgrid[0:ch, 0:cw]
+        u = ((cx * 5 + cy * 3 + f * 17 + seed) % 256).astype(np.uint8)
+        v = ((cx * 11 + cy * 7 + f * 23 + seed) % 256).astype(np.uint8)
+        out.append(b"FRAME\n" + luma.tobytes() + u.tobytes() + v.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 C420 clip → (luma_frames [n, h, w] uint8, w, h),
+    or None for malformed/unsupported payloads (same quarantine
+    contract as the other decoders). Chroma planes are skipped — the
+    feature kernel is luma-based, like most perceptual hashes."""
+    import numpy as np
+
+    try:
+        if not payload.startswith(b"YUV4MPEG2"):
+            return None
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode("ascii", "replace").split()
+        w = h = None
+        colorspace = "C420"
+        for tok in header[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                colorspace = tok
+        if not w or not h or not colorspace.startswith("C420"):
+            return None
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+        frames = []
+        i = nl + 1
+        while i < len(payload):
+            if payload[i : i + 5] != b"FRAME":
+                return None
+            i = payload.index(b"\n", i) + 1
+            if i + frame_bytes > len(payload):
+                return None
+            frames.append(
+                np.frombuffer(payload[i : i + w * h], dtype=np.uint8).reshape(h, w)
+            )
+            i += frame_bytes
+        if not frames:
+            return None
+        return np.stack(frames), w, h
+    except Exception:
+        return None
+
+
+def y4m_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Decode → REAL video features: frame count (log-capped), mean /
+    std luma, spatial edge energy of the first frame, mean absolute
+    TEMPORAL difference (motion), and a 3-bin temporal brightness
+    envelope. None for undecodable payloads."""
+    import numpy as np
+
+    decoded = decode_y4m(bytes(payload))
+    if decoded is None:
+        return None
+    frames, w, h = decoded
+    f = frames.astype(np.float64) / 255.0
+    motion = float(np.abs(np.diff(f, axis=0)).mean()) if len(f) > 1 else 0.0
+    env = [float(chunk.mean()) for chunk in np.array_split(f, 3)]
+    feats = [
+        min(len(f) / 300.0, 1.0),
+        float(f.mean()),
+        float(f.std()),
+        float(np.abs(np.diff(f[0], axis=1)).mean()) if w > 1 else 0.0,
+        motion,
+        *env,
+    ]
+    return [round(v, 6) for v in feats[:dim]]
+
+
+def sample_frames(payload: bytes, every_n: int = 5):
+    """The REAL half of :func:`frame_sample_plan`: decode and return
+    every ``every_n``-th luma frame — the per-row kernel a frame-
+    sampling mapInPandas stage runs after the plan explode."""
+    decoded = decode_y4m(bytes(payload))
+    if decoded is None:
+        return None
+    frames, _, _ = decoded
+    return frames[::every_n]

@@ -142,3 +142,41 @@ def test_wav_roundtrip_and_real_audio_kernel(spark):
     for mid in (0, 2):
         ref = wav_features(bytes(rows[mid][2]))
         assert [round(v, 6) for v in out[mid]] == ref
+
+
+def test_y4m_roundtrip_real_video_kernel_and_frame_sampling(spark):
+    """The pure-numpy Y4M path: decode recovers every luma frame
+    pixel-exactly, motion between frames is detected, frame sampling
+    picks exactly every n-th frame, and corrupt payloads quarantine."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_y4m,
+        encode_y4m,
+        extract_features,
+        sample_frames,
+        y4m_features,
+    )
+
+    payload = encode_y4m(16, 8, n_frames=10, seed=4)
+    frames, w, h = decode_y4m(payload)
+    assert (w, h) == (16, 8) and frames.shape == (10, 8, 16)
+    y, x = np.mgrid[0:8, 0:16]
+    assert (frames[3] == ((x * 7 + y * 13 + 3 * 31 + 4) % 256).astype(np.uint8)).all()
+
+    feats = y4m_features(payload)
+    assert feats is not None and feats[4] > 0  # temporal motion present
+
+    sampled = sample_frames(payload, every_n=4)
+    assert sampled.shape[0] == 3 and (sampled[1] == frames[4]).all()
+
+    rows = [
+        (0, "video", bytearray(payload), "video/x-y4m", 16, 8, 400),
+        (1, "video", bytearray(b"not a clip"), "video/x-y4m", -1, -1, 1),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"]
+           for r in extract_features(media, decoder="y4m").collect()}
+    assert out[1] is None
+    assert [round(v, 6) for v in out[0]] == feats
