@@ -391,3 +391,47 @@ def test_minhash_incremental_finds_planted_history_dup(spark):
     pairs = {(r.batch_doc, r.hist_doc): r.est_jaccard for r in out}
     assert pairs.get((10, 1)) == 1.0
     assert (20, 1) not in pairs and (20, 2) not in pairs
+
+
+# CDC apply: random snapshot + random change batch vs a dict replay.
+_cdc_base = st.dictionaries(
+    st.integers(min_value=0, max_value=15), st.integers(0, 1000), max_size=10
+)
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 1000),
+    ),
+    max_size=12,
+    unique_by=lambda t: t[0],  # contract: one change row per key per batch
+)
+
+
+@given(base=_cdc_base, ops=_cdc_ops)
+@settings(**_SETTINGS)
+def test_cdc_apply_matches_dict_replay(spark, base, ops):
+    """apply_changes must behave exactly like replaying the ops onto a
+    Python dict: D removes (no-op if absent), U/I set the new value
+    (MERGE fall-through: I on an existing key updates, U on a missing
+    key inserts — matching the operator's documented degradation)."""
+    from covid_data_challenge_spark.operators.cdc import apply_changes
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "key long, value long"
+    )
+    ch_df = spark.createDataFrame(
+        [(k, op, None if op == "D" else nv) for k, op, nv in ops],
+        "key long, op string, new_value long",
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in apply_changes(base_df, ch_df, "key", "value").collect()
+    }
+    expect = dict(base)
+    for k, op, nv in ops:
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = nv
+    assert got == expect
