@@ -332,18 +332,22 @@ def test_simhash_md5_is_token_order_invariant(spark, docs, seed):
 def test_passage_dedup_is_lossless_without_duplicates(spark, docs):
     """When every passage is globally unique, passage dedup must be the
     identity on the normalized text (reassembly preserves order and
-    content exactly). Uniqueness is forced by prefixing each doc's
-    tokens with a doc-unique marker token inside every window."""
+    content exactly). Uniqueness is forced by injecting a
+    POSITION-unique marker token inside every window — a merely
+    doc-unique marker is not enough: on a repeated-token doc like
+    ['a']*6 the same window appears twice WITHIN the doc and intra-doc
+    passage dedup correctly strips the repeat (hypothesis found exactly
+    that counterexample)."""
     from covid_data_challenge_spark.operators.dedup import passage_dedup
 
     w = 4
     rows = []
     for i, ws in enumerate(docs):
-        # inject 'd<i>' every w tokens so every window is doc-unique
+        # inject 'd<i>x<j>' every w tokens so every window is unique
         toks = []
         for j, t in enumerate(ws):
             if j % (w - 1) == 0:
-                toks.append(f"d{i}x")
+                toks.append(f"d{i}x{j}")
             toks.append(t)
         rows.append((i, " ".join(toks)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
