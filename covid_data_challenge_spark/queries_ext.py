@@ -7356,3 +7356,102 @@ def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(dense, lambda x: x.cast("string")), ","
         ).alias("features"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (portable-ln log-ratios)
+# ---------------------------------------------------------------------------
+
+from covid_data_challenge_spark.functions.pmath import (  # noqa: E402
+    portable_ln_sql_stages,
+)
+from covid_data_challenge_spark.operators.dsir import (  # noqa: E402
+    DSIR_BUCKETS,
+    DSIR_SALT,
+    dsir_select,
+)
+
+#: curated-target slice for the registered query: two designated sources
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+
+_DSIR_STAGE, _DSIR_FINAL = portable_ln_sql_stages(
+    {
+        "l1": "(ct + 1)",
+        "l2": f"(nt + {DSIR_BUCKETS})",
+        "l3": "(cr + 1)",
+        "l4": f"(nr + {DSIR_BUCKETS})",
+    }
+)
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source IN {_DSIR_TARGET_SOURCES} AS is_target,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, is_target,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{DSIR_SALT}'), 1, 8)) AS BIGINT)
+              % {DSIR_BUCKETS} + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2, 3
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+           sum(cnt) AS cr
+    FROM bucketed GROUP BY 1
+),
+grid AS (
+    SELECT bucket, ct, cr,
+           (SELECT sum(ct) FROM per_bucket) AS nt,
+           (SELECT sum(cr) FROM per_bucket) AS nr
+    FROM per_bucket
+),
+staged AS (SELECT bucket, {_DSIR_STAGE} FROM grid),
+lns AS (SELECT bucket, {_DSIR_FINAL} FROM staged),
+wtab AS (
+    SELECT bucket,
+           CAST(floor(1000000.0 * ((((l1) - (l2)) - (l3)) + (l4))) AS BIGINT)
+             AS w_units
+    FROM lns
+),
+docw AS (
+    SELECT b.doc_id, b.is_target,
+           sum(b.cnt) AS n_tokens,
+           sum(b.cnt * w.w_units) AS w_units
+    FROM bucketed b JOIN wtab w USING (bucket)
+    GROUP BY 1, 2
+),
+raw AS (SELECT * FROM docw WHERE NOT is_target),
+thr AS (SELECT quantile_cont(w_units, 0.75) AS thr FROM raw)
+SELECT doc_id, n_tokens, w_units
+FROM raw CROSS JOIN thr
+WHERE CAST(w_units AS DOUBLE) >= thr
+""",
+)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): score every raw document
+    by its hashed-ngram log-likelihood ratio against a curated target
+    slice (sources src0/src1), keep the top-quartile weights. The
+    log-ratios run through functions/pmath.portable_ln — a fixed atanh
+    series over correctly-rounded ops only — then integer-quantize per
+    bucket, so the weights (and hence the selected set) are bit-exact
+    against the DuckDB replay despite being log-space floats. Plan: one
+    token-bucket aggregation (constant n_buckets=256 model, broadcast
+    back), one doc-level aggregation, one global exact percentile for
+    the threshold — no corpus-wide sort or window; at 100 TB the
+    percentile swaps to approx_percentile."""
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs,
+        is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES),
+        keep_frac=0.25,
+        n_buckets=DSIR_BUCKETS,
+        salt=DSIR_SALT,
+    )

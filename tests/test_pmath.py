@@ -1,0 +1,134 @@
+"""Portable-ln kernel (functions/pmath.py) and DSIR selection
+(operators/dsir.py).
+
+The kernel's whole contract is cross-engine bit-identity: the SAME
+expression tree evaluated by Spark (JVM), DuckDB (C), and the Python
+replica must produce the SAME 64 bits, and the replica must agree with
+libm ln to ~1e-9 relative (the series' truncation bound). The DSIR tests
+then pin the selection semantics on a constructed corpus where the
+target-like documents are known.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from covid_data_challenge_spark.functions.pmath import (
+    portable_ln_py,
+    portable_ln_sql_stages,
+)
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+@given(
+    st.floats(min_value=1e-12, max_value=1e12, allow_nan=False, exclude_min=True)
+)
+@settings(**_SETTINGS)
+def test_portable_ln_accuracy(x):
+    """Replica vs libm: the atanh series through z^15 with |z| <= 1/3 is
+    good to ~4.6e-10 relative truncation + a few ulp of accumulation."""
+    got = portable_ln_py(x)
+    want = math.log(x)
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(
+    a=st.integers(min_value=1, max_value=10**9),
+    b=st.integers(min_value=1, max_value=10**9),
+)
+@settings(**_SETTINGS)
+def test_portable_ln_duckdb_bit_identity(a, b):
+    """DuckDB evaluates the staged SQL tree to the SAME 64 bits as the
+    Python replica, on rationals a/b spanning ~18 orders of magnitude —
+    exactly the inputs the DSIR model produces (smoothed count ratios).
+    (Python floats are IEEE doubles with correctly-rounded arithmetic,
+    so replica==DuckDB and replica==Spark together give DuckDB==Spark.)"""
+    x = a / b
+    if x <= 0 or not math.isfinite(x):  # pragma: no cover - guarded by ranges
+        return
+    stage, final = portable_ln_sql_stages({"l": f"(CAST({a} AS DOUBLE) / {b})"})
+    con = duckdb.connect()
+    got = con.execute(
+        f"WITH s AS (SELECT {stage}), f AS (SELECT {final} FROM s) "
+        "SELECT l FROM f"
+    ).fetchone()[0]
+    assert _bits(got) == _bits(portable_ln_py(x)), (x, got, portable_ln_py(x))
+
+
+def test_portable_ln_spark_bit_identity(spark):
+    """Spark evaluates portable_ln to the SAME 64 bits as the replica
+    over a sweep of count-ratio-shaped rationals (incl. x<1 swap branch,
+    exact powers of two, and x=1 → exactly 0.0)."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    cases = (
+        [(a, b) for a in (1, 2, 3, 7, 22, 1000, 999983) for b in (1, 3, 8, 2035, 10**6)]
+        + [(1, 1), (4, 1), (1024, 1), (1, 1024)]
+    )
+    df = spark.createDataFrame(cases, "a long, b long").select(
+        "a", "b", portable_ln(F.col("a").cast("double") / F.col("b")).alias("l")
+    )
+    for r in df.collect():
+        x = r.a / r.b
+        assert _bits(r.l) == _bits(portable_ln_py(x)), (r.a, r.b, r.l)
+    # x = 1 must be exactly zero (e=0, z=0): the quantization floor(1e6*0)
+    # sits on a boundary, so this case being exact matters
+    assert portable_ln_py(1.0) == 0.0
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    """20 target docs about 'quantum physics lab', 60 raw docs: 20 near
+    the target vocabulary, 40 about cooking — the selected quarter(ish)
+    must be exactly the physics-flavored raw docs."""
+    rows = []
+    for i in range(20):
+        rows.append((i, f"quantum physics lab experiment {i % 3}", "tgt"))
+    for i in range(20):
+        rows.append((100 + i, f"quantum lab notes physics {i % 5}", "rawlike"))
+    for i in range(40):
+        rows.append((200 + i, f"butter flour sugar recipe oven {i % 7}", "rawfood"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dsir_selects_target_like_docs(dsir_corpus):
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.dsir import dsir_select
+
+    out = dsir_select(
+        dsir_corpus, is_target=F.col("source") == "tgt", keep_frac=0.25
+    ).collect()
+    ids = {r.doc_id for r in out}
+    # 60 raw docs, top quartile = 15 by threshold (ties all kept); every
+    # selected doc must be physics-flavored, none from the cooking slice
+    assert ids and ids <= set(range(100, 120)), sorted(ids)
+
+
+def test_dsir_weights_order_docs_by_target_affinity(dsir_corpus):
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.dsir import dsir_doc_weights
+
+    dw = dsir_doc_weights(dsir_corpus, is_target=F.col("source") == "tgt")
+    rows = {r.doc_id: r.w_units for r in dw.collect() if not r.is_target}
+    worst_physics = min(v for k, v in rows.items() if 100 <= k < 120)
+    best_food = max(v for k, v in rows.items() if k >= 200)
+    assert worst_physics > best_food
