@@ -144,9 +144,86 @@ def bpe_merge_table(
             c.unpersist()
 
 
-def bpe_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
-    """DuckDB twin of :func:`bpe_merge_table`, unrolled for fixed ``k``.
-    ``norm_expr`` is the SQL expression for the normalized text."""
+def bpe_encode_stats(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE with the trained tokenizer: train ``k`` merges on the
+    corpus (same loop as :func:`bpe_merge_table`), then apply them to
+    every document's words in rank order — the serving half of BPE.
+
+    Application is the same greedy leftmost ``replace`` chain used
+    during training (winners stay in sentinel form, so rank-j pairs may
+    consume rank-i<j sentinels — exactly how a real BPE encoder applies
+    merges in priority order). Per doc this returns the unit counts
+    before/after — base symbols vs encoded tokens — which is THE
+    tokenizer-cost number a data pipeline budgets by.
+
+    Scale: winners are 1-row frames, eagerly localCheckpoint'ed so the
+    doc-side encode plan embeds k literal-sized broadcasts instead of
+    re-deriving the training chain per consumer; the cached vocab-sized
+    dictionaries are released before encoding starts. The encode itself
+    is map-side only — one corpus scan, one groupBy(doc_id)."""
+    wc = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cached: list[DataFrame] = []
+    wins: list[DataFrame] = []
+    try:
+        cur = wc.persist()
+        cached.append(cur)
+        for step in range(1, k + 1):
+            win = (
+                _win(_sym_pairs(cur, "w"))
+                .select(F.col("pair").alias(f"wp{step}"))
+                .localCheckpoint(eager=True)
+            )
+            wins.append(win)
+            if step < k:
+                cur = (
+                    cur.join(F.broadcast(win))
+                    .select(
+                        F.replace(
+                            F.col("w"), F.col(f"wp{step}"), F.lit(chr(step))
+                        ).alias("w"),
+                        "n",
+                    )
+                    .persist()
+                )
+                cached.append(cur)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+    enc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).select("doc_id", F.length("w").alias("len0"), "w")
+    for step, win in enumerate(wins, 1):
+        enc = enc.join(F.broadcast(win)).select(
+            "doc_id",
+            "len0",
+            F.replace(F.col("w"), F.col(f"wp{step}"), F.lit(chr(step))).alias("w"),
+        )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("len0").alias("units_before"),
+        F.sum(F.length("w")).alias("units_after"),
+        (F.sum("len0") - F.sum(F.length("w"))).alias("merges_applied"),
+        (
+            F.sum(F.length("w")).cast("double") / F.sum("len0").cast("double")
+        ).alias("compression"),
+    )
+
+
+def bpe_winner_ctes(norm_expr: str, k: int) -> list[str]:
+    """The shared training-loop CTE chain (word counts → per-rank pair
+    aggregates → 1-row winners ``w1..wk`` in sentinel form → rewritten
+    dictionaries). Used by both the merge-table and encode oracles."""
     ctes = [
         f"wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ("
         f"SELECT unnest(string_split({norm_expr}, ' ')) AS w FROM documents"
@@ -170,6 +247,41 @@ def bpe_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
                 f"chr({step})) AS w, n FROM {prev})"
             )
             prev = f"m{step}"
+    return ctes
+
+
+def bpe_encode_oracle_sql(norm_expr: str, k: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats` for fixed ``k``."""
+    ctes = bpe_winner_ctes(norm_expr, k)
+    chain = "w"
+    for step in range(1, k + 1):
+        chain = f"replace({chain}, (SELECT pair FROM w{step}), chr({step}))"
+    ctes.append(
+        f"doc_toks AS (SELECT doc_id, "
+        f"unnest(string_split({norm_expr}, ' ')) AS w FROM documents)"
+    )
+    ctes.append(
+        f"enc AS (SELECT doc_id, len(w) AS len0, {chain} AS we FROM doc_toks)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id,
+       count(*) AS n_words,
+       sum(len0) AS units_before,
+       sum(len(we)) AS units_after,
+       sum(len0) - sum(len(we)) AS merges_applied,
+       CAST(sum(len(we)) AS DOUBLE) / CAST(sum(len0) AS DOUBLE) AS compression
+FROM enc GROUP BY doc_id
+"""
+    )
+
+
+def bpe_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
+    """DuckDB twin of :func:`bpe_merge_table`, unrolled for fixed ``k``.
+    ``norm_expr`` is the SQL expression for the normalized text."""
+    ctes = bpe_winner_ctes(norm_expr, k)
 
     def expand(step: int) -> str:
         expr = f"(SELECT pair FROM w{step})"

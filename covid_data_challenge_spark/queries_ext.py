@@ -7455,3 +7455,28 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=DSIR_BUCKETS,
         salt=DSIR_SALT,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: apply the trained merge table to the corpus
+# ---------------------------------------------------------------------------
+
+from covid_data_challenge_spark.operators.bpe import (  # noqa: E402
+    bpe_encode_oracle_sql,
+    bpe_encode_stats,
+)
+
+
+@register("bpe_encode_stats", oracle=bpe_encode_oracle_sql(_NORM, _BPE_MERGES))
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the BPE tokenizer: train the 4-merge table
+    (same loop as bpe_merge_table), then ENCODE every document by
+    applying the merges in rank order — greedy leftmost replace with
+    winners kept in sentinel form, so later merges can consume earlier
+    ones exactly like a real BPE encoder's priority queue. Output is
+    the per-doc unit count before/after and the compression ratio — the
+    tokenizer-cost numbers a training pipeline budgets by. Winners are
+    1-row localCheckpoint'ed broadcasts (the encode plan embeds k
+    literals, not the training chain); the encode pass itself is
+    map-side only: one corpus scan, one groupBy(doc_id)."""
+    return bpe_encode_stats(_docs(spark, sf_dir), k=_BPE_MERGES)

@@ -272,3 +272,33 @@ def test_feature_hashing_is_count_preserving_and_deterministic(spark, sf_dir):
             .collect()}
     for d, feat in out1.items():
         assert sum(int(x) for x in feat.split(",")) == toks[d]
+
+
+def test_bpe_encode_stats_applies_merges_in_rank_order(spark):
+    from covid_data_challenge_spark.operators.bpe import bpe_encode_stats
+
+    # 'abc' x3 trains merges [ab, (ab)c]; encoding 'abc' applies both:
+    # 3 base symbols -> 1 encoded unit, 2 merges applied per word.
+    docs = spark.createDataFrame([(0, "abc abc abc")], "doc_id long, text string")
+    row = bpe_encode_stats(docs, k=2).collect()[0]
+    assert (
+        row.n_words,
+        row.units_before,
+        row.units_after,
+        row.merges_applied,
+    ) == (3, 9, 3, 6)
+    assert row.compression == 3 / 9
+
+
+def test_bpe_encode_stats_unmerged_words_pass_through(spark):
+    from covid_data_challenge_spark.operators.bpe import bpe_encode_stats
+
+    # Corpus dominated by 'zz' (the only trained merge): a word sharing
+    # no pair with the merge table must come out unchanged.
+    docs = spark.createDataFrame(
+        [(0, "zz zz zz zz"), (1, "qf")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_encode_stats(docs, k=1).collect()}
+    assert rows[1].units_before == rows[1].units_after == 2
+    assert rows[1].merges_applied == 0
+    assert rows[0].units_after == 4  # each 'zz' collapses to one unit
