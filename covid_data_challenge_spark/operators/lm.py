@@ -106,3 +106,54 @@ def bigram_lm_score_with(
             ).alias("lm_score"),
         )
     )
+
+
+def bigram_lm_nll_with(
+    docs: DataFrame, lm: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean negative log-likelihood per document in REAL nats — the
+    actual CCNet perplexity-filter quantity (lm_score's mean
+    probability is a monotone proxy; this is the log-space loss that
+    perplexity thresholds are published in, ppl = exp(nll)).
+
+    libm ln differs across engines in the last ulp, so the per-bigram
+    -ln p = ln(C(a.)+V) - ln(C(ab)+1) goes through
+    functions.pmath.portable_ln and quantizes to integer micro-nats
+    BEFORE the per-doc sum: order-free integer addition, one final IEEE
+    division — hash-exact like the rest of the LM surface. Smoothing
+    fallbacks (unseen bigram / unseen context) mirror
+    :func:`bigram_lm_score_with` exactly."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    bg = doc_bigrams(docs, id_col, text_col)
+    v_row = lm.select("v").limit(1)
+    prefixes = (
+        lm.select(F.substring_index("bg", " ", 1).alias("__pre"), "c_a")
+        .dropDuplicates(["__pre"])
+        .withColumnRenamed("c_a", "__pre_c_a")
+    )
+    joined = (
+        bg.join(lm.select("bg", "c_ab", "c_a"), "bg", "left")
+        .join(
+            prefixes,
+            F.substring_index(F.col("bg"), " ", 1) == F.col("__pre"),
+            "left",
+        )
+        .join(F.broadcast(v_row.withColumnRenamed("v", "__v")))
+    )
+    num = F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(1)
+    den = F.coalesce(F.col("c_a"), F.col("__pre_c_a"), F.lit(0)) + F.col("__v")
+    nll_units = F.floor(
+        F.lit(1000000.0) * (portable_ln(den) - portable_ln(num))
+    ).cast("long")
+    return (
+        joined.select("doc_id", nll_units.alias("nll_units"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("nll_units").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("nll"),
+        )
+    )

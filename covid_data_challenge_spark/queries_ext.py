@@ -7480,3 +7480,70 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, not the training chain); the encode pass itself is
     map-side only: one corpus scan, one groupBy(doc_id)."""
     return bpe_encode_stats(_docs(spark, sf_dir), k=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM NLL in real nats (portable-ln)
+# ---------------------------------------------------------------------------
+
+_NLL_STAGE, _NLL_FINAL = portable_ln_sql_stages(
+    {"l_num": "num", "l_den": "den"}
+)
+
+
+@register(
+    "bigram_lm_nll",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+lm_pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_bg GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(count(*) AS BIGINT) AS v FROM lm_pre
+),
+args AS (
+    SELECT b.doc_id, (l.c_ab + 1) AS num, (p.c_a + vocab.v) AS den
+    FROM bg b
+    JOIN lm_bg l ON b.bg = l.bg
+    JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN vocab
+),
+staged AS (SELECT doc_id, {_NLL_STAGE} FROM args),
+lns AS (SELECT doc_id, {_NLL_FINAL} FROM staged),
+scored AS (
+    SELECT doc_id,
+           CAST(floor(1000000.0 * ((l_den) - (l_num))) AS BIGINT) AS nll_units
+    FROM lns
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_units) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet perplexity filter in its native units: per-doc mean
+    negative log-likelihood in nats under the self-trained add-one
+    bigram LM (ppl = exp(nll); bigram_lm_score's mean probability is
+    only a monotone proxy). Log-space outputs were previously
+    un-oracle-able — libm ln's last ulp differs between the JVM and C —
+    so each bigram's -ln p runs through functions/pmath.portable_ln
+    (correctly-rounded ops only) and quantizes to integer micro-nats
+    before the order-free per-doc sum; one IEEE division closes the
+    mean. Same plan shape as bigram_lm_score: vocab-sized LM aggs, one
+    bigram-key shuffle join, per-doc re-agg."""
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_nll_with,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return bigram_lm_nll_with(docs, bigram_lm_build(docs))

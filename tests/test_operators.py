@@ -823,3 +823,43 @@ def test_cdc_upsert_apply_action_mix_and_exactness(spark, sf_dir):
     assert len(out) == len(base) + actions["inserted"] - (
         len(base) - actions["kept"] - actions["updated"]
     )
+
+
+def test_bigram_lm_nll_matches_log_model_and_ranks_gibberish_high(spark):
+    """nll must equal mean -ln((c_ab+1)/(c_a+v)) within the micro-nat
+    quantization, and the unusual-for-the-corpus doc must score HIGHER
+    loss than the formulaic one (the perplexity filter's direction)."""
+    import math
+
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_nll_with,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),
+            (2, "zq xv wk jn bf"),
+        ],
+        "doc_id long, text string",
+    )
+    lm = bigram_lm_build(docs)
+    model = {
+        r.bg: (r.c_ab, r.c_a, r.v) for r in lm.collect()
+    }
+    out = {r.doc_id: r for r in bigram_lm_nll_with(docs, lm).collect()}
+
+    def expected_nll(text: str) -> float:
+        ws = text.split()
+        units = []
+        for a, b in zip(ws, ws[1:]):
+            c_ab, c_a, v = model[f"{a} {b}"]
+            units.append(math.floor(1e6 * -math.log((c_ab + 1) / (c_a + v))))
+        return sum(units) / (len(units) * 1e6)
+
+    for i, text in [(0, "the cat sat on the mat"), (2, "zq xv wk jn bf")]:
+        # portable_ln agrees with libm to ~1e-9 rel; after floor-quantize
+        # the per-doc mean can differ by at most 1 unit per bigram
+        assert abs(out[i].nll - expected_nll(text)) <= len(text.split()) * 1e-6
+    assert out[2].nll > out[0].nll
