@@ -107,3 +107,74 @@ def _iterate(e, nodes, n_nodes, ranks, iters, damping, base,
     return ranks
 
 
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle census of an undirected graph → one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)``.
+
+    ``edges`` must be the canonical distinct edge list with
+    ``src < dst``. Triangles are counted by the compact-forward /
+    degree-ordering scheme (Latapy 2008): orient every edge from the
+    (degree, id)-smaller endpoint to the larger, build length-2 paths
+    a→b→c by joining the oriented list with itself on the middle node,
+    and close them against a third oriented edge a→c. Orientation is
+    what makes this scale: out-degrees are bounded by ~sqrt(2m), so the
+    path join costs O(m^1.5) instead of Σ deg² — the hub that would
+    explode a naive middle-node join sits on the RECEIVING side of its
+    edges. Every triangle is counted exactly once (its three nodes
+    appear in rank order). All outputs are integers except the
+    clustering coefficient 3T/W, which is one IEEE division —
+    hash-exact cross-engine."""
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # a < b in the canonical list, so the (deg, id) order reduces to:
+    # orient a→b iff deg_a <= deg_b
+    fwd = F.col("deg_a") <= F.col("deg_b")
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("d"),
+        )
+    )
+    x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
+    tri = (
+        x.join(y, F.col("x.d") == F.col("y.s"))
+        .join(z, (F.col("z.s") == F.col("x.s")) & (F.col("z.d") == F.col("y.d")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)).cast("double") / F.lit(2.0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.join(F.broadcast(counts))
+        .join(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles").cast("double"))
+                / F.col("n_wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )

@@ -7547,3 +7547,306 @@ def q_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return bigram_lm_nll_with(docs, bigram_lm_build(docs))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (quality phases x deterministic shards)
+# ---------------------------------------------------------------------------
+
+_CURR_SHARDS, _CURR_SALT = 4, "curr-v1"
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id, lang, quality FROM ({_QUALITY_SQL})
+),
+phased AS (
+    SELECT doc_id, lang,
+           CAST(ntile(10) OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+           ) AS INT) AS phase
+    FROM q
+),
+sharded AS (
+    SELECT doc_id, lang, phase,
+           CAST(
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_CURR_SALT}'), 1, 8)) AS BIGINT)
+              % {_CURR_SHARDS} + {_CURR_SHARDS}) % {_CURR_SHARDS} AS INT
+           ) AS shard,
+           md5(CAST(doc_id AS VARCHAR) || '{_CURR_SALT}') AS h
+    FROM phased
+)
+SELECT lang, phase, shard,
+       CAST(row_number() OVER (
+           PARTITION BY lang, phase, shard ORDER BY h, doc_id
+       ) AS INT) AS pos,
+       doc_id
+FROM sharded
+""",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum for training: per-language quality
+    deciles become phases (phase 1 = best), and each phase is shuffled
+    by md5 shard-then-sort — the reader streams phases in order,
+    interleaving shards, so high-quality data leads each language's
+    stream while order within a phase is an unbiased deterministic
+    shuffle. Scale shape: NO global ordering anywhere — the decile
+    window partitions by lang, the position window by (lang, phase,
+    shard); both stay parallel, same discipline as corpus_shuffle."""
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    wq = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_CURR_SALT)))
+    shard = (
+        (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CURR_SHARDS
+            + _CURR_SHARDS
+        )
+        % _CURR_SHARDS
+    ).cast("int")
+    phased = q.withColumn("phase", F.ntile(10).over(wq)).select(
+        "doc_id", "lang", "phase", shard.alias("shard"), h.alias("h")
+    )
+    wp = Window.partitionBy("lang", "phase", "shard").orderBy("h", "doc_id")
+    return phased.select(
+        "lang",
+        "phase",
+        "shard",
+        F.row_number().over(wp).cast("int").alias("pos"),
+        "doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival audit (the watermark-sizing report)
+# ---------------------------------------------------------------------------
+
+#: a row is "late" if it arrives (event_id order) more than this many
+#: seconds behind the newest event time already seen for its user
+_LATE_THRESHOLD_S = 300
+
+
+@register(
+    "events_late_arrival_report",
+    oracle=f"""
+WITH arr AS (
+    SELECT event_type,
+           max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) - epoch_us(ts) AS behind_us
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN behind_us > {_LATE_THRESHOLD_S} * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN behind_us > {_LATE_THRESHOLD_S} * 1000000 THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_rate,
+       CAST(max(greatest(behind_us, 0)) AS BIGINT) AS max_behind_us
+FROM arr GROUP BY event_type
+""",
+)
+def q_events_late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-data audit — the report that SIZES a streaming
+    watermark: treating event_id as ingestion order, how far behind the
+    newest already-seen event time (per user) does each row arrive, and
+    what fraction would a 5-minute watermark drop? Per-user running max
+    keeps the window partitioned (no global arrival ordering at scale —
+    per-key disorder is what bounds per-key state); lateness stays in
+    exact integer microseconds. Feeds directly into the
+    withWatermark(...) delay chosen by the events_*_stream queries."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    behind = (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+        "behind_us"
+    )
+    late = F.col("behind_us") > F.lit(_LATE_THRESHOLD_S * 1_000_000)
+    return (
+        ev.select("event_type", behind)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            (
+                F.sum(F.when(late, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("late_rate"),
+            F.max(F.greatest(F.col("behind_us"), F.lit(0))).alias("max_behind_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus (portable-ln)
+# ---------------------------------------------------------------------------
+
+_KL_STAGE, _KL_FINAL = portable_ln_sql_stages(
+    {"l_cnt": "cnt", "l_ns": "ns", "l_ct": "ct", "l_n": "n"}
+)
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY 1),
+ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM st GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+args AS (
+    SELECT st.source, st.cnt, ns.ns, ct.ct, n.n
+    FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN n
+),
+staged AS (SELECT source, cnt, ns, {_KL_STAGE} FROM args),
+lns AS (SELECT source, cnt, ns, {_KL_FINAL} FROM staged),
+units AS (
+    SELECT source, ns,
+           CAST(floor(1000000000.0 *
+                ((CAST(cnt AS DOUBLE) / CAST(ns AS DOUBLE))
+                 * ((((l_cnt) - (l_ns)) - (l_ct)) + (l_n)))) AS BIGINT)
+             AS u
+    FROM lns
+)
+SELECT source,
+       CAST(max(ns) AS BIGINT) AS n_tokens,
+       CAST(sum(u) AS BIGINT) / 1000000000.0 AS kl_nats
+FROM units GROUP BY source
+""",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance diagnostics in information units: KL(source ||
+    corpus) over token distributions — how far each source's language
+    deviates from the mixture, the principled upgrade of the count-share
+    mixture tables (a source can match the corpus token SHARE while
+    diverging wildly in CONTENT). Per-term contributions
+    (p_s · ln(p_s/p_c)) run through portable-ln and quantize to integer
+    nano-nats before the per-source sum, so the log-space result is
+    hash-exact. Plan: token-level aggs (vocab-sized), one term-key join
+    of the source-term table against the corpus-term table (AQE decides
+    broadcast vs shuffle), 1-row totals broadcast; output is
+    |sources| rows."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    ns = st.groupBy("source").agg(F.sum("cnt").alias("ns"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    lnr = (
+        (portable_ln(F.col("cnt")) - portable_ln(F.col("ns")))
+        - portable_ln(F.col("ct"))
+    ) + portable_ln(F.col("n"))
+    u = F.floor(
+        F.lit(1000000000.0)
+        * ((F.col("cnt").cast("double") / F.col("ns").cast("double")) * lnr)
+    ).cast("long")
+    return (
+        st.join(ct, "term")
+        .join(ns, "source")
+        .join(F.broadcast(n))
+        .select("source", "ns", u.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            (F.sum("u").cast("double") / F.lit(1000000000.0)).alias("kl_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_triangle_census",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS s,
+         CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS d
+  FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM o x JOIN o y ON x.d = y.s JOIN o z ON z.s = x.s AND z.d = y.d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST((SELECT CAST(sum(deg * (deg - 1)) AS DOUBLE) FROM deg) / 2.0
+            AS BIGINT) AS n_wedges,
+       n_triangles,
+       CASE WHEN CAST((SELECT CAST(sum(deg * (deg - 1)) AS DOUBLE) FROM deg) / 2.0
+                      AS BIGINT) > 0
+            THEN (3.0 * CAST(n_triangles AS DOUBLE))
+                 / CAST(CAST((SELECT CAST(sum(deg * (deg - 1)) AS DOUBLE) FROM deg)
+                             / 2.0 AS BIGINT) AS DOUBLE)
+            ELSE 0.0 END AS global_clustering
+FROM tri
+""",
+)
+def q_part_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts sharing ≥2
+    orders): node/edge/wedge/triangle counts and the global clustering
+    coefficient 3T/W — the standard graph-cohesion diagnostic beside
+    part_pagerank and the connected-components tier. Counting uses
+    degree-ordered edge orientation (operators/graph.triangle_stats):
+    the length-2-path join runs over out-degrees bounded by ~sqrt(2m),
+    O(m^1.5) worst case instead of the hub-degree² a naive middle-node
+    self-join pays — the difference between workable and not at a
+    100 TB edge list. Edge construction reuses the bounded per-basket
+    explode from basket_part_pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda xx: F.transform(
+                    "parts",
+                    lambda yy: F.struct(xx.alias("src"), yy.alias("dst")),
+                ),
+            )
+        ),
+        lambda p: p["src"] < p["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+        .filter(F.col("n_orders_both") >= 2)
+        .select("src", "dst")
+    )
+    from covid_data_challenge_spark.operators.graph import triangle_stats
+
+    return triangle_stats(edges)

@@ -863,3 +863,97 @@ def test_bigram_lm_nll_matches_log_model_and_ranks_gibberish_high(spark):
         # the per-doc mean can differ by at most 1 unit per bigram
         assert abs(out[i].nll - expected_nll(text)) <= len(text.split()) * 1e-6
     assert out[2].nll > out[0].nll
+
+
+def test_triangle_stats_counts_known_graphs(spark):
+    from covid_data_challenge_spark.operators.graph import triangle_stats
+
+    # K4: 4 nodes, 6 edges, 4 triangles, wedges = 4 * C(3,2) = 12,
+    # clustering = 3*4/12 = 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.global_clustering == 1.0
+    # path graph a-b-c: one wedge, no triangle
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    r = triangle_stats(path).collect()[0]
+    assert (r.n_wedges, r.n_triangles, r.global_clustering) == (1, 0, 0.0)
+
+
+def test_source_kl_divergence_zero_for_identical_sources(spark, monkeypatch, tmp_path):
+    """Two sources with the same token distribution → KL ≈ 0 for both
+    (only quantization floor away); a divergent third source scores
+    strictly higher."""
+    import covid_data_challenge_spark.queries_ext as qx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "s_same1", 1),
+            (1, "alpha beta gamma", "en", "s_same2", 1),
+            (2, "zeta zeta zeta", "en", "s_diff", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(qx, "_docs", lambda spark, sf: docs)
+    out = {r.source: r.kl_nats for r in REGISTRY["source_kl_divergence"].spark(spark, "unused").collect()}
+    assert abs(out["s_same1"] - out["s_same2"]) < 1e-9
+    assert out["s_diff"] > out["s_same1"]
+    # identical-distribution sources still diverge from the MIXTURE
+    # (which includes s_diff), so only relative ordering is asserted
+
+
+def test_late_arrival_report_flags_known_late_row(spark, monkeypatch):
+    from datetime import datetime
+
+    import covid_data_challenge_spark.queries_ext as qx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    ev = spark.createDataFrame(
+        [
+            # arrival order = event_id; event 3 carries a timestamp 10
+            # minutes BEHIND the max already seen for user 1 → late
+            (1, datetime(2024, 1, 1, 12, 0, 0), 1, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 12, 30, 0), 1, "click", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 12, 20, 0), 1, "click", 1.0, "{}"),
+            # 90 s behind → within the 300 s threshold, not late
+            (4, datetime(2024, 1, 1, 12, 28, 30), 1, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(qx, "_events", lambda spark, sf: ev)
+    out = {r.event_type: r for r in REGISTRY["events_late_arrival_report"].spark(spark, "unused").collect()}
+    assert out["click"].n_late == 1 and out["click"].n_events == 3
+    assert out["click"].max_behind_us == 600_000_000
+    assert out["view"].n_late == 0
+
+
+def test_curriculum_order_puts_best_quality_in_phase_one(spark, sf_dir):
+    import covid_data_challenge_spark.queries_ext as qx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    out = REGISTRY["curriculum_order"].spark(spark, sf_dir).collect()
+    docs = qx._docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    q = {
+        r.doc_id: r.q
+        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    by_lang_phase = {}
+    for r in out:
+        by_lang_phase.setdefault((r.lang, r.phase), []).append(q[r.doc_id])
+    for lang in {k[0] for k in by_lang_phase}:
+        phases = sorted(p for (lg, p) in by_lang_phase if lg == lang)
+        # min quality of an earlier phase >= max quality of a later one
+        for p1, p2 in zip(phases, phases[1:]):
+            assert min(by_lang_phase[(lang, p1)]) >= max(by_lang_phase[(lang, p2)])
+    # positions are contiguous 1..n within each (lang, phase, shard)
+    pos = {}
+    for r in out:
+        pos.setdefault((r.lang, r.phase, r.shard), []).append(r.pos)
+    for v in pos.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
