@@ -7850,3 +7850,91 @@ def q_part_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.graph import triangle_stats
 
     return triangle_stats(edges)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis, portable-ln)
+# ---------------------------------------------------------------------------
+
+_ES_K, _ES_SALT = 5, "es-v1"
+_ES_U_SQL = (
+    "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '"
+    + _ES_SALT
+    + "'), 1, 8)) AS BIGINT) + 1) / 4294967296.0)"
+)
+_ES_STAGE, _ES_FINAL = portable_ln_sql_stages({"l_u": _ES_U_SQL})
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id, quality FROM ({_QUALITY_SQL})
+),
+keyed AS (
+    SELECT d.doc_id, d.source, q.quality,
+           greatest(q.quality, 0.0001) AS w,
+           {_ES_STAGE}
+    FROM documents d JOIN q USING (doc_id)
+),
+lns AS (SELECT doc_id, source, quality, w, {_ES_FINAL} FROM keyed),
+scored AS (
+    SELECT doc_id, source, quality,
+           CAST(floor(1000000.0 * ((l_u) / w)) AS BIGINT) AS key_units
+    FROM lns
+)
+SELECT source, doc_id, quality, key_units,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY key_units DESC, doc_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {_ES_K}
+""",
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k=5 docs per
+    source, inclusion probability ∝ quality — the Efraimidis-Spirakis
+    one-pass scheme (Inf. Proc. Letters 2006): each row draws u from its
+    md5 coin and ranks by u^(1/w), equivalently ln(u)/w, taking the
+    top-k. Unlike the Bernoulli soft filter (quality_weighted_sample)
+    the output size is EXACT, and unlike a quality top-k every doc has
+    positive inclusion probability — the standard fix for diversity
+    under a size budget. ln(u) runs through portable-ln and the sort
+    key quantizes to integer micro-units, so the drawn sample is
+    bit-reproducible on any engine. One scan; the only shuffle is the
+    per-source WindowGroupLimit top-k (map-side pruned)."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_ES_SALT))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    q = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+    ).withColumn("w", F.greatest(F.col("quality"), F.lit(0.0001)))
+    scored = q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.floor(F.lit(1000000.0) * (portable_ln(u) / F.col("w")))
+        .cast("long")
+        .alias("key_units"),
+    )
+    wdw = Window.partitionBy("source").orderBy(F.col("key_units").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wdw))
+        .filter(F.col("rn") <= _ES_K)
+        .select(
+            "source", "doc_id", "quality", "key_units", F.col("rn").cast("int").alias("rank")
+        )
+    )
