@@ -530,3 +530,19 @@ def test_runtime_bloom_filter_kicks_in_when_dim_cannot_broadcast(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prior_app,
         )
+
+
+def test_dsir_select_scans_corpus_at_most_twice(spark, sf_dir):
+    """The DSIR model (bucket weights) must be materialized, not
+    re-derived per consumer: the end-to-end select plan gets one scan
+    for the threshold pass and one for the filter pass. A regression to
+    subtree re-derivation showed up as 6 parquet scans (and 12x the
+    warm runtime) before the model checkpoint + window-totals rewrite."""
+    import re
+
+    from covid_data_challenge_spark.registry import REGISTRY
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+
+    df = REGISTRY["dsir_importance_select"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan[:2000]
