@@ -61,6 +61,12 @@ EXTENSION = [
     # inverted index with ngram_jaccard_pairs) and BM25 retrieval
     "containment_neardup_pairs",
     "bm25_topk",
+    # round 3 portable-ln wave: data selection, log-space perplexity
+    # filter, exact-size weighted sampling, and the tokenizer encode pass
+    "dsir_importance_select",
+    "bigram_lm_nll",
+    "weighted_sample_per_source",
+    "bpe_encode_stats",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -100,6 +106,11 @@ SCALE_SF1 = [
     # third pair generator: containment shares jaccard's candidate
     # machinery, so its growth should track ngram_jaccard_pairs
     "containment_neardup_pairs",
+    # round 3 portable-ln wave: DSIR's two-pass threshold shape, and the
+    # one super-linear grower (triangle census, O(m^1.5) by design —
+    # watch that it stays sub-3x for 10x edges)
+    "dsir_importance_select",
+    "part_triangle_census",
 ]
 
 RUNS_PER_QUERY = 2
