@@ -128,7 +128,14 @@ def triangle_stats(
     appear in rank order). All outputs are integers except the
     clustering coefficient 3T/W, which is one IEEE division —
     hash-exact cross-engine."""
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # materialize the canonical edge list once: it feeds the degree
+    # table (twice), the orientation join, and — oriented — all three
+    # legs of the triangle join; fully lazy, each consumer re-derived
+    # the caller's whole edge-construction subtree (measured 43
+    # exchanges on the co-purchase query before this, 9 after)
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -140,6 +147,8 @@ def triangle_stats(
     # a < b in the canonical list, so the (deg, id) order reduces to:
     # orient a→b iff deg_a <= deg_b
     fwd = F.col("deg_a") <= F.col("deg_b")
+    # the oriented list is consumed three times (both path legs + the
+    # closing edge) — same materialize-once contract
     o = (
         e.join(da, "a")
         .join(db, "b")
@@ -147,6 +156,7 @@ def triangle_stats(
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("d"),
         )
+        .localCheckpoint(eager=True)
     )
     x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
     tri = (

@@ -364,7 +364,11 @@ def test_streaming_cdc_upsert_versions_match_sequential_batch_apply(spark, tmp_p
     change_file("b2.parquet", b2)
 
     q = start_streaming_upsert(spark, str(changes_dir), gold, ckpt, max_files_per_trigger=1)
-    q.awaitTermination(120)
+    # AvailableNow terminates on its own; the long cap only matters on a
+    # genuinely wedged run, and the assert makes a timeout fail HERE
+    # instead of as a confusing mid-stream snapshot mismatch below
+    # (observed once under 3 concurrent Spark JVMs with a 120 s cap)
+    assert q.awaitTermination(600), 'streaming upsert did not finish'
 
     streamed = {r["key"]: r["value"] for r in read_gold(spark, gold).collect()}
 
@@ -381,7 +385,7 @@ def test_streaming_cdc_upsert_versions_match_sequential_batch_apply(spark, tmp_p
     from covid_data_challenge_spark.streaming.upsert import _latest_version
     v_before = _latest_version(gold)
     q2 = start_streaming_upsert(spark, str(changes_dir), gold, ckpt, max_files_per_trigger=1)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), 'checkpoint replay did not finish'
     assert _latest_version(gold) == v_before
     assert {r["key"]: r["value"] for r in read_gold(spark, gold).collect()} == expected
 
