@@ -188,3 +188,50 @@ def triangle_stats(
             .alias("global_clustering"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """K rounds of k-core peeling → surviving ``(node, degree)``.
+
+    Each round removes every node whose current degree is below ``k``
+    (and its incident edges) — the onion-peeling that yields the k-core
+    at fixpoint. A FIXED round count keeps the plan static and the
+    DuckDB oracle expressible as an unrolled CTE (the
+    pagerank/components discipline); most co-occurrence graphs peel to
+    within a node or two of the true core in 2-3 rounds, and callers
+    needing the exact core run more rounds — cost is linear in rounds.
+
+    Scale: one degree aggregation + two semi-joins per round, each over
+    the CURRENT (shrinking) edge list; every round's survivor list is
+    vocab-sized and broadcastable. The per-round edge list is
+    checkpointed — the same materialize-once contract as
+    :func:`triangle_stats` (a lazy chain would re-derive every earlier
+    round per consumer)."""
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

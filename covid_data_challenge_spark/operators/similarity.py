@@ -423,3 +423,42 @@ def cosine_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "int_dot", "rank")
     )
+
+
+def jl_project_units(
+    emb: DataFrame,
+    out_dims: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with seeded ±1
+    planes (Achlioptas 2003: database-friendly random projections —
+    sign matrices preserve pairwise distances like Gaussians do):
+    y_d = (1/sqrt(out_dims)) · Σ_j ±x_j, one ordered fold per output
+    dim against literal plane arrays (no UDF, codegen-able, identical
+    planes on every executor by construction).
+
+    Output components quantize to integer micro-units —
+    ``(vec_id, jl_units)`` with the vector as a comma-joined integer
+    string — because doubles stringify differently across engines but
+    integers don't (the doc_feature_hashing convention); downstream
+    consumers divide by 1e6. Map-side only: no shuffle, no join —
+    reduces 64-dim embeddings 8× before the quadratic-ish ANN tiers."""
+    import math
+
+    planes = _signed_planes(out_dims, dim, seed)
+    scale = 1.0 / math.sqrt(out_dims)
+    units = [
+        F.floor(
+            F.lit(1000000.0) * (_proj(F.col(vec_col), plane) * F.lit(scale))
+        )
+        .cast("long")
+        .cast("string")
+        for plane in planes
+    ]
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.concat_ws(",", *units).alias("jl_units"),
+    )

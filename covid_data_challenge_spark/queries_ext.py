@@ -7938,3 +7938,133 @@ def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "doc_id", "quality", "key_units", F.col("rn").cast("int").alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peel of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K, _KCORE_ROUNDS = 3, 3
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+  ) GROUP BY 1
+)"""
+        )
+        ctes.append(f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
+        ctes.append(
+            f"""e{r} AS (
+  SELECT e.a, e.b FROM {prev} e
+  WHERE e.a IN (SELECT node FROM k{r}) AND e.b IN (SELECT node FROM k{r})
+)"""
+        )
+        prev = f"e{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+) GROUP BY 1
+"""
+    )
+
+
+@register("part_kcore_nodes", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def q_part_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-cluster extraction: 3 rounds of 3-core peeling on the
+    co-purchase graph — iteratively drop parts with fewer than 3
+    co-purchase partners, with their edges, and return the survivors
+    with their end-state degrees. The fixed round count keeps the plan
+    static and the oracle an unrolled CTE (pagerank/components
+    discipline); each round is one degree aggregation + two semi-joins
+    over the SHRINKING checkpointed edge list (operators/graph.
+    kcore_peel), so cost is linear in rounds and bounded by the initial
+    edge count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda xx: F.transform(
+                    "parts",
+                    lambda yy: F.struct(xx.alias("src"), yy.alias("dst")),
+                ),
+            )
+        ),
+        lambda p: p["src"] < p["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+        .filter(F.col("n_orders_both") >= 2)
+        .select("src", "dst")
+    )
+    from covid_data_challenge_spark.operators.graph import kcore_peel
+
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection (seeded sign matrix)
+# ---------------------------------------------------------------------------
+
+
+def _jl_oracle(out_dims: int = 8, dim: int = 64, seed: int = 7) -> str:
+    import math
+
+    from covid_data_challenge_spark.operators.similarity import _signed_planes
+
+    planes = _signed_planes(out_dims, dim, seed)
+    scale = 1.0 / math.sqrt(out_dims)
+
+    def proj(plane):
+        lit = "[" + ", ".join("1.0" if w > 0 else "-1.0" for w in plane) + "]"
+        return (
+            f"list_aggregate(list_transform(list_zip(embedding, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
+        )
+
+    comps = [
+        f"CAST(CAST(floor(1000000.0 * ({proj(p)} * {scale!r})) AS BIGINT) AS VARCHAR)"
+        for p in planes
+    ]
+    joined = " || ',' || ".join(comps)
+    return f"SELECT vec_id, {joined} AS jl_units FROM embeddings"
+
+
+@register("embedding_jl_projection", oracle=_jl_oracle())
+def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction 64→8 with a seeded ±1 sign matrix
+    (Achlioptas 2003) — the cheap pre-reduction in front of the ANN
+    tiers: pairwise distances survive to within the JL distortion bound
+    while the vectors shrink 8×. Pure map-side column algebra (one
+    ordered fold per output dim against literal planes, no shuffle);
+    components quantize to integer micro-units so the projected vectors
+    are hash-exact cross-engine. Distance preservation is pinned in
+    pytest against NumPy."""
+    from covid_data_challenge_spark.operators.similarity import jl_project_units
+
+    return jl_project_units(_emb(spark, sf_dir))

@@ -628,3 +628,36 @@ def test_ivf_append_matches_full_rebuild_assignment(spark, sf_dir):
     assert top
     assert top[0]["neighbor_id"] == planted.collect()[0]["vec_id"]
     assert top[0]["cosine_sim"] == 1.0
+
+
+def test_jl_projection_preserves_pairwise_distance_ranks(spark, sf_dir):
+    """JL guarantee, empirically: for a planted triple (a near b, both
+    far from c) the projected space must keep ||a-b|| << ||a-c||, and
+    the Spark fold must match a NumPy replay of the same planes."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.similarity import (
+        _signed_planes,
+        jl_project_units,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=64).astype("float32")
+    b = (a + 0.01 * rng.normal(size=64)).astype("float32")
+    c = rng.normal(size=64).astype("float32") * 3
+    emb = spark.createDataFrame(
+        [(0, a.tolist()), (1, b.tolist()), (2, c.tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: np.array([int(u) for u in r.jl_units.split(",")]) / 1e6
+        for r in jl_project_units(emb).collect()
+    }
+    d_ab = np.linalg.norm(out[0] - out[1])
+    d_ac = np.linalg.norm(out[0] - out[2])
+    assert d_ab * 5 < d_ac
+
+    planes = np.array(_signed_planes(8, 64, seed=7))
+    want = (planes @ a.astype("float64")) / np.sqrt(8)
+    got = out[0]
+    assert np.all(np.abs(got - want) <= 2e-6 + 1e-9 * np.abs(want))

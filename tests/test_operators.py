@@ -978,3 +978,16 @@ def test_weighted_sample_per_source_exact_k_sizes(spark):
     assert sizes
     for s, c in sizes.items():
         assert c == min(5, have[s]), (s, c, have[s])
+
+
+def test_kcore_peel_known_graph(spark):
+    """Star + clique fixture: a K4 clique survives 3-core peeling, the
+    star spokes (degree 1) fall in round one, and the hub — degree 4
+    before peeling — falls once its spokes are gone."""
+    from covid_data_challenge_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(10, s) for s in (11, 12, 13, 14)]
+    edges = spark.createDataFrame(clique + star, "src long, dst long")
+    out = {r.node: r.degree for r in kcore_peel(edges, k=3, rounds=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
