@@ -126,6 +126,12 @@ def bigram_lm_nll_with(
     from covid_data_challenge_spark.functions.pmath import portable_ln
 
     bg = doc_bigrams(docs, id_col, text_col)
+    # collapse instances before the model join — the transcendental
+    # tree then evaluates once per DISTINCT (doc-batch) bigram
+    # (vocab-sized), not once per bigram occurrence (corpus-sized);
+    # values are unchanged (units depend only on the bigram's counts)
+    bg_counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("__k"))
+    batch_bigrams = bg_counts.select("bg").distinct()
     v_row = lm.select("v").limit(1)
     prefixes = (
         lm.select(F.substring_index("bg", " ", 1).alias("__pre"), "c_a")
@@ -133,7 +139,7 @@ def bigram_lm_nll_with(
         .withColumnRenamed("c_a", "__pre_c_a")
     )
     joined = (
-        bg.join(lm.select("bg", "c_ab", "c_a"), "bg", "left")
+        batch_bigrams.join(lm.select("bg", "c_ab", "c_a"), "bg", "left")
         .join(
             prefixes,
             F.substring_index(F.col("bg"), " ", 1) == F.col("__pre"),
@@ -143,17 +149,20 @@ def bigram_lm_nll_with(
     )
     num = F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(1)
     den = F.coalesce(F.col("c_a"), F.col("__pre_c_a"), F.lit(0)) + F.col("__v")
-    nll_units = F.floor(
-        F.lit(1000000.0) * (portable_ln(den) - portable_ln(num))
-    ).cast("long")
+    per_bg = joined.select(
+        "bg",
+        F.floor(F.lit(1000000.0) * (portable_ln(den) - portable_ln(num)))
+        .cast("long")
+        .alias("__u"),
+    )
     return (
-        joined.select("doc_id", nll_units.alias("nll_units"))
+        bg_counts.join(per_bg, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__k").alias("n_bigrams"),
             (
-                F.sum("nll_units").cast("double")
-                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+                F.sum(F.col("__k") * F.col("__u")).cast("double")
+                / (F.sum("__k").cast("double") * F.lit(1000000.0))
             ).alias("nll"),
         )
     )

@@ -8068,3 +8068,167 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.similarity import jl_project_units
 
     return jl_project_units(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Model-based curation recipe: DSIR -> perplexity gate -> exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_prep_recipe_v3",
+    oracle=f"""
+WITH toks0 AS (
+    SELECT doc_id, source IN {_DSIR_TARGET_SOURCES} AS is_target,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, is_target,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{DSIR_SALT}'), 1, 8)) AS BIGINT)
+              % {DSIR_BUCKETS} + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks0 GROUP BY 1, 2, 3
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+           sum(cnt) AS cr
+    FROM bucketed GROUP BY 1
+),
+grid AS (
+    SELECT bucket, ct, cr,
+           (SELECT sum(ct) FROM per_bucket) AS nt,
+           (SELECT sum(cr) FROM per_bucket) AS nr
+    FROM per_bucket
+),
+staged0 AS (SELECT bucket, {_DSIR_STAGE} FROM grid),
+lns0 AS (SELECT bucket, {_DSIR_FINAL} FROM staged0),
+wtab AS (
+    SELECT bucket,
+           CAST(floor(1000000.0 * ((((l1) - (l2)) - (l3)) + (l4))) AS BIGINT)
+             AS w_units
+    FROM lns0
+),
+docw AS (
+    SELECT b.doc_id, b.is_target, sum(b.cnt * w.w_units) AS w_units
+    FROM bucketed b JOIN wtab w USING (bucket)
+    GROUP BY 1, 2
+),
+rawdocs AS (SELECT * FROM docw WHERE NOT is_target),
+wthr AS (SELECT quantile_cont(w_units, 0.5) AS thr FROM rawdocs),
+sel AS (
+    SELECT doc_id, w_units FROM rawdocs CROSS JOIN wthr
+    WHERE CAST(w_units AS DOUBLE) >= thr
+),
+sel_docs AS (
+    SELECT d.doc_id, d.text, d.lang, d.source, s.w_units
+    FROM documents d JOIN sel s USING (doc_id)
+),
+toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM sel_docs),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+lm_pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_bg GROUP BY 1
+),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lm_pre),
+args AS (
+    SELECT b.doc_id, (l.c_ab + 1) AS num, (p.c_a + vocab.v) AS den
+    FROM bg b
+    JOIN lm_bg l ON b.bg = l.bg
+    JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN vocab
+),
+staged AS (SELECT doc_id, {_NLL_STAGE} FROM args),
+lns AS (SELECT doc_id, {_NLL_FINAL} FROM staged),
+scored AS (
+    SELECT doc_id,
+           CAST(floor(1000000.0 * ((l_den) - (l_num))) AS BIGINT) AS nll_units
+    FROM lns
+),
+nlltab AS (
+    SELECT doc_id,
+           CAST(sum(nll_units) AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS nll
+    FROM scored GROUP BY doc_id
+),
+nthr AS (SELECT quantile_cont(nll, 0.75) AS t FROM nlltab),
+fluent AS (
+    SELECT sd.doc_id, sd.text, sd.lang, sd.source, sd.w_units, n.nll
+    FROM sel_docs sd JOIN nlltab n USING (doc_id) CROSS JOIN nthr
+    WHERE n.nll <= nthr.t
+),
+fp AS (SELECT doc_id, md5({_NORM}) AS f FROM fluent),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT fl.doc_id, fl.lang, fl.source, fl.w_units, fl.nll
+FROM fluent fl JOIN keep USING (doc_id)
+""",
+)
+def q_corpus_prep_recipe_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODEL-BASED curation recipe, composed end to end and
+    hash-checked as one query (the heuristic twins are v1: quality→
+    sample→dedup→cap and v2: boilerplate→quality→dedup):
+
+    1. DSIR selection — keep raw docs in the top half of hashed-ngram
+       importance weight against the curated target (src0/src1);
+    2. perplexity gate — train the add-one bigram LM ON THE SELECTED
+       SUBSET (the pipeline's own data, no external model) and drop the
+       least-fluent quartile by mean NLL; docs too short to form a
+       bigram cannot be scored and are dropped with them;
+    3. exact dedup — lowest-id survivor per md5 fingerprint.
+
+    Both model stages run on portable-ln with integer quantization, so
+    the composition — selection set, LM, thresholds, survivors — is
+    bit-exact against the single DuckDB CTE chain. Scale: stage models
+    are constant/vocab-sized; each stage adds one threshold broadcast;
+    the corpus itself flows through filters and one fingerprint
+    aggregation."""
+    from covid_data_challenge_spark.operators.dedup import dedup_exact_keep_first
+    from covid_data_challenge_spark.operators.dsir import dsir_select
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_nll_with,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # Stage boundaries are materialized — the composed-lazy version
+    # re-derived every upstream stage per consumer (measured 126 parquet
+    # scans / 483 exchanges; 8 scans with the checkpoints). In
+    # production each boundary is a written gold table; localCheckpoint
+    # is the in-session equivalent. The checkpointed frames are
+    # doc-level id+metric lists (2-3 longs/row), never the text.
+    sel = (
+        dsir_select(
+            docs,
+            is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES),
+            keep_frac=0.5,
+            n_buckets=DSIR_BUCKETS,
+            salt=DSIR_SALT,
+        )
+        .select("doc_id", "w_units")
+        .localCheckpoint(eager=True)
+    )
+    sel_docs = docs.join(sel, "doc_id")
+    lm = bigram_lm_build(sel_docs)
+    nll = (
+        bigram_lm_nll_with(sel_docs, lm)
+        .select("doc_id", "nll")
+        .localCheckpoint(eager=True)
+    )
+    nthr = nll.agg(F.percentile(F.col("nll"), F.lit(0.75)).alias("t"))
+    fluent = (
+        sel_docs.join(nll, "doc_id")
+        .join(F.broadcast(nthr))
+        .filter(F.col("nll") <= F.col("t"))
+        .select("doc_id", "text", "lang", "source", "w_units", "nll")
+    )
+    return dedup_exact_keep_first(fluent).select(
+        "doc_id", "lang", "source", "w_units", "nll"
+    )
