@@ -30,6 +30,8 @@ no equivalent (pandas uses numpy's libm and never cross-checks engines).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -101,6 +103,56 @@ def _pln_from_y(y: str) -> str:
     for c in reversed(COEFFS[:-1]):
         acc = f"({c!r} + ({z2} * {acc}))"
     return f"((CAST({e} AS DOUBLE) * {LN2!r}) + (2.0 * ({z} * {acc})))"
+
+
+#: exp clamp: sigmoid(±30) is within 1e-13 of 0/1, and the clamp keeps
+#: the power-of-two range reduction inside exact long shifts
+EXP_CLAMP = 30.0
+#: Taylor 1/n! through n=13 (r <= ln2 after reduction → error ~ 1e-12)
+EXP_COEFFS = tuple(1.0 / math.factorial(n) for n in range(14))
+
+
+def portable_exp(x: Column) -> Column:
+    """e^x for |x| <= EXP_CLAMP (clamped beyond), bit-reproducible on
+    any IEEE-754 engine evaluating the same tree. Range-reduce by
+    powers of two — k = floor(x/ln2), r = x - k*ln2 ∈ [0, ln2) — then a
+    13-term Taylor Horner in r; 2^k is an exact long shift (inverted by
+    one exact division for negative k). Keep in lockstep with
+    :func:`portable_exp_sql` and :func:`portable_exp_py`."""
+    xc = F.greatest(F.least(x.cast("double"), F.lit(EXP_CLAMP)), F.lit(-EXP_CLAMP))
+    k = F.floor(xc / F.lit(LN2)).cast("int")
+    r = xc - k.cast("double") * F.lit(LN2)
+    acc = F.lit(EXP_COEFFS[-1])
+    for c in reversed(EXP_COEFFS[:-1]):
+        acc = F.lit(c) + r * acc
+    p2 = F.call_function("shiftleft", F.lit(1).cast("long"), F.abs(k)).cast("double")
+    return F.when(k >= 0, acc * p2).otherwise(acc / p2)
+
+
+def portable_exp_sql(expr: str) -> str:
+    """DuckDB twin of :func:`portable_exp` as one scalar expression over
+    ``expr`` (name a staged column first — the tree references it ~16
+    times)."""
+    xc = f"greatest(least(CAST(({expr}) AS DOUBLE), {EXP_CLAMP!r}), {-EXP_CLAMP!r})"
+    k = f"CAST(floor({xc} / {LN2!r}) AS INT)"
+    r = f"({xc} - (CAST({k} AS DOUBLE) * {LN2!r}))"
+    acc = repr(EXP_COEFFS[-1])
+    for c in reversed(EXP_COEFFS[:-1]):
+        acc = f"({c!r} + ({r} * {acc}))"
+    p2 = f"CAST((CAST(1 AS BIGINT) << abs({k})) AS DOUBLE)"
+    return f"CASE WHEN {k} >= 0 THEN ({acc} * {p2}) ELSE ({acc} / {p2}) END"
+
+
+def portable_exp_py(x: float) -> float:
+    """Pure-Python replica of :func:`portable_exp`."""
+    xc = max(min(float(x), EXP_CLAMP), -EXP_CLAMP)
+    k = int(math.floor(xc / LN2))
+    r = xc - float(k) * LN2
+    acc = EXP_COEFFS[-1]
+    for c in reversed(EXP_COEFFS[:-1]):
+        acc = c + r * acc
+    p2 = float(1 << abs(k))
+    return acc * p2 if k >= 0 else acc / p2
 
 
 def portable_ln_py(x: float) -> float:

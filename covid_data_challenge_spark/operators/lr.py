@@ -1,0 +1,165 @@
+"""Distributed logistic-regression quality classifier — the GPT-3-style
+curation filter (Brown et al. 2020, Appendix A: an LR classifier over
+hashed features of curated-vs-raw text, used to select web documents),
+trained entirely as a DataFrame plan. No MLlib, no driver-side math, no
+UDFs — and, uniquely, BIT-EXACT across engines: every transcendental
+goes through functions/pmath (portable exp/ln) and every cross-row sum
+is quantized to integers first, so the trained weights and every
+document's logit replay identically in the DuckDB oracle.
+
+Model: p(curated | doc) = sigmoid(w · x), x = hashed-token term
+frequencies + intercept. Training: full-batch gradient descent, FIXED
+iteration count (the pagerank/Lloyd discipline — static plan, unrolled
+CTE oracle).
+
+Scale shape: features are one map-side tokenize + (doc, bucket)
+aggregation, checkpointed once. Each iteration is
+  z: features ⋈ broadcast(weights)  → groupBy(doc)   (one shuffle)
+  grad: per-row residual·x          → groupBy(bucket) (tiny output)
+with the (n_buckets+1)-row weight table checkpointed per iteration —
+constant-size model state, corpus touched twice per iteration, nothing
+ever collected to the driver.
+
+Determinism: per-row products quantize to integer nano-units before
+summation (z and gradients are integer sums → order-free); sigmoid is
+portable_exp; the learning-rate update floors to integer micro-units.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.pmath import portable_exp
+from covid_data_challenge_spark.operators.dsir import hashed_bucket
+
+LR_BUCKETS = 64
+LR_SALT = "lr-v1"
+LR_ITERS = 3
+LR_RATE = 5.0
+#: intercept pseudo-bucket
+LR_BIAS = -1
+
+
+def lr_features(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = LR_BUCKETS,
+    salt: str = LR_SALT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, y, bucket, x): hashed-token term frequencies (l1) plus
+    an intercept row (bucket = -1, x = 1) per doc."""
+    from covid_data_challenge_spark.functions.text import tokens
+
+    counts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.when(is_target, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .select(
+            "doc_id", "y", hashed_bucket(F.col("term"), n_buckets, salt).alias("bucket")
+        )
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ntok = Window.partitionBy("doc_id")
+    tf = counts.select(
+        "doc_id",
+        "y",
+        "bucket",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(ntok).cast("double")).alias(
+            "x"
+        ),
+    )
+    bias = tf.select("doc_id", "y").distinct().select(
+        "doc_id", "y", F.lit(LR_BIAS).cast("int").alias("bucket"), F.lit(1.0).alias("x")
+    )
+    return tf.unionByName(bias)
+
+
+def _logits(features: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, y, z_units): integer nano-unit logits — per-row
+    x·w products floored to longs, summed order-free."""
+    zu = F.floor(
+        F.lit(1e9) * (F.col("x") * (F.col("w_units").cast("double") / F.lit(1e6)))
+    ).cast("long")
+    return (
+        features.join(F.broadcast(weights), "bucket")
+        .select("doc_id", "y", zu.alias("zu"))
+        .groupBy("doc_id", "y")
+        .agg(F.sum("zu").alias("z_units"))
+    )
+
+
+def lr_train(
+    features: DataFrame,
+    n_buckets: int = LR_BUCKETS,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> DataFrame:
+    """Fixed-iteration full-batch GD → (bucket, w_units) in integer
+    micro-units, weights initialized to zero. ``features`` should be
+    checkpointed/persisted by the caller (it is consumed 2× per
+    iteration)."""
+    spark = features.sparkSession
+    buckets = list(range(n_buckets)) + [LR_BIAS]
+    w = spark.createDataFrame(
+        [(b, 0) for b in buckets], "bucket int, w_units long"
+    ).localCheckpoint(eager=True)
+    n_row = (
+        features.select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        z = _logits(features, w)
+        p = z.select(
+            "doc_id",
+            "y",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + portable_exp(-(F.col("z_units").cast("double") / F.lit(1e9)))
+                )
+            ).alias("p"),
+        )
+        gu = F.floor(F.lit(1e9) * ((F.col("p") - F.col("y")) * F.col("x"))).cast(
+            "long"
+        )
+        grads = (
+            features.join(p, ["doc_id", "y"])
+            .select("bucket", gu.alias("gu"))
+            .groupBy("bucket")
+            .agg(F.sum("gu").alias("gsum"))
+        )
+        delta = F.floor(
+            F.lit(1000000.0 * rate)
+            * (
+                (F.col("gsum").cast("double") / F.lit(1e9))
+                / F.col("n").cast("double")
+            )
+        ).cast("long")
+        w = (
+            w.join(grads, "bucket", "left")
+            .join(F.broadcast(n_row))
+            .select(
+                "bucket",
+                (
+                    F.col("w_units")
+                    - F.coalesce(delta, F.lit(0))
+                ).alias("w_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
+
+
+def lr_score(features: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, y, logit_units): integer nano-unit logits under the
+    trained weights — sign(logit) is the classification."""
+    return _logits(features, weights).withColumnRenamed("z_units", "logit_units")

@@ -8232,3 +8232,129 @@ def q_corpus_prep_recipe_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_keep_first(fluent).select(
         "doc_id", "lang", "source", "w_units", "nll"
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (portable exp/ln, fixed-GD)
+# ---------------------------------------------------------------------------
+
+from covid_data_challenge_spark.functions.pmath import portable_exp_sql  # noqa: E402
+from covid_data_challenge_spark.operators.lr import (  # noqa: E402
+    LR_BIAS,
+    LR_BUCKETS,
+    LR_ITERS,
+    LR_RATE,
+    LR_SALT,
+    lr_features,
+    lr_score,
+    lr_train,
+)
+
+
+def _lr_oracle(n_buckets: int, iters: int, rate: float) -> str:
+    ctes = [
+        f"""toks AS (
+    SELECT doc_id,
+           CASE WHEN source IN {_DSIR_TARGET_SOURCES} THEN 1.0 ELSE 0.0 END AS y,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+)""",
+        f"""counts AS (
+    SELECT doc_id, y,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{LR_SALT}'), 1, 8)) AS BIGINT)
+              % {n_buckets} + {n_buckets}) % {n_buckets} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2, 3
+)""",
+        """tf AS (
+    SELECT doc_id, y, bucket,
+           CAST(cnt AS DOUBLE)
+             / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+    FROM counts
+)""",
+        f"""feat AS (
+    SELECT doc_id, y, bucket, x FROM tf
+    UNION ALL
+    SELECT DISTINCT doc_id, y, CAST({LR_BIAS} AS INT) AS bucket, 1.0 AS x FROM tf
+)""",
+        "nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM feat)",
+        f"""w0 AS (
+    SELECT CAST(unnest(range({LR_BIAS}, {n_buckets})) AS INT) AS bucket,
+           CAST(0 AS BIGINT) AS w_units
+)""",
+    ]
+    for t in range(1, iters + 1):
+        wp = f"w{t - 1}"
+        ctes.append(
+            f"""z{t} AS (
+    SELECT doc_id, y,
+           CAST(sum(CAST(floor(1000000000.0
+               * (x * (CAST(w_units AS DOUBLE) / 1000000.0))) AS BIGINT))
+             AS BIGINT) AS z
+    FROM feat JOIN {wp} USING (bucket) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""p{t} AS (
+    SELECT doc_id, y,
+           (1.0 / (1.0 + {portable_exp_sql("zneg")})) AS p
+    FROM (SELECT doc_id, y,
+                 -(CAST(z AS DOUBLE) / 1000000000.0) AS zneg FROM z{t})
+)"""
+        )
+        ctes.append(
+            f"""g{t} AS (
+    SELECT bucket,
+           CAST(sum(CAST(floor(1000000000.0 * ((p - y) * x)) AS BIGINT))
+             AS BIGINT) AS gsum
+    FROM feat JOIN p{t} USING (doc_id, y) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""w{t} AS (
+    SELECT w.bucket,
+           w.w_units - coalesce(
+               CAST(floor({1000000.0 * rate!r}
+                   * ((CAST(gsum AS DOUBLE) / 1000000000.0)
+                      / CAST(nn.n AS DOUBLE))) AS BIGINT), 0) AS w_units
+    FROM {wp} w LEFT JOIN g{t} USING (bucket) CROSS JOIN nn
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, y,
+       CAST(sum(CAST(floor(1000000000.0
+           * (x * (CAST(w_units AS DOUBLE) / 1000000.0))) AS BIGINT))
+         AS BIGINT) AS logit_units
+FROM feat JOIN w{iters} USING (bucket) GROUP BY 1, 2
+"""
+    )
+
+
+@register(
+    "quality_classifier_logits",
+    oracle=_lr_oracle(LR_BUCKETS, LR_ITERS, LR_RATE),
+)
+def q_quality_classifier_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3-style curation classifier (Brown et al. 2020, App. A):
+    logistic regression over hashed term-frequency features, trained to
+    separate the curated target slice (src0/src1) from the raw corpus —
+    3 full-batch gradient-descent iterations as a pure DataFrame loop
+    (no MLlib, no driver math), then every document scored under the
+    trained weights. Sigmoid runs on functions/pmath.portable_exp and
+    every cross-row sum (logits, gradients) is an integer sum of
+    floored nano-units, so training AND scoring replay bit-exact in the
+    unrolled DuckDB CTE — a supervised model whose distributed training
+    is hash-checked end to end. Per iteration: one broadcast join + two
+    aggregations over the checkpointed feature table; model state is a
+    65-row weight table."""
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    w = lr_train(feats)
+    return lr_score(feats, w)

@@ -132,3 +132,82 @@ def test_dsir_weights_order_docs_by_target_affinity(dsir_corpus):
     worst_physics = min(v for k, v in rows.items() if 100 <= k < 120)
     best_food = max(v for k, v in rows.items() if k >= 200)
     assert worst_physics > best_food
+
+
+@given(st.floats(min_value=-40.0, max_value=40.0, allow_nan=False))
+@settings(**_SETTINGS)
+def test_portable_exp_accuracy(x):
+    """Replica vs libm inside the clamp; saturation beyond it."""
+    from covid_data_challenge_spark.functions.pmath import (
+        EXP_CLAMP,
+        portable_exp_py,
+    )
+
+    got = portable_exp_py(x)
+    want = math.exp(max(min(x, EXP_CLAMP), -EXP_CLAMP))
+    assert math.isclose(got, want, rel_tol=1e-11)
+
+
+@given(
+    a=st.integers(min_value=-(10**6), max_value=10**6),
+    b=st.integers(min_value=1, max_value=10**5),
+)
+@settings(**_SETTINGS)
+def test_portable_exp_duckdb_bit_identity(a, b):
+    """DuckDB evaluates the exp tree to the same 64 bits as the replica
+    on rationals a/b — the logit values a linear model produces."""
+    from covid_data_challenge_spark.functions.pmath import (
+        portable_exp_py,
+        portable_exp_sql,
+    )
+
+    x = a / b
+    con = duckdb.connect()
+    got = con.execute(
+        f"WITH s AS (SELECT CAST({a} AS DOUBLE) / {b} AS z) "
+        f"SELECT {portable_exp_sql('z')} FROM s"
+    ).fetchone()[0]
+    assert _bits(got) == _bits(portable_exp_py(x)), (x, got)
+
+
+def test_portable_exp_spark_bit_identity(spark):
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.functions.pmath import (
+        portable_exp,
+        portable_exp_py,
+    )
+
+    cases = [(-35.0,), (-3.7,), (-0.5,), (0.0,), (0.3,), (1.0,), (7.25,), (29.9,), (35.0,)]
+    df = spark.createDataFrame(cases, "x double").select(
+        "x", portable_exp(F.col("x")).alias("e")
+    )
+    for r in df.collect():
+        assert _bits(r.e) == _bits(portable_exp_py(r.x)), r.x
+
+
+def test_lr_classifier_separates_separable_corpus(spark, dsir_corpus):
+    """On the physics-vs-cooking fixture the trained classifier must
+    rank essentially every physics doc above every cooking doc (the
+    vocabularies are disjoint, so 3 GD steps are plenty), and raw
+    physics-adjacent docs must score closer to the target than food
+    docs do."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.lr import (
+        lr_features,
+        lr_score,
+        lr_train,
+    )
+
+    feats = lr_features(
+        dsir_corpus, is_target=F.col("source") == "tgt"
+    ).localCheckpoint(eager=True)
+    w = lr_train(feats)
+    out = {r.doc_id: r.logit_units for r in lr_score(feats, w).collect()}
+    physics_like = [v for k, v in out.items() if 100 <= k < 120]
+    food = [v for k, v in out.items() if k >= 200]
+    assert min(physics_like) > max(food)
+    # target docs themselves must score at the top
+    tgt = [v for k, v in out.items() if k < 20]
+    assert min(tgt) > max(food)
