@@ -8251,7 +8251,7 @@ from covid_data_challenge_spark.operators.lr import (  # noqa: E402
 )
 
 
-def _lr_oracle(n_buckets: int, iters: int, rate: float) -> str:
+def _lr_oracle_parts(n_buckets: int, iters: int, rate: float):
     ctes = [
         f"""toks AS (
     SELECT doc_id,
@@ -8322,17 +8322,19 @@ def _lr_oracle(n_buckets: int, iters: int, rate: float) -> str:
     FROM {wp} w LEFT JOIN g{t} USING (bucket) CROSS JOIN nn
 )"""
         )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    final = f"""
 SELECT doc_id, y,
        CAST(sum(CAST(floor(1000000000.0
            * (x * (CAST(w_units AS DOUBLE) / 1000000.0))) AS BIGINT))
          AS BIGINT) AS logit_units
 FROM feat JOIN w{iters} USING (bucket) GROUP BY 1, 2
 """
-    )
+    return ctes, final
+
+
+def _lr_oracle(n_buckets: int, iters: int, rate: float) -> str:
+    ctes, final = _lr_oracle_parts(n_buckets, iters, rate)
+    return "WITH " + ",\n".join(ctes) + final
 
 
 @register(
@@ -8358,3 +8360,138 @@ def q_quality_classifier_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     w = lr_train(feats)
     return lr_score(feats, w)
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: exact ROC-AUC + calibration table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classifier_eval_auc",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+ranked AS (
+    SELECT y,
+           2 * rank() OVER (ORDER BY logit_units)
+             + (count(*) OVER (PARTITION BY logit_units) - 1) AS half_rank
+    FROM scored
+)
+SELECT CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(
+         (sum(CASE WHEN y = 1.0 THEN half_rank ELSE 0 END)
+          - sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+            * (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) + 1)) AS DOUBLE)
+       / CAST((2 * sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+               * sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)) AS DOUBLE) AS auc
+FROM ranked
+""",
+)
+def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier as the
+    Mann-Whitney rank statistic, tie-corrected: average ranks are kept
+    in integer HALF-units (2·rank + ties−1), so the per-class sums are
+    exact integers and the final AUC is one IEEE division — hash-exact,
+    no trapezoids, no thresholds sweep. The global rank window is a
+    sort over the SCORED table; at 100 TB you evaluate on an eval
+    sample, not the corpus (the training loop itself never sorts).
+    On THIS synthetic corpus the sources share one vocabulary, so the
+    honest AUC is barely above chance (~0.55) — the learner itself is
+    pinned in pytest on a separable fixture, where it ranks every
+    positive above every negative."""
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    wdw = Window.orderBy("logit_units")
+    tie = Window.partitionBy("logit_units")
+    ranked = scored.select(
+        "y",
+        (
+            F.lit(2) * F.rank().over(wdw).cast("long")
+            + (F.count(F.lit(1)).over(tie).cast("long") - F.lit(1))
+        ).alias("half_rank"),
+    )
+    pos = F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long")
+    neg = F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).cast("long")
+    s_half = F.sum(F.when(F.col("y") == 1.0, F.col("half_rank")).otherwise(0)).cast(
+        "long"
+    )
+    return ranked.agg(
+        pos.alias("n_pos"),
+        neg.alias("n_neg"),
+        (
+            (s_half - pos * (pos + F.lit(1))).cast("double")
+            / (F.lit(2) * pos * neg).cast("double")
+        ).alias("auc"),
+    )
+
+
+@register(
+    "classifier_calibration",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+probs AS (
+    SELECT y,
+           (1.0 / (1.0 + {portable_exp_sql("zneg")})) AS p
+    FROM (SELECT y, -(CAST(logit_units AS DOUBLE) / 1000000000.0) AS zneg
+          FROM scored)
+),
+binned AS (
+    SELECT CAST(least(floor(p * 10.0), 9.0) AS INT) AS bin,
+           CAST(floor(1000000000.0 * p) AS BIGINT) AS p_units, y
+    FROM probs
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p_units) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_predicted,
+       CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac_positive
+FROM binned GROUP BY bin
+""",
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the quality classifier: predicted
+    probability deciles vs empirical positive rate — the calibration
+    check that decides whether classifier scores can be used as
+    sampling weights directly or need Platt/temperature scaling.
+    Probabilities come from portable-exp sigmoid and quantize to
+    nano-units before the per-bin mean, so the whole table is
+    hash-exact. One sort-free aggregation over the scored docs."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    p = (
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + portable_exp(-(F.col("logit_units").cast("double") / F.lit(1e9)))
+        )
+    )
+    binned = scored.select(
+        "y",
+        F.least(F.floor(p * F.lit(10.0)), F.lit(9.0)).cast("int").alias("bin"),
+        F.floor(F.lit(1e9) * p).cast("long").alias("p_units"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("p_units").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("mean_predicted"),
+        (
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_positive"),
+    )
