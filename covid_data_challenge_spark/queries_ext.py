@@ -8495,3 +8495,210 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("frac_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: PSI (portable-ln) + chi-squared
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_STAGE, _PSI_FINAL = portable_ln_sql_stages(
+    {"l_p": "(ca + 1)", "l_q": "(cb + 1)", "l_na": "(na + 10)", "l_nb": "(nb + 10)"}
+)
+
+
+@register(
+    "value_drift_psi",
+    oracle=f"""
+WITH bounds AS (
+    SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+           min(value) AS lo, max(value) AS hi
+    FROM events
+),
+halves AS (
+    SELECT CASE WHEN epoch_us(ts) * 2 <= b.t0 + b.t1 THEN 0 ELSE 1 END AS half,
+           CAST(least(floor(((value - b.lo) / (b.hi - b.lo)) * {_PSI_BINS}.0),
+                      {_PSI_BINS - 1}.0) AS INT) AS bin
+    FROM events CROSS JOIN bounds b
+),
+counts AS (
+    SELECT bin,
+           sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+    FROM halves GROUP BY bin
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+grid AS (SELECT c.bin, c.ca, c.cb, t.na, t.nb FROM counts c CROSS JOIN tot t),
+staged AS (SELECT bin, ca, cb, na, nb, {_PSI_STAGE} FROM grid),
+lns AS (SELECT bin, ca, cb, na, nb, {_PSI_FINAL} FROM staged),
+units AS (
+    SELECT CAST(floor(1000000000.0 *
+             (((CAST(ca + 1 AS DOUBLE) / CAST(na + {_PSI_BINS} AS DOUBLE))
+               - (CAST(cb + 1 AS DOUBLE) / CAST(nb + {_PSI_BINS} AS DOUBLE)))
+              * ((((l_p) - (l_na)) - (l_q)) + (l_nb)))) AS BIGINT) AS u
+    FROM lns
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_first_half,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_second_half,
+       CAST(sum(u) AS BIGINT) / 1000000000.0 AS psi
+FROM units
+""",
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (split at the midpoint of the time range, bins =
+    10 fixed-width buckets over the global value range, add-one
+    smoothed): PSI = Σ (p-q)·ln(p/q), THE standard production drift
+    alarm (<0.1 stable, >0.25 drifted). The log-ratios run through
+    portable-ln and quantize to nano-units per bin before the sum, so a
+    log-space monitoring metric is hash-exact. Two passes: one 1-row
+    bounds aggregate (broadcast back), one binned count — no sort, no
+    per-row state."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    b = _PSI_BINS
+    half = F.when(
+        F.unix_micros("ts") * F.lit(2) <= F.col("t0") + F.col("t1"), F.lit(0)
+    ).otherwise(F.lit(1))
+    binc = (
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+                * F.lit(float(b))
+            ),
+            F.lit(float(b - 1)),
+        )
+    ).cast("int")
+    counts = (
+        ev.join(F.broadcast(bounds))
+        .select(half.alias("half"), binc.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = counts.select(
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    lnr = (
+        (portable_ln(F.col("ca") + F.lit(1)) - portable_ln(F.col("na") + F.lit(b)))
+        - portable_ln(F.col("cb") + F.lit(1))
+    ) + portable_ln(F.col("nb") + F.lit(b))
+    diff = (F.col("ca") + F.lit(1)).cast("double") / (
+        F.col("na") + F.lit(b)
+    ).cast("double") - (F.col("cb") + F.lit(1)).cast("double") / (
+        F.col("nb") + F.lit(b)
+    ).cast("double")
+    u = F.floor(F.lit(1000000000.0) * (diff * lnr)).cast("long")
+    return grid.select(
+        "na", "nb", u.alias("u")
+    ).groupBy().agg(
+        F.max("na").alias("n_first_half"),
+        F.max("nb").alias("n_second_half"),
+        (F.sum("u").cast("double") / F.lit(1000000000.0)).alias("psi"),
+    )
+
+
+@register(
+    "event_type_drift_chi2",
+    oracle="""
+WITH bounds AS (
+    SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+),
+halves AS (
+    SELECT event_type,
+           CASE WHEN epoch_us(ts) * 2 <= b.t0 + b.t1 THEN 0 ELSE 1 END AS half
+    FROM events CROSS JOIN bounds b
+),
+cells AS (
+    SELECT event_type,
+           sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS o0,
+           sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS o1
+    FROM halves GROUP BY event_type
+),
+tot AS (SELECT sum(o0) AS na, sum(o1) AS nb, count(*) AS k FROM cells),
+units AS (
+    SELECT
+      CAST(floor(1000000000.0 * (
+        ((CAST(o0 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.na AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE)))
+         * (CAST(o0 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.na AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))))
+        / (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.na AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))
+      )) AS BIGINT)
+      +
+      CAST(floor(1000000000.0 * (
+        ((CAST(o1 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.nb AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE)))
+         * (CAST(o1 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.nb AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))))
+        / (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.nb AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))
+      )) AS BIGINT) AS u
+    FROM cells c CROSS JOIN tot t
+)
+SELECT CAST((SELECT k FROM tot) - 1 AS BIGINT) AS dof,
+       CAST(sum(u) AS BIGINT) / 1000000000.0 AS chi2
+FROM units
+""",
+)
+def q_event_type_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift between the first and second half of the event
+    stream: Pearson chi-squared over the event_type × half contingency
+    table (expected counts from the marginals) — PSI's companion for
+    discrete features. Per-cell contributions quantize to integer
+    nano-units before the sum, so the statistic is hash-exact; the plan
+    is one 1-row bounds broadcast plus one |types|-row aggregation."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    half = F.when(
+        F.unix_micros("ts") * F.lit(2) <= F.col("t0") + F.col("t1"), F.lit(0)
+    ).otherwise(F.lit(1))
+    cells = (
+        ev.join(F.broadcast(bounds))
+        .select("event_type", half.alias("half"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("o0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("o1"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = cells.select(
+        "o0",
+        "o1",
+        F.sum("o0").over(wall).alias("na"),
+        F.sum("o1").over(wall).alias("nb"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+
+    def cell_u(o, n_side):
+        e = (
+            (F.col("o0") + F.col("o1")).cast("double")
+            * F.col(n_side).cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        )
+        return F.floor(
+            F.lit(1000000000.0)
+            * (((F.col(o).cast("double") - e) * (F.col(o).cast("double") - e)) / e)
+        ).cast("long")
+
+    return (
+        grid.select("k", (cell_u("o0", "na") + cell_u("o1", "nb")).alias("u"))
+        .groupBy()
+        .agg(
+            (F.max("k") - F.lit(1)).cast("long").alias("dof"),
+            (F.sum("u").cast("double") / F.lit(1000000000.0)).alias("chi2"),
+        )
+    )

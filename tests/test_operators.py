@@ -991,3 +991,35 @@ def test_kcore_peel_known_graph(spark):
     edges = spark.createDataFrame(clique + star, "src long, dst long")
     out = {r.node: r.degree for r in kcore_peel(edges, k=3, rounds=3).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_drift_metrics_separate_stable_from_shifted(spark, monkeypatch):
+    """PSI ~ 0 and chi2 ~ 0 when both halves share a distribution;
+    both blow past their alarm thresholds when the second half shifts."""
+    from datetime import datetime, timedelta
+
+    import covid_data_challenge_spark.queries_ext as qx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, datetime(2024, 1, 1) + timedelta(minutes=i), i % 7, t, v, "{}")
+                for i, (t, v) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    stable = mk([("a" if i % 2 else "b", float(i % 10)) for i in range(400)])
+    shifted = mk(
+        [("a" if i % 2 else "b", float(i % 10)) for i in range(200)]
+        + [("c", 90.0 + (i % 5)) for i in range(200)]
+    )
+    monkeypatch.setattr(qx, "_events", lambda spark, sf: stable)
+    psi_stable = REGISTRY["value_drift_psi"].spark(spark, "x").collect()[0].psi
+    chi_stable = REGISTRY["event_type_drift_chi2"].spark(spark, "x").collect()[0].chi2
+    monkeypatch.setattr(qx, "_events", lambda spark, sf: shifted)
+    psi_shift = REGISTRY["value_drift_psi"].spark(spark, "x").collect()[0].psi
+    chi_shift = REGISTRY["event_type_drift_chi2"].spark(spark, "x").collect()[0].chi2
+    assert psi_stable < 0.1 and chi_stable < 5.0
+    assert psi_shift > 0.25 and chi_shift > 100.0
