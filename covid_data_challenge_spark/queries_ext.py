@@ -8702,3 +8702,77 @@ def q_event_type_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("u").cast("double") / F.lit(1000000000.0)).alias("chi2"),
         )
     )
+
+
+@register(
+    "classifier_top_features",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+topw AS (
+    SELECT bucket, w_units FROM w{LR_ITERS}
+    WHERE bucket <> {LR_BIAS}
+    ORDER BY abs(w_units) DESC, bucket LIMIT 5
+),
+term_counts AS (
+    SELECT CAST(
+             (CAST(('0x' || substr(md5(term || '{LR_SALT}'), 1, 8)) AS BIGINT)
+              % {LR_BUCKETS} + {LR_BUCKETS}) % {LR_BUCKETS} AS INT
+           ) AS bucket,
+           term, count(*) AS cnt
+    FROM toks GROUP BY 1, 2
+),
+ranked AS (
+    SELECT t.bucket, w.w_units, t.term, t.cnt,
+           row_number() OVER (
+               PARTITION BY t.bucket ORDER BY t.cnt DESC, t.term
+           ) AS rn
+    FROM term_counts t JOIN topw w USING (bucket)
+)
+SELECT bucket, w_units, term, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def q_classifier_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpretability for the quality classifier: the 5 buckets with
+    the largest trained |weight| (bias excluded), each resolved back to
+    its 3 most frequent terms — the standard 'what did the model
+    learn' report for a hashing-trick model, where buckets are only
+    meaningful through the terms that hash into them. Reuses the
+    bit-exact training replay for the weights; the term resolution is
+    one (bucket, term) aggregation + a 5-row broadcast semi-join +
+    per-bucket WindowGroupLimit top-3."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.operators.dsir import hashed_bucket
+
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    w = lr_train(feats)
+    topw = (
+        w.filter(F.col("bucket") != LR_BIAS)
+        .orderBy(F.abs(F.col("w_units")).desc(), "bucket")
+        .limit(5)
+    )
+    term_counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .select(
+            hashed_bucket(F.col("term"), LR_BUCKETS, LR_SALT).alias("bucket"),
+            "term",
+        )
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wdw = Window.partitionBy("bucket").orderBy(F.col("cnt").desc(), "term")
+    return (
+        term_counts.join(F.broadcast(topw), "bucket")
+        .withColumn("rn", F.row_number().over(wdw))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "bucket",
+            "w_units",
+            "term",
+            "cnt",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
