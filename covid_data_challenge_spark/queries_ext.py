@@ -8392,36 +8392,40 @@ FROM ranked
 )
 def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the trained quality classifier as the
-    Mann-Whitney rank statistic, tie-corrected: average ranks are kept
-    in integer HALF-units (2·rank + ties−1), so the per-class sums are
-    exact integers and the final AUC is one IEEE division — hash-exact,
-    no trapezoids, no thresholds sweep. The global rank window is a
-    sort over the SCORED table; at 100 TB you evaluate on an eval
-    sample, not the corpus (the training loop itself never sorts).
-    On THIS synthetic corpus the sources share one vocabulary, so the
-    honest AUC is barely above chance (~0.55) — the learner itself is
-    pinned in pytest on a separable fixture, where it ranks every
-    positive above every negative."""
+    Mann-Whitney rank statistic, tie-corrected — computed SCALE-SAFE:
+    the corpus is first collapsed to the distinct-logit table
+    ``groupBy(logit_units) → (n, n_pos)`` (one map-side-combinable
+    shuffle), and the cumulative ranks come from a window over that
+    distinct-VALUE table, bounded by logit cardinality, never by corpus
+    rows. Competition rank for every row of a value is cum_before+1, so
+    the integer half-rank (2·rank + ties−1) per row is 2·cum_n − n + 1
+    and the positive-class half-rank sum is exactly
+    Σ n_pos·(2·cum_n − n + 1) — bit-identical to ranking row-by-row
+    (the DuckDB oracle still ranks rows; the hash must and does agree).
+    No single-partition sort over the scored corpus remains; the plan
+    pin lives in test_plans.py. On THIS synthetic corpus the sources
+    share one vocabulary, so the honest AUC is barely above chance
+    (~0.55) — the learner itself is pinned in pytest on a separable
+    fixture, where it ranks every positive above every negative."""
     docs = _docs(spark, sf_dir)
     feats = lr_features(
         docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
     ).localCheckpoint(eager=True)
     scored = lr_score(feats, lr_train(feats))
-    wdw = Window.orderBy("logit_units")
-    tie = Window.partitionBy("logit_units")
-    ranked = scored.select(
-        "y",
-        (
-            F.lit(2) * F.rank().over(wdw).cast("long")
-            + (F.count(F.lit(1)).over(tie).cast("long") - F.lit(1))
-        ).alias("half_rank"),
+    per_val = scored.groupBy("logit_units").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
     )
-    pos = F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long")
-    neg = F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).cast("long")
-    s_half = F.sum(F.when(F.col("y") == 1.0, F.col("half_rank")).otherwise(0)).cast(
-        "long"
+    cum_w = Window.orderBy("logit_units").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    return ranked.agg(
+    cum = per_val.withColumn("cum_n", F.sum("n").over(cum_w))
+    pos = F.sum("n_pos").cast("long")
+    neg = F.sum(F.col("n") - F.col("n_pos")).cast("long")
+    s_half = F.sum(
+        F.col("n_pos") * (F.lit(2) * F.col("cum_n") - F.col("n") + F.lit(1))
+    ).cast("long")
+    return cum.agg(
         pos.alias("n_pos"),
         neg.alias("n_neg"),
         (

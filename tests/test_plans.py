@@ -546,3 +546,22 @@ def test_dsir_select_scans_corpus_at_most_twice(spark, sf_dir):
     df = REGISTRY["dsir_importance_select"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Scan parquet", plan)) <= 2, plan[:2000]
+
+
+def test_auc_rank_window_runs_over_distinct_logits_not_corpus(spark, sf_dir):
+    """Exact ROC-AUC must never sort the scored corpus through a
+    single-partition rank window (the r3 scale-killer). The pinned
+    shape: ONE unpartitioned cumulative window whose direct input is
+    the groupBy(logit_units) distinct-value aggregate — between the
+    Window node and the first HashAggregate keyed on logit_units there
+    must be no scan, i.e. the window consumes value-cardinality rows,
+    not corpus rows."""
+    simple = _plan(spark, REGISTRY["classifier_eval_auc"].spark(spark, sf_dir), "simple")
+    lines = simple.splitlines()
+    widx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert len(widx) == 1, simple
+    below = lines[widx[0] + 1 :]
+    agg_at = next(
+        i for i, l in enumerate(below) if "HashAggregate(keys=[logit_units" in l
+    )
+    assert not any("Scan" in l for l in below[:agg_at]), simple

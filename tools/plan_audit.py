@@ -15,6 +15,7 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -28,6 +29,50 @@ from covid_data_challenge_spark.session import get_spark  # noqa: E402
 #: df.observe) — their returned frame's plan is the post-action shell,
 #: so the census would mislead; skip with a note instead.
 _RUNS_OWN_ACTION = ("stream", "observed_quality_report", "bpe_merge_table")
+
+
+_DEPTH_RE = re.compile(r"^([\s:+\-]*)(?:\*\(\d+\)\s*)?")
+_BOUNDING = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+             "TakeOrderedAndProject", "GlobalLimit", "WindowGroupLimit")
+_LEAF = ("Scan ", "FileScan", "ExistingRDD", "LocalTableScan",
+         "InMemoryTableScan")
+
+
+def _depth(line: str) -> int:
+    return len(_DEPTH_RE.match(line).group(1))
+
+
+def corpus_global_windows(plan: str) -> int:
+    """Count Window nodes that sort the FULL input through a single
+    partition: the window's subtree reaches a leaf scan before any
+    cardinality-bounding node (aggregate / limit / group-limit), and its
+    nearest Exchange is SinglePartition. A global window over a
+    groupBy-collapsed table (e.g. the AUC distinct-logit table) is
+    bounded and does NOT count — only the genuinely corpus-sized sort
+    (the r3 classifier_eval_auc shape) trips this."""
+    lines = plan.splitlines()
+    n_bad = 0
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow\b", ln) or "WindowGroupLimit" in ln:
+            continue
+        d = _depth(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        first_ex = next((s for s in sub if "Exchange" in s), None)
+        is_global = first_ex is not None and "SinglePartition" in first_ex
+        bounded = False
+        for s in sub:
+            if any(tag in s for tag in _BOUNDING):
+                bounded = True
+                break
+            if any(tag in s for tag in _LEAF):
+                break
+        if is_global and not bounded:
+            n_bad += 1
+    return n_bad
 
 
 def main() -> int:
@@ -53,6 +98,7 @@ def main() -> int:
                 plan.count("BroadcastNestedLoopJoin"),
                 plan.count("CartesianProduct"),
                 plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+                corpus_global_windows(plan),
             )
         )
 
@@ -65,10 +111,13 @@ def main() -> int:
         "count — the top of this table is where 100 TB attention goes.",
         "`cartesian` must be 0 everywhere (also enforced by",
         "`test_no_cartesian_product_anywhere`); `python_eval` is only",
-        "sanctioned for the multimodal mapInPandas stage.",
+        "sanctioned for the multimodal mapInPandas stage; `global_win`",
+        "counts corpus-sized single-partition Window sorts (a global",
+        "window over an already-aggregated value table is bounded and",
+        "does not count) and must be 0 everywhere.",
         "",
-        "| query | exchanges | bhj | smj | bnlj | cartesian | python_eval |",
-        "|---|---|---|---|---|---|---|",
+        "| query | exchanges | bhj | smj | bnlj | cartesian | python_eval | global_win |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append("| " + " | ".join(str(x) for x in r) + " |")
@@ -82,9 +131,11 @@ def main() -> int:
         f.write(out)
     n_cart = sum(r[5] for r in rows)
     n_py = sum(1 for r in rows if r[6] and not r[0].startswith("multimodal"))
+    n_gwin = sum(r[7] for r in rows)
     print(f"{len(rows)} plans audited, {n_cart} cartesian products, "
-          f"{n_py} unsanctioned python-eval queries -> PLAN_AUDIT.md")
-    return 0 if n_cart == 0 and n_py == 0 else 1
+          f"{n_py} unsanctioned python-eval queries, "
+          f"{n_gwin} corpus-sized global windows -> PLAN_AUDIT.md")
+    return 0 if n_cart == 0 and n_py == 0 and n_gwin == 0 else 1
 
 
 if __name__ == "__main__":
