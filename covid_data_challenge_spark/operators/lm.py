@@ -40,13 +40,25 @@ def doc_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def bigram_lm_build(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def bigram_lm_build(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
     """Train the LM: one row per distinct corpus bigram with its count,
     its conditioning-context count, and the (denormalized) context
     vocabulary size. Two map-side-combined aggregations over the bigram
     stream; output size is |distinct bigrams|, independent of corpus
-    row count."""
-    bg = doc_bigrams(docs, id_col, text_col)
+    row count.
+
+    ``bigrams`` accepts a precomputed (ideally persisted/checkpointed)
+    :func:`doc_bigrams` frame: when the SAME corpus is both trained on
+    and scored (the self-trained fluency/perplexity queries), passing
+    the shared frame means the tokenize+explode runs once, not once per
+    stage — the probe side otherwise re-derives the 10×-grown bigram
+    stream at sf1 (the r3 bench's only 3×+ relational growth)."""
+    bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
     lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
     lm_pre = lm_bg.groupBy(F.substring_index("bg", " ", 1).alias("pre")).agg(
         F.sum("c_ab").alias("c_a")
@@ -60,7 +72,11 @@ def bigram_lm_build(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def bigram_lm_score_with(
-    docs: DataFrame, lm: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents against a (possibly persisted) LM table: mean
     add-one-smoothed bigram probability, integer-quantized before the
@@ -70,8 +86,10 @@ def bigram_lm_score_with(
     count — p = 1/(C(a·)+V) via a second left join on the prefix — so
     an unseen continuation of a common context scores LOW, not the 1/V
     floor that would let never-seen text outscore seen-but-rare text;
-    only a fully unseen context falls back to 1/V."""
-    bg = doc_bigrams(docs, id_col, text_col)
+    only a fully unseen context falls back to 1/V. ``bigrams``: see
+    :func:`bigram_lm_build` — pass the shared checkpointed frame when
+    probing the training corpus itself."""
+    bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
     v_row = lm.select("v").limit(1)
     prefixes = (
         lm.select(F.substring_index("bg", " ", 1).alias("__pre"), "c_a")
@@ -109,7 +127,11 @@ def bigram_lm_score_with(
 
 
 def bigram_lm_nll_with(
-    docs: DataFrame, lm: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Mean negative log-likelihood per document in REAL nats — the
     actual CCNet perplexity-filter quantity (lm_score's mean
@@ -122,10 +144,11 @@ def bigram_lm_nll_with(
     BEFORE the per-doc sum: order-free integer addition, one final IEEE
     division — hash-exact like the rest of the LM surface. Smoothing
     fallbacks (unseen bigram / unseen context) mirror
-    :func:`bigram_lm_score_with` exactly."""
+    :func:`bigram_lm_score_with` exactly. ``bigrams``: see
+    :func:`bigram_lm_build`."""
     from covid_data_challenge_spark.functions.pmath import portable_ln
 
-    bg = doc_bigrams(docs, id_col, text_col)
+    bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
     # collapse instances before the model join — the transcendental
     # tree then evaluates once per DISTINCT (doc-batch) bigram
     # (vocab-sized), not once per bigram occurrence (corpus-sized);
