@@ -97,6 +97,13 @@ def semdedup_assignments(
         id_col=id_col,
         vec_col=vec_col,
     )
+    # Lloyd state is centroid-sized (n_centroids × dim floats): cut the
+    # seeding + iteration lineage here so every downstream consumer of
+    # the assignment (pair self-join sides, reps projection) replans
+    # from a tiny materialized table instead of re-deriving the whole
+    # Lloyd chain — same discipline as lr/bpe/graph; on a cluster this
+    # is the persisted centroid gold table (ivf_build docstring).
+    centroids = centroids.localCheckpoint(eager=True)
     return assign_to_centroids(emb, centroids, id_col, vec_col)
 
 
