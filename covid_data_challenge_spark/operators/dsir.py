@@ -87,15 +87,21 @@ def dsir_bucket_weights(doc_buckets: DataFrame, n_buckets: int) -> DataFrame:
     w_units = floor(1e6 * (ln(ct+1) - ln(Nt+B) - ln(cr+1) + ln(Nr+B)))
 
     with ct/cr the bucket's target/raw token counts and Nt/Nr the model
-    totals. All four logs are portable_ln; the combination order is
-    pinned (left-to-right) to match the oracle's expression tree."""
+    totals. ``cr`` counts NON-target docs only, matching the paper's
+    p_raw (a target-inclusive mixture denominator dampens the contrast
+    whenever the target slice is a large corpus fraction — the r3
+    advisor's finding). All four logs are portable_ln; the combination
+    order is pinned (left-to-right) to match the oracle's expression
+    tree."""
     from pyspark.sql import Window
 
     per_bucket = doc_buckets.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
             "ct"
         ),
-        F.sum("cnt").alias("cr"),
+        F.sum(F.when(~F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "cr"
+        ),
     )
     # model totals as an unpartitioned window over the n_buckets-row
     # aggregate — the table is constant-sized, and this keeps the model

@@ -164,10 +164,13 @@ def triangle_stats(
         .join(z, (F.col("z.s") == F.col("x.s")) & (F.col("z.d") == F.col("y.d")))
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+    # deg*(deg-1) is always even, so the wedge count stays in exact
+    # integer arithmetic end to end (floor-div by 2 is exact): a double
+    # detour would truncate where DuckDB rounds AND lose integer
+    # exactness past 2^53 — a degree-1e8 hub alone contributes ~1e16
     counts = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)).cast("double") / F.lit(2.0))
-        .cast("long")
+        F.shiftright(F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long"), 1)
         .alias("n_wedges"),
     )
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))

@@ -7410,7 +7410,7 @@ bucketed AS (
 per_bucket AS (
     SELECT bucket,
            sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
-           sum(cnt) AS cr
+           sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cr
     FROM bucketed GROUP BY 1
 ),
 grid AS (
@@ -7808,14 +7808,12 @@ tri AS (
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-       CAST((SELECT CAST(sum(deg * (deg - 1)) AS DOUBLE) FROM deg) / 2.0
-            AS BIGINT) AS n_wedges,
+       CAST((SELECT sum(deg * (deg - 1)) FROM deg) // 2 AS BIGINT) AS n_wedges,
        n_triangles,
-       CASE WHEN CAST((SELECT CAST(sum(deg * (deg - 1)) AS DOUBLE) FROM deg) / 2.0
-                      AS BIGINT) > 0
+       CASE WHEN CAST((SELECT sum(deg * (deg - 1)) FROM deg) // 2 AS BIGINT) > 0
             THEN (3.0 * CAST(n_triangles AS DOUBLE))
-                 / CAST(CAST((SELECT CAST(sum(deg * (deg - 1)) AS DOUBLE) FROM deg)
-                             / 2.0 AS BIGINT) AS DOUBLE)
+                 / CAST(CAST((SELECT sum(deg * (deg - 1)) FROM deg) // 2
+                             AS BIGINT) AS DOUBLE)
             ELSE 0.0 END AS global_clustering
 FROM tri
 """,
@@ -8105,7 +8103,7 @@ bucketed AS (
 per_bucket AS (
     SELECT bucket,
            sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
-           sum(cnt) AS cr
+           sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cr
     FROM bucketed GROUP BY 1
 ),
 grid AS (

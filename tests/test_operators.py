@@ -959,18 +959,18 @@ def test_curriculum_order_puts_best_quality_in_phase_one(spark, sf_dir):
         assert sorted(v) == list(range(1, len(v) + 1))
 
 
-def test_weighted_sample_per_source_exact_k_sizes(spark):
+def test_weighted_sample_per_source_exact_k_sizes(spark, sf_dir):
     """Efraimidis-Spirakis invariant the Bernoulli sampler can't give:
     exactly min(k, |source|) rows per source."""
     import covid_data_challenge_spark.queries_ext as qx
     from covid_data_challenge_spark.registry import REGISTRY
 
-    out = REGISTRY["weighted_sample_per_source"].spark(spark, "/root/testdata/sf0.001")
+    out = REGISTRY["weighted_sample_per_source"].spark(spark, sf_dir)
     sizes = {
         r.source: r.c
         for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
     }
-    docs = qx._docs(spark, "/root/testdata/sf0.001")
+    docs = qx._docs(spark, sf_dir)
     have = {
         r.source: r.c
         for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
