@@ -67,6 +67,10 @@ EXTENSION = [
     "bigram_lm_nll",
     "weighted_sample_per_source",
     "bpe_encode_stats",
+    # round 4: the classifier-filtered curation gate (train -> sigmoid ->
+    # md5-coin soft selection -> dedup) and the scale-safe exact AUC
+    "corpus_prep_recipe_v4",
+    "classifier_eval_auc",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

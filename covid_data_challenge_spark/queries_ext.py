@@ -8788,3 +8788,94 @@ def q_classifier_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep v4: the classifier-filtered curation gate (Brown et al. 2020)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_prep_recipe_v4",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+probs AS (
+    SELECT doc_id, y,
+           CAST(floor(1000000000.0
+                * (1.0 / (1.0 + {portable_exp_sql("zneg")}))) AS BIGINT)
+             AS p_units
+    FROM (SELECT doc_id, y,
+                 -(CAST(logit_units AS DOUBLE) / 1000000000.0) AS zneg
+          FROM scored)
+),
+kept AS (
+    SELECT d.doc_id, d.text, d.lang, d.source, p.p_units
+    FROM documents d JOIN probs p USING (doc_id)
+    WHERE p.y = 0.0
+      AND {md5_unit_fraction_sql("d.doc_id || 'cpr4'")}
+          < CAST(p.p_units AS DOUBLE) / 1000000000.0
+),
+fp AS (SELECT doc_id, md5({_NORM}) AS f FROM kept),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT k.doc_id, k.lang, k.source, k.p_units
+FROM kept k JOIN keep USING (doc_id)
+""",
+)
+def q_corpus_prep_recipe_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLASSIFIER-filtered curation recipe — the Brown et al. 2020
+    (GPT-3, Appendix A) pipeline the LR components exist for, composed
+    end to end and hash-checked as one query (v1/v2 are heuristic
+    gates, v3 is the DSIR+perplexity model gate; v4 is the supervised
+    gate):
+
+    1. train the LR quality classifier on the full corpus (curated
+       src0/src1 vs raw) — operators/lr.py's bit-exact fixed-GD loop;
+    2. score every document and squash to a probability via the
+       portable-exp sigmoid, quantized to integer nano-units;
+    3. soft selection — keep each RAW doc iff its deterministic
+       md5 coin (sampling.md5_unit_fraction, salted 'cpr4') falls
+       below p: documents the classifier likes survive
+       proportionally more often, Brown-2020's stochastic
+       classifier-filtering with a replayable coin instead of a
+       Pareto draw (curated docs are the training positives, not
+       candidates — they are not re-selected);
+    4. exact dedup — lowest-id survivor per md5 fingerprint.
+
+    Every stage replays bit-exactly in the single DuckDB CTE chain:
+    training is the unrolled-GD CTE, the sigmoid is portable_exp, the
+    coin and fingerprint are md5. Scale: the model is a 65-row weight
+    table (checkpointed), scoring is one broadcast join + per-doc agg,
+    selection is a map-side filter, dedup is one fingerprint shuffle —
+    nothing corpus-sized is ever sorted, windowed, or collected."""
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+    from covid_data_challenge_spark.operators.dedup import dedup_exact_keep_first
+    from covid_data_challenge_spark.operators.sampling import md5_unit_fraction
+
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + portable_exp(-(F.col("logit_units").cast("double") / F.lit(1e9)))
+    )
+    probs = scored.select(
+        "doc_id", "y", F.floor(F.lit(1e9) * p).cast("long").alias("p_units")
+    ).localCheckpoint(eager=True)
+    kept = (
+        docs.join(probs, "doc_id")
+        .filter(
+            (F.col("y") == 0.0)
+            & (
+                md5_unit_fraction(F.concat(F.col("doc_id"), F.lit("cpr4")))
+                < F.col("p_units").cast("double") / F.lit(1e9)
+            )
+        )
+        .select("doc_id", "text", "lang", "source", "p_units")
+    )
+    return dedup_exact_keep_first(kept).select(
+        "doc_id", "lang", "source", "p_units"
+    )
