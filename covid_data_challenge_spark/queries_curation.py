@@ -1,0 +1,1357 @@
+"""Model-based curation: BPE training/encode, bigram LM
+perplexity, DSIR, the LR quality classifier + eval, drift monitoring,
+and the end-to-end corpus-prep recipes v1-v4.
+
+Registered via registry.register; queries_ext imports every themed
+module and restores the frozen driver-contract registry order
+(registry_order.CANONICAL_ORDER) afterwards — in-module order is
+thematic, not contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from covid_data_challenge_spark.functions.text import quality_score, token_count, tokens
+from covid_data_challenge_spark.operators.dedup import dedup_exact_keep_first
+from covid_data_challenge_spark.registry import register
+from covid_data_challenge_spark.operators.sampling import md5_unit_fraction_sql
+from covid_data_challenge_spark.operators.bpe import bpe_merge_oracle_sql, bpe_merge_table
+from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+from covid_data_challenge_spark.operators.dsir import DSIR_BUCKETS, DSIR_SALT, dsir_select
+from covid_data_challenge_spark.operators.bpe import bpe_encode_oracle_sql, bpe_encode_stats
+from covid_data_challenge_spark.functions.pmath import portable_exp_sql
+from covid_data_challenge_spark.operators.lr import LR_BIAS, LR_BUCKETS, LR_ITERS, LR_RATE, LR_SALT, lr_features, lr_score, lr_train
+from covid_data_challenge_spark.queries_shared import (  # noqa: F401
+    _LANG_SQL_HITS,
+    _NORM,
+    _docs,
+    _events,
+)
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           len(string_split({_NORM}, ' ')) AS n_tok,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(len(text), 1) AS punct,
+           md5({_NORM}) AS f
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, lang, f, CAST(n_tok AS INT) AS n_tokens,
+           round((least(n_tok / 100.0, 1.0)
+                + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+                + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
+    FROM scored
+),
+filtered AS (SELECT * FROM quality WHERE quality >= 0.5),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM filtered GROUP BY f)
+SELECT q.doc_id, q.lang, q.n_tokens, q.quality
+FROM filtered q JOIN keep USING (doc_id)
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation shape: quality-score filter →
+    exact dedup keep-first → curated corpus. One scan, one groupBy + one
+    semi-join — the whole pipeline is two shuffles at any scale."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    return dedup_exact_keep_first(scored).select("doc_id", "lang", "n_tokens", "quality")
+
+
+@register(
+    "bpe_first_merge_candidates",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+pairs AS (
+    SELECT substr(w, i, 2) AS pair
+    FROM words JOIN (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def q_bpe_first_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step one: the top-20 adjacent character pairs
+    by corpus frequency — exactly the counts the first BPE merge is
+    chosen from (each further merge re-runs the same shape on the merged
+    vocabulary). Map-side position explode, one aggregation on a tiny
+    key space (≤ alphabet²), TakeOrderedAndProject top-k: counting pairs
+    over 100 TB of text is a scan plus a kilobyte-scale shuffle."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0))),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_prep_recipe",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           len(string_split({_NORM}, ' ')) AS n_tok,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(len(text), 1) AS punct,
+           md5({_NORM}) AS f
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, source, f,
+           round((least(n_tok / 100.0, 1.0)
+                + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+                + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
+    FROM scored
+),
+soft AS (
+    SELECT * FROM quality WHERE {md5_unit_fraction_sql('doc_id')} < quality
+),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM soft GROUP BY f),
+deduped AS (SELECT s.doc_id, s.source, s.quality FROM soft s JOIN keep USING (doc_id)),
+capped AS (
+    SELECT doc_id, source, quality,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM deduped
+)
+SELECT doc_id, source, quality, CAST(rn AS INT) AS sample_rank
+FROM capped WHERE rn <= 100
+""",
+)
+def q_corpus_prep_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep recipe composed end to end — what a user of
+    this engine actually runs before training: quality scoring → SOFT
+    quality sampling (survival probability = score) → exact dedup with
+    deterministic survivor → per-source reservoir cap. Three shuffles
+    total at any scale (dedup groupBy, dedup semi-join, per-source
+    window) on top of one scan; every stage is the registered operator,
+    and the oracle chains the same four stages in SQL — the composition
+    itself is hash-checked, not just the parts."""
+    from covid_data_challenge_spark.functions.text import quality_score
+    from covid_data_challenge_spark.operators.sampling import (
+        hash_reservoir_per_key,
+        weighted_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source", "text", quality_score(F.col("text")).alias("quality")
+    )
+    soft = weighted_sample(scored, key_col="doc_id", weight_col="quality")
+    deduped = dedup_exact_keep_first(soft)
+    capped = hash_reservoir_per_key(deduped, key_col="source", id_col="doc_id", n=100)
+    return capped.select("doc_id", "source", "quality", "sample_rank")
+
+
+@register(
+    "bpe_second_merge_candidates",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+pairs1 AS (
+    SELECT substr(w, i, 2) AS pair
+    FROM words JOIN (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+win AS (
+    SELECT pair FROM pairs1 GROUP BY pair
+    ORDER BY count(*) DESC, pair LIMIT 1
+),
+merged AS (
+    SELECT replace(w, win.pair, chr(1)) AS w2, win.pair AS wp
+    FROM words, win
+),
+pairs2 AS (
+    SELECT replace(substr(w2, i, 1), chr(1), wp)
+             || replace(substr(w2, i + 1, 1), chr(1), wp) AS pair
+    FROM merged JOIN (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i) idx
+        ON i <= len(w2) - 1
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs2 GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def q_bpe_second_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step two: apply the winning first merge and
+    recount adjacent-symbol pairs — one full BPE iteration, entirely as
+    a DataFrame plan. The winning pair is chosen by a 1-row
+    TakeOrderedAndProject and threaded into the corpus rewrite as a
+    BROADCAST scalar feeding a column-argument ``replace`` (plain
+    string replace is greedy leftmost non-overlapping — exactly BPE's
+    merge order), so the iteration has NO driver round-trip: at 100 TB
+    each merge step is scan → kilobyte shuffle → scan, and successive
+    steps chain the same shape. Merged symbols travel as a reserved
+    \\x01 byte and are expanded back for the output counts."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    pairs1 = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0))),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    win = (
+        pairs1.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("wp"))
+    )
+    sep = "\x01"
+    merged = words.join(F.broadcast(win)).select(
+        F.replace(F.col("w"), F.col("wp"), F.lit(sep)).alias("w2"), "wp"
+    )
+    sym = lambda c: F.replace(c, F.lit(sep), F.col("wp"))  # noqa: E731
+    pairs2 = merged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w2") - 1, F.lit(0))),
+                # sequence(1, 0) descends for 1-char words — the i >= 1
+                # guard drops the spurious i=0 slot (substring treats
+                # pos 0 as 1 and would double-count the first char)
+                lambda i: F.when(
+                    (i >= F.lit(1)) & (i < F.length("w2")),
+                    F.concat(
+                        sym(F.substring(F.col("w2"), i, 1)),
+                        sym(F.substring(F.col("w2"), i + F.lit(1), 1)),
+                    ),
+                ),
+            )
+        ).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    return (
+        pairs2.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+lm_pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_bg GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(count(*) AS BIGINT) AS v FROM lm_pre
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(floor(1e9 * (CAST(l.c_ab AS DOUBLE) + 1.0)
+                      / (CAST(p.c_a AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
+                AS BIGINT) AS p_units
+    FROM bg b
+    JOIN lm_bg l ON b.bg = l.bg
+    JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_units) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1e9) AS lm_score
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus bigram language-model fluency score (the CCNet
+    perplexity-filter shape, arXiv:1911.00359, self-trained so no
+    external model is needed): train add-one-smoothed bigram
+    probabilities p(b|a) = (C(ab)+1)/(C(a·)+V) over the whole corpus in
+    two aggregations, then score each document by its mean bigram
+    probability. The smoothing is load-bearing for the semantics:
+    under raw MLE a doc of unique gibberish tokens scores a perfect
+    1.0 (C(ab)=C(a)=1), whereas add-one sends singleton bigrams to
+    ≈2/V — so unusual-for-the-corpus text scores LOW, formulaic text
+    high, the complement of repetition_score for quality filtering.
+
+    Hash-exactness across engines: each probability quantizes to
+    integer 1e-9 units BEFORE the per-doc sum (exact integer addition
+    in any order), and the final mean is one IEEE division — no libm
+    log() whose last ulp differs per engine. Scale shape: the LM is
+    |distinct bigrams| rows built by map-side-combined aggs; V is a
+    1-row broadcast; scoring is one shuffle join of exploded
+    doc-bigrams against the LM on the bigram key (never
+    broadcast-dependent), then a per-doc re-agg. The LM is a
+    build-once/serve-many gold table (operators/lm.py — persisted
+    parquet scores future batches identically; roundtrip pinned in
+    pytest). Because this self-trained query probes the very corpus it
+    trains on, the exploded (doc, bigram) frame is checkpointed ONCE
+    and shared by the build and probe stages — tokenization and the
+    explode run one time, so probe cost no longer re-scans the grown
+    bigram stream (the r3 sf1 tier's 3.2× growth, now linear-shared)."""
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_score_with,
+        doc_bigrams,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bg = doc_bigrams(docs).localCheckpoint(eager=True)
+    return bigram_lm_score_with(docs, bigram_lm_build(docs, bigrams=bg), bigrams=bg)
+
+
+@register(
+    "corpus_prep_recipe_v2",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+pass AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[(i * 16 + 1):(i * 16 + 16)], ' ') AS passage
+  FROM toks JOIN (SELECT unnest(range(0, 100000)) AS i) idx ON i * 16 < len(w)
+),
+keyed AS (SELECT doc_id, pos, passage, md5(passage) AS h FROM pass),
+hot AS (SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT doc_id) > 4),
+clean AS (
+  SELECT k.doc_id, string_agg(k.passage, ' ' ORDER BY k.pos) AS ct
+  FROM keyed k WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = k.h)
+  GROUP BY k.doc_id
+),
+q AS (
+  SELECT doc_id, ct,
+         len(string_split(ct, ' ')) AS n_tok,
+         len(regexp_extract_all(ct, '{_LANG_SQL_HITS["en"]}')) AS h_en,
+         (len(ct) - len(regexp_replace(ct, '[.,;:!?]', '', 'g')))
+             / greatest(len(ct), 1) AS punct
+  FROM clean
+),
+scored AS (
+  SELECT doc_id, ct, CAST(n_tok AS INT) AS n_tokens_clean,
+         round((least(n_tok / 100.0, 1.0)
+              + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+              + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4) AS quality
+  FROM q
+),
+gated AS (SELECT * FROM scored WHERE quality >= 0.3),
+dd AS (
+  SELECT doc_id, n_tokens_clean, quality,
+         row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')))
+             ORDER BY doc_id
+         ) AS rn
+  FROM gated
+)
+SELECT doc_id, n_tokens_clean, quality FROM dd WHERE rn = 1
+""",
+)
+def q_corpus_prep_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep recipe, round-3 edition — the web-scale cleaning
+    chain (RefinedWeb/CCNet order): boilerplate passage strip → quality
+    gate on the CLEANED text → exact dedup with deterministic survivor.
+    Each stage is the registered operator; the whole composition is
+    hash-checked end to end, as with corpus_prep_recipe (which stays
+    pinned as the v1 sampling-centric chain). Shuffle budget: passage
+    df-count, doc reassembly, dedup groupBy + semi join — all keyed
+    shuffles, no O(n²) stage, broadcast only for the tiny hot-passage
+    set."""
+    from covid_data_challenge_spark.operators.dedup import (
+        boilerplate_passage_strip,
+        dedup_exact_keep_first,
+    )
+
+    clean = boilerplate_passage_strip(_docs(spark, sf_dir), max_df=4)
+    scored = clean.select(
+        "doc_id",
+        F.col("clean_text"),
+        token_count(F.col("clean_text")).alias("n_tokens_clean"),
+        quality_score(F.col("clean_text")).alias("quality"),
+    )
+    gated = scored.filter(F.col("quality") >= 0.3)
+    deduped = dedup_exact_keep_first(gated, text_col="clean_text")
+    return deduped.select("doc_id", "n_tokens_clean", "quality")
+
+
+_BPE_MERGES = 4
+
+
+@register("bpe_merge_table", oracle=bpe_merge_oracle_sql(_NORM, _BPE_MERGES))
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual loop: 4 chained merges over
+    the word-frequency dictionary, producing the ranked merge table
+    that IS the tokenizer artifact. One corpus scan builds the
+    vocab-sized (word, n) table; every iteration after that is
+    pair-explode → tiny aggregate → 1-row TakeOrderedAndProject winner
+    → broadcast greedy replace, with no driver round-trip anywhere
+    (operators/bpe.py has the Sennrich-dictionary scale argument). The
+    DuckDB oracle unrolls the identical loop as CTEs, so winner
+    tie-breaks and sentinel expansion are hash-checked end to end."""
+    return bpe_merge_table(_docs(spark, sf_dir), k=_BPE_MERGES)
+
+
+#: curated-target slice for the registered query: two designated sources
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+_DSIR_STAGE, _DSIR_FINAL = portable_ln_sql_stages(
+    {
+        "l1": "(ct + 1)",
+        "l2": f"(nt + {DSIR_BUCKETS})",
+        "l3": "(cr + 1)",
+        "l4": f"(nr + {DSIR_BUCKETS})",
+    }
+)
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source IN {_DSIR_TARGET_SOURCES} AS is_target,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, is_target,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{DSIR_SALT}'), 1, 8)) AS BIGINT)
+              % {DSIR_BUCKETS} + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2, 3
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+           sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cr
+    FROM bucketed GROUP BY 1
+),
+grid AS (
+    SELECT bucket, ct, cr,
+           (SELECT sum(ct) FROM per_bucket) AS nt,
+           (SELECT sum(cr) FROM per_bucket) AS nr
+    FROM per_bucket
+),
+staged AS (SELECT bucket, {_DSIR_STAGE} FROM grid),
+lns AS (SELECT bucket, {_DSIR_FINAL} FROM staged),
+wtab AS (
+    SELECT bucket,
+           CAST(floor(1000000.0 * ((((l1) - (l2)) - (l3)) + (l4))) AS BIGINT)
+             AS w_units
+    FROM lns
+),
+docw AS (
+    SELECT b.doc_id, b.is_target,
+           sum(b.cnt) AS n_tokens,
+           sum(b.cnt * w.w_units) AS w_units
+    FROM bucketed b JOIN wtab w USING (bucket)
+    GROUP BY 1, 2
+),
+raw AS (SELECT * FROM docw WHERE NOT is_target),
+thr AS (SELECT quantile_cont(w_units, 0.75) AS thr FROM raw)
+SELECT doc_id, n_tokens, w_units
+FROM raw CROSS JOIN thr
+WHERE CAST(w_units AS DOUBLE) >= thr
+""",
+)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): score every raw document
+    by its hashed-ngram log-likelihood ratio against a curated target
+    slice (sources src0/src1), keep the top-quartile weights. The
+    log-ratios run through functions/pmath.portable_ln — a fixed atanh
+    series over correctly-rounded ops only — then integer-quantize per
+    bucket, so the weights (and hence the selected set) are bit-exact
+    against the DuckDB replay despite being log-space floats. Plan: one
+    token-bucket aggregation (constant n_buckets=256 model, broadcast
+    back), one doc-level aggregation, one global exact percentile for
+    the threshold — no corpus-wide sort or window; at 100 TB the
+    percentile swaps to approx_percentile."""
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs,
+        is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES),
+        keep_frac=0.25,
+        n_buckets=DSIR_BUCKETS,
+        salt=DSIR_SALT,
+    )
+
+
+@register("bpe_encode_stats", oracle=bpe_encode_oracle_sql(_NORM, _BPE_MERGES))
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the BPE tokenizer: train the 4-merge table
+    (same loop as bpe_merge_table), then ENCODE every document by
+    applying the merges in rank order — greedy leftmost replace with
+    winners kept in sentinel form, so later merges can consume earlier
+    ones exactly like a real BPE encoder's priority queue. Output is
+    the per-doc unit count before/after and the compression ratio — the
+    tokenizer-cost numbers a training pipeline budgets by. Winners are
+    1-row localCheckpoint'ed broadcasts (the encode plan embeds k
+    literals, not the training chain); the encode pass itself is
+    map-side only: one corpus scan, one groupBy(doc_id)."""
+    return bpe_encode_stats(_docs(spark, sf_dir), k=_BPE_MERGES)
+
+
+_NLL_STAGE, _NLL_FINAL = portable_ln_sql_stages(
+    {"l_num": "num", "l_den": "den"}
+)
+
+
+@register(
+    "bigram_lm_nll",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+lm_pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_bg GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(count(*) AS BIGINT) AS v FROM lm_pre
+),
+args AS (
+    SELECT b.doc_id, (l.c_ab + 1) AS num, (p.c_a + vocab.v) AS den
+    FROM bg b
+    JOIN lm_bg l ON b.bg = l.bg
+    JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN vocab
+),
+staged AS (SELECT doc_id, {_NLL_STAGE} FROM args),
+lns AS (SELECT doc_id, {_NLL_FINAL} FROM staged),
+scored AS (
+    SELECT doc_id,
+           CAST(floor(1000000.0 * ((l_den) - (l_num))) AS BIGINT) AS nll_units
+    FROM lns
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_units) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet perplexity filter in its native units: per-doc mean
+    negative log-likelihood in nats under the self-trained add-one
+    bigram LM (ppl = exp(nll); bigram_lm_score's mean probability is
+    only a monotone proxy). Log-space outputs were previously
+    un-oracle-able — libm ln's last ulp differs between the JVM and C —
+    so each bigram's -ln p runs through functions/pmath.portable_ln
+    (correctly-rounded ops only) and quantizes to integer micro-nats
+    before the order-free per-doc sum; one IEEE division closes the
+    mean. Same plan shape as bigram_lm_score: vocab-sized LM aggs, one
+    bigram-key shuffle join, per-doc re-agg — and like it, the exploded
+    (doc, bigram) frame is checkpointed once and shared across the
+    build and probe stages."""
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_nll_with,
+        doc_bigrams,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bg = doc_bigrams(docs).localCheckpoint(eager=True)
+    return bigram_lm_nll_with(docs, bigram_lm_build(docs, bigrams=bg), bigrams=bg)
+
+
+@register(
+    "corpus_prep_recipe_v3",
+    oracle=f"""
+WITH toks0 AS (
+    SELECT doc_id, source IN {_DSIR_TARGET_SOURCES} AS is_target,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, is_target,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{DSIR_SALT}'), 1, 8)) AS BIGINT)
+              % {DSIR_BUCKETS} + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks0 GROUP BY 1, 2, 3
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+           sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cr
+    FROM bucketed GROUP BY 1
+),
+grid AS (
+    SELECT bucket, ct, cr,
+           (SELECT sum(ct) FROM per_bucket) AS nt,
+           (SELECT sum(cr) FROM per_bucket) AS nr
+    FROM per_bucket
+),
+staged0 AS (SELECT bucket, {_DSIR_STAGE} FROM grid),
+lns0 AS (SELECT bucket, {_DSIR_FINAL} FROM staged0),
+wtab AS (
+    SELECT bucket,
+           CAST(floor(1000000.0 * ((((l1) - (l2)) - (l3)) + (l4))) AS BIGINT)
+             AS w_units
+    FROM lns0
+),
+docw AS (
+    SELECT b.doc_id, b.is_target, sum(b.cnt * w.w_units) AS w_units
+    FROM bucketed b JOIN wtab w USING (bucket)
+    GROUP BY 1, 2
+),
+rawdocs AS (SELECT * FROM docw WHERE NOT is_target),
+wthr AS (SELECT quantile_cont(w_units, 0.5) AS thr FROM rawdocs),
+sel AS (
+    SELECT doc_id, w_units FROM rawdocs CROSS JOIN wthr
+    WHERE CAST(w_units AS DOUBLE) >= thr
+),
+sel_docs AS (
+    SELECT d.doc_id, d.text, d.lang, d.source, s.w_units
+    FROM documents d JOIN sel s USING (doc_id)
+),
+toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM sel_docs),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+lm_pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_bg GROUP BY 1
+),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lm_pre),
+args AS (
+    SELECT b.doc_id, (l.c_ab + 1) AS num, (p.c_a + vocab.v) AS den
+    FROM bg b
+    JOIN lm_bg l ON b.bg = l.bg
+    JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN vocab
+),
+staged AS (SELECT doc_id, {_NLL_STAGE} FROM args),
+lns AS (SELECT doc_id, {_NLL_FINAL} FROM staged),
+scored AS (
+    SELECT doc_id,
+           CAST(floor(1000000.0 * ((l_den) - (l_num))) AS BIGINT) AS nll_units
+    FROM lns
+),
+nlltab AS (
+    SELECT doc_id,
+           CAST(sum(nll_units) AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS nll
+    FROM scored GROUP BY doc_id
+),
+nthr AS (SELECT quantile_cont(nll, 0.75) AS t FROM nlltab),
+fluent AS (
+    SELECT sd.doc_id, sd.text, sd.lang, sd.source, sd.w_units, n.nll
+    FROM sel_docs sd JOIN nlltab n USING (doc_id) CROSS JOIN nthr
+    WHERE n.nll <= nthr.t
+),
+fp AS (SELECT doc_id, md5({_NORM}) AS f FROM fluent),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT fl.doc_id, fl.lang, fl.source, fl.w_units, fl.nll
+FROM fluent fl JOIN keep USING (doc_id)
+""",
+)
+def q_corpus_prep_recipe_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODEL-BASED curation recipe, composed end to end and
+    hash-checked as one query (the heuristic twins are v1: quality→
+    sample→dedup→cap and v2: boilerplate→quality→dedup):
+
+    1. DSIR selection — keep raw docs in the top half of hashed-ngram
+       importance weight against the curated target (src0/src1);
+    2. perplexity gate — train the add-one bigram LM ON THE SELECTED
+       SUBSET (the pipeline's own data, no external model) and drop the
+       least-fluent quartile by mean NLL; docs too short to form a
+       bigram cannot be scored and are dropped with them;
+    3. exact dedup — lowest-id survivor per md5 fingerprint.
+
+    Both model stages run on portable-ln with integer quantization, so
+    the composition — selection set, LM, thresholds, survivors — is
+    bit-exact against the single DuckDB CTE chain. Scale: stage models
+    are constant/vocab-sized; each stage adds one threshold broadcast;
+    the corpus itself flows through filters and one fingerprint
+    aggregation."""
+    from covid_data_challenge_spark.operators.dedup import dedup_exact_keep_first
+    from covid_data_challenge_spark.operators.dsir import dsir_select
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_nll_with,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # Stage boundaries are materialized — the composed-lazy version
+    # re-derived every upstream stage per consumer (measured 126 parquet
+    # scans / 483 exchanges; 8 scans with the checkpoints). In
+    # production each boundary is a written gold table; localCheckpoint
+    # is the in-session equivalent. The checkpointed frames are
+    # doc-level id+metric lists (2-3 longs/row), never the text.
+    sel = (
+        dsir_select(
+            docs,
+            is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES),
+            keep_frac=0.5,
+            n_buckets=DSIR_BUCKETS,
+            salt=DSIR_SALT,
+        )
+        .select("doc_id", "w_units")
+        .localCheckpoint(eager=True)
+    )
+    sel_docs = docs.join(sel, "doc_id")
+    lm = bigram_lm_build(sel_docs)
+    nll = (
+        bigram_lm_nll_with(sel_docs, lm)
+        .select("doc_id", "nll")
+        .localCheckpoint(eager=True)
+    )
+    nthr = nll.agg(F.percentile(F.col("nll"), F.lit(0.75)).alias("t"))
+    fluent = (
+        sel_docs.join(nll, "doc_id")
+        .join(F.broadcast(nthr))
+        .filter(F.col("nll") <= F.col("t"))
+        .select("doc_id", "text", "lang", "source", "w_units", "nll")
+    )
+    return dedup_exact_keep_first(fluent).select(
+        "doc_id", "lang", "source", "w_units", "nll"
+    )
+
+
+def _lr_oracle_parts(n_buckets: int, iters: int, rate: float):
+    ctes = [
+        f"""toks AS (
+    SELECT doc_id,
+           CASE WHEN source IN {_DSIR_TARGET_SOURCES} THEN 1.0 ELSE 0.0 END AS y,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+)""",
+        f"""counts AS (
+    SELECT doc_id, y,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{LR_SALT}'), 1, 8)) AS BIGINT)
+              % {n_buckets} + {n_buckets}) % {n_buckets} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2, 3
+)""",
+        """tf AS (
+    SELECT doc_id, y, bucket,
+           CAST(cnt AS DOUBLE)
+             / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+    FROM counts
+)""",
+        f"""feat AS (
+    SELECT doc_id, y, bucket, x FROM tf
+    UNION ALL
+    SELECT DISTINCT doc_id, y, CAST({LR_BIAS} AS INT) AS bucket, 1.0 AS x FROM tf
+)""",
+        "nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM feat)",
+        f"""w0 AS (
+    SELECT CAST(unnest(range({LR_BIAS}, {n_buckets})) AS INT) AS bucket,
+           CAST(0 AS BIGINT) AS w_units
+)""",
+    ]
+    for t in range(1, iters + 1):
+        wp = f"w{t - 1}"
+        ctes.append(
+            f"""z{t} AS (
+    SELECT doc_id, y,
+           CAST(sum(CAST(floor(1000000000.0
+               * (x * (CAST(w_units AS DOUBLE) / 1000000.0))) AS BIGINT))
+             AS BIGINT) AS z
+    FROM feat JOIN {wp} USING (bucket) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""p{t} AS (
+    SELECT doc_id, y,
+           (1.0 / (1.0 + {portable_exp_sql("zneg")})) AS p
+    FROM (SELECT doc_id, y,
+                 -(CAST(z AS DOUBLE) / 1000000000.0) AS zneg FROM z{t})
+)"""
+        )
+        ctes.append(
+            f"""g{t} AS (
+    SELECT bucket,
+           CAST(sum(CAST(floor(1000000000.0 * ((p - y) * x)) AS BIGINT))
+             AS BIGINT) AS gsum
+    FROM feat JOIN p{t} USING (doc_id, y) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""w{t} AS (
+    SELECT w.bucket,
+           w.w_units - coalesce(
+               CAST(floor({1000000.0 * rate!r}
+                   * ((CAST(gsum AS DOUBLE) / 1000000000.0)
+                      / CAST(nn.n AS DOUBLE))) AS BIGINT), 0) AS w_units
+    FROM {wp} w LEFT JOIN g{t} USING (bucket) CROSS JOIN nn
+)"""
+        )
+    final = f"""
+SELECT doc_id, y,
+       CAST(sum(CAST(floor(1000000000.0
+           * (x * (CAST(w_units AS DOUBLE) / 1000000.0))) AS BIGINT))
+         AS BIGINT) AS logit_units
+FROM feat JOIN w{iters} USING (bucket) GROUP BY 1, 2
+"""
+    return ctes, final
+
+
+def _lr_oracle(n_buckets: int, iters: int, rate: float) -> str:
+    ctes, final = _lr_oracle_parts(n_buckets, iters, rate)
+    return "WITH " + ",\n".join(ctes) + final
+
+
+@register(
+    "quality_classifier_logits",
+    oracle=_lr_oracle(LR_BUCKETS, LR_ITERS, LR_RATE),
+)
+def q_quality_classifier_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3-style curation classifier (Brown et al. 2020, App. A):
+    logistic regression over hashed term-frequency features, trained to
+    separate the curated target slice (src0/src1) from the raw corpus —
+    3 full-batch gradient-descent iterations as a pure DataFrame loop
+    (no MLlib, no driver math), then every document scored under the
+    trained weights. Sigmoid runs on functions/pmath.portable_exp and
+    every cross-row sum (logits, gradients) is an integer sum of
+    floored nano-units, so training AND scoring replay bit-exact in the
+    unrolled DuckDB CTE — a supervised model whose distributed training
+    is hash-checked end to end. Per iteration: one broadcast join + two
+    aggregations over the checkpointed feature table; model state is a
+    65-row weight table."""
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    w = lr_train(feats)
+    return lr_score(feats, w)
+
+
+@register(
+    "classifier_eval_auc",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+ranked AS (
+    SELECT y,
+           2 * rank() OVER (ORDER BY logit_units)
+             + (count(*) OVER (PARTITION BY logit_units) - 1) AS half_rank
+    FROM scored
+)
+SELECT CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(
+         (sum(CASE WHEN y = 1.0 THEN half_rank ELSE 0 END)
+          - sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+            * (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) + 1)) AS DOUBLE)
+       / CAST((2 * sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+               * sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)) AS DOUBLE) AS auc
+FROM ranked
+""",
+)
+def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier as the
+    Mann-Whitney rank statistic, tie-corrected — computed SCALE-SAFE:
+    the corpus is first collapsed to the distinct-logit table
+    ``groupBy(logit_units) → (n, n_pos)`` (one map-side-combinable
+    shuffle), and the cumulative ranks come from a window over that
+    distinct-VALUE table, bounded by logit cardinality, never by corpus
+    rows. Competition rank for every row of a value is cum_before+1, so
+    the integer half-rank (2·rank + ties−1) per row is 2·cum_n − n + 1
+    and the positive-class half-rank sum is exactly
+    Σ n_pos·(2·cum_n − n + 1) — bit-identical to ranking row-by-row
+    (the DuckDB oracle still ranks rows; the hash must and does agree).
+    No single-partition sort over the scored corpus remains; the plan
+    pin lives in test_plans.py. On THIS synthetic corpus the sources
+    share one vocabulary, so the honest AUC is barely above chance
+    (~0.55) — the learner itself is pinned in pytest on a separable
+    fixture, where it ranks every positive above every negative."""
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    per_val = scored.groupBy("logit_units").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
+    )
+    cum_w = Window.orderBy("logit_units").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.withColumn("cum_n", F.sum("n").over(cum_w))
+    pos = F.sum("n_pos").cast("long")
+    neg = F.sum(F.col("n") - F.col("n_pos")).cast("long")
+    s_half = F.sum(
+        F.col("n_pos") * (F.lit(2) * F.col("cum_n") - F.col("n") + F.lit(1))
+    ).cast("long")
+    return cum.agg(
+        pos.alias("n_pos"),
+        neg.alias("n_neg"),
+        (
+            (s_half - pos * (pos + F.lit(1))).cast("double")
+            / (F.lit(2) * pos * neg).cast("double")
+        ).alias("auc"),
+    )
+
+
+@register(
+    "classifier_calibration",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+probs AS (
+    SELECT y,
+           (1.0 / (1.0 + {portable_exp_sql("zneg")})) AS p
+    FROM (SELECT y, -(CAST(logit_units AS DOUBLE) / 1000000000.0) AS zneg
+          FROM scored)
+),
+binned AS (
+    SELECT CAST(least(floor(p * 10.0), 9.0) AS INT) AS bin,
+           CAST(floor(1000000000.0 * p) AS BIGINT) AS p_units, y
+    FROM probs
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p_units) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_predicted,
+       CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac_positive
+FROM binned GROUP BY bin
+""",
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the quality classifier: predicted
+    probability deciles vs empirical positive rate — the calibration
+    check that decides whether classifier scores can be used as
+    sampling weights directly or need Platt/temperature scaling.
+    Probabilities come from portable-exp sigmoid and quantize to
+    nano-units before the per-bin mean, so the whole table is
+    hash-exact. One sort-free aggregation over the scored docs."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    p = (
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + portable_exp(-(F.col("logit_units").cast("double") / F.lit(1e9)))
+        )
+    )
+    binned = scored.select(
+        "y",
+        F.least(F.floor(p * F.lit(10.0)), F.lit(9.0)).cast("int").alias("bin"),
+        F.floor(F.lit(1e9) * p).cast("long").alias("p_units"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("p_units").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("mean_predicted"),
+        (
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_positive"),
+    )
+
+
+_PSI_BINS = 10
+
+
+_PSI_STAGE, _PSI_FINAL = portable_ln_sql_stages(
+    {"l_p": "(ca + 1)", "l_q": "(cb + 1)", "l_na": "(na + 10)", "l_nb": "(nb + 10)"}
+)
+
+
+@register(
+    "value_drift_psi",
+    oracle=f"""
+WITH bounds AS (
+    SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+           min(value) AS lo, max(value) AS hi
+    FROM events
+),
+halves AS (
+    SELECT CASE WHEN epoch_us(ts) * 2 <= b.t0 + b.t1 THEN 0 ELSE 1 END AS half,
+           CAST(least(floor(((value - b.lo) / (b.hi - b.lo)) * {_PSI_BINS}.0),
+                      {_PSI_BINS - 1}.0) AS INT) AS bin
+    FROM events CROSS JOIN bounds b
+),
+counts AS (
+    SELECT bin,
+           sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+    FROM halves GROUP BY bin
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+grid AS (SELECT c.bin, c.ca, c.cb, t.na, t.nb FROM counts c CROSS JOIN tot t),
+staged AS (SELECT bin, ca, cb, na, nb, {_PSI_STAGE} FROM grid),
+lns AS (SELECT bin, ca, cb, na, nb, {_PSI_FINAL} FROM staged),
+units AS (
+    SELECT CAST(floor(1000000000.0 *
+             (((CAST(ca + 1 AS DOUBLE) / CAST(na + {_PSI_BINS} AS DOUBLE))
+               - (CAST(cb + 1 AS DOUBLE) / CAST(nb + {_PSI_BINS} AS DOUBLE)))
+              * ((((l_p) - (l_na)) - (l_q)) + (l_nb)))) AS BIGINT) AS u
+    FROM lns
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_first_half,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_second_half,
+       CAST(sum(u) AS BIGINT) / 1000000000.0 AS psi
+FROM units
+""",
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (split at the midpoint of the time range, bins =
+    10 fixed-width buckets over the global value range, add-one
+    smoothed): PSI = Σ (p-q)·ln(p/q), THE standard production drift
+    alarm (<0.1 stable, >0.25 drifted). The log-ratios run through
+    portable-ln and quantize to nano-units per bin before the sum, so a
+    log-space monitoring metric is hash-exact. Two passes: one 1-row
+    bounds aggregate (broadcast back), one binned count — no sort, no
+    per-row state."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    b = _PSI_BINS
+    half = F.when(
+        F.unix_micros("ts") * F.lit(2) <= F.col("t0") + F.col("t1"), F.lit(0)
+    ).otherwise(F.lit(1))
+    binc = (
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+                * F.lit(float(b))
+            ),
+            F.lit(float(b - 1)),
+        )
+    ).cast("int")
+    counts = (
+        ev.join(F.broadcast(bounds))
+        .select(half.alias("half"), binc.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = counts.select(
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    lnr = (
+        (portable_ln(F.col("ca") + F.lit(1)) - portable_ln(F.col("na") + F.lit(b)))
+        - portable_ln(F.col("cb") + F.lit(1))
+    ) + portable_ln(F.col("nb") + F.lit(b))
+    diff = (F.col("ca") + F.lit(1)).cast("double") / (
+        F.col("na") + F.lit(b)
+    ).cast("double") - (F.col("cb") + F.lit(1)).cast("double") / (
+        F.col("nb") + F.lit(b)
+    ).cast("double")
+    u = F.floor(F.lit(1000000000.0) * (diff * lnr)).cast("long")
+    return grid.select(
+        "na", "nb", u.alias("u")
+    ).groupBy().agg(
+        F.max("na").alias("n_first_half"),
+        F.max("nb").alias("n_second_half"),
+        (F.sum("u").cast("double") / F.lit(1000000000.0)).alias("psi"),
+    )
+
+
+@register(
+    "event_type_drift_chi2",
+    oracle="""
+WITH bounds AS (
+    SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+),
+halves AS (
+    SELECT event_type,
+           CASE WHEN epoch_us(ts) * 2 <= b.t0 + b.t1 THEN 0 ELSE 1 END AS half
+    FROM events CROSS JOIN bounds b
+),
+cells AS (
+    SELECT event_type,
+           sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS o0,
+           sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS o1
+    FROM halves GROUP BY event_type
+),
+tot AS (SELECT sum(o0) AS na, sum(o1) AS nb, count(*) AS k FROM cells),
+units AS (
+    SELECT
+      CAST(floor(1000000000.0 * (
+        ((CAST(o0 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.na AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE)))
+         * (CAST(o0 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.na AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))))
+        / (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.na AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))
+      )) AS BIGINT)
+      +
+      CAST(floor(1000000000.0 * (
+        ((CAST(o1 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.nb AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE)))
+         * (CAST(o1 AS DOUBLE) - (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.nb AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))))
+        / (CAST(c.o0 + c.o1 AS DOUBLE) * CAST(t.nb AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE))
+      )) AS BIGINT) AS u
+    FROM cells c CROSS JOIN tot t
+)
+SELECT CAST((SELECT k FROM tot) - 1 AS BIGINT) AS dof,
+       CAST(sum(u) AS BIGINT) / 1000000000.0 AS chi2
+FROM units
+""",
+)
+def q_event_type_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift between the first and second half of the event
+    stream: Pearson chi-squared over the event_type × half contingency
+    table (expected counts from the marginals) — PSI's companion for
+    discrete features. Per-cell contributions quantize to integer
+    nano-units before the sum, so the statistic is hash-exact; the plan
+    is one 1-row bounds broadcast plus one |types|-row aggregation."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    half = F.when(
+        F.unix_micros("ts") * F.lit(2) <= F.col("t0") + F.col("t1"), F.lit(0)
+    ).otherwise(F.lit(1))
+    cells = (
+        ev.join(F.broadcast(bounds))
+        .select("event_type", half.alias("half"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("o0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("o1"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = cells.select(
+        "o0",
+        "o1",
+        F.sum("o0").over(wall).alias("na"),
+        F.sum("o1").over(wall).alias("nb"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+
+    def cell_u(o, n_side):
+        e = (
+            (F.col("o0") + F.col("o1")).cast("double")
+            * F.col(n_side).cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        )
+        return F.floor(
+            F.lit(1000000000.0)
+            * (((F.col(o).cast("double") - e) * (F.col(o).cast("double") - e)) / e)
+        ).cast("long")
+
+    return (
+        grid.select("k", (cell_u("o0", "na") + cell_u("o1", "nb")).alias("u"))
+        .groupBy()
+        .agg(
+            (F.max("k") - F.lit(1)).cast("long").alias("dof"),
+            (F.sum("u").cast("double") / F.lit(1000000000.0)).alias("chi2"),
+        )
+    )
+
+
+@register(
+    "classifier_top_features",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+topw AS (
+    SELECT bucket, w_units FROM w{LR_ITERS}
+    WHERE bucket <> {LR_BIAS}
+    ORDER BY abs(w_units) DESC, bucket LIMIT 5
+),
+term_counts AS (
+    SELECT CAST(
+             (CAST(('0x' || substr(md5(term || '{LR_SALT}'), 1, 8)) AS BIGINT)
+              % {LR_BUCKETS} + {LR_BUCKETS}) % {LR_BUCKETS} AS INT
+           ) AS bucket,
+           term, count(*) AS cnt
+    FROM toks GROUP BY 1, 2
+),
+ranked AS (
+    SELECT t.bucket, w.w_units, t.term, t.cnt,
+           row_number() OVER (
+               PARTITION BY t.bucket ORDER BY t.cnt DESC, t.term
+           ) AS rn
+    FROM term_counts t JOIN topw w USING (bucket)
+)
+SELECT bucket, w_units, term, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def q_classifier_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpretability for the quality classifier: the 5 buckets with
+    the largest trained |weight| (bias excluded), each resolved back to
+    its 3 most frequent terms — the standard 'what did the model
+    learn' report for a hashing-trick model, where buckets are only
+    meaningful through the terms that hash into them. Reuses the
+    bit-exact training replay for the weights; the term resolution is
+    one (bucket, term) aggregation + a 5-row broadcast semi-join +
+    per-bucket WindowGroupLimit top-3."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.operators.dsir import hashed_bucket
+
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    w = lr_train(feats)
+    topw = (
+        w.filter(F.col("bucket") != LR_BIAS)
+        .orderBy(F.abs(F.col("w_units")).desc(), "bucket")
+        .limit(5)
+    )
+    term_counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .select(
+            hashed_bucket(F.col("term"), LR_BUCKETS, LR_SALT).alias("bucket"),
+            "term",
+        )
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wdw = Window.partitionBy("bucket").orderBy(F.col("cnt").desc(), "term")
+    return (
+        term_counts.join(F.broadcast(topw), "bucket")
+        .withColumn("rn", F.row_number().over(wdw))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "bucket",
+            "w_units",
+            "term",
+            "cnt",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "corpus_prep_recipe_v4",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+probs AS (
+    SELECT doc_id, y,
+           CAST(floor(1000000000.0
+                * (1.0 / (1.0 + {portable_exp_sql("zneg")}))) AS BIGINT)
+             AS p_units
+    FROM (SELECT doc_id, y,
+                 -(CAST(logit_units AS DOUBLE) / 1000000000.0) AS zneg
+          FROM scored)
+),
+kept AS (
+    SELECT d.doc_id, d.text, d.lang, d.source, p.p_units
+    FROM documents d JOIN probs p USING (doc_id)
+    WHERE p.y = 0.0
+      AND {md5_unit_fraction_sql("d.doc_id || 'cpr4'")}
+          < CAST(p.p_units AS DOUBLE) / 1000000000.0
+),
+fp AS (SELECT doc_id, md5({_NORM}) AS f FROM kept),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT k.doc_id, k.lang, k.source, k.p_units
+FROM kept k JOIN keep USING (doc_id)
+""",
+)
+def q_corpus_prep_recipe_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLASSIFIER-filtered curation recipe — the Brown et al. 2020
+    (GPT-3, Appendix A) pipeline the LR components exist for, composed
+    end to end and hash-checked as one query (v1/v2 are heuristic
+    gates, v3 is the DSIR+perplexity model gate; v4 is the supervised
+    gate):
+
+    1. train the LR quality classifier on the full corpus (curated
+       src0/src1 vs raw) — operators/lr.py's bit-exact fixed-GD loop;
+    2. score every document and squash to a probability via the
+       portable-exp sigmoid, quantized to integer nano-units;
+    3. soft selection — keep each RAW doc iff its deterministic
+       md5 coin (sampling.md5_unit_fraction, salted 'cpr4') falls
+       below p: documents the classifier likes survive
+       proportionally more often, Brown-2020's stochastic
+       classifier-filtering with a replayable coin instead of a
+       Pareto draw (curated docs are the training positives, not
+       candidates — they are not re-selected);
+    4. exact dedup — lowest-id survivor per md5 fingerprint.
+
+    Every stage replays bit-exactly in the single DuckDB CTE chain:
+    training is the unrolled-GD CTE, the sigmoid is portable_exp, the
+    coin and fingerprint are md5. Scale: the model is a 65-row weight
+    table (checkpointed), scoring is one broadcast join + per-doc agg,
+    selection is a map-side filter, dedup is one fingerprint shuffle —
+    nothing corpus-sized is ever sorted, windowed, or collected."""
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+    from covid_data_challenge_spark.operators.dedup import dedup_exact_keep_first
+    from covid_data_challenge_spark.operators.sampling import md5_unit_fraction
+
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + portable_exp(-(F.col("logit_units").cast("double") / F.lit(1e9)))
+    )
+    probs = scored.select(
+        "doc_id", "y", F.floor(F.lit(1e9) * p).cast("long").alias("p_units")
+    ).localCheckpoint(eager=True)
+    kept = (
+        docs.join(probs, "doc_id")
+        .filter(
+            (F.col("y") == 0.0)
+            & (
+                md5_unit_fraction(F.concat(F.col("doc_id"), F.lit("cpr4")))
+                < F.col("p_units").cast("double") / F.lit(1e9)
+            )
+        )
+        .select("doc_id", "text", "lang", "source", "p_units")
+    )
+    return dedup_exact_keep_first(kept).select(
+        "doc_id", "lang", "source", "p_units"
+    )

@@ -1,0 +1,274 @@
+"""Graph operators on the co-purchase graph: PageRank,
+triangle census, k-core.
+
+Registered via registry.register; queries_ext imports every themed
+module and restores the frozen driver-contract registry order
+(registry_order.CANONICAL_ORDER) afterwards — in-module order is
+thematic, not contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from covid_data_challenge_spark.registry import register
+from covid_data_challenge_spark.sources.readers import load_table
+
+
+@register(
+    "part_pagerank",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n.n AS rank FROM deg, n),
+it1 AS (
+  SELECT d.src AS node,
+         round(CAST(0.15 AS DOUBLE) / n.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.s, 0), 9) AS rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.rank / dg.d) AS s
+    FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON c.dst = d.src
+),
+it2 AS (
+  SELECT d.src AS node,
+         round(CAST(0.15 AS DOUBLE) / n.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.s, 0), 9) AS rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.rank / dg.d) AS s
+    FROM edges e JOIN it1 p ON e.src = p.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON c.dst = d.src
+),
+it3 AS (
+  SELECT d.src AS node,
+         round(CAST(0.15 AS DOUBLE) / n.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.s, 0), 9) AS rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, sum(p.rank / dg.d) AS s
+    FROM edges e JOIN it2 p ON e.src = p.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON c.dst = d.src
+)
+SELECT node AS part, round(rank, 6) AS rank
+FROM it3 ORDER BY rank DESC, node LIMIT 20
+""",
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank over the order-co-occurrence graph
+    (3 fixed iterations, damping 0.85) — the iterative-DataFrame-loop
+    showcase alongside connected components. Each iteration is one
+    edges⋈ranks equi-join + one per-dst aggregation; ranks snap to a
+    1e-9 grid per iteration so the partition-order float jitter can't
+    diverge from the DuckDB unrolled-CTE oracle
+    (operators/graph.py:pagerank)."""
+    from covid_data_challenge_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # basket-explode instead of an items⋈items self-join: one shuffle on
+    # orderkey, then ordered pairs generated map-side inside each ≤7-part
+    # basket (same guard discussion as basket_part_pairs)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts",
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        ),
+        lambda s: s["src"] != s["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+    # parts are a catalog dimension (bounded by schema, not SF), so the
+    # 20k-row rank table broadcasts and the 2.4M-row edge list is never
+    # shuffled inside the loop — measured ~2x per iteration at sf0.1
+    ranks = pagerank(edges, iters=3, damping=0.85, broadcast_ranks=True)
+    return (
+        ranks.select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "part")
+        .limit(20)
+    )
+
+
+@register(
+    "part_triangle_census",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS s,
+         CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS d
+  FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM o x JOIN o y ON x.d = y.s JOIN o z ON z.s = x.s AND z.d = y.d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST((SELECT sum(deg * (deg - 1)) FROM deg) // 2 AS BIGINT) AS n_wedges,
+       n_triangles,
+       CASE WHEN CAST((SELECT sum(deg * (deg - 1)) FROM deg) // 2 AS BIGINT) > 0
+            THEN (3.0 * CAST(n_triangles AS DOUBLE))
+                 / CAST(CAST((SELECT sum(deg * (deg - 1)) FROM deg) // 2
+                             AS BIGINT) AS DOUBLE)
+            ELSE 0.0 END AS global_clustering
+FROM tri
+""",
+)
+def q_part_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts sharing ≥2
+    orders): node/edge/wedge/triangle counts and the global clustering
+    coefficient 3T/W — the standard graph-cohesion diagnostic beside
+    part_pagerank and the connected-components tier. Counting uses
+    degree-ordered edge orientation (operators/graph.triangle_stats):
+    the length-2-path join runs over out-degrees bounded by ~sqrt(2m),
+    O(m^1.5) worst case instead of the hub-degree² a naive middle-node
+    self-join pays — the difference between workable and not at a
+    100 TB edge list. Edge construction reuses the bounded per-basket
+    explode from basket_part_pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda xx: F.transform(
+                    "parts",
+                    lambda yy: F.struct(xx.alias("src"), yy.alias("dst")),
+                ),
+            )
+        ),
+        lambda p: p["src"] < p["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+        .filter(F.col("n_orders_both") >= 2)
+        .select("src", "dst")
+    )
+    from covid_data_challenge_spark.operators.graph import triangle_stats
+
+    return triangle_stats(edges)
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 3
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+  ) GROUP BY 1
+)"""
+        )
+        ctes.append(f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
+        ctes.append(
+            f"""e{r} AS (
+  SELECT e.a, e.b FROM {prev} e
+  WHERE e.a IN (SELECT node FROM k{r}) AND e.b IN (SELECT node FROM k{r})
+)"""
+        )
+        prev = f"e{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+) GROUP BY 1
+"""
+    )
+
+
+@register("part_kcore_nodes", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def q_part_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-cluster extraction: 3 rounds of 3-core peeling on the
+    co-purchase graph — iteratively drop parts with fewer than 3
+    co-purchase partners, with their edges, and return the survivors
+    with their end-state degrees. The fixed round count keeps the plan
+    static and the oracle an unrolled CTE (pagerank/components
+    discipline); each round is one degree aggregation + two semi-joins
+    over the SHRINKING checkpointed edge list (operators/graph.
+    kcore_peel), so cost is linear in rounds and bounded by the initial
+    edge count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda xx: F.transform(
+                    "parts",
+                    lambda yy: F.struct(xx.alias("src"), yy.alias("dst")),
+                ),
+            )
+        ),
+        lambda p: p["src"] < p["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+        .filter(F.col("n_orders_both") >= 2)
+        .select("src", "dst")
+    )
+    from covid_data_challenge_spark.operators.graph import kcore_peel
+
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)

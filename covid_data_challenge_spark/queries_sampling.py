@@ -1,0 +1,674 @@
+"""Dataset assembly: splits, packing, chunking, mixtures,
+temperature/weighted/reservoir sampling, curriculum ordering.
+
+Registered via registry.register; queries_ext imports every themed
+module and restores the frozen driver-contract registry order
+(registry_order.CANONICAL_ORDER) afterwards — in-module order is
+thematic, not contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from covid_data_challenge_spark.functions.text import quality_score, token_count, tokens
+from covid_data_challenge_spark.operators.chunking import chunk_tokens, chunking_oracle_sql
+from covid_data_challenge_spark.operators.sampling import mixture_oracle_sql, mixture_sample, shuffle_shards, shuffle_shards_oracle_sql
+from covid_data_challenge_spark.operators.dedup import jaccard_pairs
+from covid_data_challenge_spark.operators.components import cluster_assignments
+from covid_data_challenge_spark.operators.packing import pack_greedy, packing_oracle_sql, packing_stats
+from covid_data_challenge_spark.operators.splits import assign_split, split_sql_case
+from covid_data_challenge_spark.registry import register
+from covid_data_challenge_spark.operators.sampling import md5_unit_fraction_sql
+from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+from covid_data_challenge_spark.queries_shared import (  # noqa: F401
+    _JACCARD_EDGE_CTES,
+    _NORM,
+    _QUALITY_SQL,
+    _docs,
+)
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+SELECT doc_id, {split_sql_case("doc_id", _SPLITS)} AS split FROM documents
+""",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic i.i.d. 80/10/10 split keyed on doc_id: a pure
+    md5-of-key expression — no shuffle, no rand(), stable for existing
+    rows as the corpus grows. Bit-exact vs the DuckDB oracle because md5
+    is engine-portable (Spark hash/xxhash64 are not)."""
+    return assign_split(_docs(spark, sf_dir).select("doc_id"), "doc_id", _SPLITS)
+
+
+@register(
+    "split_by_group",
+    oracle=f"""
+SELECT doc_id, source, {split_sql_case("source", _SPLITS)} AS split FROM documents
+""",
+)
+def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: keyed on the doc's source so every doc of a
+    group lands in the same split (near-dups within a source can never
+    straddle train/test)."""
+    return assign_split(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source", _SPLITS
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=packing_oracle_sql(_PACK_BUDGET, _NORM),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing of the corpus into (shard, bin) packs:
+    md5-sharded streams, doc_id-ordered greedy fill (operators/packing.py).
+    The walk is a prefix sum *with reset* — not window-expressible — so
+    each shard packs in one Arrow-batched ``applyInPandas`` after a single
+    shuffle on the shard key. Pinned bit-for-bit by a DuckDB recursive-CTE
+    replay of the same spec."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_greedy(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+
+
+@register(
+    "packing_stats",
+    oracle=packing_oracle_sql(_PACK_BUDGET, _NORM, stats=True),
+)
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin packing utilization (docs, tokens, fraction of budget) —
+    what a batch loader reads to size epochs and audit padding waste."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_greedy(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+    return packing_stats(packed, "n_tokens", budget=_PACK_BUDGET)
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48  # 16-token overlap between windows
+
+
+@register(
+    "doc_chunks",
+    oracle=chunking_oracle_sql(_NORM, _CHUNK_SIZE, _CHUNK_STRIDE),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each doc's whitespace-token stream into 64-token windows with
+    a 48-token stride (16 overlapping). Map-side explode of pure column
+    exprs — no shuffle, no UDF; chunking 100 TB runs at scan speed
+    (operators/chunking.py)."""
+    docs = _docs(spark, sf_dir)
+    return chunk_tokens(
+        docs.select("doc_id", tokens(F.col("text")).alias("t")),
+        F.col("t"),
+        ["doc_id"],
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+
+#: Mixture recipe: src0-3 upsampled 2.5 epochs, src4-9 kept whole,
+#: the long tail downsampled to 40 %.
+_MIX_WEIGHTS = {
+    **{f"src{i}": 2.5 for i in range(4)},
+    **{f"src{i}": 1.0 for i in range(4, 10)},
+    **{f"src{i}": 0.4 for i in range(10, 20)},
+}
+
+
+_MIX_SALT = "mix-v1"
+
+
+@register(
+    "mixture_sample",
+    oracle=mixture_oracle_sql("doc_id", "source", _MIX_WEIGHTS, _MIX_SALT),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: floor(weight) whole epochs per doc
+    plus one fractional-epoch copy decided by an md5 coin keyed on
+    doc_id. CASE-WHEN recipe + map-side explode — no join, no shuffle,
+    stable under reruns and repartitioning (operators/sampling.py)."""
+    return mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "doc_id",
+        "source",
+        _MIX_WEIGHTS,
+        _MIX_SALT,
+    )
+
+
+_SHUFFLE_SHARDS, _SHUFFLE_SALT = 8, "shuf-v1"
+
+
+@register(
+    "corpus_shuffle",
+    oracle=shuffle_shards_oracle_sql("doc_id", _SHUFFLE_SHARDS, _SHUFFLE_SALT),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle as shard-then-sort: md5
+    hash-range shards + per-shard rank. One hash shuffle, parallel
+    windows — never a single-partition global row_number
+    (operators/sampling.py:shuffle_shards)."""
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", _SHUFFLE_SHARDS, _SHUFFLE_SALT
+    )
+
+
+_STRAT_K, _STRAT_SALT = 20, "strat-v1"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_STRAT_SALT}'), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {_STRAT_K}
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-class sample (the distributed reservoir): rank each
+    class's rows by a deterministic md5 draw and keep the first k. One
+    shuffle on the class key; WindowGroupLimit keeps only k rows per
+    class on the map side, so the shuffle moves O(k·classes) rows —
+    unlike rand()-based sampleBy, the pick is reproducible anywhere."""
+    docs = _docs(spark, sf_dir)
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_STRAT_SALT)))
+    w = Window.partitionBy("lang").orderBy(draw, "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _STRAT_K)
+    )
+
+
+@register(
+    "split_by_cluster",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES}
+SELECT d.doc_id,
+       coalesce(a.cluster_id, d.doc_id) AS cluster_id,
+       {split_sql_case("coalesce(a.cluster_id, d.doc_id)", _SPLITS)} AS split
+FROM documents d LEFT JOIN assigned a USING (doc_id)
+""",
+)
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the NEAR-DUP CLUSTER id, not the
+    doc id — the leakage guard real training pipelines need: two
+    near-duplicate documents land in the same split BY CONSTRUCTION
+    (same cluster key → same md5 coin), so the test set can never
+    contain a near-copy of a training document. Composes the verified
+    connected-components clustering with the verified md5 split — and
+    both engines re-derive the same clusters (recursive CTE twin), so
+    the composition stays bit-exact."""
+    from covid_data_challenge_spark.operators.components import cluster_assignments
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    clustered = cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    keyed = docs.select("doc_id").join(clustered, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return assign_split(keyed, "cluster_id", _SPLITS)
+
+
+@register(
+    "source_mixture_summary",
+    oracle=f"""
+WITH per AS (
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split({_NORM}, ' '))) AS n_tokens,
+           sum(n_chars) AS n_chars
+    FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT) AS token_share
+FROM per
+""",
+)
+def q_source_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture table every data recipe starts from: per source, doc
+    and token totals plus each source's share of corpus tokens (the
+    number the mixture_sample epoch weights are chosen against). Token
+    counts are the whitespace tokenizer's (functions/text.token_count);
+    the share divides integer token sums via one unordered whole-frame
+    window over the per-source aggregate."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_share"),
+    )
+
+
+@register(
+    "reservoir_sample_per_source",
+    oracle="""
+SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 50
+""",
+)
+def q_reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: a deterministic hash-ranked 'reservoir'
+    keeps at most 50 docs per source — the standard per-domain/crawl cap
+    in training-data recipes, as a WindowGroupLimit plan that prunes
+    map-side before the shuffle (operators/sampling.py:
+    hash_reservoir_per_key)."""
+    from covid_data_challenge_spark.operators.sampling import hash_reservoir_per_key
+
+    docs = _docs(spark, sf_dir)
+    return hash_reservoir_per_key(docs, key_col="source", id_col="doc_id", n=50).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH q AS (
+    SELECT d.doc_id, d.source, s.quality
+    FROM documents d JOIN ({_QUALITY_SQL}) s USING (doc_id)
+)
+SELECT doc_id, source, quality FROM q
+WHERE {md5_unit_fraction_sql('doc_id')} < quality
+""",
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (FineWeb/DataComp-style): each doc survives
+    with probability equal to its quality score, decided by a
+    deterministic md5 unit-fraction draw - thins mid-quality docs
+    proportionally instead of cliff-dropping them at a threshold
+    (operators/sampling.py:weighted_sample). Map-side only."""
+    from covid_data_challenge_spark.functions.text import quality_score
+    from covid_data_challenge_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return weighted_sample(docs, key_col="doc_id", weight_col="quality")
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per_source),
+shares AS (
+  SELECT source, tokens,
+         CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e9)
+              AS BIGINT) AS w_units
+  FROM per_source, tot
+)
+SELECT source, tokens, share,
+       CAST(w_units AS DOUBLE) / CAST(sum(w_units) OVER () AS DOUBLE) AS weight,
+       (CAST(w_units AS DOUBLE) / CAST(sum(w_units) OVER () AS DOUBLE)) / share
+         AS effective_epochs
+FROM shares
+""",
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the mT5/XLM-R α=0.5
+    up-sampling rule): sampling weight ∝ share^α over per-source token
+    counts, plus the effective-epochs multiplier each source gets.
+    α is fixed at 0.5 because sqrt is IEEE-correctly-rounded on every
+    engine (pow(x, 0.7) is libm-dependent and would break the hash);
+    per-row weights quantize to integer 1e-9 units before the
+    normalizing sum so the result is bit-identical under any summation
+    order. One scan + one tiny aggregate; the whole-frame window runs
+    over #sources rows, never the corpus."""
+    return _temperature_epochs(_docs(spark, sf_dir)).select(
+        "source", "tokens", "share", "weight", "effective_epochs"
+    )
+
+
+def _temperature_epochs(docs: DataFrame) -> DataFrame:
+    """(source, tokens, share, weight, effective_epochs) — the α=0.5
+    temperature recipe shared by temperature_mixture_weights (reports
+    it) and temperature_resampled_corpus (samples by it); one shared
+    implementation so the reported weights can never diverge from the
+    weights the resampler actually applies."""
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("tokens")
+    )
+    tot = per_source.agg(F.sum("tokens").alias("total_tokens"))
+    share = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    shares = per_source.join(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * F.lit(1e9)).cast("long").alias("w_units"),
+    )
+    w_all = Window.partitionBy()
+    weight = F.col("w_units").cast("double") / F.sum("w_units").over(w_all).cast("double")
+    return shares.select(
+        "source",
+        "tokens",
+        "share",
+        weight.alias("weight"),
+        (weight / F.col("share")).alias("effective_epochs"),
+    )
+
+
+@register(
+    "temperature_resampled_corpus",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per_source),
+shares AS (
+  SELECT source,
+         CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 1e9)
+              AS BIGINT) AS w_units
+  FROM per_source, tot
+),
+epochs AS (
+  SELECT source,
+         (CAST(w_units AS DOUBLE) / CAST(sum(w_units) OVER () AS DOUBLE)) / share
+           AS e
+  FROM shares
+),
+counted AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(ep.e) AS INT)
+           + CASE WHEN {md5_unit_fraction_sql('d.doc_id')} < ep.e - floor(ep.e)
+                  THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN epochs ep ON d.source = ep.source
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(0, copies - 1)) AS INT) AS copy_idx
+FROM counted WHERE copies > 0
+""",
+)
+def q_temperature_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature loop CLOSED: the α=0.5 mixture weights computed
+    from the corpus (temperature_mixture_weights) drive the actual
+    resampling — each doc emits ⌊e⌋ + (md5-coin < frac(e)) copies where
+    e is its source's effective-epochs multiplier, so under-represented
+    sources upsample and over-represented ones thin, deterministically.
+    Data-dependent weights flow through a broadcast join (no literal
+    recipe baked into the plan); the whole two-stage computation — weight
+    derivation AND per-row sampling — hash-checks end to end
+    (operators/sampling.py:mixture_sample_dynamic)."""
+    from covid_data_challenge_spark.operators.sampling import mixture_sample_dynamic
+
+    docs = _docs(spark, sf_dir)
+    epochs = _temperature_epochs(docs).select("source", "effective_epochs")
+    out = mixture_sample_dynamic(
+        docs.select("doc_id", "source"), "doc_id", "source", epochs
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+_CURR_SHARDS, _CURR_SALT = 4, "curr-v1"
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id, lang, quality FROM ({_QUALITY_SQL})
+),
+phased AS (
+    SELECT doc_id, lang,
+           CAST(ntile(10) OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+           ) AS INT) AS phase
+    FROM q
+),
+sharded AS (
+    SELECT doc_id, lang, phase,
+           CAST(
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_CURR_SALT}'), 1, 8)) AS BIGINT)
+              % {_CURR_SHARDS} + {_CURR_SHARDS}) % {_CURR_SHARDS} AS INT
+           ) AS shard,
+           md5(CAST(doc_id AS VARCHAR) || '{_CURR_SALT}') AS h
+    FROM phased
+)
+SELECT lang, phase, shard,
+       CAST(row_number() OVER (
+           PARTITION BY lang, phase, shard ORDER BY h, doc_id
+       ) AS INT) AS pos,
+       doc_id
+FROM sharded
+""",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum for training: per-language quality
+    deciles become phases (phase 1 = best), and each phase is shuffled
+    by md5 shard-then-sort — the reader streams phases in order,
+    interleaving shards, so high-quality data leads each language's
+    stream while order within a phase is an unbiased deterministic
+    shuffle. Scale shape: NO global ordering anywhere — the decile
+    window partitions by lang, the position window by (lang, phase,
+    shard); both stay parallel, same discipline as corpus_shuffle."""
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    wq = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_CURR_SALT)))
+    shard = (
+        (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CURR_SHARDS
+            + _CURR_SHARDS
+        )
+        % _CURR_SHARDS
+    ).cast("int")
+    phased = q.withColumn("phase", F.ntile(10).over(wq)).select(
+        "doc_id", "lang", "phase", shard.alias("shard"), h.alias("h")
+    )
+    wp = Window.partitionBy("lang", "phase", "shard").orderBy("h", "doc_id")
+    return phased.select(
+        "lang",
+        "phase",
+        "shard",
+        F.row_number().over(wp).cast("int").alias("pos"),
+        "doc_id",
+    )
+
+
+_KL_STAGE, _KL_FINAL = portable_ln_sql_stages(
+    {"l_cnt": "cnt", "l_ns": "ns", "l_ct": "ct", "l_n": "n"}
+)
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY 1),
+ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM st GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+args AS (
+    SELECT st.source, st.cnt, ns.ns, ct.ct, n.n
+    FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN n
+),
+staged AS (SELECT source, cnt, ns, {_KL_STAGE} FROM args),
+lns AS (SELECT source, cnt, ns, {_KL_FINAL} FROM staged),
+units AS (
+    SELECT source, ns,
+           CAST(floor(1000000000.0 *
+                ((CAST(cnt AS DOUBLE) / CAST(ns AS DOUBLE))
+                 * ((((l_cnt) - (l_ns)) - (l_ct)) + (l_n)))) AS BIGINT)
+             AS u
+    FROM lns
+)
+SELECT source,
+       CAST(max(ns) AS BIGINT) AS n_tokens,
+       CAST(sum(u) AS BIGINT) / 1000000000.0 AS kl_nats
+FROM units GROUP BY source
+""",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance diagnostics in information units: KL(source ||
+    corpus) over token distributions — how far each source's language
+    deviates from the mixture, the principled upgrade of the count-share
+    mixture tables (a source can match the corpus token SHARE while
+    diverging wildly in CONTENT). Per-term contributions
+    (p_s · ln(p_s/p_c)) run through portable-ln and quantize to integer
+    nano-nats before the per-source sum, so the log-space result is
+    hash-exact. Plan: token-level aggs (vocab-sized), one term-key join
+    of the source-term table against the corpus-term table (AQE decides
+    broadcast vs shuffle), 1-row totals broadcast; output is
+    |sources| rows."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    ns = st.groupBy("source").agg(F.sum("cnt").alias("ns"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    lnr = (
+        (portable_ln(F.col("cnt")) - portable_ln(F.col("ns")))
+        - portable_ln(F.col("ct"))
+    ) + portable_ln(F.col("n"))
+    u = F.floor(
+        F.lit(1000000000.0)
+        * ((F.col("cnt").cast("double") / F.col("ns").cast("double")) * lnr)
+    ).cast("long")
+    return (
+        st.join(ct, "term")
+        .join(ns, "source")
+        .join(F.broadcast(n))
+        .select("source", "ns", u.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            (F.sum("u").cast("double") / F.lit(1000000000.0)).alias("kl_nats"),
+        )
+    )
+
+
+_ES_K, _ES_SALT = 5, "es-v1"
+
+
+_ES_U_SQL = (
+    "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '"
+    + _ES_SALT
+    + "'), 1, 8)) AS BIGINT) + 1) / 4294967296.0)"
+)
+
+
+_ES_STAGE, _ES_FINAL = portable_ln_sql_stages({"l_u": _ES_U_SQL})
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id, quality FROM ({_QUALITY_SQL})
+),
+keyed AS (
+    SELECT d.doc_id, d.source, q.quality,
+           greatest(q.quality, 0.0001) AS w,
+           {_ES_STAGE}
+    FROM documents d JOIN q USING (doc_id)
+),
+lns AS (SELECT doc_id, source, quality, w, {_ES_FINAL} FROM keyed),
+scored AS (
+    SELECT doc_id, source, quality,
+           CAST(floor(1000000.0 * ((l_u) / w)) AS BIGINT) AS key_units
+    FROM lns
+)
+SELECT source, doc_id, quality, key_units,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY key_units DESC, doc_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {_ES_K}
+""",
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k=5 docs per
+    source, inclusion probability ∝ quality — the Efraimidis-Spirakis
+    one-pass scheme (Inf. Proc. Letters 2006): each row draws u from its
+    md5 coin and ranks by u^(1/w), equivalently ln(u)/w, taking the
+    top-k. Unlike the Bernoulli soft filter (quality_weighted_sample)
+    the output size is EXACT, and unlike a quality top-k every doc has
+    positive inclusion probability — the standard fix for diversity
+    under a size budget. ln(u) runs through portable-ln and the sort
+    key quantizes to integer micro-units, so the drawn sample is
+    bit-reproducible on any engine. One scan; the only shuffle is the
+    per-source WindowGroupLimit top-k (map-side pruned)."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_ES_SALT))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    q = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+    ).withColumn("w", F.greatest(F.col("quality"), F.lit(0.0001)))
+    scored = q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.floor(F.lit(1000000.0) * (portable_ln(u) / F.col("w")))
+        .cast("long")
+        .alias("key_units"),
+    )
+    wdw = Window.partitionBy("source").orderBy(F.col("key_units").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wdw))
+        .filter(F.col("rn") <= _ES_K)
+        .select(
+            "source", "doc_id", "quality", "key_units", F.col("rn").cast("int").alias("rank")
+        )
+    )

@@ -1,0 +1,687 @@
+"""Embedding similarity: exact cosine baselines, RP-LSH /
+int8 / IVF / IVF-PQ ANN, SemDeDup, JL projection, hard negatives.
+
+Registered via registry.register; queries_ext imports every themed
+module and restores the frozen driver-contract registry order
+(registry_order.CANONICAL_ORDER) afterwards — in-module order is
+thematic, not contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from covid_data_challenge_spark.operators.semdedup import semdedup_prune
+from covid_data_challenge_spark.operators.similarity import ann_lsh_topk, cosine_neardup_pairs, cosine_neardup_pairs_lsh, cosine_topk
+from covid_data_challenge_spark.registry import register
+from covid_data_challenge_spark.queries_shared import (  # noqa: F401
+    _emb,
+)
+
+
+def _dd_dot(a: str, b: str) -> str:
+    """DuckDB twin of functions/vector.dot (ordered double fold)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def _dd_norm(v: str) -> str:
+    """DuckDB twin of functions/vector.norm."""
+    return (
+        f"sqrt(list_aggregate(list_transform({v}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+
+
+def _dd_cos(a: str, b: str) -> str:
+    """DuckDB twin of ivf._sim: dot/(|a||b|), 0.0 on a zero norm."""
+    return (
+        f"CASE WHEN {_dd_norm(a)} > 0 AND {_dd_norm(b)} > 0 "
+        f"THEN {_dd_dot(a, b)} / ({_dd_norm(a)} * {_dd_norm(b)}) ELSE 0.0 END"
+    )
+
+
+def _dd_assign(corpus: str, centroids: str) -> str:
+    """DuckDB twin of ivf.assign_to_centroids: nearest-centroid (max
+    cosine, lowest-cid tiebreak) via a window argmax."""
+    return f"""
+SELECT id, vec, cid FROM (
+    SELECT u.id, u.vec, c.cid,
+           row_number() OVER (
+               PARTITION BY u.id
+               ORDER BY {_dd_cos('u.vec', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM {corpus} u CROSS JOIN {centroids} c
+) WHERE rn = 1
+"""
+
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+d AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS dot,
+           sqrt(list_aggregate(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+           sqrt(list_aggregate(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
+    FROM q, embeddings c
+    WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END DESC,
+                        neighbor_id
+           ) AS rank
+    FROM d
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_topk", oracle=_COS_SQL)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for a deterministic query
+    subset (every 50th vector). Fold arithmetic is ordered double ops on
+    both engines → bit-identical similarities."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+def _dd_lsh_buckets(vec: str, bits: int, tables: int, dim: int = 64, seed: int = 42) -> list[str]:
+    """Per-table DuckDB bucket expressions embedding the SAME seeded ±1
+    plane literals the engine uses (similarity._signed_planes) — the
+    'random' hyperplanes are driver-side constants, so the oracle can
+    replay the sign-of-projection bucketing bit-exactly."""
+    from covid_data_challenge_spark.operators.similarity import _signed_planes
+
+    planes = _signed_planes(bits * tables, dim, seed)
+
+    def proj(plane: list[float]) -> str:
+        lit = "[" + ", ".join("1.0" if w > 0 else "-1.0" for w in plane) + "]"
+        return (
+            f"list_aggregate(list_transform(list_zip({vec}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
+        )
+
+    return [
+        "("
+        + " + ".join(
+            f"CASE WHEN {proj(planes[t * bits + j])} >= 0 THEN {1 << j} ELSE 0 END"
+            for j in range(bits)
+        )
+        + ")"
+        for t in range(tables)
+    ]
+
+
+def _dd_lsh_banded(source_sql: str, id_as: str, vec: str, bits: int, tables: int) -> str:
+    """UNION-ALL banded relation (id, vec, tbl, bucket) over ``source_sql``
+    (which must expose the embedding as ``{vec}``)."""
+    buckets = _dd_lsh_buckets(vec, bits, tables)
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id AS {id_as}, {vec} AS vec, {t} AS tbl, {buckets[t]} AS bucket FROM ({source_sql})"
+        for t in range(tables)
+    )
+
+
+def _ann_lsh_oracle(bits: int = 4, tables: int = 12, k: int = 5) -> str:
+    corpus = "SELECT vec_id, embedding FROM embeddings"
+    queries = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0"
+    return f"""
+WITH c AS ({_dd_lsh_banded(corpus, 'neighbor_id', 'embedding', bits, tables)}),
+q AS ({_dd_lsh_banded(queries, 'query_id', 'embedding', bits, tables)}),
+cand AS (
+    SELECT DISTINCT q.query_id, c.neighbor_id, q.vec AS qv, c.vec AS cv
+    FROM c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+    WHERE q.query_id <> c.neighbor_id
+),
+sims AS (
+    SELECT query_id, neighbor_id, {_dd_cos('qv', 'cv')} AS sim FROM cand
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", oracle=_ann_lsh_oracle())
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-k. The 'random' hyperplanes are seeded
+    driver-side ±1 literals, so even this approximate path replays in a
+    DuckDB oracle (the oracle embeds the identical plane constants) —
+    hash-checked, not rows-only."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_topk(emb, queries, k=5, bits=4, tables=12)
+
+
+# The synthetic embeddings have no natural near-dups (max pairwise cosine
+# ≈ 0.51), so — like the null-injection queries in queries.py — the near-dup
+# corpus re-adds every 25th vector under a shifted id; the operator must
+# find exactly those planted pairs at threshold 0.9.
+_NEARDUP_CORPUS_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return emb.unionAll(planted)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+d AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS dot,
+           sqrt(list_aggregate(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+           sqrt(list_aggregate(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+),
+sims AS (
+    SELECT vec_a, vec_b,
+           CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS sim
+    FROM d
+)
+SELECT vec_a, vec_b, round(sim, 4) AS cosine_sim
+FROM sims WHERE sim >= 0.9
+""",
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup detection (semantic dedup tier)."""
+    return cosine_neardup_pairs(_neardup_corpus(spark, sf_dir), threshold=0.9)
+
+
+def _ann_ivf_oracle() -> str:
+    """IVF-probed ANN unrolled as a DuckDB CTE chain: seeds → one Lloyd
+    iteration → inverted lists → per-query nprobe centroid ranking →
+    candidate cosine top-k. Deterministic (seeded centroids, fixed
+    iterations), so 'approximate' ANN still gets an exact oracle.
+
+    NOTE: the helper CTE names below (seeds/a1/cent) intentionally mirror
+    _SEMDEDUP_SQL — same Lloyd unroll, different corpus/counts."""
+    return f"""
+WITH uniq AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+    FROM uniq ORDER BY id LIMIT 16
+),
+a1 AS ({_dd_assign('uniq', 'seeds')}),
+by_dim AS (
+    SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM a1
+),
+cent AS (
+    SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS m FROM by_dim GROUP BY cid, pos)
+    GROUP BY cid
+),
+inv AS ({_dd_assign('uniq', 'cent')}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_dd_cos('q.qv', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= 4
+),
+cand AS (
+    SELECT p.query_id, i.id AS neighbor_id, {_dd_cos('p.qv', 'i.vec')} AS sim
+    FROM probes p JOIN inv i ON p.cid = i.cid
+    WHERE p.query_id <> i.id
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM cand
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_ann_ivf_oracle())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (coarse centroids + inverted lists + nprobe) — the
+    second scale path next to sign-LSH. Deterministic seeded-Lloyd build
+    → the whole probe unrolls into a DuckDB CTE oracle (hash-checked,
+    not rows-only); recall vs brute force additionally pinned in
+    pytest."""
+    from covid_data_challenge_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+def _neardup_lsh_oracle(bits: int = 8, tables: int = 6, threshold: float = 0.9) -> str:
+    return f"""
+WITH banded AS ({_dd_lsh_banded(_NEARDUP_CORPUS_SQL, 'id', 'embedding', bits, tables)}),
+cand AS (
+    SELECT DISTINCT a.id AS vec_a, b.id AS vec_b, a.vec AS va, b.vec AS vb
+    FROM banded a JOIN banded b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+sims AS (SELECT vec_a, vec_b, {_dd_cos('va', 'vb')} AS sim FROM cand)
+SELECT vec_a, vec_b, round(sim, 4) AS cosine_sim
+FROM sims WHERE sim >= {threshold}
+"""
+
+
+@register("embedding_neardup_lsh", oracle=_neardup_lsh_oracle())
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for the same semantic dedup: LSH-bucketed candidates +
+    exact cosine verify. The seeded ±1 hyperplanes are driver-side
+    constants, so the oracle replays the bucketing (and therefore the
+    exact candidate set) bit-exactly — hash-checked, not rows-only;
+    recall vs the exact operator additionally pinned in pytest."""
+    return cosine_neardup_pairs_lsh(
+        _neardup_corpus(spark, sf_dir), threshold=0.9, bits=8, tables=6
+    )
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+SELECT label,
+       round(avg(sqrt(list_aggregate(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS avg_norm,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings GROUP BY label
+""",
+)
+def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid_data_challenge_spark.functions.vector import norm
+
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+       count(*) AS n_vectors
+FROM embeddings,
+     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+GROUP BY 1, 2
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids in long format (label, dim, value) —
+    the building block of IVF coarse quantizers and class-prototype
+    classifiers. ``posexplode`` streams (vector → dim rows) map-side;
+    one shuffle on the (label, dim) key with map-side partial averages.
+    Long format keeps the oracle engine-portable (no array hashing) and
+    at 100 TB lets dims of one label aggregate in parallel rather than
+    funneling each label through one reducer."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+@register(
+    "ann_cosine_topk_int8",
+    oracle="""
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(127.0 * CAST(x AS DOUBLE) /
+                  sqrt(list_reduce(list_transform(embedding,
+                         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (a, b) -> a + b))
+                  + 0.5) AS INT)) AS qv
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS int_dot
+  FROM quant q JOIN quant c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, int_dot, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY int_dot DESC, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+""",
+)
+def q_ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-quantized dot product
+    (operators/similarity.py cosine_topk_int8): the scalar-quantization
+    ANN tier — 4× less memory than float32, integer-exact arithmetic
+    (no float summation order), so even this APPROXIMATE method keeps a
+    bit-exact cross-engine oracle. floor(x+0.5) quantization avoids
+    round(): engines disagree on double half-cases, floor never does.
+    Recall vs the float-exact top-k is pinned in pytest."""
+    from covid_data_challenge_spark.operators.similarity import cosine_topk_int8
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_int8(emb, queries, k=5)
+
+
+# The SemDeDup recipe unrolled as a CTE chain (the same move as
+# part_pagerank's oracle): exact-collapse → 8 lowest-id seeds → one Lloyd
+# iteration (assign, per-(cid,pos) mean, float32 snap — drops emptied
+# clusters exactly like ivf.lloyd_refine) → final assignment →
+# within-cluster round-4 cosine pairs → lowest-id survivor, expanded back
+# to the full corpus on vector equality.
+_SEMDEDUP_SQL = f"""
+WITH uniq AS (
+    SELECT min(vec_id) AS id, embedding AS vec FROM embeddings GROUP BY embedding
+),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+    FROM uniq ORDER BY id LIMIT 8
+),
+a1 AS ({_dd_assign('uniq', 'seeds')}),
+by_dim AS (
+    SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM a1
+),
+cent AS (
+    SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS m FROM by_dim GROUP BY cid, pos)
+    GROUP BY cid
+),
+a2 AS ({_dd_assign('uniq', 'cent')}),
+pruned AS (
+    SELECT DISTINCT b.id AS id
+    FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.id < b.id
+    WHERE round({_dd_cos('a.vec', 'b.vec')}, 4) >= 0.9
+),
+reps AS (
+    SELECT a2.id, a2.vec, a2.cid, p.id IS NULL AS rep_kept
+    FROM a2 LEFT JOIN pruned p ON a2.id = p.id
+)
+SELECT e.vec_id, r.cid, (e.vec_id = r.id AND r.rep_kept) AS kept
+FROM embeddings e JOIN reps r ON e.embedding = r.vec
+"""
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_SQL)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) keep/prune decisions over the
+    embedding corpus: seeded-Lloyd k-means (8 clusters at test SF —
+    grown ∝ corpus in production), within-cluster cosine ≥ 0.9 pairs,
+    lowest-id survivor per pair. Pair stage cost is Σ cluster², i.e.
+    linear in the corpus at constant cluster size — never O(n²).
+    The fixed-iteration seeded Lloyd unrolls into a DuckDB CTE chain
+    (like part_pagerank's oracle), so this is a full hash-checked row,
+    not rows-only; bit-exactness vs a NumPy replica is additionally
+    pinned in tests/test_dedup_similarity.py (operators/semdedup.py)."""
+    return semdedup_prune(
+        _emb(spark, sf_dir), n_centroids=8, lloyd_iters=1, threshold=0.9
+    )
+
+
+def _dd_l2sq(a: str, b: str) -> str:
+    """DuckDB twin of functions/vector.l2sq (ordered double fold)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        f"* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')"
+    )
+
+
+def _ann_ivfpq_oracle(
+    n_centroids: int = 16, nprobe: int = 8, n_sub: int = 32, n_codes: int = 32, k: int = 5
+) -> str:
+    """IVF-PQ unrolled as a DuckDB CTE chain: the IVF half reuses the
+    ann_ivf_topk Lloyd unroll; the PQ half trains all subspace codebooks
+    (per-sub lowest-id seeds, one Lloyd iteration with float32 snap and
+    drop-empty), encodes the corpus at (id, sub, code) granularity, and
+    scores candidates by ADC — the per-(query,neighbor) sum is an
+    ORDERED sub-ascending fold (list(d ORDER BY sub) → list_aggregate)
+    to match the Spark side's F.aggregate fold bit-for-bit. Ranking is
+    on the ROUND-6 ADC, as in operators/pq.ivfpq_topk."""
+    sub_dim = 64 // n_sub
+    return f"""
+WITH uniq AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+    FROM uniq ORDER BY id LIMIT {n_centroids}
+),
+a1 AS ({_dd_assign('uniq', 'seeds')}),
+by_dim AS (
+    SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM a1
+),
+cent AS (
+    SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS m FROM by_dim GROUP BY cid, pos)
+    GROUP BY cid
+),
+inv AS ({_dd_assign('uniq', 'cent')}),
+sv AS (
+    SELECT id, s.sub, vec[s.sub * {sub_dim} + 1 : s.sub * {sub_dim} + {sub_dim}] AS subvec
+    FROM uniq CROSS JOIN (SELECT unnest(range({n_sub})) AS sub) s
+),
+cb0 AS (
+    SELECT sub, CAST(rn - 1 AS INT) AS code, subvec AS cvec FROM (
+        SELECT sub, subvec, row_number() OVER (PARTITION BY sub ORDER BY id) AS rn FROM sv
+    ) WHERE rn <= {n_codes}
+),
+asg1 AS (
+    SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, c.code,
+               row_number() OVER (
+                   PARTITION BY s.id, s.sub
+                   ORDER BY {_dd_l2sq('s.subvec', 'c.cvec')}, c.code
+               ) AS rn
+        FROM sv s JOIN cb0 c ON s.sub = c.sub
+    ) WHERE rn = 1
+),
+cb_dim AS (
+    SELECT a.sub, a.code, unnest(s.subvec) AS x, generate_subscripts(s.subvec, 1) AS pos
+    FROM asg1 a JOIN sv s ON a.id = s.id AND a.sub = s.sub
+),
+cb AS (
+    SELECT sub, code, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT sub, code, pos, avg(CAST(x AS DOUBLE)) AS m FROM cb_dim GROUP BY sub, code, pos)
+    GROUP BY sub, code
+),
+enc AS (
+    SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, c.code,
+               row_number() OVER (
+                   PARTITION BY s.id, s.sub
+                   ORDER BY {_dd_l2sq('s.subvec', 'c.cvec')}, c.code
+               ) AS rn
+        FROM sv s JOIN cb c ON s.sub = c.sub
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_dd_cos('q.qv', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {nprobe}
+),
+qsv AS (
+    SELECT query_id, s.sub, qv[s.sub * {sub_dim} + 1 : s.sub * {sub_dim} + {sub_dim}] AS subvec
+    FROM q CROSS JOIN (SELECT unnest(range({n_sub})) AS sub) s
+),
+lut AS (
+    SELECT s.query_id, s.sub, c.code, {_dd_l2sq('s.subvec', 'c.cvec')} AS d
+    FROM qsv s JOIN cb c ON s.sub = c.sub
+),
+adc AS (
+    SELECT p.query_id, i.id AS neighbor_id,
+           round(list_aggregate(list(l.d ORDER BY e.sub), 'sum'), 6) AS adc_distance
+    FROM probes p
+    JOIN inv i ON p.cid = i.cid AND p.query_id <> i.id
+    JOIN enc e ON e.id = i.id
+    JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
+    GROUP BY p.query_id, i.id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_distance
+FROM (
+    SELECT query_id, neighbor_id, adc_distance,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_distance, neighbor_id
+           ) AS rank
+    FROM adc
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_ann_ivfpq_oracle())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse IVF probe + product-quantization ADC scoring
+    (operators/pq.py) — the FAISS-style layout where the scan touches
+    8-byte code arrays instead of float vectors. Deterministic build
+    (lowest-id seeds, fixed Lloyd iterations) → the full two-level
+    index unrolls into a DuckDB CTE oracle (hash-checked); recall vs
+    exact L2 brute force additionally pinned in pytest
+    (test_dedup_similarity)."""
+    from covid_data_challenge_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # 32×32 codebooks measured at 0.56 recall@5 on the (adversarial)
+    # uniform-random test embeddings vs 0.2 for 8×16 — see the pytest gate
+    return ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=8, n_sub=32, n_codes=32
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH d AS (
+    SELECT CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(embedding)
+)
+SELECT dim,
+       round(avg(CAST(x AS DOUBLE)), 6) AS mean,
+       round(stddev_samp(CAST(x AS DOUBLE)), 6) AS std,
+       round(min(CAST(x AS DOUBLE)), 6) AS min_x,
+       round(max(CAST(x AS DOUBLE)), 6) AS max_x
+FROM d GROUP BY 1
+""",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (mean/std/min/max across
+    the corpus) — the dashboard that exposes collapsed dimensions
+    (std≈0), mean drift, and clipping before they poison similarity
+    search. (A norm-z-score outlier screen was tried first and is
+    degenerate on this corpus: the vectors are unit-normalized, so
+    norm variance is exactly zero — dimension-level stats are the
+    screen that still carries signal.) One posexplode + one
+    64-group aggregation; at 100 TB the explode is map-side and the
+    aggregate is dimension-bounded."""
+    emb = _emb(spark, sf_dir)
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(x), 6).alias("mean"),
+            F.round(F.stddev_samp(x), 6).alias("std"),
+            F.round(F.min(x), 6).alias("min_x"),
+            F.round(F.max(x), 6).alias("max_x"),
+        )
+    )
+
+
+@register(
+    "hard_negatives_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0),
+sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+           {_dd_cos('q.embedding', 'c.embedding')} AS sim
+    FROM q JOIN embeddings c
+      ON c.label <> q.label AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, neg_label, round(sim, 4) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, neg_label, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+) WHERE rank <= 5
+""",
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query embedding, the 5 most
+    similar vectors with a DIFFERENT label (operators/similarity.py:
+    hard_negatives_topk) — the negatives-selection stage for training
+    retrieval/embedding models."""
+    from covid_data_challenge_spark.operators.similarity import hard_negatives_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return hard_negatives_topk(emb, queries, k=5)
+
+
+def _jl_oracle(out_dims: int = 8, dim: int = 64, seed: int = 7) -> str:
+    import math
+
+    from covid_data_challenge_spark.operators.similarity import _signed_planes
+
+    planes = _signed_planes(out_dims, dim, seed)
+    scale = 1.0 / math.sqrt(out_dims)
+
+    def proj(plane):
+        lit = "[" + ", ".join("1.0" if w > 0 else "-1.0" for w in plane) + "]"
+        return (
+            f"list_aggregate(list_transform(list_zip(embedding, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
+        )
+
+    comps = [
+        f"CAST(CAST(floor(1000000.0 * ({proj(p)} * {scale!r})) AS BIGINT) AS VARCHAR)"
+        for p in planes
+    ]
+    joined = " || ',' || ".join(comps)
+    return f"SELECT vec_id, {joined} AS jl_units FROM embeddings"
+
+
+@register("embedding_jl_projection", oracle=_jl_oracle())
+def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction 64→8 with a seeded ±1 sign matrix
+    (Achlioptas 2003) — the cheap pre-reduction in front of the ANN
+    tiers: pairwise distances survive to within the JL distortion bound
+    while the vectors shrink 8×. Pure map-side column algebra (one
+    ordered fold per output dim against literal planes, no shuffle);
+    components quantize to integer micro-units so the projected vectors
+    are hash-exact cross-engine. Distance preservation is pinned in
+    pytest against NumPy."""
+    from covid_data_challenge_spark.operators.similarity import jl_project_units
+
+    return jl_project_units(_emb(spark, sf_dir))

@@ -1,0 +1,939 @@
+"""Text analysis: tokenization stats, language ID, quality
+and repetition scoring, entropy, TF-IDF/PMI/BM25, PII, feature hashing.
+
+Registered via registry.register; queries_ext imports every themed
+module and restores the frozen driver-contract registry order
+(registry_order.CANONICAL_ORDER) afterwards — in-module order is
+thematic, not contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from covid_data_challenge_spark.functions.text import PII_EMAIL_RE, PII_PHONE_RE, bpe_pretoken_count, fingerprint, lang_hits, normalize_text, pii_match_count, quality_score, redact_pii, token_count, tokens
+from covid_data_challenge_spark.operators.dedup import word_shingle_expr
+from covid_data_challenge_spark.registry import register
+from covid_data_challenge_spark.queries_shared import (  # noqa: F401
+    _LANG_SQL_HITS,
+    _NORM,
+    _QUALITY_SQL,
+    _docs,
+)
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split({_NORM}, ' ')) AS INT) AS n_tokens,
+       CAST(len({_NORM}) AS INT) AS n_chars_norm
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+@register(
+    "token_stats_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]')) AS INT)
+           AS n_bpe_tokens,
+       CAST(len(string_split({_NORM}, ' ')) AS INT) AS n_ws_tokens
+FROM documents
+""",
+)
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counts (the LLM-cost proxy) next to whitespace
+    counts; the same ASCII-safe pattern runs under Java regex and RE2."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        bpe_pretoken_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["de"]}')) AS h_de,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["fr"]}')) AS h_fr,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["es"]}')) AS h_es
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(h_en AS INT) AS hits_en, CAST(h_de AS INT) AS hits_de,
+       CAST(h_fr AS INT) AS hits_fr, CAST(h_es AS INT) AS hits_es,
+       CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM h
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic; argmax with fixed tie order."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    h = {lang: lang_hits(t, lang) for lang in ("en", "de", "fr", "es")}
+    predicted = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        h["en"].alias("hits_en"),
+        h["de"].alias("hits_de"),
+        h["fr"].alias("hits_fr"),
+        h["es"].alias("hits_es"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"SELECT doc_id, n_tokens, quality FROM ({_QUALITY_SQL})",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+SELECT doc_id, lang, quality, round(pct, 6) AS quality_pct
+FROM (
+  SELECT doc_id, lang, quality,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pct
+  FROM ({_QUALITY_SQL})
+)
+WHERE pct >= 0.5
+""",
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter: keep docs at or above the median quality within
+    their language. ``percent_rank`` is rank-based, so ties resolve
+    identically in any engine — the filter is deterministic without a
+    tie-break column. One shuffle (window partition on lang); at 100 TB
+    swap the window for a two-pass approx-quantile threshold join
+    (compute per-lang cutoffs once, broadcast, filter map-side)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    pct = F.percent_rank().over(Window.partitionBy("lang").orderBy("quality"))
+    return (
+        docs.withColumn("pct", pct)
+        .filter(F.col("pct") >= 0.5)  # filter pre-round, exactly like the oracle
+        .select("doc_id", "lang", "quality", F.round("pct", 6).alias("quality_pct"))
+    )
+
+
+@register(
+    "repetition_score",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+tot AS (SELECT doc_id, greatest(len(w) - 4, 0) AS n_total FROM docs),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 4
+),
+d AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_total AS INT) AS n_grams,
+       round(CASE WHEN t.n_total > 0
+                  THEN 1.0 - coalesce(d.n_distinct, 0) / t.n_total
+                  ELSE 0.0 END, 4) AS repetition
+FROM tot t LEFT JOIN d USING (doc_id)
+""",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated 5-gram share per document (boilerplate/spam signal)."""
+    from covid_data_challenge_spark.functions.text import repetition_ratio
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.greatest(token_count(F.col("text")) - F.lit(4), F.lit(0)).alias("n_grams"),
+        repetition_ratio(F.col("text"), n=5).alias("repetition"),
+    )
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+SELECT token,
+       CAST(count(*) AS BIGINT) AS freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 50
+""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency top-k — the tokenizer-vocabulary building
+    step of a training pipeline. explode → two-level agg; stopword skew
+    is absorbed by map-side partial aggregation, and the ordered take is
+    a TakeOrderedAndProject (no full sort shuffle). Tie-break on token
+    makes the top-k set deterministic for the oracle compare."""
+    from covid_data_challenge_spark.functions.text import tokens as _tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
+          + len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INT) AS n_pii,
+       regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM pii
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/phones to typed placeholders with an audit count.
+    Pure regexp_replace chain (JVM codegen, no UDF) over engine-portable
+    RE2-safe patterns (functions/text.py:redact_pii)."""
+    docs = _docs(spark, sf_dir)
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return with_pii.select(
+        "doc_id",
+        pii_match_count(F.col("t")).alias("n_pii"),
+        redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
+@register(
+    "quality_ntile",
+    oracle=f"""
+SELECT doc_id, lang, quality,
+       CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS INT) AS decile
+FROM ({_QUALITY_SQL})
+""",
+)
+def q_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles for stratified curation. doc_id
+    tie-break makes ntile's row assignment a total order, so any engine
+    agrees bucket-for-bucket. One window shuffle on lang."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+    ).withColumn("decile", F.ntile(10).over(w))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·idf. The document
+    frequency table is vocabulary-sized — smaller than the corpus but
+    unbounded (it grows with the corpus per Heaps' law), so it carries
+    NO broadcast hint: AQE broadcasts it while it fits the threshold and
+    falls back to a term-keyed shuffle join when it doesn't. Only the
+    1-row corpus count is hint-broadcast. One window per doc for the
+    top-k."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+WITH td AS (
+  SELECT DISTINCT term, doc_id
+  FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+)
+SELECT term,
+       count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td
+GROUP BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an inverted index (term → sorted posting list) for corpus
+    search: explode tokens map-side, dedupe (term, doc_id), aggregate
+    per term. One shuffle on the term key; posting lists are built with
+    ``collect_set`` + ``sort_array`` so the result is order-independent
+    and engine-portable. At 100 TB, postings for stop-word-grade terms
+    are the skew risk — the scale path shards hot terms by doc-id range
+    (salted term key) and stores postings as arrays in partitioned
+    parquet rather than a single row per term."""
+    docs = _docs(spark, sf_dir)
+    td = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    postings = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), postings.alias("postings")
+    )
+
+
+@register(
+    "term_cooccurrence_pmi",
+    oracle=f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, term
+  FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+),
+df AS (SELECT term, count(*) AS c FROM td GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs_both
+  FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, p.n_docs_both,
+       round(ln(CAST(p.n_docs_both AS DOUBLE) * n.nd / (da.c * db.c)), 4) AS pmi
+FROM pairs p
+JOIN df da ON da.term = p.term_a
+JOIN df db ON db.term = p.term_b
+CROSS JOIN n
+WHERE p.n_docs_both >= 2
+""",
+)
+def q_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over within-document term pairs —
+    the collocation / topic-affinity signal. The (doc, term) set is
+    deduped first; pairs come from a doc-keyed self-join (per-doc
+    quadratic, bounded by per-doc distinct terms). The document-
+    frequency sides are vocabulary-sized — unbounded — so they carry no
+    broadcast hint (AQE decides; the joins key on term either way). At
+    100 TB the standard guards apply: cap per-doc distinct terms and
+    drop stop-word-grade terms (df cap) BEFORE the pair join — both are
+    map-side filters here."""
+    docs = _docs(spark, sf_dir)
+    td = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df_tbl = td.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    a, b = td.alias("a"), td.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+        .filter(F.col("n_docs_both") >= 2)
+    )
+    da = df_tbl.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    db = df_tbl.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        F.col("n_docs_both").cast("double") * F.col("nd") / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        pairs.join(da, "term_a")
+        .join(db, "term_b")
+        .join(F.broadcast(n))
+        .select("term_a", "term_b", "n_docs_both", F.round(pmi, 4).alias("pmi"))
+    )
+
+
+@register(
+    "bigram_topk",
+    oracle=f"""
+WITH toks AS (SELECT string_split({_NORM}, ' ') AS t FROM documents),
+big AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+)
+SELECT bigram, count(*) AS n
+FROM big GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 50
+""",
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram language-model statistic, n=2):
+    adjacent token pairs come from zipping the token array with its own
+    tail — a pure map-side array op, no self-join, no shuffle until the
+    bigram aggregation. Top-k is fully tie-broken (count desc, bigram)
+    so the result set is deterministic. At 100 TB the long tail is the
+    cost: count-min / frequency caps or a min-support HAVING filter
+    bound the aggregation state before the final TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "char_entropy",
+    oracle=f"""
+WITH cs AS (SELECT doc_id, string_split({_NORM}, '') AS cs FROM documents)
+SELECT doc_id,
+       round(-list_reduce(
+           list_transform(
+             list_transform(list_sort(list_distinct(cs)),
+               d -> CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE) / len(cs)),
+             p -> p * ln(p)),
+           (a, b) -> a + b) + 0.0, 6) AS char_entropy
+FROM cs
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (functions/text.py char_entropy):
+    the perplexity-proxy quality signal as pure row-local Column
+    algebra — no shuffle, no UDF, whole-stage codegen. The -Σ p·ln p
+    fold runs over sorted distinct chars, so float summation order is
+    engine-identical and the oracle hash-matches at 6 digits."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.text import char_entropy
+
+    return docs.select("doc_id", char_entropy(F.col("text")).alias("char_entropy"))
+
+
+@register(
+    "oov_rate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, term LIMIT 20
+  )
+),
+per AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS INT) AS n_tokens,
+         CAST(count(*) FILTER (t.term NOT IN (SELECT term FROM vocab)) AS INT) AS n_oov
+  FROM tok t GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM per
+""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-20
+    vocabulary — the tokenizer-coverage check a training pipeline runs
+    before committing to a vocab. The vocab is a top-k aggregate
+    (deterministic count-then-term order) broadcast into a LEFT ANTI
+    membership probe on the exploded tokens; per-doc totals and OOV
+    counts fold in one aggregation over the same explode, so the doc
+    corpus shuffles once on doc_id whatever the vocab size."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(20)
+        .select("term")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "term", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "charset_profile",
+    oracle="""
+WITH per AS (
+    SELECT source,
+           length(text) AS n,
+           length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space,
+           length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS n_nonascii
+    FROM documents
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       round(sum(n_alpha) / sum(n), 4) AS alpha_ratio,
+       round(sum(n_digit) / sum(n), 4) AS digit_ratio,
+       round(sum(n_space) / sum(n), 4) AS space_ratio,
+       round(sum(n_nonascii) / sum(n), 4) AS nonascii_ratio
+FROM per GROUP BY source
+""",
+)
+def q_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile (alpha/digit/space/non-ASCII
+    ratios) — the charset sanity check run before choosing encoders and
+    filters for a crawl snapshot. Pure column algebra via
+    length-after-strip deltas (no explode, no UDF): one map-side pass
+    plus a tiny per-source aggregation."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    strip = lambda pat: n - F.length(F.regexp_replace(F.col("text"), pat, ""))
+    per = docs.select(
+        "source",
+        n.alias("n"),
+        strip("[a-zA-Z]").alias("n_alpha"),
+        strip("[0-9]").alias("n_digit"),
+        strip("[ ]").alias("n_space"),
+        F.length(F.regexp_replace(F.col("text"), "[\\x00-\\x7F]", "")).alias("n_nonascii"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.round(F.sum("n_alpha") / F.sum("n"), 4).alias("alpha_ratio"),
+        F.round(F.sum("n_digit") / F.sum("n"), 4).alias("digit_ratio"),
+        F.round(F.sum("n_space") / F.sum("n"), 4).alias("space_ratio"),
+        F.round(F.sum("n_nonascii") / F.sum("n"), 4).alias("nonascii_ratio"),
+    )
+
+
+@register(
+    "lang_mismatch_report",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["de"]}')) AS h_de,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["fr"]}')) AS h_fr,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["es"]}')) AS h_es
+    FROM documents
+),
+pred AS (
+    SELECT source, lang,
+           CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (predicted_lang <> lang) AS BIGINT) AS n_mismatch,
+       round(count(*) FILTER (predicted_lang <> lang) / count(*), 4) AS mismatch_rate
+FROM pred GROUP BY source
+""",
+)
+def q_lang_mismatch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language QA: per source, how often the
+    stopword-heuristic detector disagrees with the declared ``lang``
+    column — the standard crawl-quality screen (mislabeled languages
+    poison both filtering and mixture weights). Composes the lang_id
+    detector map-side; one tiny per-source aggregation."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    h = {lang: lang_hits(t, lang) for lang in ("en", "de", "fr", "es")}
+    predicted = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en")
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+    mism = (predicted != F.col("lang")).cast("int")
+    return (
+        docs.select("source", mism.alias("__m"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__m").cast("long").alias("n_mismatch"),
+            F.round(F.sum("__m") / F.count(F.lit(1)), 4).alias("mismatch_rate"),
+        )
+    )
+
+
+@register(
+    "token_gini_by_source",
+    oracle=f"""
+WITH per AS (
+    SELECT source, doc_id,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS x
+    FROM documents
+),
+ranked AS (
+    SELECT source, x,
+           row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+    FROM per
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS BIGINT) AS n_tokens,
+       round((2.0 * sum(i * x) - (count(*) + 1) * sum(x))
+             / (count(*) * sum(x)), 6) AS gini
+FROM ranked GROUP BY source
+""",
+)
+def q_token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balance metric: the Gini coefficient of per-document token
+    counts within each source (0 = every doc the same length, →1 = a few
+    giant docs hold all the tokens) — the length-concentration check run
+    before choosing chunking/packing parameters for a source. The rank
+    formula ``(2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)`` stays in exact integer
+    arithmetic until the final division (bit-exact across engines); the
+    per-source window parallelizes across sources and the totals are one
+    map-side-combined aggregation."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = per.withColumn("i", F.row_number().over(w))
+    n, s = F.count(F.lit(1)), F.sum("x")
+    return ranked.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        s.cast("long").alias("n_tokens"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x")) - (n + 1) * s) / (n * s), 6
+        ).alias("gini"),
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "stream")
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS term FROM docs)
+    WHERE term IN ('spark', 'vector', 'stream')
+    GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({_BM25_K1} + 1)
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ) AS s
+    FROM tf
+    JOIN dfq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY 1
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (Okapi, k1=1.2 b=0.75) for a fixed
+    3-term query — the retrieval scorer a RAG/data-curation stack runs
+    over the inverted index. Plan: tokenize once (doc length rides the
+    explode map-side, so the corpus-sized dl table is never joined),
+    filter to the query terms BEFORE the tf aggregation (the shuffle
+    carries only matching postings — at 100 TB that is |postings(q)|,
+    not the corpus), then broadcast the |q|-row df table and the 1-row
+    corpus stats; TakeOrderedAndProject caps the result at k. The idf
+    uses the +1 'BM25+'-style floor so scores stay positive even when
+    df > N/2."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("w")).alias("avgdl"),
+    )
+    posts = docs.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = posts.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_td = (
+        F.col("tf")
+        * F.lit(k1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * w_td), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ngram_novelty_by_source",
+    oracle=f"""
+WITH docs AS (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT source,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+tagged AS (SELECT source, count(*) OVER (PARTITION BY s) AS n_src FROM sh)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       round(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS novelty_ratio
+FROM tagged GROUP BY source
+""",
+)
+def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus NOVELTY: the share of a source's distinct word
+    3-grams that appear in no other source — the standard signal for
+    'is this new crawl/source adding anything' before paying to ingest
+    it at full weight. Plan: ONE corpus scan — (source, gram) distinct,
+    a count window over the gram key (partition sizes are bounded by
+    |sources| after the distinct, so the window cannot skew the way a
+    raw-occurrence gram window would), then one map-side-combinable
+    per-source aggregation. No joins at all."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "source",
+        F.explode(word_shingle_expr(F.col("text"), 3)).alias("s"),
+    ).distinct()
+    n_src = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    excl = F.sum(F.when(F.col("n_src") == 1, 1).otherwise(0))
+    return (
+        sh.withColumn("n_src", n_src)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            excl.alias("n_exclusive"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_exclusive",
+            F.round(F.col("n_exclusive") / F.col("n_shingles"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+    )
+
+
+_FH_DIMS = 16
+
+
+_FH_SALT = "fh-v1"
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{_FH_SALT}'), 1, 8)) AS BIGINT)
+              % {_FH_DIMS} + {_FH_DIMS}) % {_FH_DIMS} AS INT) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2
+),
+dense AS (
+    SELECT b.doc_id, d.bucket, coalesce(cnt, 0) AS cnt
+    FROM (SELECT DISTINCT doc_id FROM bucketed) b
+    CROSS JOIN (SELECT CAST(unnest(range(0, {_FH_DIMS})) AS INT) AS bucket) d
+    LEFT JOIN bucketed USING (doc_id, bucket)
+)
+SELECT doc_id,
+       string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bucket) AS features
+FROM dense GROUP BY doc_id
+""",
+)
+def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens hash into a
+    FIXED number of buckets, giving every document a dense count vector
+    with no vocabulary table, no fitting, no second pass — the
+    featurization that bridges the text tier into the vector tier (the
+    output array feeds the cosine/LSH/IVF operators directly). Plan:
+    one scan, one (doc, bucket) aggregation, then the dense vector is
+    rebuilt row-locally (sequence + map lookup — no per-dimension
+    explode join). md5-derived buckets make the vectors bit-identical
+    across engines, so the whole featurization is hash-checked."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("term"), F.lit(_FH_SALT))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _FH_DIMS
+            + _FH_DIMS
+        )
+        % _FH_DIMS
+    ).cast("int")
+    counts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("cnt")
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIMS - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.col("m"), b.cast("int")), F.lit(0)
+        ).cast("long"),
+    )
+    # serialized as a comma-joined string (registry convention for
+    # array outputs — the compare harness hashes scalars); the array
+    # form for the ANN operators is the same `dense` expression unjoined
+    return per_doc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(dense, lambda x: x.cast("string")), ","
+        ).alias("features"),
+    )

@@ -1,0 +1,1678 @@
+"""Classic warehouse shapes on the TPC-H-ish fact tables
+(Q1-Q22 forms), data-quality checks, and the choropleth projection.
+
+Registered via registry.register; queries_ext imports every themed
+module and restores the frozen driver-contract registry order
+(registry_order.CANONICAL_ORDER) afterwards — in-module order is
+thematic, not contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from covid_data_challenge_spark.registry import register
+from covid_data_challenge_spark.sources.readers import load_table
+
+
+@register(
+    "group_winsorize",
+    oracle="""
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       l.l_extendedprice,
+       round(least(greatest(l.l_extendedprice, c.p05), c.p95), 2) AS price_winsorized
+FROM lineitem l JOIN cuts c USING (l_returnflag)
+""",
+)
+def q_group_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping for numeric features: clamp each row's price into
+    its group's [p05, p95]. Two-pass shape that scales: the per-group
+    cut table is groups-sized → broadcast, so the fact table is clipped
+    map-side with NO shuffle of the data itself (a window-based
+    percentile would shuffle all 100 TB). Exact percentiles at test SF;
+    approx_percentile is the drop-in at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")), 2
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .join(F.broadcast(cuts), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            clipped.alias("price_winsorized"),
+        )
+    )
+
+
+@register(
+    "grouped_topk_ties",
+    oracle="""
+WITH oc AS (
+  SELECT c.c_nationkey, c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_custkey, n_orders,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, dense_rank() OVER (
+      PARTITION BY c_nationkey ORDER BY n_orders DESC) AS rnk
+  FROM oc
+)
+WHERE rnk <= 3
+""",
+)
+def q_grouped_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-preserving grouped top-k: ``dense_rank`` keeps every customer
+    whose order count ties into the top 3 ranks of their nation — the
+    semantics ``row_number`` silently breaks on ties. The rank result is
+    deterministic under ties (equal key → equal rank), so the output set
+    is stable across engines and partitionings. One shuffle for the
+    count, one on the small per-customer aggregate for the window."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    oc = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("n_orders").desc())
+    return (
+        oc.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "n_orders", "rnk")
+    )
+
+
+def _rev_cents4():
+    """Discounted revenue in exact 10^-4 units: price and discount are
+    2-decimal quantities, so round-to-cents → BIGINT products sum
+    EXACTLY — immune to float summation order. The final /10000.0 is a
+    single IEEE division of the same integer in every engine, so the
+    result is bit-identical WITHOUT a final round (a final decimal
+    round would reintroduce engine-specific half-case behavior:
+    Spark rounds the shortest decimal repr, DuckDB the raw double)."""
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    return price_c * disc_c
+
+
+@register(
+    "returned_items_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+           / 10000.0 AS revenue_lost,
+       CAST(count(*) AS BIGINT) AS n_returned_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_lost DESC, c.c_custkey LIMIT 20
+""",
+)
+def q_returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue loss per customer (TPC-H Q10 shape): the
+    returnflag predicate pushes into the lineitem scan, nation (25 rows)
+    hint-broadcasts, customer — which scales with SF — is left to AQE,
+    and the only big join (lineitem⋈orders) keys on orderkey — at
+    100 TB both sides bucket on orderkey and it goes shuffle-free.
+    Top-20 plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum(_rev_cents4()) / 10000.0).alias("revenue_lost"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.col("revenue_lost").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+           / 10000.0 AS volume,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade volume by (supplier nation, customer nation,
+    ship year) — TPC-H Q7 shape. The two 25-row nation dims
+    hint-broadcast; supplier and customer scale with SF, so AQE decides
+    their strategy; lineitem⋈orders is the only guaranteed shuffle join
+    and keys on orderkey. The inequality filter runs on resolved nation
+    names map-side, never as a join condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            (F.sum(_rev_cents4()) / 10000.0).alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly_revenue_loss,
+       CAST(count(*) AS BIGINT) AS n_small_orders
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.2 * pa.avg_qty
+""",
+)
+def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-order revenue estimate (TPC-H Q17 shape): the correlated
+    scalar subquery 'below 20% of this part's average quantity' is
+    decorrelated into a per-part aggregate joined back to the fact —
+    the aggregate is |parts| rows (≪ lineitem but scaling with SF), so
+    it carries no broadcast hint: AQE broadcasts it while small and
+    partitions both sides on partkey once the part dimension outgrows
+    the threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias(
+                "avg_yearly_revenue_loss"
+            ),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+_DORMANT_CUTOFF = "2000-06-01"
+
+
+@register(
+    "rich_dormant_customers",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{_DORMANT_CUTOFF}')
+""",
+)
+def q_rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with NO recent orders (TPC-H Q22
+    shape — churn-risk screen): the NOT EXISTS is a LEFT ANTI join
+    against the distinct recent-order keys, the average balance is a
+    1-row broadcast scalar, and both filters run map-side. The date
+    predicate pushes into the orders scan BEFORE the distinct, so the
+    anti-join build side is only the recent slice."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_DORMANT_CUTOFF).cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders_both
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders_both DESC, part_a, part_b LIMIT 50
+""",
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: parts co-occurring in the same order
+    (the association-rule support counts). The (order, part) distinct
+    collapses line-level repeats first; pairs are then exploded INSIDE
+    each basket (collect_set per order + i<j combinations) instead of a
+    fact-table self-join — baskets are bounded by order size (≤7 lines
+    in TPC-H; real carts are similarly small), so the per-group
+    explosion is memory-safe and the lineitem table is scanned once. At
+    100 TB the standard guards apply map-side: cap basket size and drop
+    ubiquitous parts before pairing (same df-cap logic as
+    term_cooccurrence_pmi). Fully tie-broken top-50."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # collect_set subsumes the (order, part) distinct — one shuffle, not
+    # a distinct followed by a second group-by shuffle
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.transform(
+                    "parts",
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        ),
+        lambda p: p["part_a"] < p["part_b"],
+    )
+    return (
+        baskets.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+        .orderBy(F.col("n_orders_both").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "yearly_revenue_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT order_year, revenue, n_orders,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY order_year))
+             / lag(revenue) OVER (ORDER BY order_year), 2) AS yoy_pct
+FROM yearly
+""",
+)
+def q_yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: the window lag runs over the
+    YEARS-sized aggregate, not the fact table — aggregate first, window
+    the summary. Revenue sums as exact integer cents (order-independent);
+    the growth ratio is computed on identical doubles in both engines,
+    so the final round is safe. The single-partition window is fine
+    BECAUSE its input is |years| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        (F.sum(cents) / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "order_year",
+        "revenue",
+        "n_orders",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
+    )
+
+
+@register(
+    "choropleth_projection",
+    oracle="""
+WITH per AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS api_current_cases
+  FROM customer GROUP BY c_nationkey
+),
+merged AS (
+  SELECT n_name AS country_standardized,
+         CASE WHEN n_name = 'NATION_3' THEN NULL
+              WHEN n_name = 'NATION_7' THEN ''
+              ELSE upper(substr(n_name, 1, 3)) END AS iso_code_owid_meta,
+         coalesce(api_current_cases, 0) AS api_current_cases
+  FROM nation LEFT JOIN per ON n_nationkey = c_nationkey
+)
+SELECT iso_code_owid_meta AS iso_code, country_standardized, api_current_cases
+FROM merged
+WHERE iso_code_owid_meta IS NOT NULL AND iso_code_owid_meta <> ''
+""",
+)
+def q_choropleth_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The world-map feed behind the reference's choropleth
+    (streamlit_app.py:358-439): a merged-style frame whose ISO column
+    carries a merge suffix (``iso_code_owid_meta``) is resolved
+    suffix-tolerantly, rows with NULL/empty locations are dropped, and
+    (iso_code, name, metric) is projected. The fixture frame plants a
+    NULL and an empty ISO code so the valid-location filter is
+    exercised; resolution runs driver-side against the schema, so the
+    executed plan is a pure filter+projection over one small join."""
+    from covid_data_challenge_spark.pipeline.covid import choropleth_frame
+
+    nation = load_table(spark, sf_dir, "nation")
+    per = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("api_current_cases"))
+    )
+    iso = (
+        F.when(F.col("n_name") == "NATION_3", F.lit(None).cast("string"))
+        .when(F.col("n_name") == "NATION_7", F.lit(""))
+        .otherwise(F.upper(F.substring("n_name", 1, 3)))
+    )
+    merged = nation.join(
+        per, nation["n_nationkey"] == per["c_nationkey"], "left"
+    ).select(
+        F.col("n_name").alias("country_standardized"),
+        iso.alias("iso_code_owid_meta"),
+        F.coalesce("api_current_cases", F.lit(0).cast("long")).alias(
+            "api_current_cases"
+        ),
+    )
+    return choropleth_frame(merged, "api_current_cases")
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+""",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped after the order date,
+    counted per priority class (TPC-H Q4 shape). The EXISTS becomes a
+    LEFT SEMI hash join on orderkey with the date inequality as a
+    residual condition — the probe side never duplicates orders no
+    matter how many lineitems are late, and at 100 TB both sides bucket
+    on orderkey so the semi join goes shuffle-free. Only
+    (l_orderkey, l_shipdate) is read from the fact scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS promo_share,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share per ship year (TPC-H Q14 shape, yearly
+    instead of single-month so the result has grading surface). Revenue
+    folds as exact integer 10^-4 units, so both the share (one IEEE
+    division of two identical BIGINTs) and the total are bit-identical
+    to the oracle regardless of aggregation order. part scales with SF
+    → no broadcast hint; AQE broadcasts it while small and falls back
+    to a partkey-bucketable shuffle join at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = _rev_cents4()
+    promo_cents = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            (F.sum(promo_cents) / F.sum(cents)).alias("promo_share"),
+            (F.sum(cents) / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, rev_c / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+""",
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum quarterly revenue (TPC-H Q15 shape).
+    The quarter predicate pushes into the fact scan; per-supplier
+    revenue folds once as exact integer units; the max is a 1-row
+    broadcast joined back and compared in EXACT integer space (a
+    double-equality here would be flaky — BIGINT equality is not).
+    supplier scales with SF → no hint, AQE decides its side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_cents4()).alias("rev_c"))
+    mx = rev.agg(F.max("rev_c").alias("max_c"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("max_c"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_c") / 10000.0).alias("total_revenue"))
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, b.l_orderkey AS o_orderkey, b.total_qty
+FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind bulk orders — total quantity over 300 (TPC-H Q18
+    shape). The HAVING pre-aggregation shrinks the fact table to
+    |qualifying orders| BEFORE any join (quantities are integer-valued,
+    so the double sum is exact in any order and the BIGINT cast is
+    safe); the join chain then keys on orderkey → custkey with no
+    hints — at 100 TB the big side is already just the survivors."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_d"))
+        .filter(F.col("qty_d") > 300)
+        .select("l_orderkey", F.col("qty_d").cast("long").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS best_price
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, best_price,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY best_price, l_suppkey) AS rn
+  FROM unit
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, r.best_price
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn = 1
+""",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest observed supplier per part (TPC-H Q2's correlated
+    min-cost subquery, decorrelated): per-(part, supplier) best unit
+    price folds map-side, then the per-part ARGMIN fuses into a second
+    aggregation via struct-min — lexicographic (price, suppkey) min ≡
+    ORDER BY price, suppkey LIMIT 1, deterministic under ties, and two
+    agg passes replace the window sort entirely (the same fused-argmax
+    idiom as the flagship). Unit price is a per-row IEEE division,
+    identical in every engine; no rounding anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("best_price")
+    )
+    best = (
+        unit.groupBy("l_partkey")
+        .agg(F.min(F.struct("best_price", "l_suppkey")).alias("b"))
+        .select("l_partkey", F.col("b.best_price").alias("best_price"),
+                F.col("b.l_suppkey").alias("l_suppkey"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(sup, best.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "best_price")
+    )
+
+
+@register(
+    "column_stats_profile",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_orderkey,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_returnflag,
+       CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS nulls_shipdate,
+       min(l_shipdate) AS min_shipdate,
+       max(l_shipdate) AS max_shipdate,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+""",
+)
+def q_column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column statistics (row count, per-column
+    NDV, null count, min/max) — what a catalog collects for CBO join
+    ordering and what zone-map layouts are built from. ONE scan: the
+    multi-NDV aggregation plans as a single pass with an Expand (3 rows
+    per input), all partially aggregated map-side. Exact countDistinct
+    here (oracle-checkable); at 100 TB each NDV swaps to the mergeable
+    HLL sketch (operators/sketch.py) without touching the query shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nulls_shipdate"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "sole_late_supplier",
+    oracle="""
+WITH per AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT l.l_suppkey) FILTER (l.l_shipdate > o.o_orderdate) AS n_late_supp,
+         max(l.l_suppkey) FILTER (l.l_shipdate > o.o_orderdate) AS late_supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_sole_late_orders
+FROM per JOIN supplier s ON s.s_suppkey = per.late_supp
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY 1, 2 ORDER BY n_sole_late_orders DESC, s_suppkey LIMIT 10
+""",
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on multi-supplier orders
+    (TPC-H Q21's correlated EXISTS/NOT-EXISTS pair, decorrelated): both
+    existence tests collapse into ONE per-order aggregation — distinct
+    suppliers, distinct LATE suppliers (conditional countDistinct), and
+    the late supplier key when unique (conditional max) — so the fact
+    table is touched once and the only shuffles are the orderkey
+    pre-agg and the small per-supplier count. max(when(late, suppkey))
+    is well-defined exactly because the n_late_supp = 1 filter makes the
+    set a singleton."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.join(sup, per.late_supp == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_late_orders"))
+        .orderBy(F.col("n_sole_late_orders").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
+@register(
+    "customer_value_skyline",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT c.c_custkey, c.c_name, p.total_spent, round(c.c_acctbal, 2) AS acctbal
+  FROM customer c JOIN per p ON c.c_custkey = p.o_custkey
+)
+SELECT c_custkey, c_name, total_spent, acctbal FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.total_spent >= p.total_spent AND q.acctbal >= p.acctbal
+    AND (q.total_spent > p.total_spent OR q.acctbal > p.acctbal)
+)
+""",
+)
+def q_customer_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of customers over (lifetime spend, account
+    balance) — the skyline operator (operators/skyline.py, EDBT 2023
+    pattern from PAPERS.md). Two-phase: grid-partitioned LOCAL sort
+    windows eliminate in parallel, then one global pass over the
+    surviving per-bucket frontiers (a sort of frontiers, never of the
+    data). The DuckDB oracle is the O(n²) NOT-EXISTS dominance
+    definition, so the distributed algorithm is value-checked against
+    the literal semantics. Spend folds as exact integer cents."""
+    from covid_data_challenge_spark.operators.skyline import skyline_2d
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0).alias(
+            "total_spent"
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    pts = cust.join(per, cust.c_custkey == per.o_custkey).select(
+        "c_custkey", "c_name", "total_spent", "acctbal"
+    )
+    return skyline_2d(pts, "total_spent", "acctbal")
+
+
+@register(
+    "dq_violations",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS qty_range,
+         CAST(count(*) FILTER (l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS disc_range,
+         CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS shipdate_null,
+         CAST(count(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL) AS BIGINT) AS flag_domain,
+         CAST(count(*) FILTER (l_extendedprice IS NULL OR l_extendedprice <= 0) AS BIGINT) AS price_positive
+  FROM lineitem
+)
+SELECT rule, n_violations, round(n_violations * 1.0 / n_rows, 6) AS violation_rate
+FROM agg
+UNPIVOT (n_violations FOR rule IN (qty_range, disc_range, shipdate_null, flag_domain, price_positive))
+""",
+)
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (Great-Expectations shape):
+    FIVE rules — range, domain, null, positivity — evaluate as
+    conditional counts in ONE fact scan (map-side partials, single
+    1-row shuffle), then unpivot to a per-rule violation report. Adding
+    a rule adds a column to the aggregation, never a scan: at 100 TB
+    the cost of the whole expectation suite is one pass, which is the
+    only defensible shape for ingest gating."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bad(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    p = F.col("l_extendedprice")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        bad(q.isNull() | (q < 1) | (q > 50)).alias("qty_range"),
+        bad(d.isNull() | (d < 0) | (d > 0.1)).alias("disc_range"),
+        bad(F.col("l_shipdate").isNull()).alias("shipdate_null"),
+        bad(
+            F.col("l_returnflag").isNull()
+            | ~F.col("l_returnflag").isin("A", "N", "R")
+        ).alias("flag_domain"),
+        bad(p.isNull() | (p <= 0)).alias("price_positive"),
+    )
+    long = agg.unpivot(
+        ids=["n_rows"],
+        values=["qty_range", "disc_range", "shipdate_null", "flag_domain", "price_positive"],
+        variableColumnName="rule",
+        valueColumnName="n_violations",
+    )
+    return long.select(
+        "rule",
+        "n_violations",
+        F.round(F.col("n_violations") * 1.0 / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue_effect,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure-scan aggregate. ALL four predicates push into
+    the parquet scan (PushedFilters carries the date/discount/quantity
+    bounds — row groups outside them never decompress), the two used
+    columns are the only ones read, and the single 1-row shuffle is the
+    partial-agg merge. The simplest query in the suite and the one most
+    sensitive to scan efficiency at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(price_c * disc_c) / 10000.0).alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
+   OR (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
+   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15)
+""",
+)
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst splits the disjunction: the quantity envelope
+    (1–30) and the brand/size envelope push DOWN to their respective
+    scans as coarse pre-filters, while the exact cross-table
+    disjunction evaluates as the join's residual condition — so most
+    non-qualifying rows die at the parquet reader, not in the join. At
+    100 TB the part side is the smaller relation and AQE broadcasts or
+    shuffles it by partkey as size dictates (no hint)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arm = lambda brand, lo, hi, size: (
+        (F.col("p_brand") == brand) & (q >= lo) & (q <= hi) & (F.col("p_size") <= size)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            arm("Brand#1", 1, 11, 5)
+            | arm("Brand#13", 10, 20, 10)
+            | arm("Brand#19", 20, 30, 15)
+        )
+        .agg(
+            (F.sum(_rev_cents4()) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+WITH sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+         sn.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT order_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS BIGINT)
+         / CAST(sum(cents) AS BIGINT) AS market_share
+FROM sales GROUP BY 1
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of ASIA-customer revenue per year (TPC-H Q8
+    shape): a six-table star whose region predicate prunes through the
+    customer-nation arm, both 25-row nation dims and the 5-row region
+    hint-broadcast, customer/supplier are left to AQE, and the share is
+    one IEEE division of two identical exact-cents BIGINTs — so the
+    conditional aggregation is bit-identical to the oracle in any
+    partitioning. The only guaranteed shuffle join keys on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cents = _rev_cents4()
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"), "left_semi"
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(F.lit(0))
+    return sales.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg((F.sum(target) / F.sum(cents)).alias("market_share"))
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+WITH per AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per GROUP BY 1
+""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count (TPC-H Q13 shape): the
+    LEFT join keeps zero-order customers (count(o_orderkey) ignores the
+    NULLs a left-join miss produces — count(*) would not), the first
+    aggregation keys on custkey sharing the join's partitioning, and
+    the second groupBy runs over at most |distinct order counts| rows.
+    At 100 TB the orders side pre-aggregates per custkey before the
+    join, so the wide row never carries order payloads."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "nation_revenue_share_in_region",
+    oracle="""
+WITH per AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, cents / 10000.0 AS revenue,
+       cents / CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) AS share_of_region
+FROM per
+""",
+)
+def q_nation_revenue_share_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's share of its region's revenue —
+    the unordered PARTITION-total window (no ORDER BY → no sort, one
+    pass over the 25-row aggregate, never over facts). Everything
+    heavy happens in the single fact aggregation (exact cents, nation/
+    region broadcast); the window and the share division are identical
+    integer arithmetic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_cents4()).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return per.select(
+        "region",
+        "nation",
+        (F.col("cents") / 10000.0).alias("revenue"),
+        (F.col("cents") / F.sum("cents").over(w)).alias("share_of_region"),
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+SELECT sn.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100
+                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on widget parts by supplier nation and order year (TPC-H
+    Q9 shape; the synthetic schema has no partsupp, so unit cost is the
+    part's retail price — same join topology, documented proxy).
+    Catalyst pushes the p_name LIKE into the part scan; part after the
+    filter and the 25-row nation broadcast, the orders arm shuffles on
+    orderkey only. Profit is exact integer cents⁴ arithmetic (see
+    _rev_cents4) so the sum is partition-order-immune and the single
+    final division matches DuckDB bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost_c4 = (
+        F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.lit(100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg((F.sum(_rev_cents4() - cost_c4) / 10000.0).alias("profit"))
+    )
+
+
+@register(
+    "supplier_count_by_part_attr",
+    oracle="""
+WITH rel AS (
+    SELECT DISTINCT l.l_partkey, l.l_suppkey FROM lineitem l
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT rel.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel
+JOIN part p ON rel.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'ECONOMY'
+GROUP BY 1, 2, 3
+""",
+)
+def q_supplier_count_by_part_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) excluding one brand
+    and one type (TPC-H Q16 shape; the part-supplier relation is
+    derived from observed lineitem pairs since the synthetic schema has
+    no partsupp). The distinct on (partkey, suppkey) is a map-side
+    partial dedup before its shuffle, the part filters push into the
+    scan, and the final count-distinct groups on low-cardinality attrs
+    — no fact-table re-shuffle."""
+    rel = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#3") & (F.col("p_type") != "ECONOMY"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        rel.join(part, rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "ship_delay_priority_counts",
+    oracle="""
+WITH lines AS (
+    SELECT CASE
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) < 0 THEN 'pre-order'
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 30 THEN '0-30d'
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90 THEN '31-90d'
+             ELSE '>90d'
+           END AS delay_bucket,
+           o.o_orderpriority AS prio
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT delay_bucket,
+       CAST(count(*) FILTER (prio IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (prio NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+FROM lines GROUP BY delay_bucket
+""",
+)
+def q_ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority line counts by ship-delay bucket (TPC-H
+    Q12 shape; the synthetic schema has no l_shipmode, so the grouping
+    key is the order-to-ship delay). One orderkey join (the only
+    shuffle family), conditional counts fused into a single
+    aggregation pass over the 4-row bucket domain."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay < 0, "pre-order")
+        .when(delay <= 30, "0-30d")
+        .when(delay <= 90, "31-90d")
+        .otherwise(">90d")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH per AS (
+    SELECT o_custkey AS c_custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_order,
+           count(*) AS frequency,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY last_order, c_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency, c_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary_cents, c_custkey) AS m_score
+    FROM per
+)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartiled on recency (last order
+    date), frequency (order count), and monetary (exact-cents spend),
+    then counted per (R,F,M) cell — the classic CRM cube. The ntile
+    windows run over the per-customer aggregate (|customers| rows, not
+    orders), tie-broken on custkey so quartile boundaries are
+    deterministic in both engines; monetary is exact integer cents so
+    the ordering itself is float-free."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = per.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "c_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "c_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary_cents", "c_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "order_fill_latency_percentiles",
+    oracle="""
+WITH d AS (
+    SELECT o.o_orderpriority AS priority,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(quantile_cont(delay_days, 0.5), 4) AS p50_days,
+       round(quantile_cont(delay_days, 0.9), 4) AS p90_days,
+       round(quantile_cont(delay_days, 0.99), 4) AS p99_days
+FROM d GROUP BY priority
+""",
+)
+def q_order_fill_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency tail percentiles per priority class — the
+    SLA view (p50/p90/p99). Exact `percentile` (≡ DuckDB quantile_cont)
+    for oracle parity; `approx_percentile` with the same call shape is
+    the documented 100 TB switch (error contract pinned in
+    test_operators). One orderkey join, one 5-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_orderpriority").alias("priority"), delay.alias("__d"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(__d, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(__d, 0.9)"), 4).alias("p90_days"),
+            F.round(F.expr("percentile(__d, 0.99)"), 4).alias("p99_days"),
+        )
+    )
+
+
+@register(
+    "supplier_late_rate_wilson",
+    oracle="""
+WITH per AS (
+    SELECT l.l_suppkey AS s_suppkey,
+           count(*) AS n_lines,
+           count(*) FILTER (date_diff('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE)) > 90) AS n_late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+),
+scored AS (
+    SELECT s_suppkey, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_late AS BIGINT) AS n_late,
+           round(n_late / n_lines, 6) AS late_rate,
+           round((n_late / n_lines + 1.9208 / n_lines
+                  - 1.96 * sqrt((n_late / n_lines) * (1 - n_late / n_lines) / n_lines
+                                + 0.9604 / (n_lines * n_lines)))
+                 / (1 + 3.8416 / n_lines), 6) AS wilson_lower
+    FROM per
+)
+SELECT * FROM scored WHERE wilson_lower > 0.3
+""",
+)
+def q_supplier_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose late-shipment rate is significantly high: the
+    95% Wilson score LOWER bound on the per-supplier late rate must
+    clear the threshold — the small-sample-safe ranking (a 2/2-late
+    supplier doesn't outrank a 180/200 one, which a raw rate does
+    wrong). Pure column arithmetic over the per-supplier aggregate;
+    identical IEEE formula replayed by the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    ).cast("int")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(late).cast("long").alias("n_late"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_late") / n
+    z2 = 1.9208  # z²/2 for z=1.96
+    wilson = (
+        p + F.lit(z2) / n
+        - F.lit(1.96) * F.sqrt(p * (1 - p) / n + F.lit(0.9604) / (n * n))
+    ) / (1 + F.lit(3.8416) / n)
+    scored = per.select(
+        "s_suppkey",
+        "n_lines",
+        "n_late",
+        F.round(p, 6).alias("late_rate"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
+    return scored.filter(F.col("wilson_lower") > 0.3)
+
+
+@register(
+    "monthly_revenue_seasonality",
+    oracle="""
+WITH m AS (
+    SELECT CAST(month(o_orderdate) AS INT) AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+)
+SELECT month, cents / 100.0 AS revenue,
+       cents / CAST(sum(cents) OVER () AS BIGINT) AS share_of_year
+FROM m
+""",
+)
+def q_monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue seasonality with percent-of-total share —
+    exact integer cents, and the total comes from an unordered
+    whole-frame window over the 12-row aggregate (never a second scan
+    of orders; same shape as nation_revenue_share_in_region)."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").cast("int").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "month",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.col("cents") / F.sum("cents").over(w)).alias("share_of_year"),
+    )
+
+
+@register(
+    "order_size_distribution",
+    oracle="""
+WITH per AS (
+    SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM per GROUP BY n_lines
+""",
+)
+def q_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order count-of-counts — the basket-size profile that
+    bounds every per-order explode in this engine (basket pairing,
+    PageRank edge generation are Σ basket² shapes; this query is the
+    evidence the bound is small). Two aggregations, the second over
+    the handful of distinct sizes."""
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return per.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@register(
+    "returned_order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+""",
+)
+def q_returned_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority in 1996-Q1 that had at least one returned line
+    (TPC-H Q4 shape; the reference data lacks commit/receipt dates, so the
+    per-line EXISTS predicate is the return flag). The EXISTS is a LEFT
+    SEMI join between two filtered fact scans — the quarter predicate
+    pushes into the orders scan, the flag predicate into the lineitem
+    scan, and the semi join shuffles only (orderkey) pairs of the two
+    slices; the build side never materializes duplicate matches."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "bilateral_trade_volume",
+    oracle="""
+WITH sales AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS ship_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+)
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(sum(cents) AS BIGINT) / 10000.0 AS volume
+FROM sales GROUP BY 1, 2, 3
+""",
+)
+def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped revenue between two nations, both directions, by ship year
+    (TPC-H Q7 shape). The two 1-row nation slices broadcast into the
+    supplier/customer dims FIRST, so both fact arms shrink to the two
+    nations' ~8% before the only guaranteed shuffle (orderkey); the
+    OR-pair predicate then runs on two tiny joined columns. Revenue sums
+    as exact integer cents — bit-identical in any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = ["NATION_1", "NATION_2"]
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    sup2 = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust2 = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    sales = (
+        li.join(F.broadcast(sup2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust2, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return sales.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg((F.sum(_rev_cents4()) / 10000.0).alias("volume"))
+
+
+@register(
+    "major_value_parts",
+    oracle="""
+WITH vals AS (
+  SELECT l.l_partkey AS part_key,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS part_c
+  FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE s.s_suppkey = l.l_suppkey AND n.n_name = 'NATION_3')
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(part_c) AS BIGINT) AS total_c FROM vals)
+SELECT part_key, part_c / 10000.0 AS value
+FROM vals, tot
+WHERE part_c * 1000 > total_c
+""",
+)
+def q_major_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose NATION_3-supplied revenue exceeds 0.1% of that
+    nation's total (TPC-H Q11 shape: a grouped aggregate HAVING against
+    a global scalar over the SAME aggregate). The nation slice reaches
+    lineitem as a broadcast semi join before the per-part shuffle; the
+    global total is a second pass over the small per-part aggregate
+    (not the fact table), shipped back as a 1-row broadcast; and the
+    threshold compares exact integer cents — no float epsilon at the
+    cut line in either engine."""
+    n3 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup3 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup3), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    vals = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(_rev_cents4()).alias("part_c")
+    )
+    tot = vals.agg(F.sum("part_c").alias("total_c"))
+    return (
+        vals.join(F.broadcast(tot))
+        .filter(F.col("part_c") * 1000 > F.col("total_c"))
+        .select("part_key", (F.col("part_c") / 10000.0).alias("value"))
+    )
+
+
+@register(
+    "heavy_promo_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    AND EXISTS (SELECT 1 FROM part p
+                WHERE p.p_partkey = l.l_partkey AND p.p_type = 'PROMO')
+  GROUP BY 1
+  HAVING sum(CAST(round(l.l_quantity * 100) AS BIGINT)) > 30000
+)
+""",
+)
+def q_heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 300 units of PROMO-type parts in
+    1997 (TPC-H Q20 shape: a semi join against an aggregated, itself
+    semi-joined, subquery — the candidate-supplier screen for a
+    promotion). Both inner predicates push to their scans, the part
+    slice reaches lineitem as a broadcast semi join BEFORE the per-
+    supplier shuffle, and the outer supplier probe is a broadcast semi
+    join against the tiny qualifying-keys aggregate. Quantities sum as
+    exact integer centi-units."""
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li97 = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    heavy = (
+        li97.groupBy("l_suppkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .filter(F.col("qty_c") > 30000)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "observed_quality_report",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_discount_lines,
+       CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS negative_qty_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         / 10000.0 AS revenue
+FROM lineitem
+WHERE l_returnflag <> 'R'
+""",
+)
+def q_observed_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass piggybacked DQ metrics via ``df.observe``: the counters
+    ride the SAME job that materializes the kept-lines output (a noop
+    sink here, the real gold write in production) — row count, rule
+    violations, and exact-cents revenue appear as a side effect of the
+    action, with NO second scan of the fact table. This is the Spark-
+    native replacement for the reference's separate quality pass
+    (data_cleaner.py:99-151) at 100 TB: profiling a table you were
+    writing anyway costs zero extra I/O
+    (operators/profiling.py:observe_quality shows the general form)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") != "R")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("high_discount_lines"),
+        F.sum(F.when(F.col("l_quantity") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_qty_lines"),
+        (F.sum(_rev_cents4()) / 10000.0).alias("revenue"),
+    )
+    # the action the caller was running anyway (gold write stand-in)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["high_discount_lines"],
+                m["negative_qty_lines"],
+                m["revenue"],
+            )
+        ],
+        "n_rows long, high_discount_lines long, negative_qty_lines long, revenue double",
+    )

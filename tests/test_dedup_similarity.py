@@ -525,7 +525,8 @@ def test_containment_capped_path_matches_uncapped_on_cold_corpus(spark):
 
 
 def test_bm25_ranks_term_dense_short_doc_first(spark, sf_dir, monkeypatch):
-    import covid_data_challenge_spark.queries_ext as qe
+    # patch the module the query actually resolves _docs from (themed split)
+    import covid_data_challenge_spark.queries_text as qe
     from covid_data_challenge_spark.registry import REGISTRY
 
     rows = [
@@ -544,7 +545,7 @@ def test_bm25_ranks_term_dense_short_doc_first(spark, sf_dir, monkeypatch):
 
 
 def test_ngram_novelty_disjoint_vs_copied_sources(spark, sf_dir, monkeypatch):
-    import covid_data_challenge_spark.queries_ext as qe
+    import covid_data_challenge_spark.queries_text as qe
     from covid_data_challenge_spark.registry import REGISTRY
 
     uniq = "one two three four five six seven eight"

@@ -886,7 +886,7 @@ def test_source_kl_divergence_zero_for_identical_sources(spark, monkeypatch, tmp
     """Two sources with the same token distribution → KL ≈ 0 for both
     (only quantization floor away); a divergent third source scores
     strictly higher."""
-    import covid_data_challenge_spark.queries_ext as qx
+    import covid_data_challenge_spark.queries_sampling as qx
     from covid_data_challenge_spark.registry import REGISTRY
 
     docs = spark.createDataFrame(
@@ -908,7 +908,7 @@ def test_source_kl_divergence_zero_for_identical_sources(spark, monkeypatch, tmp
 def test_late_arrival_report_flags_known_late_row(spark, monkeypatch):
     from datetime import datetime
 
-    import covid_data_challenge_spark.queries_ext as qx
+    import covid_data_challenge_spark.queries_events as qx
     from covid_data_challenge_spark.registry import REGISTRY
 
     ev = spark.createDataFrame(
@@ -998,7 +998,7 @@ def test_drift_metrics_separate_stable_from_shifted(spark, monkeypatch):
     both blow past their alarm thresholds when the second half shifts."""
     from datetime import datetime, timedelta
 
-    import covid_data_challenge_spark.queries_ext as qx
+    import covid_data_challenge_spark.queries_curation as qx
     from covid_data_challenge_spark.registry import REGISTRY
 
     def mk(rows):

@@ -33,3 +33,17 @@ def test_query_matches_oracle(spark, con, sf_dir, name):
     odf = con.execute(spec.oracle).fetchdf()
     ok, why = values_match(normalize(sdf), normalize(odf))
     assert ok, f"{name}: {why}"
+
+
+def test_registry_order_matches_frozen_driver_contract():
+    """The driver's correctness snapshot keys on the FIRST 50 names of
+    queries(); the themed-module split must never reorder or drop a
+    frozen name. New queries may only append after the frozen prefix."""
+    import covid_data_challenge_spark.queries  # noqa: F401
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+    from covid_data_challenge_spark.registry_order import CANONICAL_ORDER
+
+    names = list(REGISTRY)
+    assert names[: len(CANONICAL_ORDER)] == list(CANONICAL_ORDER)
+    assert all(REGISTRY[n].spark is not None for n in CANONICAL_ORDER)
