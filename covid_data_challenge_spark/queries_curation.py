@@ -1355,3 +1355,214 @@ def q_corpus_prep_recipe_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_keep_first(kept).select(
         "doc_id", "lang", "source", "p_units"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: PR-AUC + threshold sweep — the rest of the classifier eval kit,
+# both on the same scale-safe distinct-logit aggregation as the ROC-AUC.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classifier_eval_pr_auc",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+per_val AS (
+    SELECT logit_units,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM scored GROUP BY logit_units
+),
+cum AS (
+    SELECT logit_units, n, n_pos,
+           CAST(sum(n) OVER w AS BIGINT) AS tpfp,
+           CAST(sum(n_pos) OVER w AS BIGINT) AS tp
+    FROM per_val
+    WINDOW w AS (ORDER BY logit_units DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+               CAST(sum(n - n_pos) AS BIGINT) AS neg FROM per_val),
+terms AS (
+    SELECT CAST(floor(1000000000000000.0
+               * ((CAST(n_pos AS DOUBLE) / CAST(tot.p AS DOUBLE))
+                  * (CAST(tp AS DOUBLE) / CAST(tpfp AS DOUBLE))))
+             AS BIGINT) AS u
+    FROM cum CROSS JOIN tot
+)
+SELECT tot.p AS n_pos, tot.neg AS n_neg,
+       CAST(sum(u) AS BIGINT) / 1000000000000000.0 AS pr_auc
+FROM terms CROSS JOIN tot GROUP BY tot.p, tot.neg
+""",
+)
+def q_classifier_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-interpolated area under the
+    precision-recall curve) of the trained quality classifier — the
+    eval that matters for curation, where positives are rare and
+    ROC-AUC flatters: AP = Σ_t ΔRecall(t)·Precision(t) over distinct
+    score thresholds descending.
+
+    Same scale discipline as classifier_eval_auc: collapse to the
+    distinct-logit table first (one map-side-combinable shuffle), run
+    the cumulative window over distinct VALUES (bounded by score
+    cardinality), and quantize each ΔR·P term to integer 1e-15 units
+    before the order-free sum — per-term doubles are deterministic
+    functions of integer counts, so the whole area replays bit-exactly
+    in DuckDB. The terms sum to ≤1, so the unit sum fits a long with
+    15 decimal digits of headroom."""
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    per_val = scored.groupBy("logit_units").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy(F.col("logit_units").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("long").alias("tpfp"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+    )
+    tot = per_val.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("neg"),
+    )
+    terms = cum.join(F.broadcast(tot)).select(
+        "p",
+        "neg",
+        F.floor(
+            F.lit(1e15)
+            * (
+                (F.col("n_pos").cast("double") / F.col("p").cast("double"))
+                * (F.col("tp").cast("double") / F.col("tpfp").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    return terms.groupBy("p", "neg").agg(
+        (F.sum("u").cast("long") / F.lit(1e15)).alias("pr_auc")
+    ).select(
+        F.col("p").alias("n_pos"), F.col("neg").alias("n_neg"), "pr_auc"
+    )
+
+
+@register(
+    "classifier_threshold_sweep",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+probs AS (
+    SELECT y,
+           CAST(least(floor((1.0 / (1.0 + {portable_exp_sql("zneg")})) * 10.0),
+                      9.0) AS INT) AS bin
+    FROM (SELECT y,
+                 -(CAST(logit_units AS DOUBLE) / 1000000000.0) AS zneg
+          FROM scored)
+),
+by_bin AS (
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM probs GROUP BY bin
+),
+grid AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+filled AS (
+    SELECT g.bin, coalesce(b.n, 0) AS n, coalesce(b.n_pos, 0) AS n_pos
+    FROM grid g LEFT JOIN by_bin b USING (bin)
+),
+cum AS (
+    SELECT bin,
+           CAST(sum(n) OVER w AS BIGINT) AS n_sel,
+           CAST(sum(n_pos) OVER w AS BIGINT) AS tp
+    FROM filled
+    WINDOW w AS (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p FROM filled)
+SELECT CAST(cum.bin AS DOUBLE) / 10.0 AS threshold,
+       n_sel, tp,
+       CASE WHEN n_sel > 0
+            THEN CAST(tp AS DOUBLE) / CAST(n_sel AS DOUBLE) ELSE 0.0
+       END AS precision,
+       CASE WHEN tot.p > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tot.p AS DOUBLE) ELSE 0.0
+       END AS recall
+FROM cum CROSS JOIN tot
+""",
+)
+def q_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point table for the quality classifier: for every
+    probability-decile threshold t, how many documents a 'keep if
+    p ≥ t' gate selects and its precision/recall — the table you read
+    before picking corpus_prep_recipe_v4's selection policy.
+
+    Scale shape: sigmoid + decile binning are map-side, one 10-row
+    aggregation, then a cumulative window over the 10-row decile grid
+    (absent deciles filled with zeros so the sweep always has 10 rows).
+    Counts are exact integers; precision/recall are single IEEE
+    divisions of those integers — hash-exact with no quantization
+    needed."""
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + portable_exp(-(F.col("logit_units").cast("double") / F.lit(1e9)))
+    )
+    by_bin = (
+        scored.select(
+            "y",
+            F.least(F.floor(p * F.lit(10.0)), F.lit(9.0)).cast("int").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+    )
+    grid = scored.sparkSession.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    filled = grid.join(by_bin, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).alias("n_pos"),
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = filled.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("n_sel"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+    )
+    tot = filled.agg(F.sum("n_pos").cast("long").alias("p"))
+    return cum.join(F.broadcast(tot)).select(
+        (F.col("bin").cast("double") / F.lit(10.0)).alias("threshold"),
+        "n_sel",
+        "tp",
+        F.when(
+            F.col("n_sel") > 0,
+            F.col("tp").cast("double") / F.col("n_sel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(
+            F.col("p") > 0, F.col("tp").cast("double") / F.col("p").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )

@@ -211,3 +211,32 @@ def test_lr_classifier_separates_separable_corpus(spark, dsir_corpus):
     # target docs themselves must score at the top
     tgt = [v for k, v in out.items() if k < 20]
     assert min(tgt) > max(food)
+
+
+def test_pr_auc_and_sweep_invariants(spark, sf_dir):
+    """AP and the threshold sweep must obey the exact identities the
+    distinct-logit derivation claims: AP in (0, 1]; the sweep's lowest
+    threshold (0.0) selects every doc with recall 1.0, monotone
+    non-increasing n_sel as the threshold rises, and tp consistent with
+    precision·n_sel at every row."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    ap = REGISTRY["classifier_eval_pr_auc"].spark(spark, sf_dir).collect()[0]
+    assert 0.0 < ap.pr_auc <= 1.0
+    # random-ranking baseline for AP is the positive prevalence
+    prevalence = ap.n_pos / (ap.n_pos + ap.n_neg)
+    assert ap.pr_auc >= prevalence * 0.5
+
+    rows = sorted(
+        REGISTRY["classifier_threshold_sweep"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 10 and rows[0].threshold == 0.0
+    assert rows[0].n_sel == ap.n_pos + ap.n_neg
+    assert rows[0].recall == 1.0
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_sel >= hi.n_sel and lo.tp >= hi.tp
+    for r in rows:
+        if r.n_sel:
+            assert abs(r.precision * r.n_sel - r.tp) < 1e-6
