@@ -1566,3 +1566,139 @@ def q_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: DSIR's actual sampler — Gumbel-top-k without replacement,
+# deterministically seeded, hash-exact through nested portable-ln
+# ---------------------------------------------------------------------------
+
+_DSIRG_SALT = "dsirg"
+_DSIRG_K = 50
+#: md5-derived uniform in the OPEN interval (0,1): (u32+1)/(2^32+1),
+#: so both nested logs stay inside portable_ln's positive domain
+_DSIRG_NIB_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) "
+    f"|| '{_DSIRG_SALT}'), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+_DSIRG_S1, _DSIRG_F1 = portable_ln_sql_stages({"l_u": "u"})
+_DSIRG_S2, _DSIRG_F2 = portable_ln_sql_stages({"l_g": "(-(l_u))"})
+
+
+@register(
+    "dsir_gumbel_topk",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source IN {_DSIR_TARGET_SOURCES} AS is_target,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, is_target,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{DSIR_SALT}'), 1, 8)) AS BIGINT)
+              % {DSIR_BUCKETS} + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2, 3
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+           sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cr
+    FROM bucketed GROUP BY 1
+),
+grid AS (
+    SELECT bucket, ct, cr,
+           (SELECT sum(ct) FROM per_bucket) AS nt,
+           (SELECT sum(cr) FROM per_bucket) AS nr
+    FROM per_bucket
+),
+staged AS (SELECT bucket, {_DSIR_STAGE} FROM grid),
+lns AS (SELECT bucket, {_DSIR_FINAL} FROM staged),
+wtab AS (
+    SELECT bucket,
+           CAST(floor(1000000.0 * ((((l1) - (l2)) - (l3)) + (l4))) AS BIGINT)
+             AS w_units
+    FROM lns
+),
+docw AS (
+    SELECT b.doc_id, b.is_target,
+           sum(b.cnt) AS n_tokens,
+           sum(b.cnt * w.w_units) AS w_units
+    FROM bucketed b JOIN wtab w USING (bucket)
+    GROUP BY 1, 2
+),
+raw AS (SELECT doc_id, n_tokens, w_units FROM docw WHERE NOT is_target),
+coin AS (
+    SELECT doc_id, n_tokens, w_units,
+           (CAST(({_DSIRG_NIB_SQL}) + 1 AS DOUBLE) / 4294967297.0) AS u
+    FROM raw
+),
+s1 AS (SELECT doc_id, n_tokens, w_units, {_DSIRG_S1} FROM coin),
+f1 AS (SELECT doc_id, n_tokens, w_units, {_DSIRG_F1} FROM s1),
+s2 AS (SELECT doc_id, n_tokens, w_units, {_DSIRG_S2} FROM f1),
+f2 AS (SELECT doc_id, n_tokens, w_units, {_DSIRG_F2} FROM s2),
+keyed AS (
+    SELECT doc_id, n_tokens, w_units,
+           CAST(floor(1000000.0 * (-(l_g))) AS BIGINT) AS gumbel_units
+    FROM f2
+)
+SELECT doc_id, n_tokens, w_units, gumbel_units,
+       w_units + gumbel_units AS key_units
+FROM keyed ORDER BY key_units DESC, doc_id LIMIT {_DSIRG_K}
+""",
+)
+def q_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's ACTUAL selection rule (arXiv:2302.03169 §2): sample k raw
+    documents WITHOUT replacement with probability proportional to
+    their importance weight, via the Gumbel-top-k trick — key_i =
+    log w_i + g_i with g_i ~ Gumbel(0,1), take the k largest keys.
+    dsir_importance_select's quantile threshold is the deterministic
+    set-valued stand-in; this is the paper-faithful sampler, made
+    replayable: the Gumbel noise is g = -ln(-ln(u)) over the
+    deterministic md5 coin u = (u32+1)/(2^32+1) (open interval, so both
+    nested logs stay in domain), both logs through portable_ln, and
+    both the log-weight and the noise live in integer micro-nat units
+    so the key is an exact integer sum. Identical draw every run, every
+    engine, every partitioning — a seeded sampler you can audit.
+
+    Scale shape: doc weights come from the same constant-size DSIR
+    model (one bucket agg + one doc agg); the coin and nested lns are
+    map-side column algebra; the top-k is TakeOrderedAndProject (never
+    a global sort). k is the budget knob; ties broken by doc_id."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+    from covid_data_challenge_spark.functions.text import let
+    from covid_data_challenge_spark.operators.dsir import dsir_doc_weights
+
+    docs = _docs(spark, sf_dir)
+    dw = dsir_doc_weights(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    )
+    raw = dw.filter(~F.col("is_target"))
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_DSIRG_SALT))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u32 + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    # portable_ln references its argument ~20x; nesting ln(ln(u)) naively
+    # would substitute the inner tree at every outer reference (and u's
+    # md5 at every inner one) — a multiplicative Catalyst blowup. Two
+    # let-bindings make each stage a slot read, exactly like the
+    # oracle's staged CTE columns; the doubles are unchanged.
+    g = let(u, lambda uu: let(-portable_ln(uu), lambda nl: -portable_ln(nl)))
+    gumbel_units = F.floor(F.lit(1e6) * g).cast("long")
+    keyed = raw.select(
+        "doc_id",
+        "n_tokens",
+        "w_units",
+        gumbel_units.alias("gumbel_units"),
+        (F.col("w_units") + gumbel_units).alias("key_units"),
+    )
+    return keyed.orderBy(F.col("key_units").desc(), "doc_id").limit(_DSIRG_K)

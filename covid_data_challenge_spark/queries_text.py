@@ -937,3 +937,139 @@ def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(dense, lambda x: x.cast("string")), ","
         ).alias("features"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: Gopher-rule quality battery (Rae et al. 2021, arXiv:2112.11446
+# Table A1; the same heuristics FineWeb/RefinedWeb apply before any
+# model-based filtering)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPS_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+             AS BIGINT) AS n_alpha_words,
+           CAST(len(list_filter(w, t -> t IN ({_GOPHER_STOPS_SQL})))
+             AS BIGINT) AS n_stop_hits,
+           CAST(len(list_intersect(w, [{_GOPHER_STOPS_SQL}]))
+             AS BIGINT) AS n_stop_distinct,
+           CAST(len(list_filter(w, t -> regexp_matches(t, '^[#*>|=~_-]+$')))
+             AS BIGINT) AS n_symbol_words,
+           CAST(list_aggregate(list_transform(w, t -> len(t)), 'sum')
+             AS BIGINT) AS n_chars_in_words
+    FROM toks
+)
+SELECT doc_id, n_words,
+       CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS mean_word_len,
+       CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS alpha_frac,
+       CAST(n_symbol_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS symbol_frac,
+       n_stop_distinct,
+       (n_words >= 5 AND n_words <= 100000) AS ok_length,
+       (CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        AND CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0)
+         AS ok_word_len,
+       (CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+         AS ok_alpha,
+       (CAST(n_symbol_words AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1)
+         AS ok_symbols,
+       (n_stop_distinct >= 2) AS ok_stopwords,
+       ((n_words >= 5 AND n_words <= 100000)
+        AND CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        AND CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+        AND CAST(n_symbol_words AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+        AND n_stop_distinct >= 2) AS keep
+FROM sig WHERE n_words > 0
+""",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, Table A1), the
+    heuristic pre-filter every modern curation pipeline (MassiveText,
+    RefinedWeb, FineWeb) runs before any model-based scoring: word
+    count bounds, mean-word-length window [3, 10], alphabetic-word
+    fraction ≥ 0.8, symbol-word fraction ≤ 0.1, and the ≥2-distinct-
+    stopword requirement — per-document signals, individual rule
+    verdicts, and the conjunctive keep bit.
+
+    Every signal is a higher-order-function fold over ONE tokenization
+    (no explode, no shuffle at all — the whole battery is map-side on
+    the scan, the ideal 100 TB shape: a filter this cheap runs inline
+    with ingestion). Ratios are single IEEE divisions of exact integer
+    counts, so the table hash-matches DuckDB without quantization.
+    Word-count lower bound is 5 here (the paper's 50 would empty the
+    synthetic corpus); the constant is the policy knob, not the
+    operator."""
+    docs = _docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+
+    def _sig(toks):
+        n_words = F.size(toks).cast("long")
+        n_alpha = F.size(
+            F.filter(toks, lambda t: t.rlike("[a-z]"))
+        ).cast("long")
+        n_stop_distinct = F.array_size(
+            F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+        ).cast("long")
+        n_symbol = F.size(
+            F.filter(toks, lambda t: t.rlike("^[#*>|=~_-]+$"))
+        ).cast("long")
+        n_chars = F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return n_words, n_alpha, n_stop_distinct, n_symbol, n_chars
+
+    n_words, n_alpha, n_stop_distinct, n_symbol, n_chars = _sig(w)
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        n_symbol.alias("n_symbol_words"),
+        n_chars.alias("n_chars_in_words"),
+    ).filter(F.col("n_words") > 0)
+    mean_wl = F.col("n_chars_in_words").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    alpha_frac = F.col("n_alpha_words").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    symbol_frac = F.col("n_symbol_words").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    ok_length = (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
+    ok_word_len = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_alpha = alpha_frac >= 0.8
+    ok_symbols = symbol_frac <= 0.1
+    ok_stops = F.col("n_stop_distinct") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_frac.alias("symbol_frac"),
+        "n_stop_distinct",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stops.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_alpha & ok_symbols & ok_stops).alias(
+            "keep"
+        ),
+    )
