@@ -879,3 +879,107 @@ def boilerplate_passage_strip(
     )
     kept = exploded.join(hot, "h", "left_anti")
     return _passage_reassemble(kept)
+
+
+def sliding_window_grams(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, h): every stride-1 ``k``-token window of the
+    normalized text, md5-keyed — the candidate stream for EXACT
+    substring dedup (Lee et al. 2021, arXiv:2107.06499, which shows
+    repeated spans — not just repeated documents — drive memorization).
+
+    Entirely map-side: the token array is let-bound (one tokenization
+    per doc), positions are 1-based, windows per doc = len − k + 1.
+    Docs shorter than ``k`` tokens emit nothing. Unlike the passage
+    explode (stride = window), stride-1 emits ~len rows per doc — the
+    honest cost of exact-substring sensitivity; k is the dial between
+    recall and volume."""
+
+    def build(w):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(w, i, F.lit(k)), " ")),
+        )
+
+    toks = tokens(F.col(text_col))
+    return (
+        docs.filter(F.size(tokens(F.col(text_col))) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(let(toks, build)).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans per document — exact substring
+    dedup's reporting half: every position covered by a k-token window
+    whose hash occurs ≥ ``min_count`` times corpus-wide is duplicated;
+    overlapping/adjacent duplicated windows merge into maximal spans.
+
+    Output: (doc_id, span_start, span_end, span_tokens) with token
+    positions 1-based and span_end exclusive. The production strip step
+    is one `slice`+`array_join` away (drop covered tokens), exactly as
+    passage_dedup reassembles.
+
+    Scale shape — the Spark answer to the paper's suffix array: one
+    map-side window explode, one map-side-combinable count on the
+    32-byte hash (skew-safe: identical windows co-hash, and the count
+    table collapses to |distinct grams|), a semi-join of the window
+    stream against the ≥min_count hash set (AQE broadcasts when small),
+    then gaps-and-islands per document — windows partitioned by doc_id,
+    bounded by tokens-per-doc, never corpus-global. No suffix array, no
+    driver state, no O(n²)."""
+    wins = sliding_window_grams(docs, k, id_col, text_col)
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h")
+    )
+    dup = wins.join(dup_h, "h", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(k)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = (
+        dup.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

@@ -836,3 +836,74 @@ def q_containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.5, max_doc_freq=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: exact substring dedup — maximal duplicated spans
+# (Lee et al. 2021, arXiv:2107.06499; stride-1 window twin of the
+# suffix-array approach)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+@register(
+    "duplicate_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+wins AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           md5(array_to_string(w[i:(i + {_SPAN_K - 1})], ' ')) AS h
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - {_SPAN_K - 1}
+),
+duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dup AS (
+    SELECT doc_id, pos, pos + {_SPAN_K} AS e
+    FROM wins WHERE h IN (SELECT h FROM duph)
+),
+isl AS (
+    SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_end
+    FROM dup
+),
+marked AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS ni
+    FROM isl
+),
+numbered AS (
+    SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+    FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) AS BIGINT) AS span_tokens
+FROM numbered GROUP BY doc_id, island
+""",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, reporting form (Lee et al. 2021 — the
+    'deduplicating training data' result that repeated SPANS, not just
+    repeated documents, drive memorization): every token position
+    covered by a stride-1 8-token window whose md5 occurs at least
+    twice corpus-wide is duplicated; overlapping/adjacent windows merge
+    into maximal (doc_id, span_start, span_end) spans via
+    gaps-and-islands. Catches cross-document copied sentences that
+    passage_dedup's stride-16 blocks miss when the copy is unaligned.
+
+    Spark-first substitute for the paper's suffix array: one map-side
+    let-bound window explode, a map-side-combinable count on the window
+    hash, a semi-join against the >=2-count hash set, and per-DOCUMENT
+    windows for the island merge (partitioned by doc_id — bounded by
+    tokens-per-doc, never corpus-global). See operators/dedup.py
+    duplicate_spans for the scale analysis."""
+    from covid_data_challenge_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=_SPAN_K)

@@ -662,3 +662,29 @@ def test_jl_projection_preserves_pairwise_distance_ranks(spark, sf_dir):
     want = (planes @ a.astype("float64")) / np.sqrt(8)
     got = out[0]
     assert np.all(np.abs(got - want) <= 2e-6 + 1e-9 * np.abs(want))
+
+
+def test_duplicate_spans_golden_cross_and_within_doc(spark):
+    """Exact-substring span semantics on a hand-built fixture: a 9-token
+    run shared by two docs yields one maximal span in each at the right
+    offsets; a within-doc 8-token repeat merges its two adjacent
+    duplicated windows into one 16-token span; a unique doc emits
+    nothing."""
+    from covid_data_challenge_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (0, "a b c d e f g h i j k l"),
+        (1, "x0 x1 x2 a b c d e f g h i y0 y1"),
+        (2, "p q r s t u v w"),
+        (3, "m n o p2 q2 r2 s2 t2 m n o p2 q2 r2 s2 t2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.span_start): r
+        for r in duplicate_spans(docs, k=8).collect()
+    }
+    assert set(out) == {(0, 1), (1, 4), (3, 1)}
+    assert out[(0, 1)].span_end == 10 and out[(0, 1)].span_tokens == 9
+    assert out[(1, 4)].span_end == 13 and out[(1, 4)].span_tokens == 9
+    # within-doc repeat: windows at pos 1 and 9 are adjacent -> one span
+    assert out[(3, 1)].span_end == 17 and out[(3, 1)].span_tokens == 16
