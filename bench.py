@@ -71,6 +71,12 @@ EXTENSION = [
     # md5-coin soft selection -> dedup) and the scale-safe exact AUC
     "corpus_prep_recipe_v4",
     "classifier_eval_auc",
+    # round 4 late wave: exact substring dedup (stride-1 window explode —
+    # the heaviest new shuffle shape), the map-side Gopher rule battery,
+    # and the Gumbel-top-k DSIR sampler
+    "duplicate_spans",
+    "gopher_quality_flags",
+    "dsir_gumbel_topk",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -115,6 +121,9 @@ SCALE_SF1 = [
     # watch that it stays sub-3x for 10x edges)
     "dsir_importance_select",
     "part_triangle_census",
+    # round 4: the stride-1 substring-window explode is the newest
+    # corpus-×-length shuffle shape — watch its 10× growth stays linear
+    "duplicate_spans",
 ]
 
 RUNS_PER_QUERY = 2

@@ -983,3 +983,63 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicated span (see :func:`duplicate_spans`) from
+    every document — the strip step of exact substring dedup. Unlike
+    keep-first document dedup, NO occurrence survives: a span repeated
+    anywhere in the corpus is memorization risk in each of its hosts
+    (Lee et al. 2021 strip repeated substrings globally for the same
+    reason the boilerplate pass strips, not dedups).
+
+    Output: (doc_id, clean_text, kept_tokens, dropped_tokens); docs
+    whose every token was covered drop out (clean_text would be empty).
+
+    Scale: positions are re-derived map-side, covered positions come
+    from a per-document range join against that document's own spans
+    (span lists are tokens-per-doc bounded), and reassembly is the same
+    one-shuffle order-struct aggregate as passage_dedup. The span table
+    is small (merged islands), so AQE broadcasts the join when it can.
+    """
+    spans = duplicate_spans(docs, k, min_count, id_col, text_col)
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos0", "tok"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    covered = (
+        toks.join(spans, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("span_start")) & (F.col("pos") < F.col("span_end"))
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    n_total = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(F.transform(ordered, lambda s: s["tok"]), " ").alias(
+                "clean_text"
+            ),
+            F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        )
+        .join(n_total, "doc_id")
+        .select(
+            "doc_id",
+            "clean_text",
+            "kept_tokens",
+            (F.col("__n") - F.col("kept_tokens")).cast("long").alias("dropped_tokens"),
+        )
+    )

@@ -907,3 +907,82 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(_docs(spark, sf_dir), k=_SPAN_K)
+
+
+@register(
+    "strip_duplicate_spans",
+    oracle=f"""
+WITH toks0 AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+wins AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           md5(array_to_string(w[i:(i + {_SPAN_K - 1})], ' ')) AS h
+    FROM toks0 JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - {_SPAN_K - 1}
+),
+duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dup AS (
+    SELECT doc_id, pos, pos + {_SPAN_K} AS e
+    FROM wins WHERE h IN (SELECT h FROM duph)
+),
+isl AS (
+    SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_end
+    FROM dup
+),
+marked AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS ni
+    FROM isl
+),
+numbered AS (
+    SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+    FROM numbered GROUP BY doc_id, island
+),
+tok AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
+    FROM toks0 JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w)
+),
+covered AS (
+    SELECT DISTINCT t.doc_id, t.pos
+    FROM tok t JOIN spans s
+      ON t.doc_id = s.doc_id AND t.pos >= s.span_start AND t.pos < s.span_end
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    WHERE c.pos IS NULL
+),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS kept_tokens,
+       CAST(any_value(t.n) - count(*) AS BIGINT) AS dropped_tokens
+FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+""",
+)
+def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strip half of exact substring dedup: duplicated spans (see
+    duplicate_spans) are removed from EVERY host — no first-occurrence
+    survivor, because a globally repeated span is memorization risk in
+    each document carrying it — and the remaining tokens reassemble in
+    order. Per-doc output: cleaned text plus kept/dropped token counts
+    (docs fully covered by duplicated spans drop out).
+
+    Scale: the span table is merged-island small; covering positions is
+    a per-document range join (bounded by tokens-per-doc); reassembly is
+    the one-shuffle order-struct aggregate passage_dedup uses. Lossless
+    text reconstruction when no span exists is pinned in pytest."""
+    from covid_data_challenge_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_docs(spark, sf_dir), k=_SPAN_K)

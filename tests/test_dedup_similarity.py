@@ -688,3 +688,27 @@ def test_duplicate_spans_golden_cross_and_within_doc(spark):
     assert out[(1, 4)].span_end == 13 and out[(1, 4)].span_tokens == 9
     # within-doc repeat: windows at pos 1 and 9 are adjacent -> one span
     assert out[(3, 1)].span_end == 17 and out[(3, 1)].span_tokens == 16
+
+
+def test_strip_duplicate_spans_lossless_and_exact(spark):
+    """Strip semantics: the shared 9-token run disappears from BOTH
+    hosts (no survivor), untouched docs round-trip losslessly, and a
+    fully-duplicated doc drops out entirely."""
+    from covid_data_challenge_spark.functions.text import normalize_text
+    from covid_data_challenge_spark.operators.dedup import strip_duplicate_spans
+
+    rows = [
+        (0, "a b c d e f g h i j k l"),
+        (1, "x0 x1 x2 a b c d e f g h i y0 y1"),
+        (2, "p q r s t u v w unique tail here"),
+        (3, "a b c d e f g h"),  # entirely inside the shared run
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_duplicate_spans(docs, k=8).collect()}
+    assert 3 not in out  # fully covered -> dropped
+    assert out[0].clean_text == "j k l" and out[0].dropped_tokens == 9
+    assert out[1].clean_text == "x0 x1 x2 y0 y1" and out[1].dropped_tokens == 9
+    norm2 = docs.filter(F.col("doc_id") == 2).select(
+        normalize_text(F.col("text")).alias("t")
+    ).collect()[0].t
+    assert out[2].clean_text == norm2 and out[2].dropped_tokens == 0
