@@ -672,3 +672,286 @@ def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "doc_id", "quality", "key_units", F.col("rn").cast("int").alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: objective-transform sample prep — FIM reordering and T5-style
+# span corruption, both deterministic (md5 coins) and string/integer-only,
+# so they hash-replay with no float discipline needed at all.
+# ---------------------------------------------------------------------------
+
+_FIM_SALT = "fim-v1"
+
+
+def _md5_u32_sql(key_sql: str) -> str:
+    """DuckDB twin of the Spark conv(md5-prefix) u32 draw."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({key_sql}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "fim_transform",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+sized AS (
+    SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks
+    WHERE len(w) >= 3
+),
+cuts AS (
+    SELECT doc_id, w, n,
+           ({_md5_u32_sql(f"CAST(doc_id AS VARCHAR) || '{_FIM_SALT}a'")} % (n + 1))
+             AS c1,
+           ({_md5_u32_sql(f"CAST(doc_id AS VARCHAR) || '{_FIM_SALT}b'")} % (n + 1))
+             AS c2
+    FROM sized
+),
+split AS (
+    SELECT doc_id, n,
+           CAST(least(c1, c2) AS BIGINT) AS lo,
+           CAST(greatest(c1, c2) AS BIGINT) AS hi,
+           w
+    FROM cuts
+)
+SELECT doc_id, n AS n_tokens, lo AS prefix_len, hi - lo AS middle_len,
+       '<PRE> ' || coalesce(array_to_string(w[1:lo], ' '), '')
+       || ' <SUF> ' || coalesce(array_to_string(w[(hi + 1):n], ' '), '')
+       || ' <MID> ' || coalesce(array_to_string(w[(lo + 1):hi], ' '), '')
+         AS psm_text
+FROM split
+""",
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255): split each document at two deterministic cut
+    points into (prefix, middle, suffix) and emit the PSM reordering
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — the data-level move
+    that teaches a causal LM to infill. Cuts are salted md5 draws mod
+    (n+1), ordered by least/greatest, so the same document produces the
+    same sample on any engine, run, or partitioning — and the output is
+    strings + integers only, hash-exact with no numeric discipline.
+
+    Scale: pure map-side column algebra over one let-bound tokenization
+    (slice + array_join, no explode, no shuffle) — the transform
+    streams at scan speed, the right shape for an objective transform
+    applied to 100 TB on the way into training shards."""
+    from covid_data_challenge_spark.functions.text import let
+
+    docs = _docs(spark, sf_dir)
+
+    def build(w):
+        n = F.size(w).cast("long")
+
+        def u32(salt):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+
+        c1 = u32(_FIM_SALT + "a") % (n + 1)
+        c2 = u32(_FIM_SALT + "b") % (n + 1)
+        lo = F.least(c1, c2)
+        hi = F.greatest(c1, c2)
+        psm = F.concat(
+            F.lit("<PRE> "),
+            F.array_join(F.slice(w, 1, lo.cast("int")), " "),
+            F.lit(" <SUF> "),
+            F.array_join(
+                F.slice(w, (hi + 1).cast("int"), (n - hi).cast("int")), " "
+            ),
+            F.lit(" <MID> "),
+            F.array_join(
+                F.slice(w, (lo + 1).cast("int"), (hi - lo).cast("int")), " "
+            ),
+        )
+        return F.struct(
+            n.alias("n_tokens"),
+            lo.alias("prefix_len"),
+            (hi - lo).alias("middle_len"),
+            psm.alias("psm_text"),
+        )
+
+    toks = tokens(F.col("text"))
+    out = docs.filter(F.size(toks) >= 3).select(
+        "doc_id", let(toks, build).alias("s")
+    )
+    return out.select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.prefix_len").alias("prefix_len"),
+        F.col("s.middle_len").alias("middle_len"),
+        F.col("s.psm_text").alias("psm_text"),
+    )
+
+
+_T5_BLOCK = 16
+_T5_SALT_O = "t5a"
+_T5_SALT_L = "t5b"
+
+
+@register(
+    "t5_span_corruption",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+),
+sized AS (
+    SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+           CAST(len(w) // {_T5_BLOCK} AS BIGINT) AS n_full
+    FROM toks WHERE len(w) >= {_T5_BLOCK}
+),
+blocks AS (
+    SELECT doc_id, w, n, n_full,
+           list_transform(range(0, n_full), b -> {{
+               'b': b,
+               'l': 2 + ({_md5_u32_sql(f"CAST(doc_id AS VARCHAR) || '{_T5_SALT_L}' || CAST(b AS VARCHAR)")} % 3),
+               'o': {_md5_u32_sql(f"CAST(doc_id AS VARCHAR) || '{_T5_SALT_O}' || CAST(b AS VARCHAR)")}
+                    % (17 - (2 + ({_md5_u32_sql(f"CAST(doc_id AS VARCHAR) || '{_T5_SALT_L}' || CAST(b AS VARCHAR)")} % 3)))
+           }}) AS bs
+    FROM sized
+)
+SELECT doc_id, n AS n_tokens, n_full AS n_spans,
+       CAST(list_aggregate(list_transform(bs, x -> x.l), 'sum') AS BIGINT)
+         AS masked_tokens,
+       array_to_string(list_concat(flatten(list_transform(bs, x ->
+           list_concat(list_concat(
+               coalesce(w[(x.b * {_T5_BLOCK} + 1):(x.b * {_T5_BLOCK} + x.o)], []),
+               ['<X_' || CAST(x.b AS VARCHAR) || '>']),
+               coalesce(w[(x.b * {_T5_BLOCK} + x.o + x.l + 1):(x.b * {_T5_BLOCK} + {_T5_BLOCK})], [])))),
+           coalesce(w[(n_full * {_T5_BLOCK} + 1):n], [])), ' ') AS input_text,
+       array_to_string(flatten(list_transform(bs, x ->
+           list_concat(['<X_' || CAST(x.b AS VARCHAR) || '>'],
+               coalesce(w[(x.b * {_T5_BLOCK} + x.o + 1):(x.b * {_T5_BLOCK} + x.o + x.l)], [])))),
+           ' ') AS target_text
+FROM blocks
+""",
+)
+def q_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683):
+    per 16-token block, mask one deterministic 2-4-token span behind a
+    per-block sentinel ``<X_b>`` and emit the (input with sentinels,
+    target of sentinel-prefixed masked spans) pair — ~19% of tokens
+    masked, the denoising objective's data prep. Span length and offset
+    are salted md5 draws per (doc, block), so the corruption replays
+    identically on any engine/run/partitioning, and the outputs are
+    strings + integers only — hash-exact for free.
+
+    Scale: one let-bound tokenization, a per-block struct list built by
+    a HOF, and slice/flatten/join column algebra — no explode, no
+    shuffle, streams at scan speed like fim_transform. Docs shorter
+    than one block pass through the pipeline unmasked (excluded here to
+    keep every output row a real training pair)."""
+    from covid_data_challenge_spark.functions.text import let
+
+    docs = _docs(spark, sf_dir)
+    B = _T5_BLOCK
+
+    def u32b(salt, b):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(salt),
+                        b.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def build(w):
+        n = F.size(w).cast("long")
+        n_full = (n / F.lit(B)).cast("long")
+
+        def block_struct(b):
+            ln = F.lit(2) + (u32b(_T5_SALT_L, b) % 3)
+            o = u32b(_T5_SALT_O, b) % (F.lit(17) - ln)
+            return F.struct(b.alias("b"), o.alias("o"), ln.alias("l"))
+
+        def assemble(bs):
+            sentinel = lambda x: F.concat(
+                F.lit("<X_"), x["b"].cast("string"), F.lit(">")
+            )
+            inp = F.concat(
+                F.flatten(
+                    F.transform(
+                        bs,
+                        lambda x: F.concat(
+                            F.slice(
+                                w,
+                                (x["b"] * B + 1).cast("int"),
+                                x["o"].cast("int"),
+                            ),
+                            F.array(sentinel(x)),
+                            F.slice(
+                                w,
+                                (x["b"] * B + x["o"] + x["l"] + 1).cast("int"),
+                                (F.lit(B) - x["o"] - x["l"]).cast("int"),
+                            ),
+                        ),
+                    )
+                ),
+                F.slice(
+                    w, (n_full * B + 1).cast("int"), (n - n_full * B).cast("int")
+                ),
+            )
+            tgt = F.flatten(
+                F.transform(
+                    bs,
+                    lambda x: F.concat(
+                        F.array(sentinel(x)),
+                        F.slice(
+                            w,
+                            (x["b"] * B + x["o"] + 1).cast("int"),
+                            x["l"].cast("int"),
+                        ),
+                    ),
+                )
+            )
+            masked = F.aggregate(
+                F.transform(bs, lambda x: x["l"].cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            return F.struct(
+                n.alias("n_tokens"),
+                n_full.alias("n_spans"),
+                masked.alias("masked_tokens"),
+                F.array_join(inp, " ").alias("input_text"),
+                F.array_join(tgt, " ").alias("target_text"),
+            )
+
+        bs = F.transform(
+            F.sequence(F.lit(0).cast("long"), n_full - 1), block_struct
+        )
+        return let(bs, assemble)
+
+    toks = tokens(F.col("text"))
+    out = docs.filter(F.size(toks) >= B).select(
+        "doc_id", let(toks, build).alias("s")
+    )
+    return out.select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.n_spans").alias("n_spans"),
+        F.col("s.masked_tokens").alias("masked_tokens"),
+        F.col("s.input_text").alias("input_text"),
+        F.col("s.target_text").alias("target_text"),
+    )

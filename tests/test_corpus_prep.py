@@ -302,3 +302,47 @@ def test_bpe_encode_stats_unmerged_words_pass_through(spark):
     assert rows[1].units_before == rows[1].units_after == 2
     assert rows[1].merges_applied == 0
     assert rows[0].units_after == 4  # each 'zz' collapses to one unit
+
+
+def test_fim_and_t5_transforms_reconstruct_original_text(spark, sf_dir):
+    """Both objective transforms must be lossless re-orderings: FIM's
+    prefix+middle+suffix and T5's input-with-sentinels merged with its
+    target spans must each rebuild the exact normalized document."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.functions.text import normalize_text
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    norm = {
+        r.doc_id: r.t
+        for r in covid_data_challenge_spark.queries_ext._docs(spark, sf_dir)
+        .select("doc_id", normalize_text(F.col("text")).alias("t"))
+        .collect()
+    }
+
+    fim = REGISTRY["fim_transform"].spark(spark, sf_dir).collect()
+    assert fim
+    for r in fim:
+        m = re.match(r"<PRE> (.*) <SUF> (.*) <MID> (.*)$", r.psm_text, re.S)
+        assert m, r.psm_text
+        pre, suf, mid = m.groups()
+        rebuilt = " ".join(x for x in (pre, mid, suf) if x)
+        assert rebuilt == norm[r.doc_id], r.doc_id
+        assert r.prefix_len + r.middle_len <= r.n_tokens
+
+    t5 = REGISTRY["t5_span_corruption"].spark(spark, sf_dir).collect()
+    assert t5
+    for r in t5:
+        spans = {}
+        parts = re.split(r"(<X_\d+>)", r.target_text)
+        # parts: ['', '<X_0>', ' span ', '<X_1>', ...]
+        for tag, body in zip(parts[1::2], parts[2::2] + [""]):
+            spans[tag] = body.strip()
+        rebuilt = r.input_text
+        for tag, body in spans.items():
+            rebuilt = rebuilt.replace(tag, body)
+        assert " ".join(rebuilt.split()) == norm[r.doc_id], r.doc_id
+        assert r.masked_tokens == sum(len(s.split()) for s in spans.values())
