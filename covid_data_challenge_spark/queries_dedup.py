@@ -986,3 +986,71 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.dedup import strip_duplicate_spans
 
     return strip_duplicate_spans(_docs(spark, sf_dir), k=_SPAN_K)
+
+
+@register(
+    "duplicate_spans_incremental",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+wins AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           md5(array_to_string(w[i:(i + {_SPAN_K - 1})], ' ')) AS h
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - {_SPAN_K - 1}
+),
+hist AS (SELECT DISTINCT h FROM wins WHERE doc_id % 5 <> 0),
+batch AS (SELECT doc_id, pos FROM wins WHERE doc_id % 5 = 0
+          AND h IN (SELECT h FROM hist)),
+tot AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+    FROM wins WHERE doc_id % 5 = 0 GROUP BY doc_id
+),
+dup AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+    FROM batch GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_windows,
+       coalesce(d.dup_windows, 0) AS dup_windows,
+       CAST(coalesce(d.dup_windows, 0) AS DOUBLE)
+         / CAST(t.n_windows AS DOUBLE) AS dup_frac
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+""",
+)
+def q_duplicate_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring screening for incremental ingest: score each NEW-batch
+    document by the fraction of its stride-1 8-token windows already
+    present anywhere in the historical corpus — the per-batch form of
+    exact substring dedup (a high dup_frac doc is mostly recycled text
+    even when no single document matches it). Same deterministic
+    batch/history partition as incremental_batch_dedup (doc_id % 5).
+
+    Scale: history reduces once to its DISTINCT window-hash set — the
+    gram index gold table, bucketed on h at 100 TB so each day's batch
+    semi-joins shuffle-free against it; history is never joined with
+    itself. The batch side is one window explode + one hash semi-join +
+    one per-doc count."""
+    from covid_data_challenge_spark.operators.dedup import sliding_window_grams
+
+    docs = _docs(spark, sf_dir)
+    wins = sliding_window_grams(docs, k=_SPAN_K)
+    hist = wins.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
+    batch = wins.filter(F.col("doc_id") % 5 == 0)
+    tot = batch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    dup = (
+        batch.join(hist, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_windows"))
+    )
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias(
+            "dup_windows"
+        ),
+        (
+            F.coalesce(F.col("dup_windows"), F.lit(0)).cast("double")
+            / F.col("n_windows").cast("double")
+        ).alias("dup_frac"),
+    )
