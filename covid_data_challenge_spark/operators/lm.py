@@ -189,3 +189,126 @@ def bigram_lm_nll_with(
             ).alias("nll"),
         )
     )
+
+
+def doc_trigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, tri) trigram instances — the 3-token sibling of
+    :func:`doc_bigrams`, same let-bound single tokenization."""
+    toks = tokens(F.col(text_col))
+
+    def _triples(w):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        )
+
+    return docs.filter(F.size(toks) >= 3).select(
+        F.col(id_col).alias("doc_id"), F.explode(let(toks, _triples)).alias("tri")
+    )
+
+
+def stupid_backoff_nll_incremental(
+    hist: DataFrame,
+    batch: DataFrame,
+    alpha_inv: float = 2.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-score under a Stupid Backoff
+    trigram LM (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — THE distributed n-gram LM: no normalization, no
+    discounting, just count ratios with a fixed backoff factor, chosen
+    precisely because it scales to web-corpus counts on MapReduce-class
+    infrastructure; the natural Spark LM for the same reason):
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)            if trigram seen
+                      = α · c(w2w3)/c(w2)            elif bigram seen
+                      = α² · (c(w3)+1)/(N+V)         else (add-one OOV)
+
+    with α = 1/alpha_inv = 0.4. Counts come from HISTORY only and the
+    BATCH is scored — the production split (LM gold tables + daily
+    ingest), and the split that actually exercises both backoff tiers,
+    which a self-trained corpus never does (every observed trigram has
+    c≥1). -ln S = ln(den) − ln(num) + k·ln(alpha_inv), k ∈ {{0,1,2}};
+    both lns and the constant ln(alpha_inv) run through portable_ln and
+    quantize to integer micro-nats per DISTINCT batch trigram before
+    the order-free per-doc sum — hash-exact like the bigram surface.
+
+    Scale: three map-side-combined count tables (trigram/bigram/unigram,
+    each |distinct grams| rows — persist as the LM gold tables), a
+    1-row (N, V) broadcast, five equi-joins keyed on the batch's
+    DISTINCT trigram types (batch-vocab sized, not instance sized),
+    one join back to instances, one per-doc aggregation."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    tri_c = doc_trigrams(hist, id_col, text_col).groupBy("tri").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bg_c = doc_bigrams(hist, id_col, text_col).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    uni_c = (
+        hist.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nv = uni_c.agg(
+        F.sum("c1").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    )
+    inst = doc_trigrams(batch, id_col, text_col)
+    types = inst.select("tri").distinct().select(
+        "tri",
+        F.substring_index("tri", " ", 2).alias("__ctx2"),
+        F.substring_index("tri", " ", -2).alias("__bg23"),
+        F.element_at(F.split(F.col("tri"), " "), 2).alias("__w2"),
+        F.element_at(F.split(F.col("tri"), " "), 3).alias("__w3"),
+    )
+    joined = (
+        types.join(tri_c, "tri", "left")
+        .join(bg_c.withColumnRenamed("bg", "__ctx2").withColumnRenamed("c2", "__c2ctx"), "__ctx2", "left")
+        .join(bg_c.withColumnRenamed("bg", "__bg23").withColumnRenamed("c2", "__c2last"), "__bg23", "left")
+        .join(uni_c.withColumnRenamed("w", "__w2").withColumnRenamed("c1", "__c1prev"), "__w2", "left")
+        .join(uni_c.withColumnRenamed("w", "__w3").withColumnRenamed("c1", "__c1cur"), "__w3", "left")
+        .join(F.broadcast(nv))
+    )
+    num = (
+        F.when(F.col("c3").isNotNull(), F.col("c3"))
+        .when(F.col("__c2last").isNotNull(), F.col("__c2last"))
+        .otherwise(F.coalesce(F.col("__c1cur"), F.lit(0)) + F.lit(1))
+    )
+    den = (
+        F.when(F.col("c3").isNotNull(), F.col("__c2ctx"))
+        .when(F.col("__c2last").isNotNull(), F.col("__c1prev"))
+        .otherwise(F.col("__n") + F.col("__v"))
+    )
+    k = (
+        F.when(F.col("c3").isNotNull(), F.lit(0))
+        .when(F.col("__c2last").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    units = F.floor(
+        F.lit(1e6)
+        * (
+            portable_ln(den)
+            - portable_ln(num)
+            + k.cast("double") * portable_ln(F.lit(alpha_inv))
+        )
+    ).cast("long")
+    per_type = joined.select(
+        "tri", units.alias("__u"), k.alias("backoff_k")
+    )
+    return (
+        inst.join(per_type, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("backoff_k") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_backoff"),
+            (
+                F.sum("__u").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e6))
+            ).alias("nll"),
+        )
+    )

@@ -1702,3 +1702,115 @@ def q_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w_units") + gumbel_units).alias("key_units"),
     )
     return keyed.orderBy(F.col("key_units").desc(), "doc_id").limit(_DSIRG_K)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: Stupid Backoff trigram LM (Brants et al. 2007) — incremental
+# train-on-history / score-the-batch framing, so both backoff tiers fire
+# ---------------------------------------------------------------------------
+
+_SB_STAGE, _SB_FINAL = portable_ln_sql_stages(
+    {"l_num": "num", "l_den": "den", "l_bo": "2.5"}
+)
+
+
+@register(
+    "stupid_backoff_nll",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+hist AS (SELECT doc_id, w FROM toks WHERE doc_id % 5 <> 0 AND len(w) >= 1),
+bat AS (SELECT doc_id, w FROM toks WHERE doc_id % 5 = 0 AND len(w) >= 3),
+htri AS (
+    SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+    FROM hist JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+tri_c AS (SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM htri GROUP BY tri),
+hbg AS (
+    SELECT w[i] || ' ' || w[i + 1] AS bg
+    FROM hist JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+bg_c AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM hbg GROUP BY bg),
+huni AS (SELECT unnest(w) AS tok FROM hist),
+uni_c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM huni GROUP BY tok),
+nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+       FROM uni_c),
+inst AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+    FROM bat JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+types AS (
+    SELECT tri,
+           split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS ctx2,
+           split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS bg23,
+           split_part(tri, ' ', 2) AS w2,
+           split_part(tri, ' ', 3) AS w3
+    FROM (SELECT DISTINCT tri FROM inst)
+),
+j AS (
+    SELECT t.tri, tc.c3, a.c2 AS c2ctx, b.c2 AS c2last,
+           p.c1 AS c1prev, q.c1 AS c1cur, nv.n, nv.v
+    FROM types t
+    LEFT JOIN tri_c tc ON t.tri = tc.tri
+    LEFT JOIN bg_c a ON t.ctx2 = a.bg
+    LEFT JOIN bg_c b ON t.bg23 = b.bg
+    LEFT JOIN uni_c p ON t.w2 = p.tok
+    LEFT JOIN uni_c q ON t.w3 = q.tok
+    CROSS JOIN nv
+),
+nd AS (
+    SELECT tri,
+           CASE WHEN c3 IS NOT NULL THEN c3
+                WHEN c2last IS NOT NULL THEN c2last
+                ELSE coalesce(c1cur, 0) + 1 END AS num,
+           CASE WHEN c3 IS NOT NULL THEN c2ctx
+                WHEN c2last IS NOT NULL THEN c1prev
+                ELSE n + v END AS den,
+           CASE WHEN c3 IS NOT NULL THEN 0
+                WHEN c2last IS NOT NULL THEN 1
+                ELSE 2 END AS k
+    FROM j
+),
+staged AS (SELECT tri, k, {_SB_STAGE} FROM nd),
+lns AS (SELECT tri, k, {_SB_FINAL} FROM staged),
+per AS (
+    SELECT tri, k,
+           CAST(floor(1000000.0
+               * ((l_den) - (l_num) + CAST(k AS DOUBLE) * (l_bo)))
+             AS BIGINT) AS u
+    FROM lns
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN p.k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       CAST(sum(u) AS BIGINT) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS nll
+FROM inst i JOIN per p ON i.tri = p.tri
+GROUP BY i.doc_id
+""",
+)
+def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007 — the
+    distributed web-scale n-gram LM: count ratios with a fixed α=0.4
+    backoff instead of normalized discounting, designed exactly for
+    MapReduce-class count infrastructure, hence the natural Spark LM).
+    Counts are trained on the HISTORY slice (doc_id % 5 ≠ 0) and the
+    NEW batch is scored — the LM-gold-table + daily-ingest production
+    split, and the framing where both backoff tiers genuinely fire
+    (unseen trigram → α·bigram ratio; unseen bigram → α²·add-one
+    unigram), which a self-trained corpus never exercises. Output per
+    batch doc: trigram count, how many positions backed off, and the
+    mean −ln S in real nats via portable_ln (integer micro-nat
+    quantization per DISTINCT trigram type, order-free sums). See
+    operators/lm.py stupid_backoff_nll_incremental for the scale
+    analysis (three count gold tables, five type-keyed equi-joins,
+    nothing instance-sized ever sorted)."""
+    from covid_data_challenge_spark.operators.lm import (
+        stupid_backoff_nll_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return stupid_backoff_nll_incremental(hist, batch)

@@ -1023,3 +1023,30 @@ def test_drift_metrics_separate_stable_from_shifted(spark, monkeypatch):
     chi_shift = REGISTRY["event_type_drift_chi2"].spark(spark, "x").collect()[0].chi2
     assert psi_stable < 0.1 and chi_stable < 5.0
     assert psi_shift > 0.25 and chi_shift > 100.0
+
+
+def test_stupid_backoff_tiers_golden(spark):
+    """Each Stupid Backoff tier on a hand-computed fixture: seen trigram
+    scores c3/c2 (nll 0 here), unseen trigram with seen last-bigram pays
+    one alpha (ln 2.5), fully unseen pays two alphas over the add-one
+    unigram floor ln(N+V)."""
+    import math
+
+    from covid_data_challenge_spark.operators.lm import (
+        stupid_backoff_nll_incremental,
+    )
+
+    hist = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "a b c"), (20, "q b c"), (30, "x y z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in stupid_backoff_nll_incremental(hist, batch).collect()}
+    # tier 0: "a b c" seen twice, ctx "a b" count 2 -> S = 1, nll = 0
+    assert out[10].n_backoff == 0 and abs(out[10].nll) < 1e-6
+    # tier 1: "q b c" unseen, "b c" seen (2) over c1(b)=2 -> nll = ln 2.5
+    assert out[20].n_backoff == 1
+    assert abs(out[20].nll - math.log(2.5)) < 1e-5
+    # tier 2: "x y z" fully unseen -> ln(N+V) + 2 ln 2.5, N=6 V=3
+    assert out[30].n_backoff == 1
+    assert abs(out[30].nll - (math.log(9.0) + 2 * math.log(2.5))) < 1e-5
