@@ -1814,3 +1814,92 @@ def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return stupid_backoff_nll_incremental(hist, batch)
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+lm_pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_bg GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(count(*) AS BIGINT) AS v FROM lm_pre
+),
+args AS (
+    SELECT b.doc_id, (l.c_ab + 1) AS num, (p.c_a + vocab.v) AS den
+    FROM bg b
+    JOIN lm_bg l ON b.bg = l.bg
+    JOIN lm_pre p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN vocab
+),
+staged AS (SELECT doc_id, {_NLL_STAGE} FROM args),
+lns AS (SELECT doc_id, {_NLL_FINAL} FROM staged),
+scored AS (
+    SELECT doc_id,
+           CAST(floor(1000000.0 * ((l_den) - (l_num))) AS BIGINT) AS nll_units
+    FROM lns
+),
+doc_nll AS (
+    SELECT doc_id,
+           CAST(sum(nll_units) AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS nll
+    FROM scored GROUP BY doc_id
+),
+tiled AS (
+    SELECT d.doc_id, d.source, n.nll,
+           CAST(ntile(3) OVER (
+               PARTITION BY d.source ORDER BY n.nll, d.doc_id
+           ) AS INT) AS t
+    FROM documents d JOIN doc_nll n ON d.doc_id = n.doc_id
+)
+SELECT doc_id, source, nll,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM tiled
+""",
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2019,
+    arXiv:1911.00359): per SOURCE, split documents into perplexity
+    tertiles under the bigram LM — 'head' is the most-fluent third that
+    CCNet ships as the high-quality slice, 'tail' the candidate for
+    dropping or down-weighting. The per-source framing is load-bearing:
+    a global cut would mostly rank sources against each other, not
+    documents within a source.
+
+    Scale: the NLL surface is bigram_lm_nll's (vocab-sized LM, one
+    bigram-key join); the tertile is an ntile window PARTITIONED BY
+    source — parallel across sources, never a global sort (same shape
+    as quality_ntile/curriculum_order). Ties break on doc_id so the
+    bucket assignment, and hence the hash, is total-order
+    deterministic."""
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_nll_with,
+        doc_bigrams,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bgf = doc_bigrams(docs).localCheckpoint(eager=True)
+    nll = bigram_lm_nll_with(docs, bigram_lm_build(docs, bigrams=bgf), bigrams=bgf)
+    joined = docs.select("doc_id", "source").join(
+        nll.select("doc_id", "nll"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("nll", "doc_id")
+    return joined.select(
+        "doc_id",
+        "source",
+        "nll",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -1054,3 +1054,98 @@ def q_duplicate_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.col("n_windows").cast("double")
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "lsh_quality_report",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+),
+pred AS (SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()}) mh),
+hit AS (
+    SELECT t.doc_a, t.doc_b FROM truth t
+    JOIN pred p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+),
+ct AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+cp AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+ch AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM hit)
+SELECT n_truth, n_pred, n_hit,
+       CASE WHEN n_pred > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) ELSE 0.0
+       END AS precision,
+       CASE WHEN n_truth > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0
+       END AS recall
+FROM ct CROSS JOIN cp CROSS JOIN ch
+""",
+)
+def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure-don't-guess for the approximate dedup tier: precision and
+    recall of the banded MinHash-LSH pairs (32 perms × 8 bands,
+    est ≥ 0.2) against UNCAPPED exact n-gram Jaccard ≥ 0.2 as ground
+    truth — the audit you run before trusting an LSH configuration on a
+    real corpus, and the quantitative answer to 'what did banding
+    cost'. One summary row: pair counts and both rates, all exact
+    integers + single IEEE divisions, hash-checked like everything
+    else.
+
+    Scale note: the TRUTH side is the exact inverted-index self-join
+    with no hot-shingle cap — the honest baseline, priced accordingly;
+    at 100 TB this audit runs on a sampled slice (the LSH side alone
+    remains the production path), which is why it is a separate report
+    query rather than part of the dedup pipeline."""
+    from covid_data_challenge_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    truth = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=None).select(
+        "doc_a", "doc_b"
+    )
+    pred = minhash_lsh_pairs(
+        docs, n=3, num_perm=32, bands=8, threshold=0.2, portable=True
+    ).select("doc_a", "doc_b")
+    hit = truth.join(pred, ["doc_a", "doc_b"], "left_semi")
+    ct = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    cp = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    ch = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        ct.join(cp)
+        .join(ch)
+        .select(
+            "n_truth",
+            "n_pred",
+            "n_hit",
+            F.when(
+                F.col("n_pred") > 0,
+                F.col("n_hit").cast("double") / F.col("n_pred").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+        )
+    )
