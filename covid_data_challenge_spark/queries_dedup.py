@@ -1149,3 +1149,99 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+@register(
+    "memorization_risk_report",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+wins AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           md5(array_to_string(w[i:(i + {_SPAN_K - 1})], ' ')) AS h
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - {_SPAN_K - 1}
+),
+duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dup AS (
+    SELECT doc_id, pos, pos + {_SPAN_K} AS e
+    FROM wins WHERE h IN (SELECT h FROM duph)
+),
+isl AS (
+    SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_end
+    FROM dup
+),
+marked AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS ni
+    FROM isl
+),
+numbered AS (
+    SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, min(pos) AS s, max(e) AS e
+    FROM numbered GROUP BY doc_id, island
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+           CAST(max(e - s) AS BIGINT) AS max_span_tokens
+    FROM spans GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       coalesce(p.max_span_tokens, 0) AS max_span_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+         / CAST(l.n_tokens AS DOUBLE) AS dup_frac
+FROM lens l LEFT JOIN per_doc p ON l.doc_id = p.doc_id
+WHERE l.n_tokens > 0
+""",
+)
+def q_memorization_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization-risk profile from the exact-substring
+    surface: how many maximal duplicated spans a document carries, how
+    many of its tokens they cover (dup_frac), and the LONGEST single
+    duplicated run — the Lee et al. 2021 / Carlini et al. 2022 risk
+    ordering, where long verbatim repeats are the spans a model is most
+    likely to regurgitate. Zero-filled for clean documents so the
+    report covers the whole corpus, ready for a threshold gate or as a
+    recipe feature.
+
+    Scale: rides duplicate_spans' machinery (map-side window explode,
+    hash-count semi-join, doc-partitioned island merge) plus one
+    doc-level aggregation and a left join against doc lengths."""
+    from covid_data_challenge_spark.operators.dedup import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    spans = duplicate_spans(docs, k=_SPAN_K)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+    )
+    return lens.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("max_span_tokens"), F.lit(0))
+        .cast("long")
+        .alias("max_span_tokens"),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_frac"),
+    )

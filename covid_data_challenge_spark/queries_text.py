@@ -1073,3 +1073,91 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: per-source dataset card — the one-page corpus summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_dataset_card",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, lang, text, md5({_NORM}) AS f,
+           len(string_split({_NORM}, ' ')) AS n_tok,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(len(text), 1) AS punct
+    FROM documents
+),
+q AS (
+    SELECT doc_id, source, lang, f, n_tok,
+           CAST(round(10000.0 * round((least(n_tok / 100.0, 1.0)
+               + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+               + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4)) AS BIGINT)
+             AS q_units
+    FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tok) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_unique_texts,
+       CAST(count(*) - count(DISTINCT f) AS BIGINT) AS n_exact_dups,
+       (CAST(count(*) AS DOUBLE) - CAST(count(DISTINCT f) AS DOUBLE))
+         / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+       CAST(sum(q_units) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 10000.0) AS mean_quality
+FROM q GROUP BY source
+""",
+)
+def q_source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page dataset card, per source: volume (docs, tokens,
+    mean length), language spread, exact-duplicate load, and mean
+    heuristic quality — the summary table a data curator reads before
+    deciding mixture weights, and the per-shard stats a dataset release
+    publishes. One grouped aggregation over one scan; the quality mean
+    is hash-exact because each doc's (already 4-dp-rounded) score is
+    quantized to integer 1e-4 units before the order-free sum — the
+    same discipline as every mean in the log-space tier."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    base = docs.select(
+        "source",
+        "lang",
+        fingerprint(F.col("text")).alias("f"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.round(F.lit(10000.0) * quality_score(F.col("text")))
+        .cast("long")
+        .alias("q_units"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (F.sum("n_tok").cast("long") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_tokens"
+        ),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("f").cast("long").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("f")).cast("long").alias(
+            "n_exact_dups"
+        ),
+        (
+            (
+                F.count(F.lit(1)).cast("double")
+                - F.countDistinct("f").cast("double")
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+        (
+            F.sum("q_units").cast("long")
+            / (F.count(F.lit(1)).cast("double") * F.lit(10000.0))
+        ).alias("mean_quality"),
+    )
