@@ -99,15 +99,18 @@ def lr_train(
     n_buckets: int = LR_BUCKETS,
     iters: int = LR_ITERS,
     rate: float = LR_RATE,
+    init_units: dict[int, int] | None = None,
 ) -> DataFrame:
     """Fixed-iteration full-batch GD → (bucket, w_units) in integer
-    micro-units, weights initialized to zero. ``features`` should be
-    checkpointed/persisted by the caller (it is consumed 2× per
-    iteration)."""
+    micro-units, weights initialized to zero (or to ``init_units``, a
+    bucket → micro-unit map — e.g. Platt scaling starts at the identity
+    slope a=1). ``features`` should be checkpointed/persisted by the
+    caller (it is consumed 2× per iteration)."""
     spark = features.sparkSession
+    init_units = init_units or {}
     buckets = list(range(n_buckets)) + [LR_BIAS]
     w = spark.createDataFrame(
-        [(b, 0) for b in buckets], "bucket int, w_units long"
+        [(b, init_units.get(b, 0)) for b in buckets], "bucket int, w_units long"
     ).localCheckpoint(eager=True)
     n_row = (
         features.select("doc_id")

@@ -240,3 +240,48 @@ def test_pr_auc_and_sweep_invariants(spark, sf_dir):
     for r in rows:
         if r.n_sel:
             assert abs(r.precision * r.n_sel - r.tp) < 1e-6
+
+
+def test_platt_fit_recovers_shift_on_miscalibrated_scores(spark):
+    """On scores with a constant +4 logit offset the Platt fit (identity
+    init) must drive the intercept toward -4 and cut the log-loss —
+    the case the calibration machinery exists for."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.lr import lr_score, lr_train
+
+    rows = []
+    for i in range(200):
+        y = float(i % 2)
+        z = (3.0 if y else -3.0) + 4.0  # miscalibrated: everything positive
+        rows.append((i, y, int(z * 1e9)))
+    scored = spark.createDataFrame(rows, "doc_id long, y double, logit_units long")
+    cal_feat = (
+        scored.select(
+            "doc_id", "y", F.lit(0).cast("int").alias("bucket"),
+            (F.col("logit_units").cast("double") / F.lit(1e9)).alias("x"),
+        )
+        .unionAll(
+            scored.select(
+                "doc_id", "y", F.lit(-1).cast("int").alias("bucket"),
+                F.lit(1.0).alias("x"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = lr_train(cal_feat, n_buckets=1, iters=12, rate=5.0, init_units={0: 1_000_000})
+    ab = {r.bucket: r.w_units for r in w.collect()}
+    assert ab[-1] < -500_000, ab  # intercept pulled strongly negative
+    assert ab[0] > 0, ab
+    # calibrated decisions must now separate the classes raw scores can't
+    cal = lr_score(cal_feat, w)
+    acc = cal.select(
+        F.avg(
+            F.when(
+                ((F.col("logit_units") > 0) & (F.col("y") == 1.0))
+                | ((F.col("logit_units") <= 0) & (F.col("y") == 0.0)),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("a")
+    ).collect()[0].a
+    assert acc > 0.95, acc  # raw scores give 0.5 (all positive)
