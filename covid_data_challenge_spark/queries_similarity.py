@@ -685,3 +685,86 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.similarity import jl_project_units
 
     return jl_project_units(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: measure-don't-guess for the ANN tier — recall@k of the IVF
+# probe against exact brute-force cosine (the lsh_quality_report twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_COS_SQL}) e),
+approx AS (SELECT query_id, neighbor_id FROM ({_ann_ivf_oracle()}) a),
+hits AS (
+    SELECT e.query_id
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+per_q AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM hits GROUP BY query_id
+),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact),
+nh AS (SELECT CAST(coalesce(sum(n_hit), 0) AS BIGINT) AS n_hits FROM per_q),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_perfect FROM per_q WHERE n_hit = 5)
+SELECT n_queries, CAST(5 AS BIGINT) AS k, n_hits,
+       CAST(n_hits AS DOUBLE) / (CAST(n_queries AS DOUBLE) * 5.0)
+         AS recall_at_k,
+       n_perfect
+FROM nq CROSS JOIN nh CROSS JOIN np
+""",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-probed ANN (16 centroids, nprobe 4) against
+    brute-force exact cosine on the identical query set — the audit
+    that prices an index configuration before production, and the ANN
+    twin of lsh_quality_report's banding audit. One summary row:
+    query count, total hits, recall@k, and how many queries the index
+    answers perfectly. Counts are exact integers, the rate one IEEE
+    division — hash-checked end to end (both the exact ranking and the
+    entire IVF build+probe replay as CTEs inside this one oracle).
+
+    Scale note: the exact side is the brute-force baseline and is
+    priced accordingly (broadcast query set × corpus fold) — at real
+    scale this audit runs on a query sample while the IVF side alone is
+    the serving path; that asymmetry is the point of the report."""
+    from covid_data_challenge_spark.operators.ivf import ivf_topk
+    from covid_data_challenge_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    nq = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    nh = per_q.agg(
+        F.coalesce(F.sum("n_hit"), F.lit(0)).cast("long").alias("n_hits")
+    )
+    np_ = per_q.filter(F.col("n_hit") == 5).agg(
+        F.count(F.lit(1)).cast("long").alias("n_perfect")
+    )
+    return (
+        nq.join(nh)
+        .join(np_)
+        .select(
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(5.0))
+            ).alias("recall_at_k"),
+            "n_perfect",
+        )
+    )
