@@ -955,3 +955,87 @@ def q_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.input_text").alias("input_text"),
         F.col("s.target_text").alias("target_text"),
     )
+
+
+_LB_BATCH = 32
+_LB_BIN = 32
+_LB_SALT = "lenb-v1"
+
+
+@register(
+    "length_bucketed_batches",
+    oracle=f"""
+WITH lens AS (
+    SELECT doc_id,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens // {_LB_BIN} AS BIGINT) AS len_bucket
+    FROM lens WHERE n_tokens > 0
+),
+ranked AS (
+    SELECT doc_id, n_tokens, len_bucket,
+           row_number() OVER (
+               PARTITION BY len_bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_LB_SALT}'), doc_id
+           ) AS rn
+    FROM bucketed
+),
+batched AS (
+    SELECT len_bucket, CAST((rn - 1) // {_LB_BATCH} AS BIGINT) AS batch_idx,
+           n_tokens
+    FROM ranked
+)
+SELECT len_bucket, batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS pad_tokens,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS DOUBLE)
+         / CAST(max(n_tokens) * count(*) AS DOUBLE) AS pad_frac
+FROM batched GROUP BY len_bucket, batch_idx
+""",
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch shaping — the padding-waste killer for
+    fixed-shape training batches: bin documents by token length
+    (fixed 32-token bins, a map-side floor-div — NOT a global ntile,
+    which would be a corpus sort), shuffle deterministically within a
+    bin by a salted md5 draw, and cut batches of 32. Per-batch output:
+    size, max/sum length, and the padding a [batch, max_len] tensor
+    would waste — near-zero inside a bin vs ~50% for random batching on
+    a skewed length distribution. Per-bin windows are bounded by bin
+    population and run in parallel across bins; the batch assignment is
+    reproducible on any engine/partitioning (md5 + doc_id tie-break)."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    bucketed = lens.withColumn(
+        "len_bucket", F.floor(F.col("n_tokens") / F.lit(_LB_BIN)).cast("long")
+    )
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_LB_SALT)))
+    w = Window.partitionBy("len_bucket").orderBy(draw, "doc_id")
+    batched = bucketed.withColumn("rn", F.row_number().over(w)).select(
+        "len_bucket",
+        F.floor((F.col("rn") - 1) / F.lit(_LB_BATCH)).cast("long").alias(
+            "batch_idx"
+        ),
+        "n_tokens",
+    )
+    return batched.groupBy("len_bucket", "batch_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_len"),
+        (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"))
+        .cast("long")
+        .alias("pad_tokens"),
+        (
+            (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")).cast(
+                "double"
+            )
+            / (F.max("n_tokens") * F.count(F.lit(1))).cast("double")
+        ).alias("pad_frac"),
+    )
