@@ -623,3 +623,179 @@ def q_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(
         base, changes, "o_orderkey", "cents", "new_cents", "op"
     ).withColumnRenamed("cents", "price_cents")
+
+
+# ---------------------------------------------------------------------------
+# Round 4: streaming drift monitor — per-window PSI vs a static baseline
+# ---------------------------------------------------------------------------
+
+_SPSI_BINS = 10
+_SPSI_WINDOW_S = 6 * 3600
+from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages  # noqa: E402
+
+_SPSI_STAGE, _SPSI_FINAL = portable_ln_sql_stages(
+    {
+        "l_p": "(cw + 1)",
+        "l_q": "(cb + 1)",
+        "l_nw": f"(nw + {_SPSI_BINS})",
+        "l_nb": f"(nb + {_SPSI_BINS})",
+    }
+)
+
+
+@register(
+    "value_drift_psi_stream",
+    oracle=f"""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+    SELECT CAST(to_timestamp(
+               CAST(floor(epoch(ts) / {_SPSI_WINDOW_S}) AS BIGINT)
+               * {_SPSI_WINDOW_S})
+             AS TIMESTAMP) AS window_start,
+           CAST(least(floor(((value - b.lo) / (b.hi - b.lo)) * {_SPSI_BINS}.0),
+                      {_SPSI_BINS - 1}.0) AS INT) AS bin
+    FROM events CROSS JOIN bounds b
+),
+wcounts AS (
+    SELECT window_start, bin, CAST(count(*) AS BIGINT) AS cw
+    FROM binned GROUP BY 1, 2
+),
+base AS (SELECT bin, CAST(count(*) AS BIGINT) AS cb FROM binned GROUP BY bin),
+nbtot AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM base),
+wins AS (SELECT window_start, CAST(sum(cw) AS BIGINT) AS nw FROM wcounts
+         GROUP BY window_start),
+grid AS (
+    SELECT w.window_start, g.bin, w.nw, n.nb,
+           coalesce(c.cw, 0) AS cw, coalesce(b.cb, 0) AS cb
+    FROM wins w
+    CROSS JOIN (SELECT CAST(unnest(range({_SPSI_BINS})) AS INT) AS bin) g
+    CROSS JOIN nbtot n
+    LEFT JOIN wcounts c ON c.window_start = w.window_start AND c.bin = g.bin
+    LEFT JOIN base b ON b.bin = g.bin
+),
+staged AS (SELECT window_start, nw, cw, cb, nb, {_SPSI_STAGE} FROM grid),
+lns AS (SELECT window_start, nw, cw, cb, nb, {_SPSI_FINAL} FROM staged),
+units AS (
+    SELECT window_start, nw,
+           CAST(floor(1000000000.0 *
+             (((CAST(cw + 1 AS DOUBLE) / CAST(nw + {_SPSI_BINS} AS DOUBLE))
+               - (CAST(cb + 1 AS DOUBLE) / CAST(nb + {_SPSI_BINS} AS DOUBLE)))
+              * ((((l_p) - (l_nw)) - (l_q)) + (l_nb)))) AS BIGINT) AS u
+    FROM lns
+)
+SELECT window_start, CAST(max(nw) AS BIGINT) AS n_events,
+       CAST(sum(u) AS BIGINT) / 1000000000.0 AS psi
+FROM units GROUP BY window_start
+""",
+)
+def q_value_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the STREAM maintains watermarked 6-hour
+    tumbling (window, value-bin) counts — bin bounds come from a static
+    baseline gold frame via a stream-static join, the production
+    pattern where the reference distribution is a published table — and
+    the report layer computes each window's add-one-smoothed PSI
+    against the corpus baseline over the maintained counts. Windows
+    whose PSI crosses 0.25 are the alert rows; on this uniform
+    synthetic feed every window sits near 0 by construction, which is
+    the negative control. Drained with Trigger.AvailableNow and
+    hash-matched against the batch twin, like every stream in this
+    module. Stream state is (windows × 10 bins) counters, watermark-
+    bounded; the PSI projection joins a 10-row grid and a 1-row total —
+    nothing corpus-sized after the windowed aggregation."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+    from covid_data_challenge_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    ev_static = load_table(spark, sf_dir, "events")
+    # the baseline's bin bounds are a PUBLISHED config: one bounded
+    # 1-row fetch, embedded as literals into the streaming expression
+    # (a lateral stream⨯1-row join is not a streaming-supported shape;
+    # a production monitor reads these two doubles from its config
+    # store the same way). The doubles are exact parquet stats, so the
+    # literal embedding is bit-identical to the oracle's bounds CTE.
+    lo, hi = ev_static.agg(F.min("value"), F.max("value")).first()
+    b = _SPSI_BINS
+
+    def binc(lo_c, hi_c):
+        return F.least(
+            F.floor(
+                ((F.col("value") - lo_c) / (hi_c - lo_c)) * F.lit(float(b))
+            ),
+            F.lit(float(b - 1)),
+        ).cast("int")
+
+    stream = read_event_stream(spark, sf_dir)
+    wcounts_stream = (
+        stream.withWatermark("ts", "2 hours")
+        .select(F.col("ts"), binc(F.lit(lo), F.lit(hi)).alias("bin"))
+        .groupBy(F.window("ts", f"{_SPSI_WINDOW_S} seconds"), "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+        .select(F.col("window.start").alias("window_start"), "bin", "cw")
+    )
+    try:
+        run_to_memory_sink(wcounts_stream, "value_drift_psi_stream_sink")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    wcounts = spark.table("value_drift_psi_stream_sink")
+
+    base = (
+        ev_static.select(binc(F.lit(lo), F.lit(hi)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    nb_tot = base.agg(F.sum("cb").cast("long").alias("nb"))
+    # rename the join keys on each arm — wins and the count arm share
+    # the memory-sink lineage, and a bare self-join on window_start
+    # trips Catalyst's conflicting-attribute check
+    wins = (
+        wcounts.groupBy("window_start")
+        .agg(F.sum("cw").cast("long").alias("nw"))
+        .withColumnRenamed("window_start", "ws")
+    )
+    wc = wcounts.select(
+        F.col("window_start").alias("c_ws"), F.col("bin").alias("c_bin"), "cw"
+    )
+    bs = base.select(F.col("bin").alias("b_bin"), "cb")
+    grid = (
+        wins.crossJoin(
+            spark.range(0, b).select(F.col("id").cast("int").alias("bin"))
+        )
+        .join(F.broadcast(nb_tot))
+        .join(
+            wc,
+            (F.col("ws") == F.col("c_ws")) & (F.col("bin") == F.col("c_bin")),
+            "left",
+        )
+        .join(bs, F.col("bin") == F.col("b_bin"), "left")
+        .select(
+            F.col("ws").alias("window_start"),
+            "bin",
+            "nw",
+            "nb",
+            F.coalesce(F.col("cw"), F.lit(0)).alias("cw"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    lnr = (
+        (
+            portable_ln(F.col("cw") + F.lit(1))
+            - portable_ln(F.col("nw") + F.lit(b))
+        )
+        - portable_ln(F.col("cb") + F.lit(1))
+    ) + portable_ln(F.col("nb") + F.lit(b))
+    diff = (F.col("cw") + F.lit(1)).cast("double") / (
+        F.col("nw") + F.lit(b)
+    ).cast("double") - (F.col("cb") + F.lit(1)).cast("double") / (
+        F.col("nb") + F.lit(b)
+    ).cast("double")
+    units = grid.select(
+        "window_start",
+        "nw",
+        F.floor(F.lit(1e9) * (diff * lnr)).cast("long").alias("u"),
+    )
+    return units.groupBy("window_start").agg(
+        F.max("nw").cast("long").alias("n_events"),
+        (F.sum("u").cast("long") / F.lit(1e9)).alias("psi"),
+    )
