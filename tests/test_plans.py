@@ -565,3 +565,22 @@ def test_auc_rank_window_runs_over_distinct_logits_not_corpus(spark, sf_dir):
         i for i, l in enumerate(below) if "HashAggregate(keys=[logit_units" in l
     )
     assert not any("Scan" in l for l in below[:agg_at]), simple
+
+
+def test_objective_transforms_and_gopher_are_shuffle_free(spark, sf_dir):
+    """fim_transform, t5_span_corruption, and gopher_quality_flags claim
+    to stream at scan speed — their plans must contain no Exchange of
+    any kind and exactly one parquet scan."""
+    for name in ("fim_transform", "t5_span_corruption", "gopher_quality_flags"):
+        simple = _plan(spark, REGISTRY[name].spark(spark, sf_dir), "simple")
+        assert "Exchange" not in simple, (name, simple)
+        assert simple.count("Scan parquet") == 1, (name, simple)
+
+
+def test_duplicate_spans_islands_partition_by_doc(spark, sf_dir):
+    """The island-merge windows must be doc_id-partitioned (bounded by
+    tokens-per-doc): no single-partition exchange may appear anywhere in
+    the span plan, and the window hash-partitions on doc_id."""
+    simple = _plan(spark, REGISTRY["duplicate_spans"].spark(spark, sf_dir), "simple")
+    assert "Exchange SinglePartition" not in simple, simple
+    assert "hashpartitioning(doc_id" in simple, simple
