@@ -73,10 +73,12 @@ EXTENSION = [
     "classifier_eval_auc",
     # round 4 late wave: exact substring dedup (stride-1 window explode —
     # the heaviest new shuffle shape), the map-side Gopher rule battery,
-    # and the Gumbel-top-k DSIR sampler
+    # the Gumbel-top-k DSIR sampler, and the Stupid Backoff trigram LM
     "duplicate_spans",
     "gopher_quality_flags",
     "dsir_gumbel_topk",
+    "stupid_backoff_nll",
+    "t5_span_corruption",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -122,8 +124,10 @@ SCALE_SF1 = [
     "dsir_importance_select",
     "part_triangle_census",
     # round 4: the stride-1 substring-window explode is the newest
-    # corpus-×-length shuffle shape — watch its 10× growth stays linear
+    # corpus-×-length shuffle shape — watch its 10× growth stays linear —
+    # and the trigram-count LM is the largest new gold-table build
     "duplicate_spans",
+    "stupid_backoff_nll",
 ]
 
 RUNS_PER_QUERY = 2
