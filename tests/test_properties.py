@@ -439,3 +439,59 @@ def test_cdc_apply_matches_dict_replay(spark, base, ops):
         else:
             expect[k] = nv
     assert got == expect
+
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_span_docs)
+@settings(**_SETTINGS)
+def test_duplicate_spans_matches_bruteforce(spark, docs):
+    """Property: duplicate_spans (k=3) agrees with a brute-force Python
+    reference — every position covered by a 3-token window whose exact
+    text occurs ≥2 times corpus-wide, merged into maximal intervals —
+    for ANY corpus, including all-identical docs, empty docs, and heavy
+    within-doc repetition (the shapes that break off-by-ones in
+    gaps-and-islands logic)."""
+    from collections import Counter, defaultdict
+
+    from covid_data_challenge_spark.operators.dedup import duplicate_spans
+
+    k = 3
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    # brute force: count windows, mark covered positions, merge islands
+    wins = Counter()
+    for t in texts:
+        toks = t.split(" ") if t else [""]
+        for i in range(len(toks) - k + 1):
+            wins[" ".join(toks[i : i + k])] += 1
+    expect = defaultdict(list)
+    for did, t in enumerate(texts):
+        toks = t.split(" ") if t else [""]
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if wins[" ".join(toks[i : i + k])] >= 2:
+                covered.update(range(i + 1, i + k + 1))  # 1-based
+        run = []
+        for p in sorted(covered):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expect[did].append((run[0], run[-1] + 1))
+                run = [p]
+        if run:
+            expect[did].append((run[0], run[-1] + 1))
+
+    got = defaultdict(list)
+    for r in duplicate_spans(df, k=k).collect():
+        got[r.doc_id].append((r.span_start, r.span_end))
+    got = {d: sorted(v) for d, v in got.items()}
+    expect = {d: sorted(v) for d, v in expect.items() if v}
+    assert got == expect, (got, expect, texts)
