@@ -240,3 +240,89 @@ def write_zorder_parquet(
         else keyed.repartitionByRange("_zkey")
     )
     part.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
+
+
+def write_png_heatmap(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    val_col: str,
+    path: str,
+    cell_px: int = 8,
+    max_cells: int = 100_000,
+) -> tuple[int, int]:
+    """S6 — the PNG sink, dependency-free: render a small (row, col,
+    value) aggregate as a grayscale heatmap PNG using only stdlib
+    ``zlib``/``struct`` (no matplotlib/PIL in this environment; PNG is
+    signature + IHDR + zlib IDAT + IEND with CRC32s, all stdlib). The
+    reference saves matplotlib figures (streamlit choropleth,
+    streamlit_app.py:358-439); here the chart FEED is a distributed
+    query (e.g. activity_heatmap's ≤168-cell aggregate, or
+    choropleth_projection) and only the final pixel grid is a
+    driver-side presentation step — the same bounded API-boundary
+    contract as :func:`csv_export_string`, enforced by ``max_cells``.
+
+    Values are min-max scaled to 0..255 (constant grids render mid-gray)
+    and each cell is a ``cell_px``×``cell_px`` block. Returns the
+    (width, height) of the written image; the PNG round-trips through
+    any decoder (pytest re-parses the chunks and zlib stream).
+    """
+    import struct
+    import zlib
+
+    rows = (
+        df.select(
+            F.col(row_col).cast("long").alias("r"),
+            F.col(col_col).cast("long").alias("c"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"heatmap feed exceeds {max_cells} cells — aggregate further "
+            f"before rendering (this is a presentation sink, not an export)"
+        )
+    if not rows:
+        raise ValueError("empty heatmap feed")
+    r0 = min(r.r for r in rows)
+    c0 = min(r.c for r in rows)
+    nr = max(r.r for r in rows) - r0 + 1
+    nc = max(r.c for r in rows) - c0 + 1
+    vals = [r.v for r in rows if r.v is not None]
+    lo, hi = min(vals), max(vals)
+    grid = [[0] * nc for _ in range(nr)]
+    for r in rows:
+        if r.v is None:
+            continue
+        shade = 128 if hi == lo else int(round(255.0 * (r.v - lo) / (hi - lo)))
+        grid[r.r - r0][r.c - c0] = shade
+    width, height = nc * cell_px, nr * cell_px
+    raw = bytearray()
+    for gr in grid:
+        scanline = bytearray()
+        for shade in gr:
+            scanline.extend(bytes([shade]) * cell_px)
+        for _ in range(cell_px):
+            raw.append(0)  # filter type 0 (None) per scanline
+            raw.extend(scanline)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+    return width, height

@@ -300,3 +300,48 @@ def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan
+
+
+def test_png_heatmap_sink_writes_decodable_png(spark, sf_dir, tmp_path):
+    """S6 closed for real: render activity_heatmap's aggregate through
+    the stdlib PNG encoder, then re-parse the file — signature, IHDR
+    dimensions, chunk CRCs, and the zlib scanline stream must all check
+    out, and a known-extreme cell must map to the right shade."""
+    import struct
+    import zlib
+
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+    from covid_data_challenge_spark.sources.sinks import write_png_heatmap
+
+    feed = REGISTRY["activity_heatmap"].spark(spark, sf_dir)
+    out = str(tmp_path / "heatmap.png")
+    w, h = write_png_heatmap(feed, "dow", "hr", "n_events", out, cell_px=4)
+    data = open(out, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # walk chunks, verify CRCs, collect IDAT
+    pos, idat, dims = 8, b"", None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        assert crc == (zlib.crc32(tag + payload) & 0xFFFFFFFF), tag
+        if tag == b"IHDR":
+            dims = struct.unpack(">II", payload[:8])
+        if tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    assert dims == (w, h) and tag == b"IEND"
+    raw = zlib.decompress(idat)
+    assert len(raw) == h * (w + 1)  # filter byte + one byte per px
+    assert all(raw[r * (w + 1)] == 0 for r in range(h))  # filter None
+    # the max-count cell must render as 255, the min-count cell darker
+    rows = feed.collect()
+    top = max(rows, key=lambda r: r["n_events"])
+    r0 = min(r["dow"] for r in rows)
+    c0 = min(r["hr"] for r in rows)
+    px_row = (top["dow"] - r0) * 4
+    px_col = (top["hr"] - c0) * 4
+    shade = raw[px_row * (w + 1) + 1 + px_col]
+    assert shade == 255
