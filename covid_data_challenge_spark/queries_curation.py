@@ -320,7 +320,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     trains on, the exploded (doc, bigram) frame is checkpointed ONCE
     and shared by the build and probe stages — tokenization and the
     explode run one time, so probe cost no longer re-scans the grown
-    bigram stream (the r3 sf1 tier's 3.2× growth, now linear-shared)."""
+    bigram stream (the r3 sf1 tier's 3.2× growth, now linear-shared).
+    The LM table itself is checkpointed too (r4 VERDICT item 4 — the
+    r4 experiment rejected THIS checkpoint alone; together with the
+    shared bigram frame it is the right boundary): the probe consumes
+    the LM three ways (bigram join, prefix-context join, V broadcast),
+    and without the checkpoint each consumer re-aggregates the grown
+    bigram stream — exactly the in-session form of the persisted LM
+    gold table the operators/lm.py docstring prescribes at cluster
+    scale."""
     from covid_data_challenge_spark.operators.lm import (
         bigram_lm_build,
         bigram_lm_score_with,
@@ -329,7 +337,8 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     bg = doc_bigrams(docs).localCheckpoint(eager=True)
-    return bigram_lm_score_with(docs, bigram_lm_build(docs, bigrams=bg), bigrams=bg)
+    lm = bigram_lm_build(docs, bigrams=bg).localCheckpoint(eager=True)
+    return bigram_lm_score_with(docs, lm, bigrams=bg)
 
 
 @register(
@@ -576,7 +585,9 @@ def q_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean. Same plan shape as bigram_lm_score: vocab-sized LM aggs, one
     bigram-key shuffle join, per-doc re-agg — and like it, the exploded
     (doc, bigram) frame is checkpointed once and shared across the
-    build and probe stages."""
+    build and probe stages, with the LM table checkpointed at the same
+    boundary (see q_bigram_lm_score — its three probe-side consumers
+    would otherwise each re-aggregate the grown bigram stream)."""
     from covid_data_challenge_spark.operators.lm import (
         bigram_lm_build,
         bigram_lm_nll_with,
@@ -585,7 +596,8 @@ def q_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     bg = doc_bigrams(docs).localCheckpoint(eager=True)
-    return bigram_lm_nll_with(docs, bigram_lm_build(docs, bigrams=bg), bigrams=bg)
+    lm = bigram_lm_build(docs, bigrams=bg).localCheckpoint(eager=True)
+    return bigram_lm_nll_with(docs, lm, bigrams=bg)
 
 
 @register(
@@ -872,12 +884,15 @@ ranked AS (
 )
 SELECT CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-       CAST(
+       CASE WHEN sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) > 0
+             AND sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) > 0
+       THEN CAST(
          (sum(CASE WHEN y = 1.0 THEN half_rank ELSE 0 END)
           - sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
             * (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) + 1)) AS DOUBLE)
        / CAST((2 * sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
-               * sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)) AS DOUBLE) AS auc
+               * sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)) AS DOUBLE)
+       END AS auc
 FROM ranked
 """,
 )
@@ -886,18 +901,23 @@ def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann-Whitney rank statistic, tie-corrected — computed SCALE-SAFE:
     the corpus is first collapsed to the distinct-logit table
     ``groupBy(logit_units) → (n, n_pos)`` (one map-side-combinable
-    shuffle), and the cumulative ranks come from a window over that
-    distinct-VALUE table, bounded by logit cardinality, never by corpus
-    rows. Competition rank for every row of a value is cum_before+1, so
-    the integer half-rank (2·rank + ties−1) per row is 2·cum_n − n + 1
-    and the positive-class half-rank sum is exactly
-    Σ n_pos·(2·cum_n − n + 1) — bit-identical to ranking row-by-row
-    (the DuckDB oracle still ranks rows; the hash must and does agree).
-    No single-partition sort over the scored corpus remains; the plan
-    pin lives in test_plans.py. On THIS synthetic corpus the sources
-    share one vocabulary, so the honest AUC is barely above chance
-    (~0.55) — the learner itself is pinned in pytest on a separable
-    fixture, where it ranks every positive above every negative."""
+    shuffle), and the cumulative counts come from the TWO-LEVEL
+    range-sharded prefix sum (``operators/prefix.py``) — within-shard
+    windows bounded by |distinct logits|/K plus a K-row offset table —
+    so even a natural corpus with near-unique logits never funnels
+    through one task (the r4 VERDICT residual). Competition rank for
+    every row of a value is cum_before+1, so the integer half-rank
+    (2·rank + ties−1) per row is 2·cum_n − n + 1 and the positive-class
+    half-rank sum is exactly Σ n_pos·(2·cum_n − n + 1) — bit-identical
+    to ranking row-by-row, and prefix sums are invariant to shard
+    boundaries (the DuckDB oracle still ranks rows; the hash must and
+    does agree). Degenerate corpora (zero positives or zero negatives)
+    yield an explicit NULL auc in BOTH engines. No single-partition
+    sort over anything data-sized remains; the plan pin lives in
+    test_plans.py. On THIS synthetic corpus the sources share one
+    vocabulary, so the honest AUC is barely above chance (~0.55) — the
+    learner itself is pinned in pytest on a separable fixture, where it
+    ranks every positive above every negative."""
     docs = _docs(spark, sf_dir)
     feats = lr_features(
         docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
@@ -907,10 +927,9 @@ def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
     )
-    cum_w = Window.orderBy("logit_units").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_val.withColumn("cum_n", F.sum("n").over(cum_w))
+    from covid_data_challenge_spark.operators.prefix import range_sharded_cumsum
+
+    cum = range_sharded_cumsum(per_val, "logit_units", {"n": "cum_n"})
     pos = F.sum("n_pos").cast("long")
     neg = F.sum(F.col("n") - F.col("n_pos")).cast("long")
     s_half = F.sum(
@@ -919,9 +938,10 @@ def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.agg(
         pos.alias("n_pos"),
         neg.alias("n_neg"),
-        (
+        F.when(
+            (pos > F.lit(0)) & (neg > F.lit(0)),
             (s_half - pos * (pos + F.lit(1))).cast("double")
-            / (F.lit(2) * pos * neg).cast("double")
+            / (F.lit(2) * pos * neg).cast("double"),
         ).alias("auc"),
     )
 
@@ -1386,10 +1406,12 @@ cum AS (
 tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
                CAST(sum(n - n_pos) AS BIGINT) AS neg FROM per_val),
 terms AS (
-    SELECT CAST(floor(1000000000000000.0
+    SELECT CASE WHEN tot.p > 0
+           THEN CAST(floor(1000000000000000.0
                * ((CAST(n_pos AS DOUBLE) / CAST(tot.p AS DOUBLE))
                   * (CAST(tp AS DOUBLE) / CAST(tpfp AS DOUBLE))))
-             AS BIGINT) AS u
+             AS BIGINT)
+           END AS u
     FROM cum CROSS JOIN tot
 )
 SELECT tot.p AS n_pos, tot.neg AS n_neg,
@@ -1406,8 +1428,11 @@ def q_classifier_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale discipline as classifier_eval_auc: collapse to the
     distinct-logit table first (one map-side-combinable shuffle), run
-    the cumulative window over distinct VALUES (bounded by score
-    cardinality), and quantize each ΔR·P term to integer 1e-15 units
+    the cumulative counts through the two-level range-sharded prefix
+    sum (``operators/prefix.py`` — no unbounded single-partition
+    window even when logits are near-unique; zero-positive corpora
+    yield NULL in both engines), and quantize each ΔR·P term to
+    integer 1e-15 units
     before the order-free sum — per-term doubles are deterministic
     functions of integer counts, so the whole area replays bit-exactly
     in DuckDB. The terms sum to ≤1, so the unit sum fits a long with
@@ -1421,14 +1446,15 @@ def q_classifier_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
     )
-    w = Window.orderBy(F.col("logit_units").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_val.select(
+    from covid_data_challenge_spark.operators.prefix import range_sharded_cumsum
+
+    cum = range_sharded_cumsum(
+        per_val, "logit_units", {"n": "tpfp_raw", "n_pos": "tp_raw"}, descending=True
+    ).select(
         "n",
         "n_pos",
-        F.sum("n").over(w).cast("long").alias("tpfp"),
-        F.sum("n_pos").over(w).cast("long").alias("tp"),
+        F.col("tpfp_raw").cast("long").alias("tpfp"),
+        F.col("tp_raw").cast("long").alias("tp"),
     )
     tot = per_val.agg(
         F.sum("n_pos").cast("long").alias("p"),
@@ -1437,15 +1463,16 @@ def q_classifier_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = cum.join(F.broadcast(tot)).select(
         "p",
         "neg",
-        F.floor(
-            F.lit(1e15)
-            * (
-                (F.col("n_pos").cast("double") / F.col("p").cast("double"))
-                * (F.col("tp").cast("double") / F.col("tpfp").cast("double"))
-            )
-        )
-        .cast("long")
-        .alias("u"),
+        F.when(
+            F.col("p") > 0,
+            F.floor(
+                F.lit(1e15)
+                * (
+                    (F.col("n_pos").cast("double") / F.col("p").cast("double"))
+                    * (F.col("tp").cast("double") / F.col("tpfp").cast("double"))
+                )
+            ).cast("long"),
+        ).alias("u"),
     )
     return terms.groupBy("p", "neg").agg(
         (F.sum("u").cast("long") / F.lit(1e15)).alias("pr_auc")
@@ -1889,7 +1916,8 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     bgf = doc_bigrams(docs).localCheckpoint(eager=True)
-    nll = bigram_lm_nll_with(docs, bigram_lm_build(docs, bigrams=bgf), bigrams=bgf)
+    lmf = bigram_lm_build(docs, bigrams=bgf).localCheckpoint(eager=True)
+    nll = bigram_lm_nll_with(docs, lmf, bigrams=bgf)
     joined = docs.select("doc_id", "source").join(
         nll.select("doc_id", "nll"), "doc_id"
     )

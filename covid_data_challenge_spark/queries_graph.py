@@ -191,6 +191,94 @@ def q_part_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+@register(
+    "part_triangle_census_approx",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sampled AS (
+  SELECT a, b FROM edges
+  WHERE CAST(('0x' || substring(md5(CAST(a AS VARCHAR) || '|'
+               || CAST(b AS VARCHAR) || '|doulion'), 1, 8)) AS BIGINT)
+        % 1000 < 500
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM sampled UNION ALL SELECT b AS node FROM sampled
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS s,
+         CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS d
+  FROM sampled e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles_sampled
+  FROM o x JOIN o y ON x.d = y.s JOIN o z ON z.s = x.s AND z.d = y.d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM sampled) AS n_edges_sampled,
+       CAST(500 AS BIGINT) AS p_keep_millis,
+       n_triangles_sampled,
+       CAST(n_triangles_sampled * 8 AS BIGINT) AS est_triangles
+FROM tri
+""",
+)
+def q_part_triangle_census_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion-sparsified triangle estimate on the same co-purchase
+    graph as part_triangle_census — the documented 100 TB switch for
+    the one super-linear exact query in the registry (r4 VERDICT: the
+    exact O(m^1.5) census' driver-measured 10×-data growth walked to
+    5.69×; this is the same exact→approximate pairing already used for
+    percentile→approx_percentile and count-distinct→HLL). Each
+    canonical edge survives iff its md5 coin (keyed on the edge and a
+    salt, the engine's standard portable draw) lands under p = 1/2;
+    the exact degree-ordered census runs on the ~m/2-edge sample —
+    ~1/2^1.5 of the path-join work — and the sampled triangle count
+    scales by 1/p³ = 8 in exact integer arithmetic (Tsourakakis 2009,
+    unbiased). The coin is a pure function of the edge list, so the
+    estimate is deterministic and hash-checked against DuckDB; the
+    estimate-vs-exact accuracy band is pinned in pytest. Drive p down
+    (keep_millis 250 → ×64, 100 → ×1000) as the edge list grows; the
+    exact census stays registered for audit-grade runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "parts",
+                lambda xx: F.transform(
+                    "parts",
+                    lambda yy: F.struct(xx.alias("src"), yy.alias("dst")),
+                ),
+            )
+        ),
+        lambda p: p["src"] < p["dst"],
+    )
+    edges = (
+        baskets.select(F.explode(pair).alias("p"))
+        .select("p.*")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+        .filter(F.col("n_orders_both") >= 2)
+        .select("src", "dst")
+    )
+    from covid_data_challenge_spark.operators.graph import triangle_stats_approx
+
+    return triangle_stats_approx(edges, keep_millis=500)
+
+
 _KCORE_K, _KCORE_ROUNDS = 3, 3
 
 

@@ -730,7 +730,17 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the exact side is the brute-force baseline and is
     priced accordingly (broadcast query set × corpus fold) — at real
     scale this audit runs on a query sample while the IVF side alone is
-    the serving path; that asymmetry is the point of the report."""
+    the serving path; that asymmetry is the point of the report.
+
+    Plan shape (r4 VERDICT item 7 — this was the registry's heaviest
+    plan at 27 exchanges): the exact ranking is consumed ONCE. Each
+    exact (query, neighbor) row picks up a hit flag via a left join
+    against the IVF answers, per-query hit counts are one aggregate,
+    and the three summary statistics (n_queries = per-query row count,
+    since every query has exactly k exact rows; n_hits; n_perfect) come
+    out of ONE scalar aggregate — no scalar-frame cross joins, no
+    re-derivation of the exact subtree. Same values, same oracle hash,
+    a third of the exchanges."""
     from covid_data_challenge_spark.operators.ivf import ivf_topk
     from covid_data_challenge_spark.operators.similarity import cosine_topk
 
@@ -738,33 +748,22 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
-        "query_id", "neighbor_id"
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     per_q = (
-        exact.join(approx, ["query_id", "neighbor_id"])
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"))
     )
-    nq = exact.agg(
-        F.countDistinct("query_id").cast("long").alias("n_queries")
-    )
-    nh = per_q.agg(
-        F.coalesce(F.sum("n_hit"), F.lit(0)).cast("long").alias("n_hits")
-    )
-    np_ = per_q.filter(F.col("n_hit") == 5).agg(
-        F.count(F.lit(1)).cast("long").alias("n_perfect")
-    )
-    return (
-        nq.join(nh)
-        .join(np_)
-        .select(
-            "n_queries",
-            F.lit(5).cast("long").alias("k"),
-            "n_hits",
-            (
-                F.col("n_hits").cast("double")
-                / (F.col("n_queries").cast("double") * F.lit(5.0))
-            ).alias("recall_at_k"),
-            "n_perfect",
-        )
-    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(5).cast("long").alias("k"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        (
+            F.sum("n_hit").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(5.0))
+        ).alias("recall_at_k"),
+        F.sum(F.when(F.col("n_hit") == 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
+    ).select("n_queries", "k", "n_hits", "recall_at_k", "n_perfect")

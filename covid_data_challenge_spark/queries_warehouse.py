@@ -1221,11 +1221,17 @@ FROM scored GROUP BY 1, 2, 3
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: customers quartiled on recency (last order
     date), frequency (order count), and monetary (exact-cents spend),
-    then counted per (R,F,M) cell — the classic CRM cube. The ntile
-    windows run over the per-customer aggregate (|customers| rows, not
-    orders), tie-broken on custkey so quartile boundaries are
-    deterministic in both engines; monetary is exact integer cents so
-    the ordering itself is float-free."""
+    then counted per (R,F,M) cell — the classic CRM cube. Quartiles are
+    EXACT ntile(4) semantics, computed scale-safe: |customers| grows
+    with the data, so instead of three single-partition ntile windows
+    over the per-customer aggregate (the r5 audit catch), each score
+    comes from ``operators/prefix.py::range_sharded_ntile`` — two-level
+    range-sharded global positions plus ntile's integer bucket rule —
+    tie-broken on custkey so quartile boundaries are deterministic in
+    both engines; monetary is exact integer cents so the ordering
+    itself is float-free. The DuckDB oracle still uses literal
+    ``ntile(4)``: the hash match IS the proof the sharded formula
+    reproduces it."""
     per = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c_custkey"))
@@ -1237,12 +1243,15 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
-    scored = per.select(
-        "c_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "c_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "c_custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary_cents", "c_custkey")).alias("m_score"),
-    )
+    from covid_data_challenge_spark.operators.prefix import range_sharded_ntile
+
+    scored = per
+    for cols, out in (
+        (["last_order", "c_custkey"], "r_score"),
+        (["frequency", "c_custkey"], "f_score"),
+        (["monetary_cents", "c_custkey"], "m_score"),
+    ):
+        scored = range_sharded_ntile(scored, cols, 4, out)
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )

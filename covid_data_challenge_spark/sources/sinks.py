@@ -262,10 +262,17 @@ def write_png_heatmap(
     driver-side presentation step — the same bounded API-boundary
     contract as :func:`csv_export_string`, enforced by ``max_cells``.
 
-    Values are min-max scaled to 0..255 (constant grids render mid-gray)
-    and each cell is a ``cell_px``×``cell_px`` block. Returns the
-    (width, height) of the written image; the PNG round-trips through
-    any decoder (pytest re-parses the chunks and zlib stream).
+    Shade 0 is reserved as the missing-data sentinel (absent or
+    null-valued cells); present values are min-max scaled to 1..255
+    (constant grids render mid-gray), so a real minimum is visually
+    distinct from a hole in the feed. Each cell is a
+    ``cell_px``×``cell_px`` block. The ``max_cells`` guard bounds both
+    the collected row count AND the materialized grid extent
+    (``nr*nc``) — a sparse feed whose coordinates span a huge range
+    (e.g. epoch seconds) is rejected rather than allocating a
+    multi-GB driver-side grid. Returns the (width, height) of the
+    written image; the PNG round-trips through any decoder (pytest
+    re-parses the chunks and zlib stream).
     """
     import struct
     import zlib
@@ -290,13 +297,21 @@ def write_png_heatmap(
     c0 = min(r.c for r in rows)
     nr = max(r.r for r in rows) - r0 + 1
     nc = max(r.c for r in rows) - c0 + 1
+    if nr * nc > max_cells:
+        raise ValueError(
+            f"heatmap grid extent {nr}x{nc} exceeds {max_cells} cells — "
+            f"sparse feed with outlier coordinates (bin the axes first)"
+        )
     vals = [r.v for r in rows if r.v is not None]
+    if not vals:
+        raise ValueError("heatmap feed has no non-null values")
     lo, hi = min(vals), max(vals)
+    # 0 = missing-data sentinel; data scales to 1..255
     grid = [[0] * nc for _ in range(nr)]
     for r in rows:
         if r.v is None:
             continue
-        shade = 128 if hi == lo else int(round(255.0 * (r.v - lo) / (hi - lo)))
+        shade = 128 if hi == lo else 1 + int(round(254.0 * (r.v - lo) / (hi - lo)))
         grid[r.r - r0][r.c - c0] = shade
     width, height = nc * cell_px, nr * cell_px
     raw = bytearray()

@@ -177,15 +177,17 @@ def test_shuffle_salt_changes_permutation(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_zscore_matches_pandas_rolling(spark):
+def test_zscore_matches_pandas_rolling(spark, sf_dir):
+    import os
+
     import pandas as pd
 
     import covid_data_challenge_spark.queries_ext  # noqa: F401 — populate REGISTRY
     from covid_data_challenge_spark.registry import REGISTRY
 
-    out = REGISTRY["events_anomaly_zscore"].spark(spark, "/root/testdata/sf0.001")
+    out = REGISTRY["events_anomaly_zscore"].spark(spark, sf_dir)
     got = {r.event_id: r.zscore for r in out.collect() if r.zscore is not None}
-    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
     ev = ev.sort_values(["ts", "event_id"])
     checked = 0
     for _, g in ev.groupby("user_id"):

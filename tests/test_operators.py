@@ -882,6 +882,32 @@ def test_triangle_stats_counts_known_graphs(spark):
     assert (r.n_wedges, r.n_triangles, r.global_clustering) == (1, 0, 0.0)
 
 
+def test_triangle_stats_approx_tracks_exact_census(spark, sf_dir):
+    """The Doulion tier (r5): on the co-purchase fixture graph the
+    p=1/2 md5-coin estimate must land within 25% of the exact census
+    (measured 8% at sf0.001 — the coin is deterministic, so this band
+    is a regression pin, not a flaky statistical assertion), the
+    invariants must hold exactly, and a keep probability whose cube
+    does not divide 1000³ must be rejected."""
+    import pytest
+
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.operators.graph import triangle_stats_approx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    exact = REGISTRY["part_triangle_census"].spark(spark, sf_dir).collect()[0]
+    approx = (
+        REGISTRY["part_triangle_census_approx"].spark(spark, sf_dir).collect()[0]
+    )
+    assert approx.n_edges == exact.n_edges
+    assert approx.est_triangles == approx.n_triangles_sampled * 8
+    assert 0 < approx.n_edges_sampled < approx.n_edges
+    assert abs(approx.est_triangles - exact.n_triangles) <= 0.25 * exact.n_triangles
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="keep_millis"):
+        triangle_stats_approx(edges, keep_millis=300)
+
+
 def test_source_kl_divergence_zero_for_identical_sources(spark, monkeypatch, tmp_path):
     """Two sources with the same token distribution → KL ≈ 0 for both
     (only quantization floor away); a divergent third source scores

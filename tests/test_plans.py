@@ -5,6 +5,8 @@ can pass the value oracle with a terrible plan; these pin the plan."""
 
 from __future__ import annotations
 
+import re
+
 import covid_data_challenge_spark.queries  # noqa: F401 — populate REGISTRY
 import covid_data_challenge_spark.queries_ext  # noqa: F401
 from covid_data_challenge_spark.registry import REGISTRY
@@ -226,6 +228,45 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
             continue  # streaming plans resolve at runtime
         simple = _plan(spark, spec.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in simple, name
+
+
+def test_no_unsanctioned_python_and_no_unbounded_global_window_anywhere(
+    spark, sf_dir
+):
+    """Registry-wide sweep with the SAME detectors as tools/plan_audit.py
+    (imported, not copied — one source of truth): (a) every Python
+    evaluation node — row-UDF, pandas-UDF, applyInPandas/mapInPandas,
+    stateful — may appear only in the explicitly sanctioned sites
+    (multimodal decode, sequence packing, streaming stateful); (b) no
+    query may plan a single-partition Window over an input that is not
+    PROVABLY bounded — an aggregate exempts only when its grouping keys
+    are low-cardinality by construction, so a window partitioned on a
+    bare corpus-population key (the r4 length_bucketed_batches weak) or
+    fed by an arbitrary-key aggregate (the r4 AUC residual) fails here."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import (  # noqa: E402
+        _RUNS_OWN_ACTION,
+        corpus_global_windows,
+        python_eval_nodes,
+        python_sanctioned,
+    )
+
+    for name, spec in REGISTRY.items():
+        if "stream" in name or name in _RUNS_OWN_ACTION:
+            continue
+        simple = _plan(spark, spec.spark(spark, sf_dir), "simple")
+        if python_eval_nodes(simple):
+            assert python_sanctioned(name), (
+                f"{name} plans a Python evaluation node outside the "
+                f"sanctioned sites"
+            )
+        assert corpus_global_windows(simple) == 0, (
+            f"{name} plans a single-partition Window over an unbounded "
+            f"input:\n{simple[:3000]}"
+        )
 
 
 def test_late_shipment_is_semi_join_with_pruned_fact_scan(spark, sf_dir):
@@ -548,23 +589,54 @@ def test_dsir_select_scans_corpus_at_most_twice(spark, sf_dir):
     assert len(re.findall(r"Scan parquet", plan)) <= 2, plan[:2000]
 
 
-def test_auc_rank_window_runs_over_distinct_logits_not_corpus(spark, sf_dir):
-    """Exact ROC-AUC must never sort the scored corpus through a
-    single-partition rank window (the r3 scale-killer). The pinned
-    shape: ONE unpartitioned cumulative window whose direct input is
-    the groupBy(logit_units) distinct-value aggregate — between the
-    Window node and the first HashAggregate keyed on logit_units there
-    must be no scan, i.e. the window consumes value-cardinality rows,
-    not corpus rows."""
-    simple = _plan(spark, REGISTRY["classifier_eval_auc"].spark(spark, sf_dir), "simple")
-    lines = simple.splitlines()
-    widx = [i for i, l in enumerate(lines) if "Window" in l]
-    assert len(widx) == 1, simple
-    below = lines[widx[0] + 1 :]
-    agg_at = next(
-        i for i, l in enumerate(below) if "HashAggregate(keys=[logit_units" in l
+def test_auc_rank_window_is_range_sharded_two_level(spark, sf_dir):
+    """Exact ROC-AUC / PR-AUC must never sort anything data-sized
+    through a single-partition window — not the scored corpus (the r3
+    scale-killer) and not the distinct-logit table either (the r4
+    residual: near-unique logits on a natural corpus make |distinct| ≈
+    |rows|). The pinned two-level shape (operators/prefix.py): a
+    rangepartitioning exchange on logit_units feeds a window
+    PARTITIONED by the shard label, and the only unpartitioned window
+    consumes the K-row per-shard-total aggregate (its subtree reaches
+    HashAggregate(keys=[__ps_shard...]) before any scan)."""
+    for qname in ("classifier_eval_auc", "classifier_eval_pr_auc"):
+        simple = _plan(spark, REGISTRY[qname].spark(spark, sf_dir), "simple")
+        assert "rangepartitioning(logit_units" in simple, (qname, simple)
+        lines = simple.splitlines()
+        for i, l in enumerate(lines):
+            if "Window" not in l or "WindowGroupLimit" in l:
+                continue
+            if "windowspecdefinition(__ps_shard" in l:
+                continue  # within-shard cumulative — partitioned, bounded
+            # unpartitioned window: must consume the K-row shard totals
+            below = lines[i + 1 :]
+            agg_at = next(
+                (
+                    j
+                    for j, s in enumerate(below)
+                    if "HashAggregate(keys=[__ps_shard" in s
+                ),
+                None,
+            )
+            assert agg_at is not None, (qname, l, simple)
+            assert not any("Scan" in s for s in below[:agg_at]), (qname, simple)
+
+
+def test_length_bucketed_batches_window_is_sharded(spark, sf_dir):
+    """The r4 `weak`, pinned fixed: batch-cutting row_number must
+    partition on (len_bucket, shard) — a natural corpus concentrates
+    doc lengths in a few dozen 32-token bins, so a window partitioned
+    on the BARE len_bucket sorts a corpus-scale population in one task
+    (and, being hashpartitioned rather than SinglePartition, would slip
+    past the audit's global-window detector — hence this explicit pin)."""
+    simple = _plan(
+        spark, REGISTRY["length_bucketed_batches"].spark(spark, sf_dir), "simple"
     )
-    assert not any("Scan" in l for l in below[:agg_at]), simple
+    wins = [l for l in simple.splitlines()
+            if "windowspecdefinition" in l and "WindowGroupLimit" not in l]
+    assert wins, simple
+    for l in wins:
+        assert re.search(r"windowspecdefinition\(len_bucket#\d+L?, shard#\d+", l), l
 
 
 def test_objective_transforms_and_gopher_are_shuffle_free(spark, sf_dir):

@@ -345,3 +345,46 @@ def test_png_heatmap_sink_writes_decodable_png(spark, sf_dir, tmp_path):
     px_col = (top["hr"] - c0) * 4
     shade = raw[px_row * (w + 1) + 1 + px_col]
     assert shade == 255
+
+
+def test_png_heatmap_extent_guard_and_missing_sentinel(spark, tmp_path):
+    """ADVICE r4: (a) a sparse feed with outlier coordinates must be
+    rejected by the grid-extent guard even when the row count is tiny;
+    (b) absent/null cells render as the reserved sentinel shade 0 while
+    the true data minimum renders as 1 — missing is distinguishable
+    from minimum."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from covid_data_challenge_spark.sources.sinks import write_png_heatmap
+
+    sparse = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 10_000_000, 2.0)], "r long, c long, v double"
+    )
+    with pytest.raises(ValueError, match="grid extent"):
+        write_png_heatmap(sparse, "r", "c", "v", str(tmp_path / "sparse.png"))
+
+    feed = spark.createDataFrame(
+        [(0, 0, 5.0), (0, 1, None), (1, 1, 10.0)], "r long, c long, v double"
+    )
+    out = str(tmp_path / "sentinel.png")
+    w, h = write_png_heatmap(feed, "r", "c", "v", out, cell_px=1)
+    data = open(out, "rb").read()
+    pos, idat = 8, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+
+    def px(r, c):
+        return raw[r * (w + 1) + 1 + c]
+
+    assert px(0, 0) == 1  # true minimum — scaled floor is 1, not 0
+    assert px(1, 1) == 255  # maximum
+    assert px(0, 1) == 0  # null-valued cell → sentinel
+    assert px(1, 0) == 0  # absent cell → sentinel

@@ -32,24 +32,102 @@ _RUNS_OWN_ACTION = ("stream", "observed_quality_report", "bpe_merge_table")
 
 
 _DEPTH_RE = re.compile(r"^([\s:+\-]*)(?:\*\(\d+\)\s*)?")
-_BOUNDING = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
-             "TakeOrderedAndProject", "GlobalLimit", "WindowGroupLimit")
-_LEAF = ("Scan ", "FileScan", "ExistingRDD", "LocalTableScan",
-         "InMemoryTableScan")
+_HARD_BOUNDING = ("TakeOrderedAndProject", "GlobalLimit", "WindowGroupLimit")
+_AGG = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+#: Leaf nodes that are literal / driver-local by construction (a
+#: spark.range grid, a createDataFrame recipe) — provably tiny.
+_LITERAL_LEAF = ("Range (", "LocalTableScan")
+_LEAF = ("Scan ", "FileScan", "ExistingRDD", "InMemoryTableScan")
+#: Aggregate grouping keys that are provably LOW-CARDINALITY BY
+#: CONSTRUCTION — an aggregate on any other key does NOT bound a
+#: single-partition window (r4 VERDICT: `logit_units` is bounded by
+#: distinct-score cardinality, which approaches |docs| on a natural
+#: corpus; an audit that exempts every aggregate can't see that).
+#: Each entry's bound comes from code, not data:
+#:   __ps_shard      spark_partition_id after repartitionByRange(K) — ≤ K
+#:   shard           md5 hash-range slice, constant n_shards (operators/sampling.py)
+#:   bin             fixed decile/histogram grids (10 / _PSI_BINS / n_bins params)
+#:   bucket          LR hashed-feature space, constant LR_BUCKETS=65
+#:   len_bucket      only TOGETHER with shard (see length_bucketed_batches);
+#:                   bare len_bucket is corpus-population — NOT listed
+#:   band            LSH band index, constant n_bands
+#:   source          corpus source label (enum-sized dimension)
+#:   threshold       sweep grids (constant)
+#:   __b             skyline grid cell, constant `buckets` param (operators/skyline.py)
+#:   event_type      enum-sized label vocabulary (like source)
+#:   month/order_year calendar-grain — bounded by elapsed time, not data
+_BOUNDED_KEYS = {"__ps_shard", "shard", "bin", "bucket", "band", "source",
+                 "threshold", "dow", "hr", "grid_q", "__b", "event_type",
+                 "month", "order_year"}
+_KEYS_RE = re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]")
+_KEYNAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
 
 def _depth(line: str) -> int:
     return len(_DEPTH_RE.match(line).group(1))
 
 
+#: Expression heads that are calendar/enum-bounded no matter what column
+#: they consume — Catalyst hoists non-attribute grouping keys into
+#: ``expr AS _groupingexpression#N`` Projects, erasing the query-level
+#: alias (e.g. ``order_year``), so boundedness must be read off the
+#: defining expression itself.
+_BOUNDED_EXPR_HEADS = ("year(", "month(", "quarter(", "dayofweek(",
+                       "dayofmonth(", "hour(", "minute(", "weekofyear(")
+
+
+def _groupingexpr_is_bounded(gid: str, subtree: list[str]) -> bool:
+    """Resolve ``_groupingexpression#N`` to its defining ``expr AS
+    _groupingexpression#N`` (in a Project below the aggregate) and test
+    the expression head against the bounded-by-construction set."""
+    pat = re.compile(r"([^\s,\[][^,\[]*?) AS " + re.escape(gid) + r"\b")
+    for s in subtree:
+        m = pat.search(s)
+        if m:
+            expr = m.group(1).strip().lower()
+            return expr.startswith(_BOUNDED_EXPR_HEADS)
+    return False
+
+
+def _agg_is_bounded(line: str, subtree: list[str] = ()) -> bool:
+    """True iff this aggregate provably collapses to a small table: no
+    grouping keys (scalar), or every grouping key is in the
+    by-construction low-cardinality list above (with hoisted
+    ``_groupingexpression`` keys resolved through their defining
+    Project in ``subtree``)."""
+    m = _KEYS_RE.search(line)
+    if not m:
+        return False
+    keys_src = m.group(1).strip()
+    if not keys_src:
+        return True  # global aggregate -> one row
+    names = _KEYNAME_RE.findall(keys_src)
+    if not names:
+        return False
+    gids = re.findall(r"_groupingexpression#\d+", keys_src)
+    gid_i = 0
+    for n in names:
+        if n in _BOUNDED_KEYS:
+            continue
+        if n == "_groupingexpression":
+            gid = gids[gid_i] if gid_i < len(gids) else None
+            gid_i += 1
+            if gid and _groupingexpr_is_bounded(gid, subtree):
+                continue
+        return False
+    return True
+
+
 def corpus_global_windows(plan: str) -> int:
-    """Count Window nodes that sort the FULL input through a single
-    partition: the window's subtree reaches a leaf scan before any
-    cardinality-bounding node (aggregate / limit / group-limit), and its
-    nearest Exchange is SinglePartition. A global window over a
-    groupBy-collapsed table (e.g. the AUC distinct-logit table) is
-    bounded and does NOT count — only the genuinely corpus-sized sort
-    (the r3 classifier_eval_auc shape) trips this."""
+    """Count Window nodes that sort a data-sized input through a single
+    partition: the window's subtree reaches a corpus leaf before any
+    node that PROVABLY bounds cardinality — a limit/group-limit, a
+    literal leaf (Range/LocalTableScan), or an aggregate whose grouping
+    keys are low-cardinality BY CONSTRUCTION (see _BOUNDED_KEYS). An
+    aggregate on an arbitrary data key (e.g. distinct logits) no longer
+    exempts the window: its cardinality is data-dependent and can reach
+    |corpus| (the r4 classifier_eval_auc residual — that shape now
+    trips this audit)."""
     lines = plan.splitlines()
     n_bad = 0
     for i, ln in enumerate(lines):
@@ -65,7 +143,13 @@ def corpus_global_windows(plan: str) -> int:
         is_global = first_ex is not None and "SinglePartition" in first_ex
         bounded = False
         for s in sub:
-            if any(tag in s for tag in _BOUNDING):
+            if any(tag in s for tag in _HARD_BOUNDING):
+                bounded = True
+                break
+            if any(tag in s for tag in _AGG) and _agg_is_bounded(s, sub):
+                bounded = True
+                break
+            if any(tag in s for tag in _LITERAL_LEAF):
                 bounded = True
                 break
             if any(tag in s for tag in _LEAF):
@@ -73,6 +157,41 @@ def corpus_global_windows(plan: str) -> int:
         if is_global and not bounded:
             n_bad += 1
     return n_bad
+
+
+#: Python-evaluation physical nodes. BatchEvalPython is the row-at-a-time
+#: UDF (never sanctioned); the rest are Arrow-batched but still leave the
+#: JVM — only the explicitly sanctioned sites below may plan them
+#: (r4 VERDICT: the old detector matched only *EvalPython, so
+#: applyInPandas/mapInPandas sites passed invisibly).
+_PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+             "MapInPandas", "FlatMapGroupsInPandasWithState",
+             "TransformWithStateInPandas")
+#: Sanctioned grouped-map/map Python sites: multimodal decode stages
+#: (operators/multimodal.py — binary decode is not expressible in Column
+#: algebra), greedy sequence packing (operators/packing.py — prefix-sum
+#: with reset is not window-expressible), and streaming stateful ops
+#: (applyInPandasWithState / transformWithStateInPandas by design).
+_PY_SANCTIONED_PREFIXES = ("multimodal", "stream")
+_PY_SANCTIONED_EXACT = {"sequence_packing", "packing_stats"}
+
+
+def python_eval_nodes(plan: str) -> int:
+    n_state = plan.count("FlatMapGroupsInPandasWithState")
+    return (
+        plan.count("BatchEvalPython")
+        + plan.count("ArrowEvalPython")
+        + (plan.count("FlatMapGroupsInPandas") - n_state)
+        + plan.count("MapInPandas")
+        + n_state
+        + plan.count("TransformWithStateInPandas")
+    )
+
+
+def python_sanctioned(name: str) -> bool:
+    return name in _PY_SANCTIONED_EXACT or any(
+        name.startswith(p) for p in _PY_SANCTIONED_PREFIXES
+    )
 
 
 def main() -> int:
@@ -97,7 +216,7 @@ def main() -> int:
                 plan.count("SortMergeJoin"),
                 plan.count("BroadcastNestedLoopJoin"),
                 plan.count("CartesianProduct"),
-                plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+                python_eval_nodes(plan),
                 corpus_global_windows(plan),
             )
         )
@@ -110,11 +229,15 @@ def main() -> int:
         "Regenerate: `python tools/plan_audit.py`. Sorted by exchange",
         "count — the top of this table is where 100 TB attention goes.",
         "`cartesian` must be 0 everywhere (also enforced by",
-        "`test_no_cartesian_product_anywhere`); `python_eval` is only",
-        "sanctioned for the multimodal mapInPandas stage; `global_win`",
-        "counts corpus-sized single-partition Window sorts (a global",
-        "window over an already-aggregated value table is bounded and",
-        "does not count) and must be 0 everywhere.",
+        "`test_no_cartesian_product_anywhere`); `python_eval` counts ALL",
+        "Python nodes (row-UDF, pandas-UDF, applyInPandas/mapInPandas,",
+        "stateful) and is only sanctioned for multimodal_*,",
+        "sequence_packing/packing_stats, and streaming stateful ops;",
+        "`global_win` counts single-partition Window sorts whose input",
+        "is not PROVABLY bounded — an aggregate exempts only when its",
+        "grouping keys are low-cardinality by construction (see",
+        "_BOUNDED_KEYS in tools/plan_audit.py) — and must be 0",
+        "everywhere.",
         "",
         "| query | exchanges | bhj | smj | bnlj | cartesian | python_eval | global_win |",
         "|---|---|---|---|---|---|---|---|",
@@ -130,7 +253,7 @@ def main() -> int:
     with open("/root/repo/PLAN_AUDIT.md", "w") as f:
         f.write(out)
     n_cart = sum(r[5] for r in rows)
-    n_py = sum(1 for r in rows if r[6] and not r[0].startswith("multimodal"))
+    n_py = sum(1 for r in rows if r[6] and not python_sanctioned(r[0]))
     n_gwin = sum(r[7] for r in rows)
     print(f"{len(rows)} plans audited, {n_cart} cartesian products, "
           f"{n_py} unsanctioned python-eval queries, "
