@@ -2147,3 +2147,147 @@ def q_platt_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab.join(agg).select(
         "a_units", "b_units", "n_docs", "nll_raw", "nll_cal"
     )
+
+
+_ML_NLL_STAGE, _ML_NLL_FINAL = portable_ln_sql_stages(
+    {"l_num": "num", "l_den": "den"}
+)
+
+
+def _ml_lm_ctes(tag: str, train_cte: str) -> str:
+    """CTE block training an add-one bigram LM on ``train_cte``'s
+    (doc_id, w) token arrays and exposing ``lm_{tag}`` / ``pre_{tag}``
+    / ``voc_{tag}`` — the DuckDB twin of operators/lm.bigram_lm_build,
+    parameterized so the Moore-Lewis oracle can instantiate it twice
+    (in-domain and general) without textual duplication."""
+    return f"""bg_{tag} AS (
+    SELECT w[i] || ' ' || w[i + 1] AS bg
+    FROM {train_cte} JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_{tag} AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bg_{tag} GROUP BY bg),
+pre_{tag} AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM lm_{tag} GROUP BY 1
+),
+voc_{tag} AS (SELECT CAST(count(*) AS BIGINT) AS v FROM pre_{tag})"""
+
+
+def _ml_score_ctes(tag: str) -> str:
+    """CTE block scoring the candidate-pool bigram instances (CTE
+    ``poolbg``) against ``lm_{tag}`` with bigram_lm_nll_with's exact
+    smoothing fallbacks: unseen bigram -> its context's true count,
+    unseen context -> the 1/V floor; portable-ln, integer micro-nats
+    per instance, one mean per doc."""
+    return f"""args_{tag} AS (
+    SELECT b.doc_id,
+           (coalesce(l.c_ab, 0) + 1) AS num,
+           (coalesce(l.c_a, p.c_a, 0) + voc_{tag}.v) AS den
+    FROM poolbg b
+    LEFT JOIN (SELECT lm.bg, lm.c_ab, pr.c_a
+               FROM lm_{tag} lm JOIN pre_{tag} pr
+                 ON split_part(lm.bg, ' ', 1) = pr.pre) l ON b.bg = l.bg
+    LEFT JOIN pre_{tag} p ON split_part(b.bg, ' ', 1) = p.pre
+    CROSS JOIN voc_{tag}
+),
+staged_{tag} AS (SELECT doc_id, {_ML_NLL_STAGE} FROM args_{tag}),
+lns_{tag} AS (SELECT doc_id, {_ML_NLL_FINAL} FROM staged_{tag}),
+nll_{tag} AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(floor(1000000.0 * ((l_den) - (l_num))) AS BIGINT))
+                AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS nll
+    FROM lns_{tag} GROUP BY doc_id
+)"""
+
+
+@register(
+    "moore_lewis_select",
+    oracle=f"""
+WITH tgt AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    WHERE source IN ('src0', 'src1')
+),
+pool AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    WHERE source NOT IN ('src0', 'src1')
+),
+{_ml_lm_ctes('ind', 'tgt')},
+{_ml_lm_ctes('gen', 'pool')},
+poolbg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM pool JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+{_ml_score_ctes('ind')},
+{_ml_score_ctes('gen')},
+scored AS (
+    SELECT i.doc_id, i.n_bigrams,
+           i.nll AS nll_in, g.nll AS nll_gen,
+           i.nll - g.nll AS ce_diff
+    FROM nll_ind i JOIN nll_gen g USING (doc_id)
+),
+thr AS (SELECT quantile_cont(ce_diff, 0.5) AS t FROM scored)
+SELECT doc_id, n_bigrams, nll_in, nll_gen, ce_diff,
+       (ce_diff <= thr.t) AS selected
+FROM scored CROSS JOIN thr
+""",
+)
+def q_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy-difference data selection (Moore & Lewis 2010,
+    "Intelligent Selection of Language Model Training Data") — the
+    classic LM-based alternative to DSIR's hashed-n-gram importance
+    weights, and the method FineWeb-class pipelines still benchmark
+    against: train an IN-DOMAIN bigram LM on the curated target slice
+    (src0/src1, the same target as dsir_importance_select) and a
+    GENERAL LM on the candidate pool itself, score every pool document
+    under both, and keep the half with the lowest per-bigram
+    cross-entropy difference H_in(d) − H_gen(d). The subtraction
+    cancels generic fluency: a doc scores well iff it looks like the
+    TARGET specifically, not merely like typical text — selection by
+    what the paper calls "domain-ness", robust to document length
+    because both terms are per-bigram means.
+
+    Both LMs ride the engine's portable-ln NLL machinery
+    (operators/lm.bigram_lm_nll_with): add-one smoothing, unseen-
+    bigram/unseen-context fallbacks, integer micro-nat quantization
+    before the per-doc mean — so nll_in, nll_gen, their IEEE
+    difference, and the median threshold replay bit-exactly in DuckDB.
+
+    Scale shape: two vocab-sized LM gold tables (both eagerly
+    checkpointed — in production, persisted parquet), ONE shared
+    checkpointed (doc, bigram) explode of the pool consumed by both
+    scoring passes (the bigram_lm_score discipline), one broadcast
+    median threshold; the corpus is scanned twice (target slice +
+    pool), every join is bigram-keyed or broadcast."""
+    from covid_data_challenge_spark.operators.lm import (
+        bigram_lm_build,
+        bigram_lm_nll_with,
+        doc_bigrams,
+    )
+
+    docs = _docs(spark, sf_dir)
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    target = docs.filter(is_target)
+    pool = docs.filter(~is_target)
+    pool_bg = doc_bigrams(pool).localCheckpoint(eager=True)
+    lm_in = bigram_lm_build(target).localCheckpoint(eager=True)
+    lm_gen = bigram_lm_build(pool, bigrams=pool_bg).localCheckpoint(eager=True)
+    nll_in = bigram_lm_nll_with(pool, lm_in, bigrams=pool_bg).select(
+        "doc_id", "n_bigrams", F.col("nll").alias("nll_in")
+    )
+    nll_gen = bigram_lm_nll_with(pool, lm_gen, bigrams=pool_bg).select(
+        "doc_id", F.col("nll").alias("nll_gen")
+    )
+    scored = nll_in.join(nll_gen, "doc_id").withColumn(
+        "ce_diff", F.col("nll_in") - F.col("nll_gen")
+    )
+    thr = scored.agg(F.percentile(F.col("ce_diff"), F.lit(0.5)).alias("t"))
+    return scored.join(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "nll_in",
+        "nll_gen",
+        "ce_diff",
+        (F.col("ce_diff") <= F.col("t")).alias("selected"),
+    )

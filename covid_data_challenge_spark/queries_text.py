@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from covid_data_challenge_spark.functions.text import PII_EMAIL_RE, PII_PHONE_RE, bpe_pretoken_count, fingerprint, lang_hits, normalize_text, pii_match_count, quality_score, redact_pii, token_count, tokens
+from covid_data_challenge_spark.functions.text import PII_EMAIL_RE, PII_PHONE_RE, bpe_pretoken_count, fingerprint, lang_hits, let, normalize_text, pii_match_count, quality_score, redact_pii, token_count, tokens
 from covid_data_challenge_spark.operators.dedup import word_shingle_expr
 from covid_data_challenge_spark.registry import register
 from covid_data_challenge_spark.queries_shared import (  # noqa: F401
@@ -1161,3 +1161,221 @@ def q_source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(10000.0))
         ).alias("mean_quality"),
     )
+
+
+#: Gopher repetition thresholds (Rae et al. 2021, Table A1): max
+#: character fraction in the single most frequent n-gram (n=2..4) and in
+#: duplicated n-grams (n=5..10).
+_GRF_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
+_GRF_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _grf_gram_sql(n: int) -> str:
+    join = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return (
+        f"SELECT doc_id, {n} AS n, {join} AS gram\n"
+        f"    FROM docs JOIN idx ON i <= len(w) - {n - 1}"
+    )
+
+
+def _grf_oracle() -> str:
+    grams = "\n    UNION ALL\n    ".join(
+        _grf_gram_sql(n) for n in sorted({**_GRF_TOP, **_GRF_DUP})
+    )
+    top_cols = ",\n       ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0)"
+        f" / CAST(n_chars AS DOUBLE) AS top_frac_{n}"
+        for n in _GRF_TOP
+    )
+    dup_cols = ",\n       ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0)"
+        f" / CAST(coalesce(max(CASE WHEN n = {n} THEN all_chars END), 1)"
+        f" AS DOUBLE) AS dup_frac_{n}"
+        for n in _GRF_DUP
+    )
+    ok_top = [
+        f"(coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0)"
+        f" / CAST(n_chars AS DOUBLE) <= {t}) AS ok_top_{n}"
+        for n, t in _GRF_TOP.items()
+    ]
+    ok_dup = [
+        f"(coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0)"
+        f" / CAST(coalesce(max(CASE WHEN n = {n} THEN all_chars END), 1)"
+        f" AS DOUBLE) <= {t}) AS ok_dup_{n}"
+        for n, t in _GRF_DUP.items()
+    ]
+    keep = " AND ".join(
+        [
+            f"coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0)"
+            f" / CAST(n_chars AS DOUBLE) <= {t}"
+            for n, t in _GRF_TOP.items()
+        ]
+        + [
+            f"coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0)"
+            f" / CAST(coalesce(max(CASE WHEN n = {n} THEN all_chars END), 1)"
+            f" AS DOUBLE) <= {t}"
+            for n, t in _GRF_DUP.items()
+        ]
+    )
+    ok_cols = ",\n       ".join(ok_top + ok_dup)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    WHERE len(string_split({_NORM}, ' ')) >= 2
+),
+chars AS (
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(w, t -> len(t)), 'sum')
+             AS BIGINT) AS n_chars
+    FROM docs
+),
+idx AS (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i),
+grams AS (
+    {grams}
+),
+counts AS (
+    SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+           CAST(len(gram) - (n - 1) AS BIGINT) AS charlen
+    FROM grams GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT doc_id, n, c * charlen AS gchars, c,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY c DESC, gram) AS rn
+    FROM counts
+),
+per_n AS (
+    SELECT doc_id, n,
+           CAST(sum(c * charlen) AS BIGINT) AS all_chars,
+           CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * charlen END), 0)
+             AS BIGINT) AS dup_chars
+    FROM counts GROUP BY 1, 2
+),
+tops AS (
+    SELECT doc_id, n, CAST(gchars AS BIGINT) AS top_chars
+    FROM ranked WHERE rn = 1
+),
+joined AS (
+    SELECT p.doc_id, p.n, p.all_chars, p.dup_chars, t.top_chars
+    FROM per_n p JOIN tops t ON p.doc_id = t.doc_id AND p.n = t.n
+)
+SELECT c.doc_id, c.n_chars,
+       {top_cols},
+       {dup_cols},
+       {ok_cols},
+       ({keep}) AS keep
+FROM chars c LEFT JOIN joined j ON c.doc_id = j.doc_id
+GROUP BY c.doc_id, c.n_chars
+"""
+
+
+@register("gopher_repetition_flags", oracle=_grf_oracle())
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION battery (Rae et al. 2021, Table A1 —
+    the other half of gopher_quality_flags): per document, the
+    character fraction covered by the single most frequent n-gram for
+    n∈{2,3,4} (against the doc's non-space characters) and the
+    occurrence-weighted character fraction of n-grams occurring ≥2
+    times for n∈{5..10} (against all n-gram occurrence characters),
+    each with the paper's threshold verdict and the conjunctive keep
+    bit. Excessively repetitive documents — boilerplate, scraped spam,
+    keyword-stuffed pages — fail these long before a model-based
+    filter sees them.
+
+    Scale shape: ONE tokenization, one flattened explode emitting all
+    nine n-gram streams tagged by n (one corpus scan — not nine), one
+    map-side-combinable count on (doc_id, n, gram), a top-1 window
+    bounded per (doc, n), and a pivot back to one row per document.
+    Every ratio is one IEEE division of exact integer character
+    counts, so the whole battery hash-matches DuckDB. Docs need ≥2
+    tokens (no bigram exists below that; the same guard the oracle
+    applies)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    ns = sorted({**_GRF_TOP, **_GRF_DUP})
+
+    def _streams(w):
+        def one(n):
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.struct(
+                        F.lit(n).alias("n"),
+                        F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+        return F.flatten(F.array(*[one(n) for n in ns]))
+
+    n_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            F.explode(let(toks, _streams)).alias("g"),
+        )
+        .select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = base.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    charlen = (F.length("gram") - (F.col("n") - 1)).cast("long")
+    counts = counts.withColumn("gchars", (F.col("c") * charlen).cast("long"))
+    w_top = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w_top))
+    per_n = counts.groupBy("doc_id", "n_chars", "n").agg(
+        F.sum("gchars").cast("long").alias("all_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("gchars"))), F.lit(0)
+        ).cast("long").alias("dup_chars"),
+    )
+    tops = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "n", F.col("gchars").alias("top_chars")
+    )
+    joined = per_n.join(tops, ["doc_id", "n"])
+    agg_cols = []
+    for n in _GRF_TOP:
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0)
+            ).alias(f"__top_{n}")
+        )
+    for n in _GRF_DUP:
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0)
+            ).alias(f"__dup_{n}")
+        )
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("all_chars"))), F.lit(1)
+            ).alias(f"__all_{n}")
+        )
+    pivoted = joined.groupBy("doc_id", "n_chars").agg(*agg_cols)
+    sel = [F.col("doc_id"), F.col("n_chars")]
+    keep = F.lit(True)
+    for n, t in _GRF_TOP.items():
+        frac = F.col(f"__top_{n}").cast("double") / F.col("n_chars").cast("double")
+        sel.append(frac.alias(f"top_frac_{n}"))
+    for n, t in _GRF_DUP.items():
+        frac = F.col(f"__dup_{n}").cast("double") / F.col(f"__all_{n}").cast("double")
+        sel.append(frac.alias(f"dup_frac_{n}"))
+    for n, t in _GRF_TOP.items():
+        frac = F.col(f"__top_{n}").cast("double") / F.col("n_chars").cast("double")
+        sel.append((frac <= F.lit(t)).alias(f"ok_top_{n}"))
+        keep = keep & (frac <= F.lit(t))
+    for n, t in _GRF_DUP.items():
+        frac = F.col(f"__dup_{n}").cast("double") / F.col(f"__all_{n}").cast("double")
+        sel.append((frac <= F.lit(t)).alias(f"ok_dup_{n}"))
+        keep = keep & (frac <= F.lit(t))
+    sel.append(keep.alias("keep"))
+    return pivoted.select(*sel)

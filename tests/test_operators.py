@@ -1076,3 +1076,67 @@ def test_stupid_backoff_tiers_golden(spark):
     # tier 2: "x y z" fully unseen -> ln(N+V) + 2 ln 2.5, N=6 V=3
     assert out[30].n_backoff == 1
     assert abs(out[30].nll - (math.log(9.0) + 2 * math.log(2.5))) < 1e-5
+
+
+def test_moore_lewis_selects_target_like_pool_docs(spark, monkeypatch):
+    """Cross-entropy-difference selection (r5): pool docs written in the
+    target slice's vocabulary must rank (and select) ahead of
+    out-of-vocabulary gibberish — the Moore-Lewis 2010 property the
+    query exists for."""
+    import covid_data_challenge_spark.queries_curation as qc
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        # target slice (src0/src1): a consistent "domain" vocabulary
+        (0, "the model trains on clean data", "en", "src0", 1),
+        (1, "the model trains on good data", "en", "src0", 1),
+        (2, "clean data trains the model well", "en", "src1", 1),
+        # pool: two domain-like docs, two gibberish docs
+        (10, "the model trains on clean data", "en", "src2", 1),
+        (11, "good data trains the model", "en", "src3", 1),
+        (12, "zxq wvv kkj pqr mnb vvx", "en", "src2", 1),
+        (13, "qqa zzb ccx ddv eef ffg", "en", "src3", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qc, "_docs", lambda spark, sf: docs)
+    out = {r.doc_id: r for r in
+           REGISTRY["moore_lewis_select"].spark(spark, "unused").collect()}
+    assert set(out) == {10, 11, 12, 13}  # pool only, all scored
+    assert out[10].ce_diff < out[12].ce_diff
+    assert out[11].ce_diff < out[13].ce_diff
+    assert out[10].selected and out[11].selected
+    assert not out[12].selected and not out[13].selected
+
+
+def test_gopher_repetition_known_fractions(spark, monkeypatch):
+    """Hand-checkable repetition battery values: a doc that is one
+    2-gram repeated 3 times vs a doc with all-distinct tokens."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            # "ab cd" x3: top 2-gram "ab cd" occurs 3 times among 5
+            # bigram slots; all 5-grams occur once each
+            (0, "ab cd ab cd ab cd", "en", "s", 1),
+            (1, "aa bb cc dd ee ff", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = {r.doc_id: r for r in
+           REGISTRY["gopher_repetition_flags"].spark(spark, "unused").collect()}
+    r0, r1 = out[0], out[1]
+    assert r0.n_chars == 12  # 6 tokens x 2 non-space chars
+    # top 2-gram "ab cd": 3 occurrences x 4 chars = 12 of 12 chars
+    assert r0.top_frac_2 == 1.0
+    # dup 5-grams: "ab cd ab cd ab" x1, "cd ab cd ab cd" x1 -> none >= 2
+    assert r0.dup_frac_5 == 0.0
+    assert not r0.keep  # 100% top-2-gram coverage fails the 20% gate
+    # all-distinct doc: top 2-gram covers 4/12 chars, no duplicates
+    assert abs(r1.top_frac_2 - 4.0 / 12.0) < 1e-12
+    assert r1.dup_frac_5 == 0.0 and r1.dup_frac_10 == 0.0
+    assert not r1.ok_top_2 or r1.ok_top_2 == (4.0 / 12.0 <= 0.20)
+    assert r1.ok_dup_5 and r1.ok_dup_10
