@@ -312,3 +312,80 @@ def stupid_backoff_nll_incremental(
             ).alias("nll"),
         )
     )
+
+
+def kneser_ney_nll(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated Kneser-Ney bigram LM
+    (Kneser & Ney 1995; Chen & Goodman 1999's benchmark formulation) —
+    the canonical n-gram smoothing, and the one KenLM-style perplexity
+    filters actually ship:
+
+        p(w|v) = max(c(vw) − D, 0)/c(v·)
+               + (D · N1+(v·)/c(v·)) · N1+(·w)/N1+(··)
+
+    where N1+(v·) counts distinct continuations of context v, N1+(·w)
+    distinct contexts of w (the "how novel is this word's usage"
+    continuation probability that add-one smoothing lacks), and
+    N1+(··) the distinct-bigram-type total. Self-scored on its
+    training corpus every bigram has c(vw) ≥ 1, so no OOV branch is
+    needed (the add-one twin :func:`bigram_lm_nll_with` covers
+    serve-on-new-batch fallbacks).
+
+    Hash-exactness: every input to p is an exact integer count; the
+    fixed-association double expression is identical in Spark and
+    DuckDB (correctly-rounded IEEE ops on identical inputs), −ln p
+    goes through functions.pmath.portable_ln, and quantizes to integer
+    micro-nats before the per-doc mean — the LM surface's standard
+    discipline. Scale shape is bigram_lm_nll's: the model is four
+    vocab-sized aggregates off one (doc, bigram) frame (pass the
+    shared checkpointed frame via ``bigrams``), the transcendental
+    evaluates once per DISTINCT bigram type, scoring is one
+    bigram-keyed join + per-doc re-agg."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
+    bg_counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("__k"))
+    lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    pre = lm_bg.groupBy(F.substring_index("bg", " ", 1).alias("__pre")).agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    suf = lm_bg.groupBy(F.substring_index("bg", " ", -1).alias("__suf")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1_bwd")
+    )
+    types = lm_bg.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    d = F.lit(float(discount))
+    joined = (
+        lm_bg.join(pre, F.substring_index(F.col("bg"), " ", 1) == F.col("__pre"))
+        .join(suf, F.substring_index(F.col("bg"), " ", -1) == F.col("__suf"))
+        .join(F.broadcast(types))
+    )
+    # association is load-bearing — mirror the oracle SQL token-for-token
+    p = (
+        F.greatest(F.col("c_ab").cast("double") - d, F.lit(0.0))
+        / F.col("c_a").cast("double")
+    ) + (
+        (d * F.col("n1_fwd").cast("double") / F.col("c_a").cast("double"))
+        * (F.col("n1_bwd").cast("double") / F.col("__t").cast("double"))
+    )
+    per_bg = joined.select(
+        "bg",
+        F.floor(F.lit(1000000.0) * (-portable_ln(p))).cast("long").alias("__u"),
+    )
+    return (
+        bg_counts.join(per_bg, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__k").alias("n_bigrams"),
+            (
+                F.sum(F.col("__k") * F.col("__u")).cast("double")
+                / (F.sum("__k").cast("double") * F.lit(1000000.0))
+            ).alias("kn_nll"),
+        )
+    )

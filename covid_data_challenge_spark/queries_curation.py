@@ -2291,3 +2291,81 @@ def q_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ce_diff",
         (F.col("ce_diff") <= F.col("t")).alias("selected"),
     )
+
+
+_KN_STAGE, _KN_FINAL = portable_ln_sql_stages({"l_p": "p"})
+
+#: DuckDB twin of operators/lm.kneser_ney_nll's probability expression —
+#: association mirrors the Column tree token-for-token (exact integer
+#: counts in, fixed-order IEEE double ops out, identical bits).
+_KN_P = (
+    "(greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) / CAST(c_a AS DOUBLE))"
+    " + ((0.75 * CAST(n1_fwd AS DOUBLE) / CAST(c_a AS DOUBLE))"
+    " * (CAST(n1_bwd AS DOUBLE) / CAST(t AS DOUBLE)))"
+)
+
+
+@register(
+    "kneser_ney_nll",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+lm_bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bg),
+pre AS (
+    SELECT split_part(bg, ' ', 1) AS pre,
+           CAST(sum(c_ab) AS BIGINT) AS c_a,
+           CAST(count(*) AS BIGINT) AS n1_fwd
+    FROM lm_bg GROUP BY 1
+),
+suf AS (
+    SELECT split_part(bg, ' ', 2) AS suf, CAST(count(*) AS BIGINT) AS n1_bwd
+    FROM lm_bg GROUP BY 1
+),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lm_bg),
+per AS (
+    SELECT l.bg, {_KN_P} AS p
+    FROM lm_bg l
+    JOIN pre ON split_part(l.bg, ' ', 1) = pre.pre
+    JOIN suf ON split_part(l.bg, ' ', 2) = suf.suf
+    CROSS JOIN tt
+),
+staged AS (SELECT bg, {_KN_STAGE} FROM per),
+lns AS (SELECT bg, {_KN_FINAL} FROM staged),
+units AS (
+    SELECT bg, CAST(floor(1000000.0 * (-(l_p))) AS BIGINT) AS u FROM lns
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(u) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS kn_nll
+FROM bg b JOIN units USING (bg)
+GROUP BY b.doc_id
+""",
+)
+def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under an interpolated KNESER-NEY bigram LM
+    (Kneser & Ney 1995; Chen & Goodman 1999) — the canonical n-gram
+    smoothing and the one production perplexity filters (KenLM/CCNet
+    lineage) actually use, beside the engine's add-one
+    (`bigram_lm_nll`) and Stupid Backoff (`stupid_backoff_nll`) tiers:
+    absolute discount D=0.75 off every seen bigram, with the freed
+    mass backed off to the CONTINUATION unigram N1+(·w)/N1+(··) — "how
+    many distinct contexts does this word follow" — which add-one
+    lacks entirely (a word frequent in one fixed collocation stops
+    looking probable everywhere else).
+
+    Model = four vocab-sized aggregates off the one shared
+    checkpointed (doc, bigram) frame; probabilities are fixed-
+    association IEEE doubles of exact integer counts, −ln p through
+    portable-ln, integer micro-nats before the per-doc mean — the LM
+    surface's bit-exact discipline end to end (operators/lm.py:
+    kneser_ney_nll)."""
+    from covid_data_challenge_spark.operators.lm import doc_bigrams, kneser_ney_nll
+
+    docs = _docs(spark, sf_dir)
+    bg = doc_bigrams(docs).localCheckpoint(eager=True)
+    return kneser_ney_nll(docs, bigrams=bg)

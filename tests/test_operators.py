@@ -1140,3 +1140,31 @@ def test_gopher_repetition_known_fractions(spark, monkeypatch):
     assert r1.dup_frac_5 == 0.0 and r1.dup_frac_10 == 0.0
     assert not r1.ok_top_2 or r1.ok_top_2 == (4.0 / 12.0 <= 0.20)
     assert r1.ok_dup_5 and r1.ok_dup_10
+
+
+def test_kneser_ney_nll_hand_computed(spark):
+    """Interpolated-KN golden values on a 2-doc corpus, checked against
+    the closed-form probabilities: with D=0.75, corpus bigrams
+    {a b, b a, a c, b c} each of count 1, contexts a and b each have
+    c(v.)=2 and N1+(v.)=2, continuations have N1+(.b)=N1+(.a)=1,
+    N1+(.c)=2, N1+(..)=4 — so p(b|a)=p(a|b)=0.3125 and
+    p(c|a)=p(c|b)=0.5 exactly."""
+    import math
+
+    from covid_data_challenge_spark.operators.lm import kneser_ney_nll
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in kneser_ney_nll(docs).collect()}
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 1
+    want0 = (2 * -math.log(0.3125) + -math.log(0.5)) / 3.0
+    want1 = -math.log(0.5)
+    # micro-nat floor-quantization: within 1e-6 per bigram
+    assert abs(out[0].kn_nll - want0) <= 3e-6
+    assert abs(out[1].kn_nll - want1) <= 1e-6
+    # the continuation-probability property that defines KN: c follows
+    # two distinct contexts, b only one, so with equal raw counts
+    # p(c|a) > p(b|a) -> a doc of diverse-context bigrams scores lower
+    # NLL than the collocation-only doc
+    assert out[1].kn_nll < out[0].kn_nll
