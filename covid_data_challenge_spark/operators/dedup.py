@@ -951,18 +951,18 @@ def duplicate_spans(
     driver state, no O(n²).
 
     The window stream feeds BOTH the hash-count aggregate and the
-    semi-join probe side, so it is persisted (MEMORY_AND_DISK, spills)
-    rather than recomputed per consumer — the same shared-frame
-    discipline as ``bigram_lm_build``. Callers that already hold the
-    stream (``strip_duplicate_spans``, the memorization report) pass it
-    via ``wins`` to share one materialization across the whole chain.
-    100 TB note: the explode stream is ~k× the corpus, so on a real
-    cluster prefer ``StorageLevel.DISK_ONLY`` for the shared frame or,
-    if local disk is the bottleneck, drop the persist and pay a second
-    scan+tokenize — both map-side-only; the plan shape is unchanged
-    either way."""
+    semi-join probe side. It is deliberately NOT persisted by default:
+    the stream is ~k× the corpus and purely map-side, and persisting it
+    was MEASURED SLOWER than recomputing — materializing the explode
+    pushed the 10×-data growth factor from 1.39× to 3.79× in the r5
+    bench (write+read of the k×corpus stream costs more than a second
+    tokenize+explode pass ever does). Callers that already hold a
+    (possibly persisted) stream can still pass it via ``wins``; on a
+    real cluster the equivalent boundary is a written gram gold table,
+    which pays its materialization once across MANY queries, not
+    twice inside one."""
     if wins is None:
-        wins = sliding_window_grams(docs, k, id_col, text_col).persist()
+        wins = sliding_window_grams(docs, k, id_col, text_col)
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1029,7 +1029,9 @@ def strip_duplicate_spans(
     one-shuffle order-struct aggregate as passage_dedup. The span table
     is small (merged islands), so AQE broadcasts the join when it can.
     """
-    wins = sliding_window_grams(docs, k, id_col, text_col).persist()
+    # lazy shared frame — see duplicate_spans' docstring: persisting the
+    # k×corpus window stream measured slower than recomputing map-side
+    wins = sliding_window_grams(docs, k, id_col, text_col)
     spans = duplicate_spans(docs, k, min_count, id_col, text_col, wins=wins)
     # NOTE: ``toks`` is a second tokenize of the same corpus — it carries
     # the token TEXT (for reassembly), which the hash-only ``wins`` frame

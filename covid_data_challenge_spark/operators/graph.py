@@ -231,9 +231,15 @@ def triangle_stats_approx(
     scale3 = 1000**3 // keep_millis**3
     if scale3 * keep_millis**3 != 1000**3:
         raise ValueError("keep_millis³ must divide 1000³ for an exact scale")
+    # the canonical edge list feeds BOTH the sampled census and the
+    # total-edge count — checkpoint it once or the caller's whole edge-
+    # construction subtree (the basket explode on the co-purchase
+    # graph) re-derives per consumer (measured: the approx tier was
+    # SLOWER than the exact census at sf0.1 before this, 3.05 s vs
+    # 2.02 s, because the edge build ran twice)
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    )
+    ).localCheckpoint(eager=True)
     coin = (
         F.conv(
             F.substring(
