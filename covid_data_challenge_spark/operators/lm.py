@@ -45,6 +45,7 @@ def bigram_lm_build(
     id_col: str = "doc_id",
     text_col: str = "text",
     bigrams: DataFrame | None = None,
+    bigram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Train the LM: one row per distinct corpus bigram with its count,
     its conditioning-context count, and the (denormalized) context
@@ -57,9 +58,17 @@ def bigram_lm_build(
     and scored (the self-trained fluency/perplexity queries), passing
     the shared frame means the tokenize+explode runs once, not once per
     stage — the probe side otherwise re-derives the 10×-grown bigram
-    stream at sf1 (the r3 bench's only 3×+ relational growth)."""
-    bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
-    lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    stream at sf1 (the r3 bench's only 3×+ relational growth).
+    ``bigram_counts``: a precomputed (doc_id, bg, __k) frame; the type
+    counts then come from one map-side-combinable sum over it (see
+    :func:`bigram_lm_nll_with`)."""
+    if bigram_counts is not None:
+        lm_bg = bigram_counts.groupBy("bg").agg(
+            F.sum("__k").cast("long").alias("c_ab")
+        )
+    else:
+        bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
+        lm_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
     lm_pre = lm_bg.groupBy(F.substring_index("bg", " ", 1).alias("pre")).agg(
         F.sum("c_ab").alias("c_a")
     )
@@ -132,6 +141,7 @@ def bigram_lm_nll_with(
     id_col: str = "doc_id",
     text_col: str = "text",
     bigrams: DataFrame | None = None,
+    bigram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Mean negative log-likelihood per document in REAL nats — the
     actual CCNet perplexity-filter quantity (lm_score's mean
@@ -145,15 +155,24 @@ def bigram_lm_nll_with(
     division — hash-exact like the rest of the LM surface. Smoothing
     fallbacks (unseen bigram / unseen context) mirror
     :func:`bigram_lm_score_with` exactly. ``bigrams``: see
-    :func:`bigram_lm_build`."""
+    :func:`bigram_lm_build`. ``bigram_counts`` accepts a precomputed
+    (doc_id, bg, __k) occurrence-count frame — a caller scoring the
+    SAME batch under several LMs (moore_lewis_select's in-domain vs
+    general pass) shares one collapse aggregation instead of one per
+    scoring pass."""
     from covid_data_challenge_spark.functions.pmath import portable_ln
 
-    bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
-    # collapse instances before the model join — the transcendental
-    # tree then evaluates once per DISTINCT (doc-batch) bigram
-    # (vocab-sized), not once per bigram occurrence (corpus-sized);
-    # values are unchanged (units depend only on the bigram's counts)
-    bg_counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("__k"))
+    if bigram_counts is not None:
+        bg_counts = bigram_counts
+    else:
+        bg = doc_bigrams(docs, id_col, text_col) if bigrams is None else bigrams
+        # collapse instances before the model join — the transcendental
+        # tree then evaluates once per DISTINCT (doc-batch) bigram
+        # (vocab-sized), not once per bigram occurrence (corpus-sized);
+        # values are unchanged (units depend only on the bigram's counts)
+        bg_counts = bg.groupBy("doc_id", "bg").agg(
+            F.count(F.lit(1)).alias("__k")
+        )
     batch_bigrams = bg_counts.select("bg").distinct()
     v_row = lm.select("v").limit(1)
     prefixes = (

@@ -2270,13 +2270,24 @@ def q_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
     target = docs.filter(is_target)
     pool = docs.filter(~is_target)
-    pool_bg = doc_bigrams(pool).localCheckpoint(eager=True)
+    # ONE collapse of the pool's bigram stream serves everything: the
+    # general LM's type counts (a map-side sum over it) and BOTH
+    # scoring passes (the in-domain vs general NLL joins) — without it
+    # each consumer would re-run the (doc_id, bg) aggregation.
+    pool_bgc = (
+        doc_bigrams(pool)
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .localCheckpoint(eager=True)
+    )
     lm_in = bigram_lm_build(target).localCheckpoint(eager=True)
-    lm_gen = bigram_lm_build(pool, bigrams=pool_bg).localCheckpoint(eager=True)
-    nll_in = bigram_lm_nll_with(pool, lm_in, bigrams=pool_bg).select(
+    lm_gen = bigram_lm_build(pool, bigram_counts=pool_bgc).localCheckpoint(
+        eager=True
+    )
+    nll_in = bigram_lm_nll_with(pool, lm_in, bigram_counts=pool_bgc).select(
         "doc_id", "n_bigrams", F.col("nll").alias("nll_in")
     )
-    nll_gen = bigram_lm_nll_with(pool, lm_gen, bigrams=pool_bg).select(
+    nll_gen = bigram_lm_nll_with(pool, lm_gen, bigram_counts=pool_bgc).select(
         "doc_id", F.col("nll").alias("nll_gen")
     )
     scored = nll_in.join(nll_gen, "doc_id").withColumn(

@@ -1168,3 +1168,59 @@ def test_kneser_ney_nll_hand_computed(spark):
     # p(c|a) > p(b|a) -> a doc of diverse-context bigrams scores lower
     # NLL than the collocation-only doc
     assert out[1].kn_nll < out[0].kn_nll
+
+
+def test_range_sharded_cumsum_matches_single_partition_window(spark):
+    """The two-level prefix sum must be row-for-row identical to the
+    naive Window.orderBy cumulative sum — prefix sums are invariant to
+    where the range-shard boundaries fall, including with far fewer
+    rows than shards and with clustered keys."""
+    import random
+
+    from pyspark.sql import Window
+
+    from covid_data_challenge_spark.operators.prefix import range_sharded_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 40), rng.randrange(1, 9)) for i in range(500)]
+    # unique order key via (k, id) — the contract's tie-break requirement
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    got = range_sharded_cumsum(df, ["k", "id"], {"v": "cum_v"})
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum_v", F.sum("v").over(w))
+    assert got.count() == 500
+    g = {r.id: r.cum_v for r in got.collect()}
+    e = {r.id: r.cum_v for r in want.collect()}
+    assert g == e
+    # descending too
+    got_d = {r.id: r.cum_v for r in
+             range_sharded_cumsum(df, ["k", "id"], {"v": "cum_v"},
+                                  descending=True).collect()}
+    w_d = Window.orderBy(F.col("k").desc(), F.col("id").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    e_d = {r.id: r.cum_v for r in
+           df.withColumn("cum_v", F.sum("v").over(w_d)).collect()}
+    assert got_d == e_d
+
+
+def test_range_sharded_ntile_matches_sql_ntile(spark):
+    """range_sharded_ntile must reproduce SQL ntile(n) exactly for
+    counts that do and don't divide n (the first N mod n buckets get
+    the extra row)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from covid_data_challenge_spark.operators.prefix import range_sharded_ntile
+
+    rng = random.Random(11)
+    for n_rows in (97, 100, 3, 4):
+        rows = [(i, rng.randrange(0, 50)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, k long")
+        got = {r.id: r.q for r in
+               range_sharded_ntile(df, ["k", "id"], 4, "q").collect()}
+        w = Window.orderBy("k", "id")
+        want = {r.id: r.q for r in
+                df.withColumn("q", F.ntile(4).over(w)).collect()}
+        assert got == want, n_rows
