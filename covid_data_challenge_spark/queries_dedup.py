@@ -1245,3 +1245,78 @@ def q_memorization_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "cross_source_contamination",
+    oracle=f"""
+WITH docs AS (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT source,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+    FROM docs JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+common AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+""",
+)
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: 3-gram shingle overlap and
+    Jaccard for every source pair — the corpus-composition audit that
+    catches two "different" crawls re-scraping the same sites, or an
+    eval-derived source leaking into a training source, BEFORE
+    pair-level dedup runs (WIMBD reports the same cross-dataset overlap
+    statistic). Scale shape: the distinct (source, shingle) table is at
+    most |sources|·|distinct shingles|; the self-join is a shingle-key
+    equi-join whose per-shingle fan-out is bounded by |sources|² — a
+    constant — not by corpus size (contrast doc-level pair joins, which
+    need the hot-shingle cap); output is at most C(|sources|,2) rows.
+    Counts are exact integers; jaccard is one rounded IEEE division."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.operators.dedup import word_shingle_expr
+
+    sh = (
+        docs.select(
+            "source", F.explode(word_shingle_expr(F.col("text"), 3)).alias("s")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_sh_a",
+            "n_sh_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -1379,3 +1379,431 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = keep & (frac <= F.lit(t))
     sel.append(keep.alias("keep"))
     return pivoted.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# WIMBD-style corpus analytics: power-law fits, diversity, fertility,
+# robust outliers (Elazar et al. 2023 "What's In My Big Data?" audits
+# the same statistics over corpus-scale data)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_ols_sql() -> str:
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+
+    stage, final = portable_ln_sql_stages({"lx": "rank", "ly": "cnt"})
+    return f"""
+WITH toks AS (SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+ranked AS (
+    SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+    FROM tf
+),
+staged AS (SELECT cnt, {stage} FROM ranked),
+lns AS (SELECT cnt, {final} FROM staged),
+u AS (
+    SELECT cnt,
+           CAST(floor(1000000.0 * lx) AS BIGINT) AS xu,
+           CAST(floor(1000000.0 * ly) AS BIGINT) AS yu,
+           CAST(floor(1000000.0 * (lx * ly)) AS BIGINT) AS xyu,
+           CAST(floor(1000000.0 * (lx * lx)) AS BIGINT) AS xxu,
+           CAST(floor(1000000.0 * (ly * ly)) AS BIGINT) AS yyu
+    FROM lns
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+           CAST(sum(xyu) AS BIGINT) AS sxy, CAST(sum(xxu) AS BIGINT) AS sxx,
+           CAST(sum(yyu) AS BIGINT) AS syy
+    FROM u
+),
+d AS (
+    SELECT vocab_size, total_tokens,
+           (CAST(vocab_size AS DOUBLE) * CAST(sxy AS DOUBLE) * 1000000.0
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+           (CAST(vocab_size AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den,
+           (CAST(vocab_size AS DOUBLE) * CAST(syy AS DOUBLE) * 1000000.0
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS deny
+    FROM s
+)
+SELECT vocab_size, total_tokens,
+       CASE WHEN den <> 0.0 THEN num / den END AS zipf_slope,
+       CASE WHEN den * deny <> 0.0 THEN (num * num) / (den * deny) END AS r2
+FROM d
+"""
+
+
+@register("zipf_law_fit", oracle=_zipf_ols_sql())
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency spectrum: OLS of
+    ln(freq) on ln(rank) over the full vocabulary (rank by frequency
+    desc, term asc), reporting the fitted exponent and r² — the WIMBD
+    corpus-health check (a natural corpus sits near slope −1; synthetic
+    or template-heavy data departs sharply, so the slope is a cheap
+    generation-artifact detector).
+
+    Scale shape: term counts are a vocab-bound map-side-combinable agg;
+    ranks come from operators/prefix.py:range_sharded_cumsum (NO
+    single-partition window even though natural vocabularies run to
+    hundreds of millions of terms); both logs run through portable-ln
+    and every OLS moment is quantized to integer micro-units before the
+    order-free sums, so slope and r² are bit-identical to the DuckDB
+    replay. Final arithmetic is one fixed IEEE expression tree over the
+    seven integer sums. Output is ONE row."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+    from covid_data_challenge_spark.operators.prefix import range_sharded_cumsum
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = range_sharded_cumsum(
+        tf.withColumn("__one", F.lit(1).cast("long")).withColumn(
+            "__neg_cnt", -F.col("cnt")
+        ),
+        ["__neg_cnt", "term"],
+        {"__one": "rank"},
+    )
+    lns = ranked.select(
+        "cnt",
+        portable_ln(F.col("rank")).alias("lx"),
+        portable_ln(F.col("cnt")).alias("ly"),
+    )
+    u = lns.select(
+        "cnt",
+        F.floor(F.lit(1000000.0) * F.col("lx")).cast("long").alias("xu"),
+        F.floor(F.lit(1000000.0) * F.col("ly")).cast("long").alias("yu"),
+        F.floor(F.lit(1000000.0) * (F.col("lx") * F.col("ly"))).cast("long").alias("xyu"),
+        F.floor(F.lit(1000000.0) * (F.col("lx") * F.col("lx"))).cast("long").alias("xxu"),
+        F.floor(F.lit(1000000.0) * (F.col("ly") * F.col("ly"))).cast("long").alias("yyu"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.sum("xu").cast("long").alias("sx"),
+        F.sum("yu").cast("long").alias("sy"),
+        F.sum("xyu").cast("long").alias("sxy"),
+        F.sum("xxu").cast("long").alias("sxx"),
+        F.sum("yyu").cast("long").alias("syy"),
+    )
+    n_d = F.col("vocab_size").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    d = s.select(
+        "vocab_size",
+        "total_tokens",
+        (n_d * F.col("sxy").cast("double") * F.lit(1000000.0) - sx_d * sy_d).alias("num"),
+        (n_d * F.col("sxx").cast("double") * F.lit(1000000.0) - sx_d * sx_d).alias("den"),
+        (n_d * F.col("syy").cast("double") * F.lit(1000000.0) - sy_d * sy_d).alias("deny"),
+    )
+    return d.select(
+        "vocab_size",
+        "total_tokens",
+        F.when(F.col("den") != 0.0, F.col("num") / F.col("den")).alias("zipf_slope"),
+        F.when(
+            F.col("den") * F.col("deny") != 0.0,
+            (F.col("num") * F.col("num")) / (F.col("den") * F.col("deny")),
+        ).alias("r2"),
+    )
+
+
+def _heaps_ols_sql() -> str:
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+
+    stage, final = portable_ln_sql_stages({"lx": "n_tok", "ly": "n_types"})
+    return f"""
+WITH toks AS (SELECT source, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+st AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_types
+    FROM toks GROUP BY 1
+),
+staged AS (SELECT {stage} FROM st),
+lns AS (SELECT {final} FROM staged),
+u AS (
+    SELECT CAST(floor(1000000.0 * lx) AS BIGINT) AS xu,
+           CAST(floor(1000000.0 * ly) AS BIGINT) AS yu,
+           CAST(floor(1000000.0 * (lx * ly)) AS BIGINT) AS xyu,
+           CAST(floor(1000000.0 * (lx * lx)) AS BIGINT) AS xxu,
+           CAST(floor(1000000.0 * (ly * ly)) AS BIGINT) AS yyu
+    FROM lns
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+           CAST(sum(xyu) AS BIGINT) AS sxy, CAST(sum(xxu) AS BIGINT) AS sxx,
+           CAST(sum(yyu) AS BIGINT) AS syy
+    FROM u
+),
+d AS (
+    SELECT n_sources, sx, sy,
+           (CAST(n_sources AS DOUBLE) * CAST(sxy AS DOUBLE) * 1000000.0
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+           (CAST(n_sources AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den,
+           (CAST(n_sources AS DOUBLE) * CAST(syy AS DOUBLE) * 1000000.0
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS deny
+    FROM s
+),
+b AS (
+    SELECT n_sources, sx, sy, num, den, deny,
+           CASE WHEN den <> 0.0 THEN num / den END AS heaps_beta
+    FROM d
+)
+SELECT n_sources, heaps_beta,
+       CASE WHEN heaps_beta IS NOT NULL THEN
+           (CAST(sy AS DOUBLE) - heaps_beta * CAST(sx AS DOUBLE))
+           / (CAST(n_sources AS DOUBLE) * 1000000.0)
+       END AS heaps_ln_k,
+       CASE WHEN den * deny <> 0.0 THEN (num * num) / (den * deny) END AS r2
+FROM b
+"""
+
+
+@register("heaps_law_fit", oracle=_heaps_ols_sql())
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: each source contributes one
+    (total tokens N_s, distinct types V_s) point; OLS of ln V on ln N
+    across sources recovers the Heaps exponent β and ln K (V ≈ K·N^β).
+    A corpus whose sources follow the expected β ≈ 0.4–0.6 band is
+    lexically healthy; template/generated sources collapse toward β≈0
+    (fixed vocab regardless of size). Same bit-exact OLS discipline as
+    zipf_law_fit: portable-ln coordinates, integer micro-unit moments,
+    one fixed IEEE tree over the sums. Plan: one token agg keyed
+    (source, term) → per-source counts (|sources| rows) → scalar fit."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    st = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("term").cast("long").alias("n_types"),
+    )
+    lns = st.select(
+        portable_ln(F.col("n_tok")).alias("lx"),
+        portable_ln(F.col("n_types")).alias("ly"),
+    )
+    u = lns.select(
+        F.floor(F.lit(1000000.0) * F.col("lx")).cast("long").alias("xu"),
+        F.floor(F.lit(1000000.0) * F.col("ly")).cast("long").alias("yu"),
+        F.floor(F.lit(1000000.0) * (F.col("lx") * F.col("ly"))).cast("long").alias("xyu"),
+        F.floor(F.lit(1000000.0) * (F.col("lx") * F.col("lx"))).cast("long").alias("xxu"),
+        F.floor(F.lit(1000000.0) * (F.col("ly") * F.col("ly"))).cast("long").alias("yyu"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("xu").cast("long").alias("sx"),
+        F.sum("yu").cast("long").alias("sy"),
+        F.sum("xyu").cast("long").alias("sxy"),
+        F.sum("xxu").cast("long").alias("sxx"),
+        F.sum("yyu").cast("long").alias("syy"),
+    )
+    n_d = F.col("n_sources").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    d = s.select(
+        "n_sources",
+        "sx",
+        "sy",
+        (n_d * F.col("sxy").cast("double") * F.lit(1000000.0) - sx_d * sy_d).alias("num"),
+        (n_d * F.col("sxx").cast("double") * F.lit(1000000.0) - sx_d * sx_d).alias("den"),
+        (n_d * F.col("syy").cast("double") * F.lit(1000000.0) - sy_d * sy_d).alias("deny"),
+    )
+    b = d.select(
+        "n_sources",
+        "sx",
+        "sy",
+        "num",
+        "den",
+        "deny",
+        F.when(F.col("den") != 0.0, F.col("num") / F.col("den")).alias("heaps_beta"),
+    )
+    return b.select(
+        "n_sources",
+        "heaps_beta",
+        F.when(
+            F.col("heaps_beta").isNotNull(),
+            (F.col("sy").cast("double") - F.col("heaps_beta") * F.col("sx").cast("double"))
+            / (F.col("n_sources").cast("double") * F.lit(1000000.0)),
+        ).alias("heaps_ln_k"),
+        F.when(
+            F.col("den") * F.col("deny") != 0.0,
+            (F.col("num") * F.col("num")) / (F.col("den") * F.col("deny")),
+        ).alias("r2"),
+    )
+
+
+@register(
+    "ngram_diversity_report",
+    oracle=f"""
+WITH docs AS (SELECT source, string_split({_NORM}, ' ') AS w FROM documents),
+grams AS (
+    SELECT source, n,
+           CASE n WHEN 1 THEN w[i]
+                  WHEN 2 THEN w[i] || ' ' || w[i + 1]
+                  ELSE w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] END AS gram
+    FROM docs
+    JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx ON TRUE
+    JOIN (SELECT CAST(unnest([1, 2, 3]) AS INT) AS n) ns ON TRUE
+    WHERE i <= len(w) - n + 1
+)
+SELECT source, n,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       count(DISTINCT gram) / count(*) AS distinct_ratio
+FROM grams GROUP BY 1, 2
+""",
+)
+def q_ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical diversity per source (Li et al. 2016's
+    distinct-1/2/3): the fraction of n-gram OCCURRENCES that are unique
+    within the source, for n ∈ {1,2,3}. Low distinct-n marks template
+    farms and self-repeating generators that per-document repetition
+    rules (the Gopher battery) cannot see, because the repetition lives
+    ACROSS documents. Scale shape: one tokenization, one tagged explode
+    emitting all three n streams (one corpus scan, the
+    gopher_repetition discipline), one (source, n, gram) shuffle for
+    the distinct count — all map-side-combinable; output is
+    |sources|·3 rows; the ratio is one IEEE division of exact counts."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+
+    def _streams(w):
+        def one(n):
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.struct(
+                        F.lit(n).alias("n"),
+                        F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+        return F.flatten(F.array(*[one(n) for n in (1, 2, 3)]))
+
+    base = docs.select("source", F.explode(let(toks, _streams)).alias("g")).select(
+        "source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    return base.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("gram").cast("long").alias("n_distinct"),
+        (
+            F.countDistinct("gram").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+WITH per AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_ws,
+           CAST(len({_NORM}) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS norm_chars,
+       CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE) AS fertility,
+       CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE) AS chars_per_token
+FROM per GROUP BY source
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE-style pre-tokens per
+    whitespace word (how many subword units the tokenizer spends per
+    word) and normalized chars per pre-token (compression). Fertility
+    is the standard cross-source tokenizer-cost audit — a source whose
+    fertility is an outlier inflates training cost per effective word
+    and usually signals encoding damage or off-distribution text.
+    Fully map-side per-doc counts + one per-source agg; ratios are IEEE
+    divisions of exact integer sums (hash-exact)."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "source",
+        bpe_pretoken_count(F.col("text")).cast("long").alias("n_bpe"),
+        token_count(F.col("text")).cast("long").alias("n_ws"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias("n_chars"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("norm_chars"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double")).alias(
+            "fertility"
+        ),
+        (F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "length_outliers_mad",
+    oracle=f"""
+WITH lens AS (
+    SELECT source, doc_id,
+           CAST(len(string_split({_NORM}, ' ')) AS INT) AS n_tokens
+    FROM documents
+),
+med AS (SELECT source, median(n_tokens) AS med FROM lens GROUP BY 1),
+dev AS (
+    SELECT l.source, abs(CAST(n_tokens AS DOUBLE) - med) AS dev, med
+    FROM lens l JOIN med USING (source)
+),
+mad AS (SELECT source, median(dev) AS mad FROM dev GROUP BY 1)
+SELECT d.source,
+       round(max(d.med), 2) AS median_tokens,
+       round(max(m.mad), 2) AS mad_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 END), 0) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad m USING (source)
+GROUP BY d.source
+""",
+)
+def q_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier screen: exact median token count
+    and MAD (median absolute deviation), flagging docs beyond 3 MADs —
+    the robust alternative to mean/stddev cuts, which a single
+    concatenation-glitch mega-document drags arbitrarily. Plan: one
+    map-side length pass, two exact per-source medians (|sources|-row
+    aggregates), medians re-joined by broadcast — the corpus streams
+    twice and shuffles only on the source key; the deviation/threshold
+    comparison is exact IEEE (.5-grain medians of integer lengths)."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    med = lens.groupBy("source").agg(F.median("n_tokens").alias("med"))
+    dev = lens.join(F.broadcast(med), "source").select(
+        "source",
+        F.abs(F.col("n_tokens").cast("double") - F.col("med")).alias("dev"),
+        "med",
+    )
+    mad = dev.groupBy("source").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.max("med"), 2).alias("median_tokens"),
+            F.round(F.max("mad"), 2).alias("mad_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
