@@ -1224,3 +1224,141 @@ def test_range_sharded_ntile_matches_sql_ntile(spark):
         want = {r.id: r.q for r in
                 df.withColumn("q", F.ntile(4).over(w)).collect()}
         assert got == want, n_rows
+
+
+def test_zipf_fit_recovers_exact_power_law(spark, monkeypatch):
+    """zipf_law_fit (r5): a corpus whose term frequencies follow
+    freq = 840/rank exactly (ranks 1..8, 840 = lcm(1..8)) must fit
+    slope -1 with r^2 ~ 1 — the OLS recovers a known power law."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    freqs = [840 // r for r in range(1, 9)]
+    words = []
+    for i, c in enumerate(freqs):
+        words.extend([f"t{i:02d}"] * c)
+    rows = [(0, " ".join(words), "en", "src0", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    r = REGISTRY["zipf_law_fit"].spark(spark, "unused").collect()[0]
+    assert r.vocab_size == 8 and r.total_tokens == sum(freqs)
+    assert abs(r.zipf_slope + 1.0) < 1e-3
+    assert r.r2 > 0.9999
+
+
+def test_heaps_fit_separates_template_from_lexically_rich(spark, monkeypatch):
+    """heaps_law_fit (r5): sources with a FIXED 2-word vocabulary at any
+    size fit beta ~ 0 (template corpus); sources where every token is
+    distinct fit beta ~ 1."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    def run(rows):
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+        return REGISTRY["heaps_law_fit"].spark(spark, "unused").collect()[0]
+
+    template = [
+        (i, " ".join(["a b"] * n), "en", f"s{i}", 1)
+        for i, n in enumerate([5, 25, 125])
+    ]
+    r = run(template)
+    assert r.n_sources == 3
+    assert abs(r.heaps_beta) < 1e-3
+    rich = [
+        (i, " ".join(f"s{i}w{j}" for j in range(n)), "en", f"s{i}", 1)
+        for i, n in enumerate([10, 100, 1000])
+    ]
+    r = run(rich)
+    assert abs(r.heaps_beta - 1.0) < 1e-3
+    assert r.r2 > 0.9999
+
+
+def test_ngram_diversity_separates_repeated_from_distinct(spark, monkeypatch):
+    """ngram_diversity_report (r5): a source that repeats one document
+    ten times scores low distinct-n; a source of all-distinct tokens
+    scores exactly 1.0 at every n."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [(i, "one two three four five", "en", "rep", 1) for i in range(10)]
+    rows += [(100, " ".join(f"u{j}" for j in range(20)), "en", "uniq", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = {(r.source, r.n): r for r in
+           REGISTRY["ngram_diversity_report"].spark(spark, "unused").collect()}
+    for n in (1, 2, 3):
+        assert out[("uniq", n)].distinct_ratio == 1.0
+        assert out[("rep", n)].distinct_ratio <= 0.1 + 1e-9  # 1 of 10 copies
+    assert out[("rep", 1)].n_total == 50 and out[("rep", 1)].n_distinct == 5
+
+
+def test_length_outliers_mad_flags_injected_giant(spark, monkeypatch):
+    """length_outliers_mad (r5): one 500-token doc among ~10-token docs
+    is the only row past 3 MADs — and the mean-dragging giant does not
+    inflate the robust center."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    lens = [9, 10, 10, 10, 11, 10, 10, 9, 11, 500]
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s0", 1) for i, n in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    r = REGISTRY["length_outliers_mad"].spark(spark, "unused").collect()[0]
+    assert r.median_tokens == 10.0
+    assert r.n_docs == 10 and r.n_outliers == 1
+
+
+def test_tokenizer_fertility_counts_subword_splits(spark, monkeypatch):
+    """tokenizer_fertility (r5): hyphenated words split into multiple
+    BPE pre-tokens, driving fertility above the all-plain-words 1.0."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, "plain words only", "en", "plain", 1),
+        (1, "state-of-the-art", "en", "hyphy", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = {r.source: r for r in
+           REGISTRY["tokenizer_fertility"].spark(spark, "unused").collect()}
+    assert out["plain"].fertility == 1.0
+    assert out["hyphy"].ws_tokens == 1 and out["hyphy"].bpe_tokens == 7
+    assert out["hyphy"].fertility == 7.0
+
+
+def test_cross_source_contamination_identical_vs_disjoint(spark, monkeypatch):
+    """cross_source_contamination (r5): two sources with identical text
+    share jaccard 1.0; a disjoint third source produces no overlap row
+    against either."""
+    import covid_data_challenge_spark.queries_dedup as qd
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, shared, "en", "a", 1),
+        (1, shared, "en", "b", 1),
+        (2, "zeta eta theta iota kappa", "en", "c", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qd, "_docs", lambda spark, sf: docs)
+    out = {(r.src_a, r.src_b): r for r in
+           REGISTRY["cross_source_contamination"].spark(spark, "unused").collect()}
+    assert set(out) == {("a", "b")}
+    assert out[("a", "b")].jaccard == 1.0
+    assert out[("a", "b")].n_common == 3  # 5 tokens -> 3 shingles
