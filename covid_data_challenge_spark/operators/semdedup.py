@@ -88,6 +88,24 @@ def semdedup_assignments(
     seeded-Lloyd centroids (see operators/ivf.py). ``n_centroids=None``
     applies the corpus-proportional policy (:func:`default_n_centroids`;
     costs one count of the corpus)."""
+    return assign_to_centroids(
+        emb,
+        semdedup_centroids(emb, n_centroids, lloyd_iters, id_col, vec_col),
+        id_col,
+        vec_col,
+    )
+
+
+def semdedup_centroids(
+    emb: DataFrame,
+    n_centroids: int | None = 8,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refined, checkpointed centroid table (cid, cvec) — the cluster
+    gold table shared by assignment, SemDeDup, and the D4 prototype
+    stage."""
     if n_centroids is None:
         n_centroids = default_n_centroids(emb.count())
     centroids = lloyd_refine(
@@ -103,8 +121,7 @@ def semdedup_assignments(
     # from a tiny materialized table instead of re-deriving the whole
     # Lloyd chain — same discipline as lr/bpe/graph; on a cluster this
     # is the persisted centroid gold table (ivf_build docstring).
-    centroids = centroids.localCheckpoint(eager=True)
-    return assign_to_centroids(emb, centroids, id_col, vec_col)
+    return centroids.localCheckpoint(eager=True)
 
 
 def semdedup_prune(
@@ -147,18 +164,37 @@ def semdedup_prune(
     vectors so the pair stage stays linear, with a hard assert that the
     centroid table stays under the broadcast budget.
     """
+    return semdedup_detail(
+        emb, n_centroids, lloyd_iters, threshold, id_col, vec_col, digits
+    )[0].select(id_col, "cid", "kept")
+
+
+def semdedup_detail(
+    emb: DataFrame,
+    n_centroids: int | None = 8,
+    lloyd_iters: int = 1,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`semdedup_prune` with its intermediates exposed for
+    composite recipes (D4): returns ``(per-vec frame with (id, cid,
+    kept, vec), refined centroid table (cid, cvec))``. Same plan as
+    semdedup_prune — the wrapper is a projection of this."""
     uniq = (
         emb.groupBy(vec_col)
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, vec_col)
     )
+    centroids = semdedup_centroids(uniq, n_centroids, lloyd_iters, id_col, vec_col)
     # The assignment table feeds both sides of the pair self-join and the
     # reps projection; Catalyst plans the shared aggregation once and
     # reuses the exchange (an eager localCheckpoint here was measured
     # SLOWER at sf0.1 — 2.9 s vs 2.6 s — the materialization costs more
     # than the recompute it saves). On a cluster, persist the assignment
     # as the index gold table instead (see ivf_build's docstring).
-    assigned = semdedup_assignments(uniq, n_centroids, lloyd_iters, id_col, vec_col)
+    assigned = assign_to_centroids(uniq, centroids, id_col, vec_col)
     sized = assigned.select(
         "id", "cid", F.col("vec").alias("__v"), norm(F.col("vec")).alias("__n")
     )
@@ -195,10 +231,12 @@ def semdedup_prune(
     )
     # expand back to the full corpus: a non-representative copy inherits
     # its rep's cluster and is pruned (rep has the lower id, cosine 1)
-    return emb.select(F.col(id_col), F.col(vec_col)).join(
+    full = emb.select(F.col(id_col), F.col(vec_col)).join(
         reps, F.col(vec_col) == F.col("__rep_vec")
     ).select(
         id_col,
         "cid",
         ((F.col(id_col) == F.col("__rep_id")) & F.col("__rep_kept")).alias("kept"),
+        vec_col,
     )
+    return full, centroids

@@ -767,3 +767,195 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_perfect"),
     ).select("n_queries", "k", "n_hits", "recall_at_k", "n_perfect")
+
+
+_SSP_SQL = f"""
+WITH comp AS (
+    SELECT label, i,
+           CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS xu
+    FROM embeddings
+    JOIN (SELECT CAST(unnest(range(1, 10000)) AS INT) AS i) idx
+        ON i <= len(embedding)
+),
+cs AS (
+    SELECT label, i, CAST(sum(xu) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS n
+    FROM comp GROUP BY 1, 2
+),
+cent AS (
+    SELECT label,
+           list(CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i)
+               AS cvec
+    FROM cs GROUP BY 1
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           {_dd_cos('e.embedding', 'c.cvec')} AS proto_cos
+    FROM embeddings e JOIN cent c USING (label)
+),
+med AS (SELECT label, median(proto_cos) AS med_cos FROM scored GROUP BY 1)
+SELECT s.vec_id, s.label,
+       round(s.proto_cos, 4) AS proto_cos,
+       round(m.med_cos, 4) AS med_cos,
+       s.proto_cos < m.med_cos AS keep
+FROM scored s JOIN med m USING (label)
+"""
+
+
+@register("ssl_prototype_prune", oracle=_SSP_SQL)
+def q_ssl_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): per-label centroid in embedding space; each
+    example's cosine to its own class prototype is its EASINESS — and
+    when data is abundant the paper's rule keeps the HARD half, so
+    ``keep`` marks examples strictly below the per-label median
+    prototypicality. The complement of SemDeDup: that prunes
+    near-duplicate neighborhoods, this prunes the over-represented
+    cluster cores.
+
+    Determinism: centroids are exact — components quantize to integer
+    micro-units per row, so the per-label componentwise sums are
+    order-free, and the centroid coordinate is ONE IEEE division of two
+    exact integers; cosines then run the ordered double fold shared with
+    every similarity query; the keep rule compares unrounded doubles to
+    an exact median. Scale shape: one posexplode (map-side) + one
+    (label, dim)-key agg (output |labels|·dim rows), dim-bounded
+    centroid reassembly, centroid + median tables broadcast — the
+    corpus streams twice, shuffles only on the (label, dim) key, and no
+    window anywhere."""
+    from covid_data_challenge_spark.functions.vector import dot, norm, to_double
+
+    emb = _emb(spark, sf_dir)
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.lit(1000000.0) * F.col("x").cast("double")).cast("long").alias("xu"),
+    )
+    cs = comp.groupBy("label", "i").agg(
+        F.sum("xu").cast("long").alias("su"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cent = (
+        cs.select(
+            "label",
+            F.struct(
+                "i",
+                (
+                    F.col("su").cast("double")
+                    / (F.col("n").cast("double") * F.lit(1000000.0))
+                ).alias("c"),
+            ).alias("ic"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("ic")), lambda s: s.getField("c")
+            ).alias("cvec")
+        )
+    )
+    ev = to_double(F.col("embedding"))
+    cos = F.when(
+        (norm(F.col("embedding")) > 0) & (norm(F.col("cvec")) > 0),
+        dot(ev, F.col("cvec")) / (norm(F.col("embedding")) * norm(F.col("cvec"))),
+    ).otherwise(F.lit(0.0))
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", cos.alias("proto_cos")
+    )
+    med = scored.groupBy("label").agg(F.median("proto_cos").alias("med_cos"))
+    return scored.join(F.broadcast(med), "label").select(
+        "vec_id",
+        "label",
+        F.round("proto_cos", 4).alias("proto_cos"),
+        F.round("med_cos", 4).alias("med_cos"),
+        (F.col("proto_cos") < F.col("med_cos")).alias("keep"),
+    )
+
+
+_D4_SQL = f"""
+WITH uniq AS (
+    SELECT min(vec_id) AS id, embedding AS vec FROM embeddings GROUP BY embedding
+),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+    FROM uniq ORDER BY id LIMIT 8
+),
+a1 AS ({_dd_assign('uniq', 'seeds')}),
+by_dim AS (
+    SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM a1
+),
+cent AS (
+    SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+    FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS m FROM by_dim GROUP BY cid, pos)
+    GROUP BY cid
+),
+a2 AS ({_dd_assign('uniq', 'cent')}),
+pruned AS (
+    SELECT DISTINCT b.id AS id
+    FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.id < b.id
+    WHERE round({_dd_cos('a.vec', 'b.vec')}, 4) >= 0.9
+),
+reps AS (
+    SELECT a2.id, a2.vec, a2.cid, p.id IS NULL AS rep_kept
+    FROM a2 LEFT JOIN pruned p ON a2.id = p.id
+),
+k AS (
+    SELECT e.vec_id, r.cid, (e.vec_id = r.id AND r.rep_kept) AS kept, e.embedding
+    FROM embeddings e JOIN reps r ON e.embedding = r.vec
+),
+sc AS (
+    SELECT k.vec_id, k.cid, k.kept,
+           {_dd_cos('k.embedding', 'c.cvec')} AS proto_cos
+    FROM k JOIN cent c USING (cid)
+),
+med AS (SELECT cid, median(proto_cos) AS med_cos FROM sc WHERE kept GROUP BY 1)
+SELECT s.vec_id, s.cid, s.kept AS semdedup_kept,
+       round(s.proto_cos, 4) AS proto_cos,
+       (s.kept AND s.proto_cos < m.med_cos) AS d4_keep
+FROM sc s JOIN med m USING (cid)
+"""
+
+
+@register("d4_prune_recipe", oracle=_D4_SQL)
+def q_d4_prune_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D4 recipe (Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification"):
+    SemDeDup prunes near-duplicate neighborhoods inside each embedding
+    cluster, then SSL-prototype pruning drops the most prototypical
+    half of the SURVIVORS (cosine to own cluster centroid ≥ the
+    per-cluster median over kept members) — dedup then diversify, one
+    chain, sharing ONE Lloyd clustering (the checkpointed centroid gold
+    table feeds assignment, the pair stage, and the prototype scoring).
+
+    Scale shape: everything semdedup_prune already bounds (exact
+    collapse, broadcast centroid assignment, cid-bounded pair join),
+    plus one broadcast centroid join for scoring and one
+    |clusters|-row median table — no new corpus-scale shuffle, no
+    window. Determinism: seeded centroids + the ordered double cosine
+    fold; the keep rule compares unrounded doubles to an exact
+    median."""
+    from covid_data_challenge_spark.functions.vector import cosine
+    from covid_data_challenge_spark.operators.semdedup import semdedup_detail
+
+    emb = _emb(spark, sf_dir)
+    full, cent = semdedup_detail(
+        emb, n_centroids=8, lloyd_iters=1, threshold=0.9
+    )
+    sc = full.join(F.broadcast(cent), "cid").select(
+        "vec_id",
+        "cid",
+        "kept",
+        cosine(F.col("embedding"), F.col("cvec")).alias("proto_cos"),
+    )
+    med = (
+        sc.filter(F.col("kept"))
+        .groupBy("cid")
+        .agg(F.median("proto_cos").alias("med_cos"))
+    )
+    return sc.join(F.broadcast(med), "cid").select(
+        "vec_id",
+        "cid",
+        F.col("kept").alias("semdedup_kept"),
+        F.round("proto_cos", 4).alias("proto_cos"),
+        (F.col("kept") & (F.col("proto_cos") < F.col("med_cos"))).alias("d4_keep"),
+    )

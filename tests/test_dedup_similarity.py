@@ -712,3 +712,49 @@ def test_strip_duplicate_spans_lossless_and_exact(spark):
         normalize_text(F.col("text")).alias("t")
     ).collect()[0].t
     assert out[2].clean_text == norm2 and out[2].dropped_tokens == 0
+
+
+def test_ssl_prototype_prune_keeps_hard_half(spark, monkeypatch):
+    """ssl_prototype_prune (r5): vectors most aligned with their class
+    centroid (the easy, prototypical ones) are dropped; the hard half —
+    strictly below the median prototypicality — is kept."""
+    import covid_data_challenge_spark.queries_similarity as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # on-axis: prototypical
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # near-axis: prototypical
+        (2, [0.1, 0.9, 0.0, 0.0], 0),   # off-axis: hard
+        (3, [0.0, 0.0, 1.0, 0.0], 0),   # orthogonal-ish: hardest
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    out = {r.vec_id: r for r in
+           REGISTRY["ssl_prototype_prune"].spark(spark, "unused").collect()}
+    assert len(out) == 4
+    assert not out[0].keep and not out[1].keep
+    assert out[2].keep and out[3].keep
+    assert out[0].proto_cos > out[3].proto_cos
+
+
+def test_d4_keep_implies_semdedup_kept(spark, sf_dir):
+    """d4_prune_recipe (r5): the recipe's invariants on real data —
+    d4_keep is a strict subset of the semdedup survivors, and per
+    cluster the strictly-below-median rule keeps at most half of
+    them."""
+    import math
+
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = REGISTRY["d4_prune_recipe"].spark(spark, sf_dir).collect()
+    assert rows
+    per_cid: dict[int, list] = {}
+    for r in rows:
+        assert not (r.d4_keep and not r.semdedup_kept)
+        per_cid.setdefault(r.cid, []).append(r)
+    n_d4 = sum(1 for r in rows if r.d4_keep)
+    assert 0 < n_d4 < sum(1 for r in rows if r.semdedup_kept)
+    for cid, rs in per_cid.items():
+        kept = [r for r in rs if r.semdedup_kept]
+        d4 = [r for r in rs if r.d4_keep]
+        assert len(d4) <= math.ceil(len(kept) / 2)
