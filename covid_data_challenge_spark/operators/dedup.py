@@ -1071,3 +1071,48 @@ def strip_duplicate_spans(
             (F.col("__n") - F.col("kept_tokens")).cast("long").alias("dropped_tokens"),
         )
     )
+
+
+def minhash_signature_expr(
+    text_col: Column, n: int = 3, num_perm: int = 32
+) -> Column:
+    """Row-local portable MinHash signature (array<long>) — the
+    map-side twin of :func:`minhash_signatures` (portable=True): the
+    minimum of each seeded affine permutation of the 31-bit md5 base
+    hash over the document's distinct shingles, folded per ROW with
+    higher-order functions instead of explode+groupBy. Same
+    coefficients, same arithmetic, bit-identical signatures (pinned by
+    pytest equivalence against the aggregation path).
+
+    Exists for STREAMING: a file stream cannot run the explode+groupBy
+    signature aggregation without stateful-op restrictions, but this
+    expression keeps the whole signature stage map-side, so the
+    incremental near-dup screen runs as stream-static joins only.
+    Documents with no shingles (< n tokens) produce NULL minima —
+    callers filter them out, matching the explode path which simply
+    never emits such docs.
+
+    Both shingle array and base-hash array are let-bound: tokenization
+    runs once and each of the ``num_perm`` permutations folds over the
+    SAME hashed array (un-bound, every permutation would recompute one
+    md5 per shingle — 32× the hash work)."""
+
+    def over_hashes(h31s: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        h31s,
+                        lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31),
+                    )
+                )
+                for a, b in minhash_coeffs(num_perm)
+            ]
+        )
+
+    def over_shingles(sh: Column) -> Column:
+        return let(
+            F.transform(sh, lambda s: _md5_h31(F.md5(s))), over_hashes
+        )
+
+    return let(word_shingle_expr(text_col, n), over_shingles)

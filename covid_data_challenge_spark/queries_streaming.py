@@ -799,3 +799,91 @@ def q_value_drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nw").cast("long").alias("n_events"),
         (F.sum("u").cast("long") / F.lit(1e9)).alias("psi"),
     )
+
+
+def _doc_screen_oracle() -> str:
+    from covid_data_challenge_spark.queries_dedup import (
+        _minhash_lsh_incremental_oracle,
+    )
+
+    return _minhash_lsh_incremental_oracle()
+
+
+@register("doc_neardup_screen_stream", oracle=_doc_screen_oracle())
+def q_doc_neardup_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest near-dup screen: incoming documents (a parquet
+    file stream; doc_id % 5 = 0, the incremental-batch convention)
+    MinHash-banded against the STATIC history index, hash-matching the
+    batch twin's oracle (minhash_neardup_incremental) exactly.
+
+    The signature stage uses the row-local
+    operators/dedup.py:minhash_signature_expr — the whole per-document
+    pipeline (shingle → md5 base hash → 32 affine permutations → band
+    buckets) is map-side column algebra, so the only stateful streaming
+    operator is the final (batch_doc, hist_doc) collision-dedup
+    aggregate; candidates come from stream-static equi-joins against
+    the history band/signature gold tables (localCheckpointed here; at
+    100 TB they are the pre-built bucketed tables the batch twin's
+    docstring describes, and the daily screen touches history only
+    through these joins — never pairing history against itself)."""
+    from covid_data_challenge_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature_expr,
+        minhash_signatures,
+    )
+    from covid_data_challenge_spark.functions.text import tokens
+    from covid_data_challenge_spark.streaming.events import (
+        read_document_stream,
+        run_to_memory_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    sig_h = minhash_signatures(history, portable=True).localCheckpoint(eager=True)
+    h_bands = minhash_bands(sig_h, portable=True).localCheckpoint(eager=True)
+
+    stream = read_document_stream(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    sigs = stream.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        F.col("doc_id").alias("batch_doc"),
+        minhash_signature_expr(F.col("text")).alias("sig_a"),
+    )
+    rows_per_band, bands = 4, 8
+    b_stream = sigs.select(
+        "batch_doc",
+        "sig_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array(
+                            *[
+                                F.element_at("sig_a", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("batch_doc", "sig_a", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = b_stream.join(h_bands, ["band", "bucket"]).select(
+        "batch_doc", "sig_a", F.col("id").alias("hist_doc")
+    )
+    sb = sig_h.select(
+        F.col("doc_id").alias("hist_doc"), F.col("signature").alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    scored = (
+        cand.join(sb, "hist_doc")
+        .withColumn("est_jaccard", F.round(agree / F.lit(32), 4))
+        .filter(F.col("est_jaccard") >= 0.2)
+    )
+    result = scored.groupBy("batch_doc", "hist_doc").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+    run_to_memory_sink(result, "doc_neardup_screen_stream_sink", mode="complete")
+    return spark.table("doc_neardup_screen_stream_sink")

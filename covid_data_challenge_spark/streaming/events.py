@@ -232,3 +232,34 @@ def streaming_enrich_with_static(
     dim side becomes a bucketed gold table so each micro-batch joins
     shuffle-free."""
     return events.join(dim, key, "left")
+
+
+def read_document_stream(
+    spark: SparkSession, directory: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """Parquet file stream over the documents table (new corpus files
+    in ``directory`` become micro-batches — the ingest feed for the
+    streaming near-dup screen). File streams need a declared schema; a
+    one-off batch probe of the current files supplies it, and an
+    empty/new directory falls back to the canonical documents layout."""
+    try:
+        schema = (
+            spark.read.option("pathGlobFilter", glob).parquet(directory).schema
+        )
+    except Exception:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+    )

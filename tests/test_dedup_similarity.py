@@ -758,3 +758,28 @@ def test_d4_keep_implies_semdedup_kept(spark, sf_dir):
         kept = [r for r in rs if r.semdedup_kept]
         d4 = [r for r in rs if r.d4_keep]
         assert len(d4) <= math.ceil(len(kept) / 2)
+
+
+def test_minhash_signature_expr_matches_aggregation_path(spark, sf_dir):
+    """minhash_signature_expr (r5, the streaming screen's map-side
+    signature stage) is bit-identical to the explode+groupBy portable
+    path on the full small-sf corpus."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.dedup import (
+        minhash_signature_expr,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = minhash_signatures(docs, portable=True).orderBy("doc_id").collect()
+    row_local = (
+        docs.select(
+            "doc_id", minhash_signature_expr(F.col("text")).alias("signature")
+        )
+        .filter(F.size(F.col("signature")) > 0)
+        .filter(F.col("signature")[0].isNotNull())
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert agg == row_local
