@@ -79,6 +79,13 @@ EXTENSION = [
     "dsir_gumbel_topk",
     "stupid_backoff_nll",
     "t5_span_corruption",
+    # round 5: the WIMBD analytics fit (vocab-wide range-sharded ranks),
+    # the source-pair contamination matrix (shingle-key self-join with
+    # |sources|²-bounded fan-out), and the D4 dedup+diversify recipe
+    # (shares semdedup's Lloyd table, adds the prototype stage)
+    "zipf_law_fit",
+    "cross_source_contamination",
+    "d4_prune_recipe",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -132,6 +139,11 @@ SCALE_SF1 = [
     # switch for the one super-linear exact query; its growth should sit
     # well under the exact census' ~p^-1.5-discounted curve
     "part_triangle_census_approx",
+    # round 5 late wave: the vocab-rank cumsum (grows with distinct
+    # terms, not rows — watch it stays flat) and the source-pair
+    # contamination join (distinct (source, shingle) keyed)
+    "zipf_law_fit",
+    "cross_source_contamination",
 ]
 
 RUNS_PER_QUERY = 2

@@ -1807,3 +1807,134 @@ def q_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+#: Poisson(1) CDF thresholds for the inverse-CDF weight ladder (k = the
+#: count of thresholds strictly below u; P(w > 8) < 1.2e-6 is truncated).
+_BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+_BOOT_B = 64
+_BOOT_SALT = "boot-v1"
+
+
+def _bootstrap_oracle() -> str:
+    u = (
+        "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-'"
+        f" || CAST(b AS VARCHAR) || '{_BOOT_SALT}'), 1, 8)) AS BIGINT) + 1)"
+        " / 4294967296.0)"
+    )
+    w = " + ".join(f"CASE WHEN {u} > {t!r} THEN 1 ELSE 0 END" for t in _BOOT_CDF)
+    return f"""
+WITH lens AS (
+    SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS x
+    FROM documents
+),
+rep AS (
+    SELECT doc_id, x, b, CAST({w} AS BIGINT) AS w
+    FROM lens JOIN (SELECT CAST(unnest(range(0, {_BOOT_B})) AS INT) AS b) bs ON TRUE
+),
+means AS (
+    SELECT b, CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+    FROM rep GROUP BY b HAVING sum(w) > 0
+),
+sorted AS (SELECT list(m ORDER BY m) AS ms, CAST(count(*) AS BIGINT) AS n_rep FROM means),
+base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
+    FROM lens
+)
+SELECT n_docs, mean_tokens, n_rep,
+       ms[2] AS ci_lo, ms[{_BOOT_B - 1}] AS ci_hi
+FROM base CROSS JOIN sorted
+"""
+
+
+@register("bootstrap_mean_ci", oracle=_bootstrap_oracle())
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean token
+    count (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams" — Google's one-pass bootstrap): classical resampling
+    needs n draws per replica from a global corpus (un-distributable);
+    the Poisson trick gives each (doc, replica) an independent
+    Poisson(1) weight, so all 64 replicas stream in ONE map-side pass.
+    Weights come from a salted-md5 uniform through the inverse-CDF
+    ladder (truncated at 8, P < 1.2e-6), so the whole interval is
+    deterministic and hash-replayable. The CI is the empirical
+    2.5/97.5-percentile band of the replica means (order statistics 2
+    and 63 of B=64).
+
+    Scale shape: one 64× map-side replica explode → one 64-group
+    combinable aggregate → a 64-row sort inside a single array — no
+    corpus shuffle at all (the corpus-side agg is map-side partials
+    into 64 groups); replica means are IEEE divisions of exact integer
+    sums."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("x")
+    )
+    rep = lens.select(
+        "doc_id",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                        F.lit(_BOOT_SALT),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    w = None
+    for t in _BOOT_CDF:
+        term = F.when(u > F.lit(t), 1).otherwise(0)
+        w = term if w is None else w + term
+    rep = rep.select("b", "x", w.cast("long").alias("w"))
+    means = (
+        rep.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias("m")
+        )
+    )
+    sorted_ms = means.agg(
+        F.array_sort(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).cast("long").alias("n_rep"),
+    )
+    base = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_tokens"
+        ),
+    )
+    return base.join(F.broadcast(sorted_ms)).select(
+        "n_docs",
+        "mean_tokens",
+        "n_rep",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", _BOOT_B - 1).alias("ci_hi"),
+    )

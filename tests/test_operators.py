@@ -1362,3 +1362,19 @@ def test_cross_source_contamination_identical_vs_disjoint(spark, monkeypatch):
     assert set(out) == {("a", "b")}
     assert out[("a", "b")].jaccard == 1.0
     assert out[("a", "b")].n_common == 3  # 5 tokens -> 3 shingles
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
+    """bootstrap_mean_ci (r5): the empirical 2.5/97.5 band brackets the
+    point estimate, is non-degenerate, and replays identically (the
+    md5-salted Poisson weights make the interval a pure function of the
+    corpus)."""
+    import covid_data_challenge_spark.queries_text  # noqa: F401 — registers the query
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    a = REGISTRY["bootstrap_mean_ci"].spark(spark, sf_dir).collect()[0]
+    b = REGISTRY["bootstrap_mean_ci"].spark(spark, sf_dir).collect()[0]
+    assert a == b
+    assert a.n_rep == 64
+    assert a.ci_lo < a.mean_tokens < a.ci_hi
+    assert a.ci_hi - a.ci_lo < a.mean_tokens  # sane width
