@@ -100,6 +100,7 @@ def range_sharded_ntile(
     n: int,
     out_col: str,
     num_shards: int = 32,
+    total: DataFrame | None = None,
 ) -> DataFrame:
     """Exact SQL ``ntile(n) OVER (ORDER BY order_cols)`` with no
     single-partition window: global 1-based positions come from
@@ -112,14 +113,19 @@ def range_sharded_ntile(
     float-division rounding hazard. ``order_cols`` must uniquely order
     rows (include a tie-break key, as SQL ntile's determinism demands
     anyway). Intended for small ``n`` (quartiles/deciles): the tile
-    expression is n−1 comparisons."""
+    expression is n−1 comparisons.
+
+    ``total`` optionally supplies the 1-row ``__ps_n`` row-count frame —
+    callers chaining several ntiles over the SAME input (the RFM cube)
+    compute it once instead of re-aggregating the input per score."""
     pos = range_sharded_cumsum(
         df.withColumn("__ps_one", F.lit(1)),
         order_cols,
         {"__ps_one": "__ps_pos"},
         num_shards=num_shards,
     ).drop("__ps_one")
-    total = df.agg(F.count(F.lit(1)).cast("long").alias("__ps_n"))
+    if total is None:
+        total = df.agg(F.count(F.lit(1)).cast("long").alias("__ps_n"))
     j = pos.join(F.broadcast(total))
     # N - N%n is an exact multiple of n, so the double division below is
     # exact (correctly-rounded division whose true quotient is integral).
