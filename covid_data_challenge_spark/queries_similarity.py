@@ -959,3 +959,114 @@ def q_d4_prune_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("proto_cos", 4).alias("proto_cos"),
         (F.col("kept") & (F.col("proto_cos") < F.col("med_cos"))).alias("d4_keep"),
     )
+
+
+_KC_K = 5
+
+
+def _kc_oracle() -> str:
+    """Unrolled Gonzalez replay: center r is the argmax of the running
+    min cosine-distance (ties -> lowest vec_id); radii come from ONE
+    corpus aggregate over the chained least() columns."""
+    dist = lambda e, c: f"(1.0 - {_dd_cos(e, c)})"  # noqa: E731
+    ctes = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+    SELECT e.vec_id, e.embedding, {dist('e.embedding', 'c1.embedding')} AS dm1
+    FROM embeddings e CROSS JOIN c1
+)""",
+    ]
+    for r in range(2, _KC_K + 1):
+        ctes.append(
+            f"""c{r} AS (
+    SELECT vec_id, embedding FROM d{r - 1}
+    ORDER BY dm{r - 1} DESC, vec_id LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""d{r} AS (
+    SELECT d.vec_id, d.embedding,
+           {', '.join(f'd.dm{i}' for i in range(1, r))},
+           least(d.dm{r - 1}, {dist('d.embedding', f'c{r}.embedding')}) AS dm{r}
+    FROM d{r - 1} d CROSS JOIN c{r}
+)"""
+        )
+    radii = ", ".join(
+        f"round(max(dm{r}), 6) AS rad{r}" for r in range(1, _KC_K + 1)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, (SELECT vec_id FROM c{r}) AS center_id, "
+        f"rad{r} AS radius FROM m"
+        for r in range(1, _KC_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f",\nm AS (SELECT {radii} FROM d{_KC_K})\n"
+        + rows
+        + "\nORDER BY round"
+    )
+
+
+@register("kcenter_coreset", oracle=_kc_oracle())
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985's 2-approximation; the
+    coverage-coreset selection of Sener & Savarese 2018): start from
+    the lowest-id vector, then repeatedly take the point FARTHEST (in
+    cosine distance) from the chosen set — after k rounds every corpus
+    point sits within the reported radius of some center. The
+    diversity-maximizing dual of prototype pruning: SSL prototypes drop
+    redundant cluster cores, k-center picks the maximally-spread
+    representatives (coreset for active learning / eval-set seeding).
+
+    Scale shape: each round is one TakeOrderedAndProject corpus scan
+    (argmax of the running min-distance); the chosen center — 64
+    floats — is collected as an API-boundary scalar and becomes a plan
+    LITERAL for later rounds (the _signed_planes discipline), so the
+    distance chain never joins, never shuffles, and the RETURNED plan
+    is ONE map-side pass computing all k radii in a single aggregate.
+    Driver state is k·dim floats — bounded by construction.
+    Determinism: the ordered double cosine fold + (distance, vec_id)
+    tie-break; the oracle replays the same chain with 1-row CTEs."""
+    from covid_data_challenge_spark.functions.vector import cosine
+
+    emb = _emb(spark, sf_dir)
+
+    def dist_to(center_vals: list[float]):
+        cvec = F.array(*[F.lit(float(v)) for v in center_vals])
+        return F.lit(1.0) - cosine(F.col("embedding"), cvec)
+
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(first.vec_id), list(first.embedding))]
+    # dm[r] is a SELF-CONTAINED nested expression over `embedding`
+    # (least-chains of literal-center distances) — no sibling-alias
+    # references, so one projection can carry every round's column.
+    dm = [dist_to(centers[0][1])]
+    for r in range(2, _KC_K + 1):
+        nxt = (
+            emb.select("vec_id", "embedding", dm[-1].alias("d"))
+            .orderBy(F.col("d").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(nxt.vec_id), list(nxt.embedding)))
+        dm.append(F.least(dm[-1], dist_to(centers[-1][1])))
+    scored = emb.select(
+        "vec_id", *[d.alias(f"dm{i + 1}") for i, d in enumerate(dm)]
+    )
+    m = scored.agg(
+        *[F.round(F.max(f"dm{r}"), 6).alias(f"rad{r}") for r in range(1, _KC_K + 1)]
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("round"),
+                    F.lit(centers[r - 1][0]).cast("long").alias("center_id"),
+                    F.col(f"rad{r}").alias("radius"),
+                )
+                for r in range(1, _KC_K + 1)
+            ]
+        )
+    ).alias("kc")
+    return m.select(rows).select("kc.round", "kc.center_id", "kc.radius")

@@ -783,3 +783,34 @@ def test_minhash_signature_expr_matches_aggregation_path(spark, sf_dir):
         .collect()
     )
     assert agg == row_local
+
+
+def test_kcenter_coreset_picks_spread_centers(spark, monkeypatch):
+    """kcenter_coreset (r5): on four orthogonal directions plus a pile
+    of near-duplicates of the first, the greedy picks one center per
+    direction before any duplicate, and the coverage radius is
+    non-increasing."""
+    import covid_data_challenge_spark.queries_similarity as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0, 0.0], 0),   # near-dup of 0
+        (2, [0.98, 0.02, 0.0, 0.0], 0),   # near-dup of 0
+        (10, [0.0, 1.0, 0.0, 0.0], 0),
+        (11, [0.0, 0.0, 1.0, 0.0], 0),
+        (12, [0.0, 0.0, 0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    out = sorted(
+        REGISTRY["kcenter_coreset"].spark(spark, "unused").collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in out] == [1, 2, 3, 4, 5]
+    ids = [r.center_id for r in out]
+    assert ids[0] == 0 and set(ids[1:4]) == {10, 11, 12}
+    assert ids[4] in {1, 2}  # duplicates only after every direction covered
+    radii = [r.radius for r in out]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert radii[4] < 0.05  # all directions + a dup covered -> tiny radius
