@@ -1070,3 +1070,97 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("kc")
     return m.select(rows).select("kc.round", "kc.center_id", "kc.radius")
+
+
+_LCD_SQL = f"""
+WITH comp AS (
+    SELECT label, i,
+           CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS xu
+    FROM embeddings
+    JOIN (SELECT CAST(unnest(range(1, 10000)) AS INT) AS i) idx
+        ON i <= len(embedding)
+),
+lc AS (
+    SELECT label, i, CAST(sum(xu) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS n
+    FROM comp GROUP BY 1, 2
+),
+gc AS (
+    SELECT i, CAST(sum(xu) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS n
+    FROM comp GROUP BY 1
+),
+lcent AS (
+    SELECT label,
+           list(CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i)
+               AS cvec,
+           max(n) AS n_vecs
+    FROM lc GROUP BY 1
+),
+gcent AS (
+    SELECT list(CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY i)
+               AS gvec
+    FROM gc
+)
+SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       round({_dd_cos('l.cvec', 'g.gvec')}, 6) AS centroid_cos
+FROM lcent l CROSS JOIN gcent g
+"""
+
+
+@register("label_centroid_drift", oracle=_LCD_SQL)
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: cosine between each label's
+    exact centroid and the global corpus centroid — the embedding twin
+    of source_kl_divergence's token-space balance audit (a label whose
+    centroid points away from the corpus mean is content the mixture
+    under-represents; a near-1 cosine for every label means the classes
+    are not separable at the mean — both worth knowing before
+    centroid-dependent stages like SemDeDup/D4 run). Same exact-centroid
+    discipline as ssl_prototype_prune: integer micro-unit componentwise
+    sums (order-free), one IEEE division per coordinate, ordered double
+    cosine fold. Plan: one posexplode feeds BOTH aggregates
+    (label,dim)- and dim-keyed, dim-bounded reassembly, one broadcast
+    of the 1-row global centroid; output is |labels| rows."""
+    from covid_data_challenge_spark.functions.vector import cosine
+
+    emb = _emb(spark, sf_dir)
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.lit(1000000.0) * F.col("x").cast("double")).cast("long").alias("xu"),
+    )
+    cval = F.col("su").cast("double") / (
+        F.col("n").cast("double") * F.lit(1000000.0)
+    )
+    lc = comp.groupBy("label", "i").agg(
+        F.sum("xu").cast("long").alias("su"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lcent = (
+        lc.select("label", "n", F.struct("i", cval.alias("c")).alias("ic"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("ic")), lambda s: s.getField("c")
+            ).alias("cvec"),
+            F.max("n").cast("long").alias("n_vecs"),
+        )
+    )
+    gc = comp.groupBy("i").agg(
+        F.sum("xu").cast("long").alias("su"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    gcent = (
+        gc.select(F.struct("i", cval.alias("c")).alias("ic"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("ic")), lambda s: s.getField("c")
+            ).alias("gvec")
+        )
+    )
+    return lcent.join(F.broadcast(gcent)).select(
+        "label",
+        "n_vecs",
+        F.round(cosine(F.col("cvec"), F.col("gvec")), 6).alias("centroid_cos"),
+    )

@@ -814,3 +814,25 @@ def test_kcenter_coreset_picks_spread_centers(spark, monkeypatch):
     radii = [r.radius for r in out]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     assert radii[4] < 0.05  # all directions + a dup covered -> tiny radius
+
+
+def test_label_centroid_drift_separates_aligned_from_drifted(spark, monkeypatch):
+    """label_centroid_drift (r5): a label whose members mirror the
+    corpus mean scores ~1; a label pointing orthogonally scores low."""
+    import covid_data_challenge_spark.queries_similarity as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.1, 0.0, 0.0], 0),
+        (2, [1.0, -0.1, 0.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.1, 0.0], 0),
+        (10, [0.0, 0.0, 0.0, 1.0], 1),  # orthogonal minority label
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    out = {r.label: r for r in
+           REGISTRY["label_centroid_drift"].spark(spark, "unused").collect()}
+    assert out[0].n_vecs == 4 and out[1].n_vecs == 1
+    assert out[0].centroid_cos > 0.95
+    assert out[1].centroid_cos < 0.5
