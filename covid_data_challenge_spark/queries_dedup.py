@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from covid_data_challenge_spark.functions.text import tokens
+from covid_data_challenge_spark.functions.text import token_count, tokens
 from covid_data_challenge_spark.operators.dedup import bloom_decontaminate, containment_pairs, decontamination_overlap, dedup_exact_keep_first, exact_dedup_stats, hot_shingles, jaccard_pairs, minhash_lsh_pairs, passage_dedup, simhash_md5, simhash_md5_sql, simhash_neardup_pairs
 from covid_data_challenge_spark.operators.components import cluster_assignments, dedup_keep_canonical
 from covid_data_challenge_spark.registry import register
@@ -1318,5 +1318,77 @@ def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
                 4,
             ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "softdedup_reweight",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+per AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM assigned GROUP BY 1
+),
+tok AS (
+    SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT a.doc_id, a.cluster_id, p.cluster_size, t.n_tokens,
+       round(1.0 / CAST(p.cluster_size AS DOUBLE), 6) AS soft_weight,
+       round(CAST(t.n_tokens AS DOUBLE) / CAST(p.cluster_size AS DOUBLE), 4)
+           AS effective_tokens
+FROM assigned a
+JOIN per p USING (cluster_id)
+JOIN tok t ON a.doc_id = t.doc_id
+""",
+)
+def q_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (He et al. 2024, "SoftDedup: an Efficient
+    Data Reweighting Method for Speeding Up Language Model
+    Pretraining"): instead of DELETING near-duplicates, keep every
+    document and down-weight its sampling probability by its data
+    commonness — here the size of its near-dup cluster, so a document
+    with k-1 near-copies trains with weight 1/k and a unique document
+    keeps weight 1. The cluster keeps its full diversity (hard dedup
+    picks one arbitrary survivor) while the expected number of times
+    the shared content is seen per epoch stays 1 — the paper's
+    argument for why soft reweighting beats hard removal at equal
+    compute. ``effective_tokens`` is each document's token count under
+    its weight; summed per source it is the post-reweighting mixture.
+
+    Scale shape: reuses the shingle-banded candidate join and
+    connected-components assignment (operators/components.py — the
+    same frame every other cluster query shares), one cluster-count
+    aggregate joined back on cluster_id, and one corpus-scan token
+    count joined on doc_id; AQE broadcasts the cluster-size side when
+    small. No new shuffle class beyond the dedup pass itself."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    assigned = cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    tok = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        assigned.join(sizes, "cluster_id")
+        .join(tok, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "n_tokens",
+            F.round(F.lit(1.0) / F.col("cluster_size").cast("double"), 6).alias(
+                "soft_weight"
+            ),
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("cluster_size").cast("double"),
+                4,
+            ).alias("effective_tokens"),
         )
     )

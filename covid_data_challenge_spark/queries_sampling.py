@@ -1062,3 +1062,142 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n_tokens") * F.count(F.lit(1))).cast("double")
         ).alias("pad_frac"),
     )
+
+
+@register(
+    "unimax_budget_plan",
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per_lang),
+base AS (
+  SELECT lang, n_docs, tokens,
+         CAST(tokens * 1 AS BIGINT) AS token_cap,
+         CAST(floor(total_tokens * 7 / 10.0) AS BIGINT) AS budget
+  FROM per_lang, tot
+),
+ord_caps AS (
+  SELECT *,
+     CAST(row_number() OVER (ORDER BY token_cap, lang) AS BIGINT) AS i,
+     CAST(count(*) OVER () AS BIGINT) AS n_langs,
+     CAST(coalesce(sum(token_cap) OVER (
+         ORDER BY token_cap, lang
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       AS prefix_cap
+  FROM base
+),
+flagged AS (
+  SELECT *,
+     CAST(min(CASE WHEN token_cap * (n_langs - i + 1) <= budget - prefix_cap
+              THEN 1 ELSE 0 END)
+          OVER (ORDER BY token_cap, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+       AS at_cap
+  FROM ord_caps
+),
+sol AS (
+  SELECT *,
+     CAST(sum(at_cap) OVER () AS BIGINT) AS n_capped,
+     CAST(coalesce(sum(token_cap * at_cap) OVER (), 0) AS BIGINT) AS capped_tokens
+  FROM flagged
+)
+SELECT lang, n_docs, tokens, token_cap, budget, at_cap,
+   round(CASE WHEN at_cap = 1 THEN CAST(token_cap AS DOUBLE)
+         ELSE CAST(budget - capped_tokens AS DOUBLE)
+              / CAST(n_langs - n_capped AS DOUBLE) END, 4) AS alloc_tokens,
+   round((CASE WHEN at_cap = 1 THEN CAST(token_cap AS DOUBLE)
+         ELSE CAST(budget - capped_tokens AS DOUBLE)
+              / CAST(n_langs - n_capped AS DOUBLE) END)
+         / CAST(tokens AS DOUBLE), 6) AS epochs_allocated
+FROM sol
+""",
+)
+def q_unimax_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): given a total training-token budget
+    (70% of the corpus here) and a per-language epoch cap (the paper's
+    canonical N=1), walk languages in ascending-size order giving each
+    ``min(cap, remaining / languages_left)`` tokens. With ascending
+    caps that sequential rule is exactly water-filling — every language
+    gets ``min(cap_l, theta)`` where theta is the common water level —
+    so the whole plan is closed-form from prefix sums: a language is
+    at-cap iff ``cap_i * (L - i + 1) <= budget - prefix_{{i-1}}`` holds
+    as a running conjunction, and theta divides the leftover budget
+    among the uncapped tail. Low-resource languages get whole epochs,
+    the head language is throttled to the water level, and nothing is
+    repeated more than the cap — the paper's fairness argument.
+
+    Scale shape: one corpus scan folds to a |languages|-row aggregate;
+    every window after that runs over language cardinality (bounded by
+    the world's language inventory, not the corpus), the prefix sums
+    use explicit ROWS frames so tie handling is identical on both
+    engines, and the arithmetic is integer token units until the two
+    final divisions — hash-exact."""
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("tokens"),
+    )
+    tot = per_lang.agg(F.sum("tokens").cast("long").alias("total_tokens"))
+    base = per_lang.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "tokens",
+        (F.col("tokens") * F.lit(1)).cast("long").alias("token_cap"),
+        F.floor(F.col("total_tokens") * F.lit(7) / F.lit(10.0))
+        .cast("long")
+        .alias("budget"),
+    )
+    w_ord = Window.orderBy(F.col("token_cap").asc(), F.col("lang").asc())
+    ord_caps = base.select(
+        "*",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_langs"),
+        F.coalesce(
+            F.sum("token_cap").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prefix_cap"),
+    )
+    cond = (
+        F.col("token_cap") * (F.col("n_langs") - F.col("i") + F.lit(1))
+        <= F.col("budget") - F.col("prefix_cap")
+    )
+    flagged = ord_caps.select(
+        "*",
+        F.min(F.when(cond, 1).otherwise(0))
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("at_cap"),
+    )
+    w_all = Window.partitionBy()
+    sol = flagged.select(
+        "*",
+        F.sum("at_cap").over(w_all).cast("long").alias("n_capped"),
+        F.coalesce(F.sum(F.col("token_cap") * F.col("at_cap")).over(w_all), F.lit(0))
+        .cast("long")
+        .alias("capped_tokens"),
+    )
+    alloc = F.when(
+        F.col("at_cap") == 1, F.col("token_cap").cast("double")
+    ).otherwise(
+        (F.col("budget") - F.col("capped_tokens")).cast("double")
+        / (F.col("n_langs") - F.col("n_capped")).cast("double")
+    )
+    return sol.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        "token_cap",
+        "budget",
+        "at_cap",
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens").cast("double"), 6).alias("epochs_allocated"),
+    )

@@ -1164,3 +1164,87 @@ def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         F.round(cosine(F.col("cvec"), F.col("gvec")), 6).alias("centroid_cos"),
     )
+
+
+@register(
+    "ann_pq_rerank",
+    oracle=f"""
+WITH short AS (
+    SELECT query_id, neighbor_id FROM ({_ann_ivfpq_oracle(k=20)})
+),
+qv AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+sims AS (
+    SELECT s.query_id, s.neighbor_id, {_dd_cos('q.qvec', 'c.cvec')} AS sim
+    FROM short s
+    JOIN qv q USING (query_id)
+    JOIN cv c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS rank
+    FROM sims
+) WHERE rank <= 5
+""",
+)
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ shortlist (k'=20 by approximate ADC
+    distance) re-ranked by EXACT cosine on the shortlist's true float
+    vectors → final top-5. This is the IVFADC+R serving layout (Jégou
+    et al. 2011, "Searching in one billion vectors"): the compressed
+    index does the cheap 4×-over-fetch, and the expensive exact
+    arithmetic touches only |Q|·k' candidate vectors instead of the
+    corpus — the standard fix for PQ's quantization error without
+    paying brute-force cost.
+
+    Scale shape: the shortlist (|Q|·20 rows) joined with the broadcast
+    query vectors is itself broadcast into ONE corpus scan that fetches
+    candidate vectors by id; the exact fold runs on candidates only;
+    the final window is per-query over ≤20 rows. The oracle replays
+    the whole two-level index build + ADC shortlist as CTEs and
+    re-ranks with the same guarded dot/(|a||b|) fold — hash-exact."""
+    from covid_data_challenge_spark.functions.vector import dot, norm, to_double
+    from covid_data_challenge_spark.operators.pq import ivfpq_topk
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    short = ivfpq_topk(
+        emb, queries, k=20, n_centroids=16, nprobe=8, n_sub=32, n_codes=32
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        to_double(F.col("embedding")).alias("__qv"),
+        norm(F.col("embedding")).alias("__nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("__cv"),
+        norm(F.col("embedding")).alias("__nc"),
+    )
+    sim = F.when(
+        (F.col("__nq") > 0) & (F.col("__nc") > 0),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
+    ).otherwise(F.lit(0.0))
+    sims = c.join(F.broadcast(short.join(F.broadcast(q), "query_id")), "neighbor_id").select(
+        "query_id", "neighbor_id", sim.alias("__sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 4).alias("cosine_sim"),
+            "rank",
+        )
+    )

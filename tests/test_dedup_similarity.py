@@ -836,3 +836,71 @@ def test_label_centroid_drift_separates_aligned_from_drifted(spark, monkeypatch)
     assert out[0].n_vecs == 4 and out[1].n_vecs == 1
     assert out[0].centroid_cos > 0.95
     assert out[1].centroid_cos < 0.5
+
+
+def test_softdedup_reweight_downweights_by_cluster_size(spark, monkeypatch):
+    """softdedup_reweight (r5): members of a near-dup cluster of size k
+    carry weight 1/k (the cluster's total expected exposure stays 1);
+    unique docs keep weight 1; effective tokens scale accordingly."""
+    import covid_data_challenge_spark.queries_dedup as qd
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight"
+    rows = [
+        (0, dup, "en", "src0", len(dup)),
+        (1, dup, "en", "src0", len(dup)),
+        (2, uniq, "en", "src1", len(uniq)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qd, "_docs", lambda spark, sf: docs)
+    out = {r.doc_id: r for r in REGISTRY["softdedup_reweight"].spark(spark, "unused").collect()}
+    assert len(out) == 3
+    assert out[0].cluster_size == 2 and out[1].cluster_size == 2
+    assert out[0].cluster_id == out[1].cluster_id == 0
+    assert out[0].soft_weight == 0.5 and out[1].soft_weight == 0.5
+    assert out[2].cluster_size == 1 and out[2].soft_weight == 1.0
+    assert out[0].effective_tokens == out[0].n_tokens / 2.0
+    assert out[2].effective_tokens == float(out[2].n_tokens)
+    # per-cluster exposure: weights of the dup cluster sum to 1
+    assert out[0].soft_weight + out[1].soft_weight == 1.0
+
+
+def test_ann_pq_rerank_subset_of_shortlist_and_recall_dominates_adc(spark, sf_dir):
+    """ann_pq_rerank (r5): the reranked top-5 is drawn from the IVF-PQ
+    k'=20 shortlist, is ordered by exact cosine, and its recall@5
+    against brute-force exact cosine is >= the raw ADC top-5's recall
+    (rerank keeps every exact-top-5 member the shortlist contains,
+    which is a superset of what ADC ranks into its own top-5)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401 — registers all queries
+    from covid_data_challenge_spark.operators.pq import ivfpq_topk
+    from covid_data_challenge_spark.registry import REGISTRY
+    from covid_data_challenge_spark.queries_shared import _emb
+    from pyspark.sql import functions as F
+
+    rr = REGISTRY["ann_pq_rerank"].spark(spark, sf_dir).collect()
+    exact = REGISTRY["ann_cosine_topk"].spark(spark, sf_dir).collect()
+    adc = REGISTRY["ann_ivfpq_topk"].spark(spark, sf_dir).collect()
+    emb = _emb(spark, sf_dir)
+    short = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=20, n_centroids=16, nprobe=8, n_sub=32, n_codes=32,
+    ).collect()
+
+    short_set = {(r.query_id, r.neighbor_id) for r in short}
+    assert all((r.query_id, r.neighbor_id) in short_set for r in rr)
+    by_q = {}
+    for r in rr:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.cosine_sim for r in rows]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    rr_hits = sum((r.query_id, r.neighbor_id) in exact_set for r in rr)
+    adc_hits = sum((r.query_id, r.neighbor_id) in exact_set for r in adc)
+    assert rr_hits >= adc_hits

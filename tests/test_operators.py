@@ -1378,3 +1378,31 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
     assert a.n_rep == 64
     assert a.ci_lo < a.mean_tokens < a.ci_hi
     assert a.ci_hi - a.ci_lo < a.mean_tokens  # sane width
+
+
+def test_unimax_budget_plan_waterfills(spark, monkeypatch):
+    """unimax_budget_plan (r5): small languages hit the 1-epoch cap,
+    the head language absorbs exactly the leftover budget (the water
+    level), and the allocations sum to the budget."""
+    import covid_data_challenge_spark.queries_sampling as qsamp
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    def doc(i, lang, n):
+        return (i, " ".join(["w"] * n), lang, "src0", 2 * n - 1)
+
+    rows = [doc(0, "aa", 10), doc(1, "bb", 20), doc(2, "en", 500), doc(3, "en", 500)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qsamp, "_docs", lambda spark, sf: docs)
+    out = {r.lang: r for r in REGISTRY["unimax_budget_plan"].spark(spark, "unused").collect()}
+    assert set(out) == {"aa", "bb", "en"}
+    # budget = floor(0.7 * 1030) = 721; caps 10/20/1000 ascending:
+    # 10*3=30 <= 721 (cap), 20*2=40 <= 711 (cap), 1000 > 691 (water level)
+    assert out["aa"].at_cap == 1 and out["aa"].alloc_tokens == 10.0
+    assert out["bb"].at_cap == 1 and out["bb"].alloc_tokens == 20.0
+    assert out["en"].at_cap == 0 and out["en"].alloc_tokens == 691.0
+    assert out["aa"].epochs_allocated == 1.0 and out["bb"].epochs_allocated == 1.0
+    assert out["en"].epochs_allocated == 0.691
+    assert sum(r.alloc_tokens for r in out.values()) == 721.0
+    assert all(r.budget == 721 for r in out.values())
