@@ -86,6 +86,9 @@ EXTENSION = [
     "zipf_law_fit",
     "cross_source_contamination",
     "d4_prune_recipe",
+    # round 5 late wave: the two-stage IVF-PQ serving path (ADC shortlist
+    # + exact re-rank on candidates only)
+    "ann_pq_rerank",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

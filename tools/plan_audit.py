@@ -55,10 +55,12 @@ _LEAF = ("Scan ", "FileScan", "ExistingRDD", "InMemoryTableScan")
 #:   threshold       sweep grids (constant)
 #:   __b             skyline grid cell, constant `buckets` param (operators/skyline.py)
 #:   event_type      enum-sized label vocabulary (like source)
+#:   lang            ISO language inventory — bounded by the world's
+#:                   languages, not the corpus (unimax_budget_plan)
 #:   month/order_year calendar-grain — bounded by elapsed time, not data
 _BOUNDED_KEYS = {"__ps_shard", "shard", "bin", "bucket", "band", "source",
                  "threshold", "dow", "hr", "grid_q", "__b", "event_type",
-                 "month", "order_year"}
+                 "lang", "month", "order_year"}
 _KEYS_RE = re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]")
 _KEYNAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
