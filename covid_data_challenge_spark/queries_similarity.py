@@ -1248,3 +1248,181 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def _top_pc_oracle(iters: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of embedding_top_pc: the exact micro-unit centroid,
+    centered vectors, and ``iters`` unrolled power-iteration rounds —
+    each round is (row dot v) -> quantized component sums -> normalize,
+    replicating the Spark side's driver-collected literals step by
+    step, so every double matches bit-for-bit."""
+    v0 = "[" + ", ".join("1.0" if j == 0 else "0.0" for j in range(dim)) + "]"
+    parts = [
+        f"""uniq AS (SELECT vec_id, embedding FROM embeddings),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uniq),
+comp AS (
+    SELECT vec_id, i,
+           CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS xu
+    FROM uniq
+    JOIN (SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS i) idx
+        ON i <= len(embedding)
+),
+su AS (SELECT i, CAST(sum(xu) AS BIGINT) AS su FROM comp GROUP BY 1),
+mu AS (
+    SELECT list(CAST(su AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0)
+                ORDER BY i) AS mu
+    FROM su, nn GROUP BY nn.n
+),
+xc AS (
+    SELECT u.vec_id,
+           list_transform(list_zip(u.embedding, m.mu),
+                          p -> CAST(p[1] AS DOUBLE) - p[2]) AS xc
+    FROM uniq u, mu m
+),
+tvu AS (
+    SELECT CAST(sum(CAST(floor(1000000.0 * xcj * xcj) AS BIGINT)) AS BIGINT)
+        AS tvu
+    FROM (SELECT unnest(xc) AS xcj FROM xc)
+),
+v0 AS (SELECT {v0} AS v)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""s{t} AS (
+    SELECT x.vec_id, x.xc,
+           list_aggregate(list_transform(list_zip(x.xc, v{t - 1}.v),
+                          p -> p[1] * p[2]), 'sum') AS s
+    FROM xc x, v{t - 1}
+),
+uu{t} AS (
+    SELECT i, CAST(sum(CAST(floor(1000000.0 * s * xcj) AS BIGINT)) AS BIGINT)
+        AS u
+    FROM (SELECT s, unnest(xc) AS xcj, generate_subscripts(xc, 1) AS i
+          FROM s{t})
+    GROUP BY 1
+),
+w{t} AS (SELECT list(CAST(u AS DOUBLE) / 1000000.0 ORDER BY i) AS w FROM uu{t}),
+v{t} AS (
+    SELECT list_transform(w, x -> x /
+               sqrt(list_aggregate(list_transform(w, y -> y * y), 'sum'))) AS v,
+           sqrt(list_aggregate(list_transform(w, y -> y * y), 'sum')) AS lam
+    FROM w{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(su.i - 1 AS INT) AS dim,
+       round(CAST(su.su AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 6)
+           AS mu,
+       round(vf.v[su.i], 6) AS pc1,
+       round(vf.lam, 6) AS eigval,
+       round(vf.lam / (CAST(tvu.tvu AS DOUBLE) / 1000000.0), 6) AS var_share
+FROM su, nn, tvu, v{iters} vf
+"""
+    )
+
+
+@register("embedding_top_pc", oracle=_top_pc_oracle())
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embedding cloud by
+    deterministic power iteration — the direction that dominates the
+    corpus's variance, the first diagnostic for anisotropy /
+    degenerate embedding spaces (Mu & Viswanath 2018, "All-but-the-Top:
+    Simple and Effective Postprocessing for Word Representations" — the
+    common-direction removal that needs exactly this vector) and the
+    backbone of curriculum/pruning methods that score examples along
+    dominant directions. Output: one row per dimension with the exact
+    micro-unit mean, the unit PC1 component, and the (repeated) Rayleigh
+    eigenvalue estimate + fraction of total variance it explains.
+
+    Determinism discipline (the kcenter/semdedup precedent): the mean
+    and every per-iteration component sum are exact integer micro-unit
+    aggregates (order-free), the per-row dot products are ordered
+    double folds, and the 64-double iterate is collected at the API
+    boundary each round and re-enters the plan as literals — sqrt and
+    division are correctly-rounded IEEE on every engine, so the DuckDB
+    CTE unroll matches bit-for-bit (no libm transcendentals anywhere).
+
+    Scale shape: 1 + ``iters`` corpus passes, each a map-side explode
+    into a 64-group integer aggregate (map-side-combinable, no skew —
+    every row contributes to all 64 groups); driver state is 64 doubles
+    per round. At 100 TB this is the textbook distributed power method;
+    more components = deflate and repeat."""
+    import math
+
+    from covid_data_challenge_spark.functions.vector import to_double
+
+    emb = _emb(spark, sf_dir)
+    dim, iters = 64, 3
+    n = emb.count()
+    xd = to_double(F.col("embedding"))
+    su_rows = (
+        emb.select(F.posexplode(xd).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
+        .collect()
+    )
+    su = {r.j: r.su for r in su_rows}
+    mu = [su[j] / (float(n) * 1000000.0) for j in range(dim)]
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    xc = F.zip_with(xd, mu_arr, lambda x, m: x - m)
+
+    tvu = (
+        emb.select(F.explode(xc).alias("xcj"))
+        .agg(
+            F.sum(
+                F.floor(F.lit(1000000.0) * F.col("xcj") * F.col("xcj")).cast("long")
+            ).alias("tvu")
+        )
+        .collect()[0]
+        .tvu
+    )
+
+    v = [1.0] + [0.0] * (dim - 1)
+    lam = 0.0
+    for _ in range(iters):
+        v_arr = F.array(*[F.lit(x) for x in v])
+        s = F.aggregate(
+            F.zip_with(xc, v_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        u_rows = (
+            emb.select(s.alias("__s"), F.posexplode(xc).alias("j", "xcj"))
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.lit(1000000.0) * F.col("__s") * F.col("xcj")
+                    ).cast("long")
+                ).alias("u")
+            )
+            .collect()
+        )
+        u = {r.j: r.u for r in u_rows}
+        w = [u[j] / 1000000.0 for j in range(dim)]
+        lam = math.sqrt(sum(y * y for y in w))
+        v = [x / lam for x in w]
+
+    v_arr = F.array(*[F.lit(x) for x in v])
+    share = lam / (tvu / 1000000.0)
+    return (
+        emb.select(F.posexplode(xd).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.round(
+                F.col("su").cast("double")
+                / (F.lit(float(n)) * F.lit(1000000.0)),
+                6,
+            ).alias("mu"),
+            F.round(
+                F.element_at(v_arr, F.col("j").cast("int") + F.lit(1)), 6
+            ).alias("pc1"),
+            F.round(F.lit(lam), 6).alias("eigval"),
+            F.round(F.lit(share), 6).alias("var_share"),
+        )
+    )

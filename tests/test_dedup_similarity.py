@@ -904,3 +904,28 @@ def test_ann_pq_rerank_subset_of_shortlist_and_recall_dominates_adc(spark, sf_di
     rr_hits = sum((r.query_id, r.neighbor_id) in exact_set for r in rr)
     adc_hits = sum((r.query_id, r.neighbor_id) in exact_set for r in adc)
     assert rr_hits >= adc_hits
+
+
+def test_embedding_top_pc_finds_dominant_direction(spark, monkeypatch):
+    """embedding_top_pc (r5): on a cloud whose variance lives almost
+    entirely on axis 0, PC1 aligns with axis 0 (unit component ~±1),
+    the variance share is near 1, and the reported mean matches the
+    micro-unit centroid."""
+    import covid_data_challenge_spark.queries_similarity as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = []
+    for i in range(12):
+        big = 2.0 if i % 2 == 0 else -2.0
+        small = 0.05 if i % 3 == 0 else -0.05
+        rows.append((i, [big, small] + [0.0] * 62, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    out = {r.dim: r for r in REGISTRY["embedding_top_pc"].spark(spark, "unused").collect()}
+    assert len(out) == 64
+    assert abs(out[0].pc1) > 0.999
+    assert all(abs(out[j].pc1) < 0.05 for j in range(1, 64))
+    assert abs(sum(r.pc1 ** 2 for r in out.values()) - 1.0) < 1e-3
+    assert out[0].var_share > 0.99
+    assert all(r.eigval == out[0].eigval and r.eigval > 0 for r in out.values())
+    assert out[0].mu == 0.0  # +2/-2 alternation cancels exactly
