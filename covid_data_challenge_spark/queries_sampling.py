@@ -1201,3 +1201,108 @@ def q_unimax_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc, 4).alias("alloc_tokens"),
         F.round(alloc / F.col("tokens").cast("double"), 6).alias("epochs_allocated"),
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+keyed AS (
+    SELECT d.doc_id,
+           {split_sql_case("d.doc_id", _SPLITS)} AS split_doc,
+           {split_sql_case("coalesce(a.cluster_id, d.doc_id)", _SPLITS)}
+               AS split_cluster
+    FROM documents d LEFT JOIN assigned a USING (doc_id)
+),
+lab AS (
+    SELECT p.doc_a, p.doc_b,
+           ka.split_doc AS da, kb.split_doc AS db,
+           ka.split_cluster AS ca, kb.split_cluster AS cb
+    FROM pairs p
+    JOIN keyed ka ON p.doc_a = ka.doc_id
+    JOIN keyed kb ON p.doc_b = kb.doc_id
+)
+SELECT policy, n_pairs, n_cross_split,
+       CASE WHEN n_pairs > 0
+            THEN round(CAST(n_cross_split AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+            ELSE 0.0 END AS leak_rate
+FROM (
+    SELECT 'doc_key' AS policy,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN da <> db THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_split
+    FROM lab
+    UNION ALL
+    SELECT 'cluster_key' AS policy,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_split
+    FROM lab
+)
+""",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that justifies split_by_cluster: for every near-dup
+    pair, did the two documents land in DIFFERENT train/val/test
+    splits? Two policies side by side — the naive per-doc md5 split
+    (leaks: a near-copy of a training doc can sit in test, the classic
+    inflated-eval failure) and the cluster-keyed split (leak count 0 BY
+    CONSTRUCTION, since both endpoints share the cluster key and
+    therefore the md5 coin). One row per policy with the pair count,
+    cross-split count, and leak rate — the number quoted in a dataset
+    card's contamination section.
+
+    Scale shape: reuses the banded near-dup pair generation and the
+    connected-components frame every other cluster query shares; the
+    audit itself is two broadcast-joined label lookups over pair-count
+    rows and one two-row aggregate. The cluster_key row doubling as a
+    regression test (any nonzero means the components or the split
+    hashing broke) is the point."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    clustered = cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+    keyed = assign_split(keyed, "doc_id", _SPLITS, out_col="split_doc")
+    keyed = assign_split(keyed, "cluster_id", _SPLITS, out_col="split_cluster")
+    ka = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split_doc").alias("da"),
+        F.col("split_cluster").alias("ca"),
+    )
+    kb = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split_doc").alias("db"),
+        F.col("split_cluster").alias("cb"),
+    )
+    lab = pairs.join(ka, "doc_a").join(kb, "doc_b")
+
+    def pol(name: str, a: str, b: str) -> DataFrame:
+        return lab.agg(
+            F.lit(name).alias("policy"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col(a) != F.col(b), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_split"),
+        ).select(
+            "policy",
+            "n_pairs",
+            "n_cross_split",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.round(
+                    F.col("n_cross_split").cast("double")
+                    / F.col("n_pairs").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("leak_rate"),
+        )
+
+    return pol("doc_key", "da", "db").unionByName(pol("cluster_key", "ca", "cb"))

@@ -1406,3 +1406,19 @@ def test_unimax_budget_plan_waterfills(spark, monkeypatch):
     assert out["en"].epochs_allocated == 0.691
     assert sum(r.alloc_tokens for r in out.values()) == 721.0
     assert all(r.budget == 721 for r in out.values())
+
+
+def test_split_leakage_audit_cluster_policy_never_leaks(spark, sf_dir):
+    """split_leakage_audit (r5): the cluster-keyed split has zero
+    cross-split near-dup pairs BY CONSTRUCTION; both policies see the
+    same pair universe."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    out = {r.policy: r for r in
+           REGISTRY["split_leakage_audit"].spark(spark, sf_dir).collect()}
+    assert set(out) == {"doc_key", "cluster_key"}
+    assert out["cluster_key"].n_cross_split == 0
+    assert out["cluster_key"].leak_rate == 0.0
+    assert out["doc_key"].n_pairs == out["cluster_key"].n_pairs > 0
+    assert out["doc_key"].n_cross_split >= 0
