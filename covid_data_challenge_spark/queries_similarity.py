@@ -1250,12 +1250,13 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _top_pc_oracle(iters: int = 3, dim: int = 64) -> str:
-    """DuckDB twin of embedding_top_pc: the exact micro-unit centroid,
-    centered vectors, and ``iters`` unrolled power-iteration rounds —
-    each round is (row dot v) -> quantized component sums -> normalize,
-    replicating the Spark side's driver-collected literals step by
-    step, so every double matches bit-for-bit."""
+def _top_pc_ctes(iters: int = 3, dim: int = 64) -> str:
+    """Shared DuckDB CTE chain for the power-iteration family: the
+    exact micro-unit centroid, centered vectors, trace, and ``iters``
+    unrolled rounds — each (row dot v) -> quantized component sums ->
+    normalize, replicating the Spark side's driver-collected literals
+    step by step, so every double matches bit-for-bit. Exposes
+    ``su/nn/tvu/xc/v{iters}`` for the composing query's SELECT."""
     v0 = "[" + ", ".join("1.0" if j == 0 else "0.0" for j in range(dim)) + "]"
     parts = [
         f"""uniq AS (SELECT vec_id, embedding FROM embeddings),
@@ -1309,9 +1310,13 @@ v{t} AS (
     FROM w{t}
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _top_pc_oracle(iters: int = 3, dim: int = 64) -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _top_pc_ctes(iters, dim)
         + f"""
 SELECT CAST(su.i - 1 AS INT) AS dim,
        round(CAST(su.su AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 6)
@@ -1324,38 +1329,39 @@ FROM su, nn, tvu, v{iters} vf
     )
 
 
-@register("embedding_top_pc", oracle=_top_pc_oracle())
-def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the centered embedding cloud by
-    deterministic power iteration — the direction that dominates the
-    corpus's variance, the first diagnostic for anisotropy /
-    degenerate embedding spaces (Mu & Viswanath 2018, "All-but-the-Top:
-    Simple and Effective Postprocessing for Word Representations" — the
-    common-direction removal that needs exactly this vector) and the
-    backbone of curriculum/pruning methods that score examples along
-    dominant directions. Output: one row per dimension with the exact
-    micro-unit mean, the unit PC1 component, and the (repeated) Rayleigh
-    eigenvalue estimate + fraction of total variance it explains.
+def _abtt_oracle(iters: int = 3, dim: int = 64) -> str:
+    return (
+        "WITH "
+        + _top_pc_ctes(iters, dim)
+        + f"""
+, proj AS (
+    SELECT x.vec_id, x.xc,
+           list_aggregate(list_transform(list_zip(x.xc, vf.v),
+                          p -> p[1] * p[2]), 'sum') AS s
+    FROM xc x, v{iters} vf
+)
+SELECT p.vec_id, round(p.s, 6) AS pc1_proj,
+       round(sqrt(list_aggregate(list_transform(list_zip(p.xc, vf.v),
+             q -> (q[1] - p.s * q[2]) * (q[1] - p.s * q[2])), 'sum')), 6)
+           AS resid_norm
+FROM proj p, v{iters} vf
+"""
+    )
 
-    Determinism discipline (the kcenter/semdedup precedent): the mean
-    and every per-iteration component sum are exact integer micro-unit
-    aggregates (order-free), the per-row dot products are ordered
-    double folds, and the 64-double iterate is collected at the API
-    boundary each round and re-enters the plan as literals — sqrt and
-    division are correctly-rounded IEEE on every engine, so the DuckDB
-    CTE unroll matches bit-for-bit (no libm transcendentals anywhere).
 
-    Scale shape: 1 + ``iters`` corpus passes, each a map-side explode
-    into a 64-group integer aggregate (map-side-combinable, no skew —
-    every row contributes to all 64 groups); driver state is 64 doubles
-    per round. At 100 TB this is the textbook distributed power method;
-    more components = deflate and repeat."""
+def _power_iteration(
+    emb: DataFrame, dim: int = 64, iters: int = 3
+) -> tuple[int, list[float], list[float], float, int]:
+    """Driver loop shared by the power-iteration family: exact
+    micro-unit centroid, trace units, and ``iters`` matvec rounds; each
+    round's 64 component sums are exact integers collected at the API
+    boundary (64 doubles of driver state — the kcenter precedent).
+    Returns (n, mu, v, lam, trace_units); all doubles bit-match the
+    _top_pc_ctes CTE chain."""
     import math
 
     from covid_data_challenge_spark.functions.vector import to_double
 
-    emb = _emb(spark, sf_dir)
-    dim, iters = 64, 3
     n = emb.count()
     xd = to_double(F.col("embedding"))
     su_rows = (
@@ -1405,7 +1411,41 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = [u[j] / 1000000.0 for j in range(dim)]
         lam = math.sqrt(sum(y * y for y in w))
         v = [x / lam for x in w]
+    return n, mu, v, lam, tvu
 
+
+@register("embedding_top_pc", oracle=_top_pc_oracle())
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embedding cloud by
+    deterministic power iteration — the direction that dominates the
+    corpus's variance, the first diagnostic for anisotropy /
+    degenerate embedding spaces (Mu & Viswanath 2018, "All-but-the-Top:
+    Simple and Effective Postprocessing for Word Representations" — the
+    common-direction removal that needs exactly this vector) and the
+    backbone of curriculum/pruning methods that score examples along
+    dominant directions. Output: one row per dimension with the exact
+    micro-unit mean, the unit PC1 component, and the (repeated) Rayleigh
+    eigenvalue estimate + fraction of total variance it explains.
+
+    Determinism discipline (the kcenter/semdedup precedent): the mean
+    and every per-iteration component sum are exact integer micro-unit
+    aggregates (order-free), the per-row dot products are ordered
+    double folds, and the 64-double iterate is collected at the API
+    boundary each round and re-enters the plan as literals — sqrt and
+    division are correctly-rounded IEEE on every engine, so the DuckDB
+    CTE unroll matches bit-for-bit (no libm transcendentals anywhere).
+
+    Scale shape: 1 + ``iters`` corpus passes, each a map-side explode
+    into a 64-group integer aggregate (map-side-combinable, no skew —
+    every row contributes to all 64 groups); driver state is 64 doubles
+    per round. At 100 TB this is the textbook distributed power method;
+    more components = deflate and repeat."""
+    from covid_data_challenge_spark.functions.vector import to_double
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    n, mu, v, lam, tvu = _power_iteration(emb, dim=dim, iters=3)
+    xd = to_double(F.col("embedding"))
     v_arr = F.array(*[F.lit(x) for x in v])
     share = lam / (tvu / 1000000.0)
     return (
@@ -1425,4 +1465,50 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(lam), 6).alias("eigval"),
             F.round(F.lit(share), 6).alias("var_share"),
         )
+    )
+
+
+@register("embedding_abtt_scores", oracle=_abtt_oracle())
+def q_embedding_abtt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top postprocessing scores (Mu & Viswanath 2018):
+    per vector, its projection onto the corpus's top principal
+    component and the norm of the residual after removing mean + PC1
+    (x' = x_c − (x_c·v₁)v₁) — the corrected representation the paper
+    shows improves similarity tasks. High |pc1_proj| flags the vectors
+    that ride the common direction (boilerplate/template embeddings);
+    resid_norm is the signal that remains once it's gone.
+
+    Scale shape: the power iteration (shared _power_iteration helper,
+    64-group integer aggregates) fixes v₁ as 64 literal doubles; the
+    scoring pass is then ONE map-side corpus scan — projection and
+    residual norm are ordered double folds per row, no shuffle, no
+    join. The oracle replays the iteration CTE chain and scores with
+    the same guarded arithmetic — hash-exact."""
+    from covid_data_challenge_spark.functions.vector import to_double
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    n, mu, v, lam, tvu = _power_iteration(emb, dim=dim, iters=3)
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v_arr = F.array(*[F.lit(x) for x in v])
+    xc = F.zip_with(to_double(F.col("embedding")), mu_arr, lambda x, m: x - m)
+    proj = F.aggregate(
+        F.zip_with(xc, v_arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    scored = emb.select("vec_id", xc.alias("__xc"), proj.alias("__p"))
+    resid_sq = F.aggregate(
+        F.zip_with(
+            F.col("__xc"),
+            v_arr,
+            lambda a, b: (a - F.col("__p") * b) * (a - F.col("__p") * b),
+        ),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    return scored.select(
+        "vec_id",
+        F.round(F.col("__p"), 6).alias("pc1_proj"),
+        F.round(F.sqrt(resid_sq), 6).alias("resid_norm"),
     )

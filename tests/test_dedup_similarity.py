@@ -929,3 +929,29 @@ def test_embedding_top_pc_finds_dominant_direction(spark, monkeypatch):
     assert out[0].var_share > 0.99
     assert all(r.eigval == out[0].eigval and r.eigval > 0 for r in out.values())
     assert out[0].mu == 0.0  # +2/-2 alternation cancels exactly
+
+
+def test_embedding_abtt_scores_remove_common_direction(spark, monkeypatch):
+    """embedding_abtt_scores (r5): on the planted 1-D cloud the PC1
+    projection recovers each vector's axis-0 offset and the residual
+    norm is just the small off-axis component — the common direction
+    is gone."""
+    import covid_data_challenge_spark.queries_similarity as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = []
+    for i in range(12):
+        big = 2.0 if i % 2 == 0 else -2.0
+        small = 0.05 if i % 3 == 0 else -0.05
+        rows.append((i, [big, small] + [0.0] * 62, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    out = {r.vec_id: r for r in
+           REGISTRY["embedding_abtt_scores"].spark(spark, "unused").collect()}
+    assert len(out) == 12
+    for i, r in out.items():
+        assert abs(abs(r.pc1_proj) - 2.0) < 0.01  # |axis-0 offset|
+        assert r.resid_norm < 0.1  # only the 0.05 wiggle survives
+    # projection signs follow the alternation (up to global PC sign)
+    signs = {i: (1 if out[i].pc1_proj > 0 else -1) for i in out}
+    assert all(signs[i] == signs[0] * (1 if i % 2 == 0 else -1) for i in signs)
