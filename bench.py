@@ -147,6 +147,11 @@ SCALE_SF1 = [
     # contamination join (distinct (source, shingle) keyed)
     "zipf_law_fit",
     "cross_source_contamination",
+    # ann_pq_rerank is deliberately NOT here (the ann_cosine_topk
+    # precedent): the fixture's query set is every-50th-vector, so |Q|
+    # grows with the corpus and the audit measures |Q|×|corpus| — the
+    # serving path holds the query batch fixed; see SCALING.md for the
+    # fixed-batch growth measurement
 ]
 
 RUNS_PER_QUERY = 2

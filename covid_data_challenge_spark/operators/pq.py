@@ -191,6 +191,13 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "cid")
     )
+    # The LUT is a dense slot-indexed ARRAY (slot = sub·n_codes + code,
+    # slots are exactly 0..n_sub·n_codes−1), not a map: Catalyst's
+    # element_at on MapType is a LINEAR scan of all n_sub·n_codes
+    # entries per lookup — measured ~10× on the whole query at 10×
+    # data, since ADC does n_sub lookups per candidate row. Array
+    # element_at is O(1) by index; the d values and the fold order are
+    # unchanged, so results are bit-identical.
     qlut = (
         _subvectors(queries, id_col, vec_col, n_sub, sub_dim)
         .join(F.broadcast(codebook), "sub")
@@ -200,7 +207,10 @@ def ivfpq_topk(
             l2sq(F.col("subvec"), F.col("cvec")).alias("d"),
         )
         .groupBy("query_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("slot", "d"))).alias("lut"))
+        .agg(F.array_sort(F.collect_list(F.struct("slot", "d"))).alias("sd"))
+        .select(
+            "query_id", F.transform(F.col("sd"), lambda s: s["d"]).alias("lut")
+        )
     )
     adc = F.aggregate(
         F.zip_with(
@@ -209,7 +219,7 @@ def ivfpq_topk(
             lambda s, c: s * n_codes + c,
         ),
         F.lit(0.0),
-        lambda acc, slot: acc + F.element_at(F.col("lut"), slot),
+        lambda acc, slot: acc + F.element_at(F.col("lut"), slot + F.lit(1)),
     )
     cand = (
         probes.join(index, "cid")
