@@ -1259,8 +1259,12 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression test (any nonzero means the components or the split
     hashing broke) is the point."""
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
-        "doc_a", "doc_b"
+    # the banded pair table feeds BOTH the components loop and the
+    # audit join below — checkpoint so the shingle chain runs once
+    pairs = (
+        jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     clustered = cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
     keyed = (
@@ -1270,6 +1274,11 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = assign_split(keyed, "doc_id", _SPLITS, out_col="split_doc")
     keyed = assign_split(keyed, "cluster_id", _SPLITS, out_col="split_cluster")
+    # keyed embeds the whole pair-generation + connected-components
+    # chain and is consumed TWICE (the doc_a and doc_b label lookups) —
+    # checkpoint the doc-count-sized label table so the expensive
+    # subtree runs once (the ann_recall_report / customer_rfm fix).
+    keyed = keyed.localCheckpoint(eager=True)
     ka = keyed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("split_doc").alias("da"),
