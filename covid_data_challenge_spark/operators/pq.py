@@ -73,7 +73,17 @@ def pq_train(
     lowest-id vectors (deterministic, same convention as
     ivf.seed_centroids); each Lloyd iteration is one broadcast
     assignment + one (sub, code, pos) mean rebuild — shared across all
-    subspaces."""
+    subspaces.
+
+    Density invariant: the seed grid is exactly ``n_sub × n_codes``
+    rows (given ≥ n_codes corpus vectors), and a code that loses every
+    assignment in a Lloyd round KEEPS its previous centroid (the
+    standard empty-cluster convention) instead of vanishing from the
+    rebuild's GROUP BY. Downstream, ivfpq_topk's ADC lookup table is a
+    positional array indexed by slot = sub·n_codes + code — a dropped
+    code would silently shift every later slot's distance. The oracle
+    CTE (queries_similarity._ann_ivfpq_oracle) applies the same
+    keep-previous rule."""
     sub_dim = dim // n_sub
     sv = _subvectors(corpus, id_col, vec_col, n_sub, sub_dim)
     w = Window.partitionBy("sub").orderBy(F.col("id"))
@@ -88,7 +98,7 @@ def pq_train(
             sv, ["id", "sub"]
         ).select("sub", "code", F.posexplode("subvec").alias("pos", "x"))
         means = by_dim.groupBy("sub", "code", "pos").agg(F.avg("x").alias("m"))
-        codebook = (
+        rebuilt = (
             means.groupBy("sub", "code")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
@@ -96,6 +106,13 @@ def pq_train(
                 "code",
                 F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("cvec"),
             )
+        )
+        # empty-cluster rule: left-join the rebuild onto the (dense)
+        # previous grid so zero-assignment codes keep their centroid
+        codebook = (
+            codebook.select("sub", "code", F.col("cvec").alias("__prev"))
+            .join(rebuilt, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("cvec", "__prev").alias("cvec"))
         )
     return codebook
 
@@ -175,6 +192,19 @@ def ivfpq_topk(
     codebook = pq_train(
         corpus, n_sub, n_codes, lloyd_iters, id_col, vec_col, dim
     ).persist()
+    # The ADC LUT below positionally indexes slot = sub·n_codes + code,
+    # which is only sound over a DENSE codebook grid. pq_train
+    # guarantees density (empty-cluster keep-previous rule) whenever the
+    # corpus has ≥ n_codes vectors; this one count over the persisted
+    # ≤ n_sub·n_codes-row frame pins the invariant against regressions
+    # and tiny-corpus misuse instead of silently mis-ranking.
+    n_cb = codebook.count()
+    if n_cb != n_sub * n_codes:
+        raise ValueError(
+            f"PQ codebook is not dense: {n_cb} rows, expected {n_sub * n_codes} "
+            f"(n_sub={n_sub} × n_codes={n_codes}); corpus too small or "
+            "codebook training dropped codes — positional ADC LUT would mis-rank"
+        )
     codes = pq_encode(corpus, codebook, n_sub, id_col, vec_col, dim).select(
         F.col("id").alias("neighbor_id"), "codes"
     )

@@ -459,7 +459,8 @@ def _ann_ivfpq_oracle(
     """IVF-PQ unrolled as a DuckDB CTE chain: the IVF half reuses the
     ann_ivf_topk Lloyd unroll; the PQ half trains all subspace codebooks
     (per-sub lowest-id seeds, one Lloyd iteration with float32 snap and
-    drop-empty), encodes the corpus at (id, sub, code) granularity, and
+    the empty-cluster keep-previous rule), encodes the corpus at
+    (id, sub, code) granularity, and
     scores candidates by ADC — the per-(query,neighbor) sum is an
     ORDERED sub-ascending fold (list(d ORDER BY sub) → list_aggregate)
     to match the Spark side's F.aggregate fold bit-for-bit. Ranking is
@@ -505,9 +506,15 @@ cb_dim AS (
     FROM asg1 a JOIN sv s ON a.id = s.id AND a.sub = s.sub
 ),
 cb AS (
-    SELECT sub, code, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
-    FROM (SELECT sub, code, pos, avg(CAST(x AS DOUBLE)) AS m FROM cb_dim GROUP BY sub, code, pos)
-    GROUP BY sub, code
+    -- empty-cluster keep-previous rule (matches operators/pq.pq_train):
+    -- a code with zero assignments keeps its cb0 seed centroid, so the
+    -- (sub, code) grid stays dense for the Spark side's positional LUT
+    SELECT c0.sub, c0.code, coalesce(m.cvec, c0.cvec) AS cvec
+    FROM cb0 c0 LEFT JOIN (
+        SELECT sub, code, list(CAST(m AS FLOAT) ORDER BY pos) AS cvec
+        FROM (SELECT sub, code, pos, avg(CAST(x AS DOUBLE)) AS m FROM cb_dim GROUP BY sub, code, pos)
+        GROUP BY sub, code
+    ) m ON c0.sub = m.sub AND c0.code = m.code
 ),
 enc AS (
     SELECT id, sub, code FROM (

@@ -460,6 +460,46 @@ def test_ivfpq_planted_duplicate_is_rank_one(spark, sf_dir):
         assert nid == pid - 1000000, f"copy {pid} did not rank its original first"
 
 
+def test_pq_codebook_stays_dense_with_duplicate_seeds(spark):
+    """A code whose seed subvector is an exact duplicate of a lower code
+    gets ZERO Lloyd assignments (ties break to the lowest code) — the
+    rebuild must keep its previous centroid, not drop the row: the ADC
+    lookup table positionally indexes slot = sub·n_codes + code, so a
+    dropped code would silently shift every later slot (ADVICE r6).
+    Also pins the ivfpq_topk density guard for a too-small corpus."""
+    import pytest as _pytest
+
+    from covid_data_challenge_spark.operators.pq import ivfpq_topk, pq_train
+
+    # 8 vectors, dim 8; vectors 0 and 1 are identical → with n_codes=4
+    # every subspace seeds code 1 with a duplicate of code 0's centroid
+    # and code 1 receives no assignments in the rebuild.
+    base = [
+        [float((7 * i + 3 * j) % 11) for j in range(8)] for i in range(8)
+    ]
+    base[1] = list(base[0])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cb = pq_train(corpus, n_sub=4, n_codes=4, lloyd_iters=1, dim=8)
+    got = {(r["sub"], r["code"]) for r in cb.collect()}
+    assert got == {(s, c) for s in range(4) for c in range(4)}, (
+        "codebook lost (sub, code) rows — empty-cluster keep-previous rule broken"
+    )
+    # the retained code must keep its seed centroid (= the duplicate seed)
+    kept = {
+        (r["sub"], r["code"]): [float(x) for x in r["cvec"]] for r in cb.collect()
+    }
+    for s in range(4):
+        assert kept[(s, 1)] == base[1][s * 2 : s * 2 + 2]
+
+    # corpus smaller than n_codes → seeds can't fill the grid → the
+    # positional-LUT guard must refuse loudly instead of mis-ranking
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="not dense"):
+        ivfpq_topk(tiny, tiny, k=1, n_centroids=2, nprobe=1, n_sub=4, n_codes=4, dim=8)
+
+
 def test_semdedup_collapses_exact_duplicates_invariantly(spark, sf_dir):
     """Planting exact copies must (a) prune every copy in favor of its
     lowest-id original and (b) leave the originals' cluster/keep
