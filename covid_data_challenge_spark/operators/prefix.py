@@ -26,6 +26,32 @@ prefix sums do not depend on where the shard boundaries fall — so
 oracle SQL that ranks rows the naive way still hash-matches.  Total
 cost: one range exchange + one hash exchange of the value table + one
 K-row broadcast, vs. one all-to-one exchange that cannot scale.
+
+Determinism note (ADVICE r6): ``spark_partition_id()`` over the range
+exchange appears in two consumers of the same logical subtree — the
+within-shard window input and the shard-totals aggregate. If Spark
+recomputes the subtree per consumer rather than reusing the exchange,
+the offset join is correct only if BOTH recomputations assign every row
+the same shard. That holds by construction here, and the guarantee is
+worth stating explicitly because three independent properties carry it:
+
+1. ``RangePartitioner`` draws its boundary sample with a PRNG seeded
+   from ``byteswap32(partitionIndex)`` (see Spark's Partitioner.scala /
+   RangePartitioner.sketch) — NOT from wall clock — so identical input
+   partitions always yield identical boundaries.
+2. The inputs fed to this operator are deterministic scans/aggregates
+   (parquet + hash aggregation), so the per-partition contents the
+   sketch samples are stable across recomputation.
+3. Rows equal on the order columns may straddle a boundary differently
+   only if the sample changes (it can't, per 1–2); and even then the
+   FINAL cumulative values are boundary-invariant — only the internal
+   split would shift. The caller contract (distinct order keys) removes
+   even that ambiguity.
+
+If a future caller feeds a nondeterministic source (e.g. a fresh
+``rand()`` column or a shuffling sample without a seed), materialize it
+first (``localCheckpoint(eager=True)``) before calling in here — that
+is the caller's obligation, pinned by test_prefix's recompute test.
 """
 
 from __future__ import annotations
