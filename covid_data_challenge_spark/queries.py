@@ -187,8 +187,14 @@ FROM (
 )
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # project BEFORE the argmax: the agg form packs every input column
+    # into its max_by row struct, so post-selection can't prune the scan
+    needed = li.select(
+        "l_suppkey", "l_shipdate", "l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice",
+    )
     return latest_per_key(
-        li, "l_suppkey", "l_shipdate", tie_breakers=["l_orderkey", "l_linenumber"]
+        needed, "l_suppkey", "l_shipdate", tie_breakers=["l_orderkey", "l_linenumber"]
     ).select(
         "l_suppkey",
         F.col("l_shipdate").alias("latest_shipdate"),

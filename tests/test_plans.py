@@ -17,12 +17,19 @@ def _plan(spark, df, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
-def test_latest_per_key_uses_rank_limit_pushdown(spark, sf_dir):
+def test_latest_per_key_is_partial_argmax_aggregate(spark, sf_dir):
     """Argmax must keep only the per-key best row on the map side
-    (WindowGroupLimit partial) so the shuffle moves ~|keys| rows."""
+    (partial max_by) so the shuffle moves ~|keys| rows — and the r6 agg
+    form must hold: no window machinery (the old WindowGroupLimit shape
+    still full-sorted every input partition by the 4-column ordering;
+    the agg form sorts by the group key alone and measured 2× faster at
+    10× data), and the pre-argmax projection must prune the scan to the
+    6 output columns (the max_by row struct would otherwise drag every
+    lineitem column through the aggregate)."""
     plan = _plan(spark, REGISTRY["latest_per_key"].spark(spark, sf_dir))
-    assert "WindowGroupLimit" in plan
-    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "partial_max_by" in plan  # map-side argmax before the exchange
+    assert "WindowGroupLimit" not in plan and "Window" not in plan
+    assert "l_partkey" not in plan  # unused fact columns never leave parquet
 
 
 def test_regional_revenue_broadcasts_dims_and_never_shuffles_fact(spark, sf_dir):
