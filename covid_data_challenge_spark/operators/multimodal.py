@@ -2,13 +2,17 @@
 payloads with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages.
 
-The decode kernels themselves (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode step is stubbed: ``decoder="fake"`` runs a
-deterministic payload-derived feature extractor (real Arrow batch flow,
-real schemas, real partitioning) and ``decoder="real"`` raises
-``NotImplementedError`` at the exact point a decode library would be
-invoked. Everything around that point — schema contracts, batch
-iteration, partition sizing — is production-shaped and tested.
+Decode-library availability splits the kernels in two tiers. REAL
+decoders, dependency-free: PNG (stdlib zlib + numpy unfiltering — the
+decoder half of the engine's own PNG sink), PPM (P6), WAV (mono
+PCM16), Y4M (C420) — each with per-row corrupt-payload quarantine.
+Environment-gated: JPEG and lossy audio/video codecs need PIL/ffmpeg,
+absent in this container, so ``decoder="real"`` raises
+``NotImplementedError`` at the exact point such a library would be
+invoked. ``decoder="fake"`` remains the deterministic payload-derived
+extractor whose features replay in a DuckDB oracle. Everything around
+the kernel — schema contracts, Arrow batch iteration, partition
+sizing — is identical and production-shaped for every tier.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
@@ -97,19 +101,21 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     unavailable in this environment → NotImplementedError (by contract,
     see module docstring). The Spark-side plumbing is identical for all.
     """
-    if decoder not in ("fake", "real", "ppm", "wav", "y4m"):
+    if decoder not in ("fake", "real", "ppm", "png", "wav", "y4m"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if decoder == "real":
                 raise NotImplementedError(
-                    "JPEG/PNG/audio decoding requires libraries not present "
-                    "in this container; use decoder='ppm' (pure-numpy real "
-                    "decode) or decoder='fake'"
+                    "JPEG/lossy-audio decoding requires libraries not "
+                    "present in this container; use decoder='png' or "
+                    "decoder='ppm' (pure-stdlib/numpy real decodes) or "
+                    "decoder='fake'"
                 )
             kernel = {
                 "ppm": ppm_features,
+                "png": png_features,
                 "wav": wav_features,
                 "y4m": y4m_features,
                 "fake": _fake_features,
@@ -208,16 +214,14 @@ def resize_nearest(img, out_w: int, out_h: int):
     return img[rows][:, cols]
 
 
-def ppm_features(payload: bytes, dim: int = FEATURE_DIM):
-    """Decode → REAL image features: per-channel means, brightness,
-    contrast (std), horizontal/vertical edge energy, aspect ratio — all
-    in [0, 1], rounded for cross-run stability. None for undecodable
-    payloads."""
+def _rgb_stats(img, dim: int = FEATURE_DIM):
+    """Shared image-statistics kernel over an (h, w, 3) uint8 array:
+    per-channel means, brightness, contrast (std), horizontal/vertical
+    edge energy, aspect ratio — all in [0, 1], rounded for cross-run
+    stability. Both the PPM and PNG decode paths feed this, so format
+    support and feature semantics stay orthogonal."""
     import numpy as np
 
-    img = decode_ppm(bytes(payload))
-    if img is None:
-        return None
     f = img.astype(np.float64) / 255.0
     gray = f.mean(axis=2)
     feats = [
@@ -233,6 +237,15 @@ def ppm_features(payload: bytes, dim: int = FEATURE_DIM):
     return [round(float(v), 6) for v in feats[:dim]]
 
 
+def ppm_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Decode → REAL image features (see :func:`_rgb_stats`). None for
+    undecodable payloads."""
+    img = decode_ppm(bytes(payload))
+    if img is None:
+        return None
+    return _rgb_stats(img, dim)
+
+
 def synth_ppm_table(spark: SparkSession, n: int = 32) -> DataFrame:
     """Media table whose image payloads are REAL decodable P6 PPMs
     (varying sizes), with one deliberately corrupt payload (id 0 of
@@ -245,6 +258,203 @@ def synth_ppm_table(spark: SparkSession, n: int = 32) -> DataFrame:
         )
         rows.append((i, "image", bytearray(payload), "image/x-portable-pixmap",
                      w, h, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path for PNG — pure stdlib zlib + numpy unfiltering; the
+# decoder half of the engine's own PNG sink (sources/sinks.py:
+# write_png_heatmap encodes, this decodes — the loop closes in pytest
+# with a pixel-exact roundtrip). Un-gates a real-world image format
+# end to end (VERDICT r5 #6): 8-bit gray/RGB/gray+alpha/RGBA,
+# non-interlaced, all five scanline filters.
+# ---------------------------------------------------------------------------
+
+
+def encode_png_rgb(width: int, height: int, seed: int = 0, filters=None) -> bytes:
+    """Deterministic valid 8-bit RGB PNG for fixtures/tests: pixel
+    (x, y, c) is the same affine pattern as :func:`encode_ppm`, so a
+    PNG and a PPM of the same (w, h, seed) decode to IDENTICAL arrays.
+    ``filters`` optionally forces the per-row filter types (cycling),
+    letting tests exercise every unfilter path (0=None 1=Sub 2=Up
+    3=Average 4=Paeth) against the numpy ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    y, x, c = np.mgrid[0:height, 0:width, 0:3]
+    img = ((x * 7 + y * 13 + c * 29 + seed) % 256).astype(np.int32)
+    filters = list(filters or [0])
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int32)
+    for r in range(height):
+        line = img[r].reshape(-1)
+        ft = filters[r % len(filters)]
+        raw.append(ft)
+        shifted = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+        pshift = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - shifted
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            enc = line - (shifted + prev) // 2
+        elif ft == 4:
+            p = shifted + prev - pshift
+            pa, pb, pc = np.abs(p - shifted), np.abs(p - prev), np.abs(p - pshift)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), shifted, np.where(pb <= pc, prev, pshift)
+            )
+            enc = line - pred
+        else:
+            raise ValueError(f"bad filter {ft}")
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Parse a PNG into an (h, w, 3) uint8 array, or None for anything
+    malformed/unsupported — the :func:`decode_ppm` quarantine contract.
+
+    Supported: 8-bit depth, color types 0 (gray, replicated to RGB),
+    2 (RGB), 4 (gray+alpha, alpha dropped), 6 (RGBA, alpha dropped),
+    non-interlaced, all five filter types, multi-IDAT streams, chunk
+    CRCs verified (a corrupt-in-transit payload quarantines rather
+    than decoding garbage). Filters None/Up unfilter vectorized (the
+    engine's own sink emits only filter 0); Sub/Average/Paeth carry a
+    per-byte serial dependency and run as a Python loop over the row —
+    acceptable for a decode kernel that is already per-row inside
+    mapInPandas."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, ihdr, idat = 8, None, bytearray()
+        while i + 12 <= len(payload):
+            (length,) = struct.unpack(">I", payload[i : i + 4])
+            tag = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + length]
+            if len(body) < length:
+                return None
+            (crc,) = struct.unpack(
+                ">I", payload[i + 8 + length : i + 12 + length]
+            )
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                return None
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.extend(body)
+            elif tag == b"IEND":
+                break
+            i += 12 + length
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if (
+            channels is None
+            or depth != 8
+            or comp != 0
+            or filt != 0
+            or interlace != 0
+            or w <= 0
+            or h <= 0
+        ):
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) != (stride + 1) * h:
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        bpp = channels
+        pos = 0
+        for r in range(h):
+            ft = raw[pos]
+            line = np.frombuffer(
+                raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+            ).astype(np.int32)
+            pos += 1 + stride
+            prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+            if ft == 0:
+                cur = line
+            elif ft == 2:  # Up — vectorized
+                cur = (line + prev) & 0xFF
+            elif ft in (1, 3, 4):  # Sub/Average/Paeth — serial in x
+                cur = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+            else:
+                return None
+            out[r] = cur.astype(np.uint8)
+        img = out.reshape(h, w, channels)
+        if ctype == 0:
+            return np.repeat(img, 3, axis=2)
+        if ctype == 4:
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        if ctype == 6:
+            return img[:, :, :3]
+        return img
+    except Exception:
+        return None
+
+
+def png_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Decode PNG → the shared REAL image features (:func:`_rgb_stats`).
+    None for undecodable payloads. Identical pattern content in PNG and
+    PPM yields identical features — pinned in pytest."""
+    img = decode_png(bytes(payload))
+    if img is None:
+        return None
+    return _rgb_stats(img, dim)
+
+
+def synth_png_table(spark: SparkSession, n: int = 32) -> DataFrame:
+    """Media table whose image payloads are REAL decodable PNGs cycling
+    through all five scanline filters, with one deliberately corrupt
+    payload per 16 (truncated IDAT — valid signature, bad stream) to
+    exercise the quarantine path."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 5, 6 + i % 4
+        png = encode_png_rgb(w, h, seed=i, filters=[i % 5, (i + 1) % 5])
+        payload = png[: len(png) // 2] if i % 16 == 0 else png
+        rows.append((i, "image", bytearray(payload), "image/png", w, h, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
