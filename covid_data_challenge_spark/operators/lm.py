@@ -333,6 +333,190 @@ def stupid_backoff_nll_incremental(
     )
 
 
+def _mkn_discounts(t1, t2, t3, t4):
+    """Modified Kneser-Ney discounts (Chen & Goodman 1999 eq. 26):
+    D1/D2/D3+ from one level's count-of-counts. Y = n1/(n1+2·n2);
+    Di = i − (i+1)·Y·n_{i+1}/n_i, clamped to ≥ 0 (a large n4/n3 ratio
+    can push D3+ negative, which would ADD mass). Degenerate
+    count-of-counts (empty buckets, tiny fixtures) fall back to the
+    absolute-discount constants 0.5/1.0/1.5 — guarded with CASE so the
+    expression tree is identical in Spark and DuckDB and the fallback
+    itself is hash-exact."""
+    t1d, t2d, t3d, t4d = (t.cast("double") for t in (t1, t2, t3, t4))
+    y = t1d / (t1d + F.lit(2.0) * t2d)
+    d1 = F.greatest(
+        F.when(t1 > 0, F.lit(1.0) - F.lit(2.0) * y * (t2d / t1d)).otherwise(F.lit(0.5)),
+        F.lit(0.0),
+    )
+    d2 = F.greatest(
+        F.when((t1 > 0) & (t2 > 0), F.lit(2.0) - F.lit(3.0) * y * (t3d / t2d)).otherwise(
+            F.lit(1.0)
+        ),
+        F.lit(0.0),
+    )
+    d3 = F.greatest(
+        F.when((t1 > 0) & (t3 > 0), F.lit(3.0) - F.lit(4.0) * y * (t4d / t3d)).otherwise(
+            F.lit(1.5)
+        ),
+        F.lit(0.0),
+    )
+    return d1, d2, d3
+
+
+def kneser_ney3_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated MODIFIED Kneser-Ney
+    trigram LM (Chen & Goodman 1999's "mod-KN" — the SRILM/KenLM
+    default form), extending the bigram :func:`kneser_ney_nll` with the
+    full three-level backoff chain:
+
+        p(w3|w1w2) = (c(w1w2w3) − D₃(c))/c(w1w2·) + γ₃(w1w2)·p(w3|w2)
+        p(w3|w2)   = (N1+(·w2w3) − D₂(N))/N1+(·w2·) + γ₂(w2)·p(w3)
+        p(w3)      = N1+(·w3) / N1+(··)
+
+    with per-level modified discounts D1/D2/D3+ from the level's
+    count-of-counts (:func:`_mkn_discounts`) and γ the exact leftover
+    mass (D1·N1 + D2·N2 + D3+·N3+)/denominator. Every lower-order
+    quantity is a CONTINUATION count derived from the trigram type
+    table (N1+(·w2w3) = distinct w1 preceding, etc.) — the defining KN
+    property, never raw lower-order counts. Self-scored on its training
+    corpus every trigram has c ≥ 1, so the top level never zeroes (the
+    serve-on-new-batch OOV tiers live in
+    :func:`stupid_backoff_nll_incremental`).
+
+    Hash-exactness: all model inputs are exact integer counts; the
+    probability is one fixed-association double expression mirrored
+    token-for-token in the DuckDB oracle; −ln p via portable_ln,
+    integer micro-nats before the per-doc mean — the LM surface's
+    standard discipline. Scale shape: the model is five vocab-sized
+    aggregates off ONE (doc, trigram) frame (pass the shared
+    checkpointed frame via ``trigrams``); the transcendental evaluates
+    once per DISTINCT trigram type; scoring is one trigram-keyed join
+    back to instances + the per-doc re-agg. Exercises the second
+    LM-table join tier (trigram→bigram-continuation→unigram-
+    continuation) that the bigram form has no occasion for.
+    """
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    tri = doc_trigrams(docs, id_col, text_col) if trigrams is None else trigrams
+    tri_counts = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("__k"))
+    # the type table feeds SIX consumers (ctx3/coc3/cb and, via cb,
+    # ctx2/coc2/uni/utot) — materialize the vocab-sized frame or every
+    # consumer re-shuffles the instance stream (measured 33.9 s → 6.4 s
+    # at sf0.01); same for the continuation table's four consumers
+    tt = (
+        tri.groupBy("tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        .localCheckpoint(eager=True)
+    )
+
+    # level 3: trigram contexts + count-of-counts
+    ctx3 = tt.groupBy(F.substring_index("tri", " ", 2).alias("__ctx2")).agg(
+        F.sum("c3").cast("long").alias("c_ctx"),
+        F.sum(F.when(F.col("c3") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c3") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("c3") >= 3, 1).otherwise(0)).cast("long").alias("n3p"),
+    )
+    coc3 = tt.agg(
+        F.sum(F.when(F.col("c3") == 1, 1).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(F.col("c3") == 2, 1).otherwise(0)).cast("long").alias("t2"),
+        F.sum(F.when(F.col("c3") == 3, 1).otherwise(0)).cast("long").alias("t3"),
+        F.sum(F.when(F.col("c3") == 4, 1).otherwise(0)).cast("long").alias("t4"),
+    )
+
+    # level 2: bigram CONTINUATION types (distinct w1 per "w2 w3")
+    cb = (
+        tt.groupBy(F.substring_index("tri", " ", -2).alias("__bg23"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cc"))
+        .localCheckpoint(eager=True)
+    )
+    ctx2 = cb.groupBy(F.substring_index("__bg23", " ", 1).alias("__w2")).agg(
+        F.sum("cc").cast("long").alias("cc_ctx"),
+        F.sum(F.when(F.col("cc") == 1, 1).otherwise(0)).cast("long").alias("m1"),
+        F.sum(F.when(F.col("cc") == 2, 1).otherwise(0)).cast("long").alias("m2"),
+        F.sum(F.when(F.col("cc") >= 3, 1).otherwise(0)).cast("long").alias("m3p"),
+    )
+    coc2 = cb.agg(
+        F.sum(F.when(F.col("cc") == 1, 1).otherwise(0)).cast("long").alias("b1"),
+        F.sum(F.when(F.col("cc") == 2, 1).otherwise(0)).cast("long").alias("b2"),
+        F.sum(F.when(F.col("cc") == 3, 1).otherwise(0)).cast("long").alias("b3"),
+        F.sum(F.when(F.col("cc") == 4, 1).otherwise(0)).cast("long").alias("b4"),
+    )
+
+    # level 1: unigram continuation (distinct w2 per w3) + type total
+    uni = cb.groupBy(F.substring_index("__bg23", " ", -1).alias("__w3")).agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    utot = cb.agg(F.count(F.lit(1)).cast("long").alias("u"))
+
+    joined = (
+        tt.join(ctx3, F.substring_index(F.col("tri"), " ", 2) == F.col("__ctx2"))
+        .join(cb, F.substring_index(F.col("tri"), " ", -2) == F.col("__bg23"))
+        .join(ctx2, F.substring_index(F.col("__bg23"), " ", 1) == F.col("__w2"))
+        .join(uni, F.substring_index(F.col("tri"), " ", -1) == F.col("__w3"))
+        .join(F.broadcast(coc3))
+        .join(F.broadcast(coc2))
+        .join(F.broadcast(utot))
+    )
+    d1, d2, d3 = _mkn_discounts(F.col("t1"), F.col("t2"), F.col("t3"), F.col("t4"))
+    e1, e2, e3 = _mkn_discounts(F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4"))
+    dsel = F.when(F.col("c3") == 1, d1).when(F.col("c3") == 2, d2).otherwise(d3)
+    esel = F.when(F.col("cc") == 1, e1).when(F.col("cc") == 2, e2).otherwise(e3)
+    # association is load-bearing — mirror the oracle SQL token-for-token
+    p1 = F.col("cu").cast("double") / F.col("u").cast("double")
+    p2 = (
+        F.greatest(F.col("cc").cast("double") - esel, F.lit(0.0))
+        / F.col("cc_ctx").cast("double")
+    ) + (
+        (
+            (
+                e1 * F.col("m1").cast("double")
+                + e2 * F.col("m2").cast("double")
+                + e3 * F.col("m3p").cast("double")
+            )
+            / F.col("cc_ctx").cast("double")
+        )
+        * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3").cast("double") - dsel, F.lit(0.0))
+        / F.col("c_ctx").cast("double")
+    ) + (
+        (
+            (
+                d1 * F.col("n1").cast("double")
+                + d2 * F.col("n2").cast("double")
+                + d3 * F.col("n3p").cast("double")
+            )
+            / F.col("c_ctx").cast("double")
+        )
+        * p2
+    )
+    # portable_ln references its argument ~20×; p3 is a ~300-node tree
+    # (both discount triples + the full interpolation chain), so it MUST
+    # be let-bound or Catalyst materializes a ~6000-node expression per
+    # row (the r4 lesson; measured 35 s → sub-10 s at sf0.01)
+    units = let(
+        p3, lambda p: F.floor(F.lit(1000000.0) * (-portable_ln(p))).cast("long")
+    )
+    per_tri = joined.select("tri", units.alias("__u"))
+    return (
+        tri_counts.join(per_tri, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__k").cast("long").alias("n_trigrams"),
+            (
+                F.sum(F.col("__k") * F.col("__u")).cast("double")
+                / (F.sum("__k").cast("double") * F.lit(1000000.0))
+            ).alias("kn3_nll"),
+        )
+    )
+
+
 def kneser_ney_nll(
     docs: DataFrame,
     discount: float = 0.75,

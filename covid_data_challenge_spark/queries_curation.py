@@ -2380,3 +2380,137 @@ def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bg = doc_bigrams(docs).localCheckpoint(eager=True)
     return kneser_ney_nll(docs, bigrams=bg)
+
+
+def _mkn_d_sql(t1: str, t2: str, t3: str, t4: str) -> tuple[str, str, str]:
+    """DuckDB twin of operators/lm._mkn_discounts — token-for-token the
+    same association (Y left-multiplied, ratios parenthesized, CASE
+    fallbacks 0.5/1.0/1.5, greatest-0 clamp)."""
+    y = f"(CAST({t1} AS DOUBLE) / (CAST({t1} AS DOUBLE) + 2.0 * CAST({t2} AS DOUBLE)))"
+    d1 = (
+        f"greatest(CASE WHEN {t1} > 0 THEN 1.0 - 2.0 * {y} * "
+        f"(CAST({t2} AS DOUBLE) / CAST({t1} AS DOUBLE)) ELSE 0.5 END, 0.0)"
+    )
+    d2 = (
+        f"greatest(CASE WHEN {t1} > 0 AND {t2} > 0 THEN 2.0 - 3.0 * {y} * "
+        f"(CAST({t3} AS DOUBLE) / CAST({t2} AS DOUBLE)) ELSE 1.0 END, 0.0)"
+    )
+    d3 = (
+        f"greatest(CASE WHEN {t1} > 0 AND {t3} > 0 THEN 3.0 - 4.0 * {y} * "
+        f"(CAST({t4} AS DOUBLE) / CAST({t3} AS DOUBLE)) ELSE 1.5 END, 0.0)"
+    )
+    return d1, d2, d3
+
+
+_KN3_STAGE, _KN3_FINAL = portable_ln_sql_stages({"l_p": "p"})
+_KN3_D1, _KN3_D2, _KN3_D3 = _mkn_d_sql("t1", "t2", "t3", "t4")
+_KN3_E1, _KN3_E2, _KN3_E3 = _mkn_d_sql("b1", "b2", "b3", "b4")
+_KN3_DSEL = f"CASE WHEN c3 = 1 THEN {_KN3_D1} WHEN c3 = 2 THEN {_KN3_D2} ELSE {_KN3_D3} END"
+_KN3_ESEL = f"CASE WHEN cc = 1 THEN {_KN3_E1} WHEN cc = 2 THEN {_KN3_E2} ELSE {_KN3_E3} END"
+_KN3_P1 = "(CAST(cu AS DOUBLE) / CAST(u AS DOUBLE))"
+_KN3_P2 = (
+    f"((greatest(CAST(cc AS DOUBLE) - {_KN3_ESEL}, 0.0) / CAST(cc_ctx AS DOUBLE))"
+    f" + ((({_KN3_E1} * CAST(m1 AS DOUBLE) + {_KN3_E2} * CAST(m2 AS DOUBLE)"
+    f" + {_KN3_E3} * CAST(m3p AS DOUBLE)) / CAST(cc_ctx AS DOUBLE)) * {_KN3_P1}))"
+)
+_KN3_P = (
+    f"(greatest(CAST(c3 AS DOUBLE) - {_KN3_DSEL}, 0.0) / CAST(c_ctx AS DOUBLE))"
+    f" + ((({_KN3_D1} * CAST(n1 AS DOUBLE) + {_KN3_D2} * CAST(n2 AS DOUBLE)"
+    f" + {_KN3_D3} * CAST(n3p AS DOUBLE)) / CAST(c_ctx AS DOUBLE)) * {_KN3_P2})"
+)
+
+
+@register(
+    "kneser_ney3_nll",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+tri AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 2
+),
+tt AS (SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM tri GROUP BY tri),
+ctx3 AS (
+    SELECT split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS ctx2,
+           CAST(sum(c3) AS BIGINT) AS c_ctx,
+           CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3p
+    FROM tt GROUP BY 1
+),
+coc3 AS (
+    SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+           CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+           CAST(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+           CAST(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS t4
+    FROM tt
+),
+cb AS (
+    SELECT split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS bg23,
+           CAST(count(*) AS BIGINT) AS cc
+    FROM tt GROUP BY 1
+),
+ctx2t AS (
+    SELECT split_part(bg23, ' ', 1) AS w2,
+           CAST(sum(cc) AS BIGINT) AS cc_ctx,
+           CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+           CAST(sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+           CAST(sum(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3p
+    FROM cb GROUP BY 1
+),
+coc2 AS (
+    SELECT CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN cc = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+           CAST(sum(CASE WHEN cc = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+    FROM cb
+),
+uni AS (
+    SELECT split_part(bg23, ' ', 2) AS w3, CAST(count(*) AS BIGINT) AS cu
+    FROM cb GROUP BY 1
+),
+utot AS (SELECT CAST(count(*) AS BIGINT) AS u FROM cb),
+per AS (
+    SELECT t.tri, {_KN3_P} AS p
+    FROM tt t
+    JOIN ctx3 ON split_part(t.tri, ' ', 1) || ' ' || split_part(t.tri, ' ', 2) = ctx3.ctx2
+    JOIN cb ON split_part(t.tri, ' ', 2) || ' ' || split_part(t.tri, ' ', 3) = cb.bg23
+    JOIN ctx2t ON split_part(cb.bg23, ' ', 1) = ctx2t.w2
+    JOIN uni ON split_part(t.tri, ' ', 3) = uni.w3
+    CROSS JOIN coc3 CROSS JOIN coc2 CROSS JOIN utot
+),
+staged AS (SELECT tri, {_KN3_STAGE} FROM per),
+lns AS (SELECT tri, {_KN3_FINAL} FROM staged),
+units AS (
+    SELECT tri, CAST(floor(1000000.0 * (-(l_p))) AS BIGINT) AS u FROM lns
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(u) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS kn3_nll
+FROM tri i JOIN units USING (tri)
+GROUP BY i.doc_id
+""",
+)
+def q_kneser_ney3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under an interpolated MODIFIED Kneser-Ney
+    TRIGRAM LM (Chen & Goodman 1999's mod-KN, the SRILM/KenLM default)
+    — the full three-level chain beside the bigram `kneser_ney_nll`:
+    per-level D1/D2/D3+ discounts from count-of-counts, exact leftover
+    mass interpolated into the bigram-CONTINUATION distribution, which
+    interpolates into the unigram-continuation distribution. All
+    lower-order quantities are continuation counts derived from the
+    trigram type table — never raw counts — the property that makes KN
+    KN.
+
+    Model = five vocab-sized aggregates off one shared checkpointed
+    (doc, trigram) frame; the probability is a fixed-association double
+    expression mirrored token-for-token in the oracle (including the
+    degenerate-count CASE fallbacks), −ln p via portable-ln, integer
+    micro-nats before the per-doc mean (operators/lm.py:
+    kneser_ney3_nll)."""
+    from covid_data_challenge_spark.operators.lm import doc_trigrams, kneser_ney3_nll
+
+    docs = _docs(spark, sf_dir)
+    tri = doc_trigrams(docs).localCheckpoint(eager=True)
+    return kneser_ney3_nll(docs, trigrams=tri)

@@ -1084,6 +1084,99 @@ def test_stupid_backoff_tiers_golden(spark):
     assert abs(out[30].nll - (math.log(9.0) + 2 * math.log(2.5))) < 1e-5
 
 
+def test_kneser_ney3_tiers_golden(spark):
+    """Modified-KN trigram LM (r6) against an INDEPENDENT pure-Python
+    replica of every tier — trigram discounts/γ from count-of-counts,
+    bigram-continuation middle layer, unigram-continuation floor — on a
+    fixture that populates the c=1/2/3 buckets at the top level and
+    exercises the degenerate-bucket fallbacks at the continuation level.
+    Also pins the smoothing property the form exists for: a document of
+    thrice-seen trigrams scores lower NLL than one of singletons."""
+    import math
+    from collections import Counter
+
+    from covid_data_challenge_spark.operators.lm import kneser_ney3_nll
+
+    rows = [
+        (1, "a b c a b c a b c"),
+        (2, "a b d"),
+        (3, "x b c"),
+        (4, "p q r p q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in kneser_ney3_nll(docs).collect()}
+
+    # ---- reference replica (mirrors operators/lm exactly) ----
+    def mkn_d(t1, t2, t3, t4):
+        y = t1 / (t1 + 2.0 * t2) if t1 > 0 else None
+        d1 = max(1.0 - 2.0 * y * (t2 / t1), 0.0) if t1 > 0 else 0.5
+        d2 = max(2.0 - 3.0 * y * (t3 / t2), 0.0) if t1 > 0 and t2 > 0 else 1.0
+        d3 = max(3.0 - 4.0 * y * (t4 / t3), 0.0) if t1 > 0 and t3 > 0 else 1.5
+        return d1, d2, d3
+
+    doc_tris, c3 = {}, Counter()
+    for did, text in rows:
+        w = text.split()
+        tris = [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+        doc_tris[did] = tris
+        c3.update(tris)
+    ctx_c, ctx_n = Counter(), {}
+    for t, c in c3.items():
+        ctx = " ".join(t.split()[:2])
+        ctx_c[ctx] += c
+        b = 1 if c == 1 else (2 if c == 2 else 3)
+        ctx_n.setdefault(ctx, Counter())[b] += 1
+    coc3 = Counter(min(c, 4) for c in c3.values() if c <= 4)
+    D = mkn_d(*(coc3.get(i, 0) for i in (1, 2, 3, 4)))
+    cb = Counter(" ".join(t.split()[1:]) for t in c3)  # continuation counts
+    mid_c, mid_n = Counter(), {}
+    for bgk, cc in cb.items():
+        w2 = bgk.split()[0]
+        mid_c[w2] += cc
+        b = 1 if cc == 1 else (2 if cc == 2 else 3)
+        mid_n.setdefault(w2, Counter())[b] += 1
+    coc2 = Counter(min(c, 4) for c in cb.values() if c <= 4)
+    E = mkn_d(*(coc2.get(i, 0) for i in (1, 2, 3, 4)))
+    cu = Counter(bgk.split()[1] for bgk in cb)
+    u_tot = len(cb)
+
+    def p_kn3(t):
+        w1, w2, w3 = t.split()
+        ctx, bgk = f"{w1} {w2}", f"{w2} {w3}"
+        c, cc = c3[t], cb[bgk]
+        p1 = cu[w3] / u_tot
+        esel = E[min(cc, 3) - 1]
+        gam2 = (
+            E[0] * mid_n[w2].get(1, 0)
+            + E[1] * mid_n[w2].get(2, 0)
+            + E[2] * mid_n[w2].get(3, 0)
+        ) / mid_c[w2]
+        p2 = max(cc - esel, 0.0) / mid_c[w2] + gam2 * p1
+        dsel = D[min(c, 3) - 1]
+        gam3 = (
+            D[0] * ctx_n[ctx].get(1, 0)
+            + D[1] * ctx_n[ctx].get(2, 0)
+            + D[2] * ctx_n[ctx].get(3, 0)
+        ) / ctx_c[ctx]
+        return max(c - dsel, 0.0) / ctx_c[ctx] + gam3 * p2
+
+    for did, tris in doc_tris.items():
+        want = sum(math.floor(1e6 * -math.log(p_kn3(t))) for t in tris) / (
+            len(tris) * 1e6
+        )
+        got = out[did]
+        assert got.n_trigrams == len(tris)
+        # micro-nat floor boundaries: portable_ln vs libm may differ by
+        # one quantum per trigram
+        assert abs(got.kn3_nll - want) <= len(tris) * 1.5e-6 + 1e-9, did
+    # the continuation property that makes KN KN: "x b c" and "a b d"
+    # are both singleton trigrams (same discount tier), but suffix
+    # bigram "b c" continues 2 distinct predecessors vs "b d"'s 1 —
+    # the diverse-continuation trigram must score lower NLL (docs 3 and
+    # 2 are single-trigram docs, so the per-doc mean IS the trigram)
+    assert out[3].kn3_nll < out[2].kn3_nll
+
+
 def test_moore_lewis_selects_target_like_pool_docs(spark, monkeypatch):
     """Cross-entropy-difference selection (r5): pool docs written in the
     target slice's vocabulary must rank (and select) ahead of
