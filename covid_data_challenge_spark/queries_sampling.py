@@ -23,6 +23,7 @@ from covid_data_challenge_spark.operators.sampling import md5_unit_fraction_sql
 from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
 from covid_data_challenge_spark.queries_shared import (  # noqa: F401
     _JACCARD_EDGE_CTES,
+    _LANG_SQL_HITS,
     _NORM,
     _QUALITY_SQL,
     _docs,
@@ -1315,3 +1316,294 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return pol("doc_key", "da", "db").unionByName(pol("cluster_key", "ca", "cb"))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the corpus-release report — ONE dataset-card table bundling the
+# per-source card, mixture shares, cross-source contamination, and the
+# split-leakage audit (VERDICT r5 #8: the corpus_prep_recipe_v4 frame-
+# sharing discipline applied to reporting).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_release_report",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+keyed AS (
+    SELECT d.doc_id,
+           {split_sql_case("d.doc_id", _SPLITS)} AS split_doc,
+           {split_sql_case("coalesce(a.cluster_id, d.doc_id)", _SPLITS)}
+               AS split_cluster
+    FROM documents d LEFT JOIN assigned a USING (doc_id)
+),
+lab AS (
+    SELECT ka.split_doc AS da, kb.split_doc AS db,
+           ka.split_cluster AS ca, kb.split_cluster AS cb
+    FROM pairs p
+    JOIN keyed ka ON p.doc_a = ka.doc_id
+    JOIN keyed kb ON p.doc_b = kb.doc_id
+),
+leak AS (
+    SELECT CASE WHEN count(*) > 0
+                THEN round(CAST(sum(CASE WHEN da <> db THEN 1 ELSE 0 END)
+                                AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                ELSE 0.0 END AS doc_key_leak_rate,
+           CASE WHEN count(*) > 0
+                THEN round(CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)
+                                AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                ELSE 0.0 END AS cluster_key_leak_rate
+    FROM lab
+),
+ct AS (
+    SELECT doc_id, source, lang, md5({_NORM}) AS f,
+           len(string_split({_NORM}, ' ')) AS n_tok,
+           len(regexp_extract_all(lower(text), '{_LANG_SQL_HITS["en"]}')) AS h_en,
+           (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(len(text), 1) AS punct
+    FROM documents
+),
+cq AS (
+    SELECT doc_id, source, lang, f, n_tok,
+           CAST(round(10000.0 * round((least(n_tok / 100.0, 1.0)
+               + least(h_en / greatest(n_tok, 1) * 5.0, 1.0)
+               + (1.0 - least(punct * 10.0, 1.0))) / 3.0, 4)) AS BIGINT)
+             AS q_units
+    FROM ct
+),
+card AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tok) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT f) AS BIGINT) AS n_exact_dups,
+           (CAST(count(*) AS DOUBLE) - CAST(count(DISTINCT f) AS DOUBLE))
+             / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+           CAST(sum(q_units) AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * 10000.0) AS mean_quality
+    FROM cq GROUP BY source
+),
+card2 AS (
+    SELECT *, total_tokens / CAST(sum(total_tokens) OVER () AS BIGINT)
+               AS token_share
+    FROM card
+),
+csh AS (
+    SELECT DISTINCT source, s FROM (
+        SELECT source, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+        FROM (SELECT source, string_split({_NORM}, ' ') AS w FROM documents)
+        JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+            ON i <= len(w) - 2
+    )
+),
+csizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM csh GROUP BY 1),
+ccommon AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+    FROM csh a JOIN csh b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+),
+cj AS (
+    SELECT src_a, src_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM ccommon
+    JOIN csizes sa ON sa.source = src_a
+    JOIN csizes sb ON sb.source = src_b
+),
+both_dir AS (
+    SELECT src_a AS source, src_b AS partner, jaccard FROM cj
+    UNION ALL
+    SELECT src_b AS source, src_a AS partner, jaccard FROM cj
+),
+mx AS (SELECT source, max(jaccard) AS max_overlap_jaccard FROM both_dir GROUP BY 1),
+tp AS (
+    SELECT b.source, min(b.partner) AS top_overlap_partner
+    FROM both_dir b JOIN mx ON b.source = mx.source
+                           AND b.jaccard = mx.max_overlap_jaccard
+    GROUP BY b.source
+)
+SELECT c.source, c.n_docs, c.total_tokens, c.mean_tokens, c.n_langs,
+       c.n_unique_texts, c.n_exact_dups, c.exact_dup_rate, c.mean_quality,
+       c.token_share,
+       coalesce(mx.max_overlap_jaccard, 0.0) AS max_overlap_jaccard,
+       tp.top_overlap_partner,
+       leak.doc_key_leak_rate, leak.cluster_key_leak_rate
+FROM card2 c
+LEFT JOIN mx USING (source)
+LEFT JOIN tp USING (source)
+CROSS JOIN leak
+""",
+)
+def q_corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single table a dataset RELEASE publishes, one row per source:
+    the dataset-card stats (volume, language spread, exact-dup load,
+    mean heuristic quality), the mixture share, the worst cross-source
+    contamination (max 3-gram Jaccard + which partner), and the
+    corpus-level split-leakage audit rates (doc-keyed vs cluster-keyed
+    policies) denormalized onto every row — source_dataset_card +
+    source_mixture_summary + cross_source_contamination +
+    split_leakage_audit composed into the artifact their consumers
+    actually read together.
+
+    Frame sharing (the corpus_prep_recipe_v4 discipline applied to
+    reporting): the banded near-dup PAIR table is checkpointed once and
+    feeds both the connected-components loop and the leakage label
+    join; the split-LABEL table (which embeds the whole pair+components
+    chain) is checkpointed once and feeds both pair-endpoint lookups.
+    The card and the mixture share come from ONE grouped aggregation
+    (+ one window over the |sources|-row result); contamination's
+    self-join stays bounded by |sources|² per shingle. Leak rates and
+    the 1-row leak frame broadcast onto the per-source rows."""
+    from covid_data_challenge_spark.functions.text import fingerprint, quality_score
+    from covid_data_challenge_spark.operators.dedup import word_shingle_expr
+
+    docs = _docs(spark, sf_dir)
+
+    # --- shared near-dup machinery (2 checkpointed frames) ---
+    pairs = (
+        jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    clustered = cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+    keyed = assign_split(keyed, "doc_id", _SPLITS, out_col="split_doc")
+    keyed = assign_split(keyed, "cluster_id", _SPLITS, out_col="split_cluster")
+    keyed = keyed.localCheckpoint(eager=True)
+    ka = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split_doc").alias("da"),
+        F.col("split_cluster").alias("ca"),
+    )
+    kb = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split_doc").alias("db"),
+        F.col("split_cluster").alias("cb"),
+    )
+    lab = pairs.join(ka, "doc_a").join(kb, "doc_b")
+    rate = lambda flag: F.when(  # noqa: E731
+        F.count(F.lit(1)) > 0,
+        F.round(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    leak = lab.agg(
+        rate(F.col("da") != F.col("db")).alias("doc_key_leak_rate"),
+        rate(F.col("ca") != F.col("cb")).alias("cluster_key_leak_rate"),
+    )
+
+    # --- card + mixture share: ONE aggregation over one scan ---
+    base = docs.select(
+        "source",
+        "lang",
+        fingerprint(F.col("text")).alias("f"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.round(F.lit(10000.0) * quality_score(F.col("text")))
+        .cast("long")
+        .alias("q_units"),
+    )
+    card = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (F.sum("n_tok").cast("long") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_tokens"
+        ),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("f").cast("long").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("f")).cast("long").alias("n_exact_dups"),
+        (
+            (F.count(F.lit(1)).cast("double") - F.countDistinct("f").cast("double"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+        (
+            F.sum("q_units").cast("long")
+            / (F.count(F.lit(1)).cast("double") * F.lit(10000.0))
+        ).alias("mean_quality"),
+    )
+    card = card.withColumn(
+        "token_share",
+        F.col("total_tokens")
+        / F.sum("total_tokens").over(Window.partitionBy()).cast("long"),
+    )
+
+    # --- contamination: worst partner per source ---
+    sh = docs.select(
+        "source", F.explode(word_shingle_expr(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    cj = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_sh_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_sh_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    both_dir = cj.select(
+        F.col("src_a").alias("source"), F.col("src_b").alias("partner"), "jaccard"
+    ).unionByName(
+        cj.select(
+            F.col("src_b").alias("source"), F.col("src_a").alias("partner"), "jaccard"
+        )
+    )
+    mx = both_dir.groupBy("source").agg(
+        F.max("jaccard").alias("max_overlap_jaccard")
+    )
+    tp = (
+        both_dir.join(mx, "source")
+        .filter(F.col("jaccard") == F.col("max_overlap_jaccard"))
+        .groupBy("source")
+        .agg(F.min("partner").alias("top_overlap_partner"))
+    )
+
+    return (
+        card.join(F.broadcast(mx), "source", "left")
+        .join(F.broadcast(tp), "source", "left")
+        .join(F.broadcast(leak))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_tokens",
+            "n_langs",
+            "n_unique_texts",
+            "n_exact_dups",
+            "exact_dup_rate",
+            "mean_quality",
+            "token_share",
+            F.coalesce(F.col("max_overlap_jaccard"), F.lit(0.0)).alias(
+                "max_overlap_jaccard"
+            ),
+            "top_overlap_partner",
+            "doc_key_leak_rate",
+            "cluster_key_leak_rate",
+        )
+    )
