@@ -2514,3 +2514,212 @@ def q_kneser_ney3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tri = doc_trigrams(docs).localCheckpoint(eager=True)
     return kneser_ney3_nll(docs, trigrams=tri)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: DoReMi-lite domain reweighting — excess-loss mixture weights
+# (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language
+# Model Pretraining"), with the proxy/reference model pair instantiated
+# as the engine's self-trained bigram LMs: reference = each source's OWN
+# per-source LM (what a model specialized to the domain achieves), proxy
+# = the corpus-global LM (what the generalist achieves). A source the
+# global model underfits (positive excess NLL) gets upweighted.
+# ---------------------------------------------------------------------------
+
+_DRM_STAGE, _DRM_FINAL = portable_ln_sql_stages(
+    {
+        "l_dg": "CAST(c_a + v AS DOUBLE)",
+        "l_ng": "CAST(c_ab + 1 AS DOUBLE)",
+        "l_ds": "CAST(c_a_s + v_s AS DOUBLE)",
+        "l_ns": "CAST(k + 1 AS DOUBLE)",
+    }
+)
+
+
+@register(
+    "doremi_lite_weights",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w FROM documents),
+bg AS (
+    SELECT source, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks JOIN (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i) idx
+        ON i <= len(w) - 1
+),
+sk AS (SELECT source, bg, CAST(count(*) AS BIGINT) AS k FROM bg GROUP BY 1, 2),
+gbg AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c_ab FROM sk GROUP BY 1),
+gpre AS (
+    SELECT split_part(bg, ' ', 1) AS pre, CAST(sum(c_ab) AS BIGINT) AS c_a
+    FROM gbg GROUP BY 1
+),
+gv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM gpre),
+spre AS (
+    SELECT source, split_part(bg, ' ', 1) AS pre, CAST(sum(k) AS BIGINT) AS c_a_s
+    FROM sk GROUP BY 1, 2
+),
+sv AS (SELECT source, CAST(count(*) AS BIGINT) AS v_s FROM spre GROUP BY 1),
+per AS (
+    SELECT s.source, s.bg, s.k, g.c_ab, gp.c_a, gv.v, sp.c_a_s, sv.v_s
+    FROM sk s
+    JOIN gbg g USING (bg)
+    JOIN gpre gp ON split_part(s.bg, ' ', 1) = gp.pre
+    JOIN spre sp ON s.source = sp.source AND split_part(s.bg, ' ', 1) = sp.pre
+    JOIN sv ON s.source = sv.source
+    CROSS JOIN gv
+),
+staged AS (SELECT source, bg, k, {_DRM_STAGE} FROM per),
+lns AS (SELECT source, bg, k, {_DRM_FINAL} FROM staged),
+units AS (
+    SELECT source, k,
+           CAST(floor(1000000.0 * (l_dg - l_ng)) AS BIGINT) AS ug,
+           CAST(floor(1000000.0 * (l_ds - l_ns)) AS BIGINT) AS us
+    FROM lns
+),
+per_src AS (
+    SELECT source,
+           CAST(sum(k) AS BIGINT) AS n_bigrams,
+           CAST(sum(k * ug) AS BIGINT) AS sum_g,
+           CAST(sum(k * us) AS BIGINT) AS sum_s
+    FROM units GROUP BY 1
+),
+means AS (
+    SELECT source, n_bigrams,
+           CAST(sum_g AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0)
+               AS nll_general,
+           CAST(sum_s AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0)
+               AS nll_source,
+           CAST(sum(n_bigrams) OVER () AS BIGINT) AS n_total
+    FROM per_src
+),
+ex AS (SELECT *, nll_general - nll_source AS excess_nll FROM means),
+raw AS (
+    SELECT *,
+           CAST(floor(1000000000.0
+               * ((CAST(n_bigrams AS DOUBLE) / CAST(n_total AS DOUBLE))
+                  * ({portable_exp_sql("least(greatest(excess_nll, 0.0), 10.0)")})))
+             AS BIGINT) AS raw_units
+    FROM ex
+)
+SELECT source, n_bigrams, nll_general, nll_source,
+       round(excess_nll, 6) AS excess_nll,
+       round(CAST(raw_units AS DOUBLE)
+             / CAST(sum(raw_units) OVER () AS DOUBLE), 6) AS doremi_weight
+FROM raw
+""",
+)
+def q_doremi_lite_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture weights per source: excess NLL = what the
+    corpus-GLOBAL bigram LM pays on a source's text minus what that
+    source's OWN LM pays (both add-one-smoothed, self-trained — the
+    proxy/reference pair of Xie et al. 2023 instantiated with the
+    engine's LM tier). weight ∝ token-share · exp(clamp(excess, 0, 10)),
+    normalized over sources — domains the generalist underfits get
+    upweighted, and a source identical in distribution to the corpus
+    keeps ~its share.
+
+    Bit-exactness: the per-(source, bigram) NLL units are the standard
+    portable-ln micro-nat floors; per-source means divide exact integer
+    sums; exp runs portable_exp; the normalization quantizes raw
+    weights to integer 1e-9 units BEFORE the whole-frame sum, so the
+    only cross-row additions are order-free integers (the window-sum-
+    of-doubles trap). Scale shape: everything keys on (source, bigram)
+    — one instance-collapse aggregation feeds BOTH LM chains (the
+    moore_lewis frame-sharing discipline); the final weighting is a
+    window over the |sources|-row aggregate."""
+    from covid_data_challenge_spark.functions.pmath import portable_exp, portable_ln
+    from covid_data_challenge_spark.operators.lm import doc_bigrams
+
+    docs = _docs(spark, sf_dir)
+    bgx = doc_bigrams(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # (source, bigram, k): the one collapse both LM chains read
+    sk = (
+        bgx.groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    pre = F.substring_index("bg", " ", 1)
+    gbg = sk.groupBy("bg").agg(F.sum("k").cast("long").alias("c_ab"))
+    gpre = gbg.groupBy(pre.alias("__pre")).agg(
+        F.sum("c_ab").cast("long").alias("c_a")
+    )
+    gv = gpre.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    spre = sk.groupBy("source", pre.alias("__pre_s")).agg(
+        F.sum("k").cast("long").alias("c_a_s")
+    )
+    sv = spre.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v_s"))
+    per = (
+        sk.join(gbg, "bg")
+        .join(gpre, F.substring_index(F.col("bg"), " ", 1) == F.col("__pre"))
+        .join(
+            spre,
+            (sk["source"] == spre["source"])
+            & (F.substring_index(sk["bg"], " ", 1) == F.col("__pre_s")),
+        )
+        .drop(spre["source"])
+        .join(sv, "source")
+        .join(F.broadcast(gv))
+    )
+    ug = F.floor(
+        F.lit(1000000.0)
+        * (
+            portable_ln((F.col("c_a") + F.col("v")).cast("double"))
+            - portable_ln((F.col("c_ab") + F.lit(1)).cast("double"))
+        )
+    ).cast("long")
+    us = F.floor(
+        F.lit(1000000.0)
+        * (
+            portable_ln((F.col("c_a_s") + F.col("v_s")).cast("double"))
+            - portable_ln((F.col("k") + F.lit(1)).cast("double"))
+        )
+    ).cast("long")
+    per_src = per.select("source", "k", ug.alias("__ug"), us.alias("__us")).groupBy(
+        "source"
+    ).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("__ug")).cast("long").alias("__sum_g"),
+        F.sum(F.col("k") * F.col("__us")).cast("long").alias("__sum_s"),
+    )
+    w_all = Window.partitionBy()
+    means = per_src.select(
+        "source",
+        "n_bigrams",
+        (
+            F.col("__sum_g").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(1000000.0))
+        ).alias("nll_general"),
+        (
+            F.col("__sum_s").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(1000000.0))
+        ).alias("nll_source"),
+        F.sum("n_bigrams").over(w_all).cast("long").alias("__n_total"),
+    )
+    excess = F.col("nll_general") - F.col("nll_source")
+    raw_units = F.floor(
+        F.lit(1000000000.0)
+        * (
+            (F.col("n_bigrams").cast("double") / F.col("__n_total").cast("double"))
+            * portable_exp(
+                F.least(F.greatest(excess, F.lit(0.0)), F.lit(10.0))
+            )
+        )
+    ).cast("long")
+    raw = means.select(
+        "source",
+        "n_bigrams",
+        "nll_general",
+        "nll_source",
+        F.round(excess, 6).alias("excess_nll"),
+        raw_units.alias("__raw_units"),
+    )
+    return raw.select(
+        "source",
+        "n_bigrams",
+        "nll_general",
+        "nll_source",
+        "excess_nll",
+        F.round(
+            F.col("__raw_units").cast("double")
+            / F.sum("__raw_units").over(w_all).cast("double"),
+            6,
+        ).alias("doremi_weight"),
+    )

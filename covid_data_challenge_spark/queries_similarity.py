@@ -1528,3 +1528,107 @@ def q_embedding_abtt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__p"), 6).alias("pc1_proj"),
         F.round(F.sqrt(resid_sq), 6).alias("resid_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: Matryoshka truncation-quality audit — how much retrieval
+# accuracy survives using only a PREFIX of each embedding (Kusupati et
+# al. 2022, "Matryoshka Representation Learning"): the question a team
+# asks before shipping truncated vectors to cut index memory 2–4×.
+# ---------------------------------------------------------------------------
+
+
+def _dd_topk_sliced(name: str, d: int | None, k: int = 5) -> str:
+    """DuckDB CTE body: exact top-k cosine over the first ``d`` dims
+    (full vector when d is None) — the _COS_SQL shape parameterized on a
+    list slice."""
+    v = "embedding" if d is None else f"embedding[1:{d}]"
+    qv = "qemb" if d is None else f"qemb[1:{d}]"
+    return f"""
+{name} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_dd_cos(qv, v)} DESC, c.vec_id
+               ) AS rank
+        FROM (SELECT vec_id, embedding AS qemb FROM embeddings
+              WHERE vec_id % 100 = 0) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+    ) WHERE rank <= {k}
+)"""
+
+
+_MATRYOSHKA_DIMS = (16, 32)
+
+_MATRYOSHKA_SQL = (
+    "WITH "
+    + ",".join(
+        [_dd_topk_sliced("full5", None)]
+        + [_dd_topk_sliced(f"t{d}", d) for d in _MATRYOSHKA_DIMS]
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT CAST({d} AS INT) AS trunc_dim,
+       CAST(count(DISTINCT f.query_id) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_hits,
+       CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         / (CAST(count(DISTINCT f.query_id) AS DOUBLE) * 5.0) AS recall_at_5
+FROM full5 f
+LEFT JOIN t{d} t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+"""
+        for d in _MATRYOSHKA_DIMS
+    )
+)
+
+
+@register("matryoshka_recall_audit", oracle=_MATRYOSHKA_SQL)
+def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit for PREFIX-truncated embeddings
+    (Matryoshka, Kusupati et al. 2022): exact cosine top-5 using only
+    the first 16 and 32 of 64 dimensions, scored as recall against the
+    full-vector top-5 — one row per truncation width. The number a team
+    reads before shipping truncated vectors to halve/quarter ANN index
+    memory (truncation composes with the PQ/int8 tiers, it does not
+    replace them).
+
+    Scale shape: three broadcast-query brute-force passes (the audit
+    tier's documented |Q|·|corpus| shape, exactly like
+    ann_recall_report); the full-vector top-5 (|Q|·5 rows) is
+    localCheckpointed once and reused by both truncation comparisons.
+    Similarities are the ordered double folds shared with every cosine
+    query, so both engines rank identically — the audit row is
+    hash-exact, not just approximately equal."""
+    from covid_data_challenge_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    full = (
+        cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for d in _MATRYOSHKA_DIMS:
+        t = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tq = queries.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tk = cosine_topk(t, tq, k=5).select(
+            "query_id", "neighbor_id", F.lit(1).alias("__hit")
+        )
+        cmp = full.join(tk, ["query_id", "neighbor_id"], "left")
+        parts.append(
+            cmp.agg(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+                (
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                    / (F.countDistinct("query_id").cast("double") * F.lit(5.0))
+                ).alias("recall_at_5"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -1938,3 +1938,132 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", _BOOT_B - 1).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: per-source distinctive terms via Dirichlet-smoothed log-odds
+# z-scores (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — the
+# corpus-analytics standard for "what vocabulary makes this source
+# different", more robust than raw TF-IDF contrasts because the prior
+# shrinks rare-term log-odds and the variance term de-noises them.
+# ---------------------------------------------------------------------------
+
+_FW_A = 0.01  # uniform Dirichlet pseudo-count per term
+_FW_K = 5
+
+from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages  # noqa: E402
+
+_FW_STAGE, _FW_FINAL = portable_ln_sql_stages(
+    {
+        "l_r1": (
+            "((CAST(y_sw AS DOUBLE) + 0.01)"
+            " / (CAST(n_s AS DOUBLE) + (0.01 * CAST(v AS DOUBLE))"
+            " - CAST(y_sw AS DOUBLE) - 0.01))"
+        ),
+        "l_r2": (
+            "((CAST(y_w AS DOUBLE) - CAST(y_sw AS DOUBLE) + 0.01)"
+            " / (CAST(n AS DOUBLE) - CAST(n_s AS DOUBLE)"
+            " + (0.01 * CAST(v AS DOUBLE))"
+            " - (CAST(y_w AS DOUBLE) - CAST(y_sw AS DOUBLE)) - 0.01))"
+        ),
+    }
+)
+
+
+@register(
+    "fighting_words",
+    oracle=f"""
+WITH inst AS (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS y_sw FROM inst GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(y_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+gw AS (SELECT w, CAST(sum(y_sw) AS BIGINT) AS y_w FROM sw GROUP BY 1),
+tot AS (
+    SELECT CAST(sum(y_w) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM gw
+),
+per AS (
+    SELECT sw.source, sw.w, sw.y_sw, st.n_s, gw.y_w, tot.n, tot.v
+    FROM sw JOIN st USING (source) JOIN gw USING (w) CROSS JOIN tot
+),
+staged AS (SELECT source, w, y_sw, y_w, {_FW_STAGE} FROM per),
+lns AS (SELECT source, w, y_sw, y_w, {_FW_FINAL} FROM staged),
+z AS (
+    SELECT source, w, y_sw,
+           (l_r1 - l_r2)
+             / sqrt((1.0 / (CAST(y_sw AS DOUBLE) + 0.01))
+                    + (1.0 / (CAST(y_w AS DOUBLE) - CAST(y_sw AS DOUBLE) + 0.01)))
+             AS zv
+    FROM lns
+)
+SELECT source, w AS term, y_sw AS n_in_source,
+       round(zv, 4) AS log_odds_z, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY zv DESC, w
+    ) AS rank FROM z
+) WHERE rank <= {_FW_K}
+""",
+)
+def q_fighting_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_FW_K} most-distinctive terms per source by Dirichlet-
+    smoothed log-odds z-score (Monroe et al. 2008): δ = log-odds of the
+    term inside the source vs the rest of the corpus, both smoothed by
+    a uniform prior α = 0.01, standardized by the estimated variance
+    1/(y+α) + 1/(y'+α). The corpus-composition diagnostic beside the
+    KL/contamination tier — what vocabulary a source over-represents,
+    with rare-term noise shrunk instead of dominating (the raw-TF-IDF
+    failure).
+
+    Bit-exactness: counts are integers; both log-odds ratios run
+    portable-ln; sqrt and divisions are correctly-rounded IEEE ops on
+    identical doubles, so z — and therefore the per-source ranking — is
+    engine-identical. Scale: one (source, term) aggregation (vocab ×
+    sources rows), broadcast marginals, WindowGroupLimit top-{_FW_K}
+    per source."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    docs = _docs(spark, sf_dir)
+    inst = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    sw = inst.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("y_sw")
+    )
+    st = sw.groupBy("source").agg(F.sum("y_sw").cast("long").alias("n_s"))
+    gw = sw.groupBy("w").agg(F.sum("y_sw").cast("long").alias("y_w"))
+    tot = gw.agg(
+        F.sum("y_w").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    per = (
+        sw.join(F.broadcast(st), "source")
+        .join(gw, "w")
+        .join(F.broadcast(tot))
+    )
+    a = F.lit(_FW_A)
+    y_sw = F.col("y_sw").cast("double")
+    n_s = F.col("n_s").cast("double")
+    y_w = F.col("y_w").cast("double")
+    n = F.col("n").cast("double")
+    v = F.col("v").cast("double")
+    r1 = (y_sw + a) / (n_s + (F.lit(_FW_A) * v) - y_sw - a)
+    r2 = (y_w - y_sw + a) / (
+        n - n_s + (F.lit(_FW_A) * v) - (y_w - y_sw) - a
+    )
+    zv = (portable_ln(r1) - portable_ln(r2)) / F.sqrt(
+        (F.lit(1.0) / (y_sw + a)) + (F.lit(1.0) / (y_w - y_sw + a))
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.col("__z").desc(), F.col("w"))
+    return (
+        per.select("source", "w", "y_sw", zv.alias("__z"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _FW_K)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("y_sw").alias("n_in_source"),
+            F.round("__z", 4).alias("log_odds_z"),
+            "rank",
+        )
+    )

@@ -1209,6 +1209,80 @@ def test_moore_lewis_selects_target_like_pool_docs(spark, monkeypatch):
     assert not out[12].selected and not out[13].selected
 
 
+def test_matryoshka_recall_monotone_in_width(spark, sf_dir):
+    """Truncation audit (r6): keeping MORE prefix dimensions can only
+    help retrieval on average — recall@5 at 32 dims must be ≥ at 16 —
+    and the audit's bookkeeping must be internally consistent."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = {r.trunc_dim: r for r in
+            REGISTRY["matryoshka_recall_audit"].spark(spark, sf_dir).collect()}
+    assert set(rows) == {16, 32}
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert r.n_hits <= 5 * r.n_queries
+        assert abs(r.recall_at_5 - r.n_hits / (5.0 * r.n_queries)) < 1e-12
+    assert rows[16].n_queries == rows[32].n_queries
+    assert rows[32].recall_at_5 >= rows[16].recall_at_5
+
+
+def test_doremi_lite_upweights_divergent_source(spark, monkeypatch):
+    """DoReMi-lite (r6): a source whose text the corpus-global LM
+    underfits (own vocabulary) must show higher excess NLL — and higher
+    weight relative to its share — than sources that match the corpus
+    distribution; weights must sum to 1."""
+    import covid_data_challenge_spark.queries_curation as qc
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    common = "the model trains on clean data and good text"
+    rows = [
+        (i, common, "en", "src_a", 1) for i in range(4)
+    ] + [
+        (10 + i, common, "en", "src_b", 1) for i in range(4)
+    ] + [
+        (20 + i, "zxq wvv kkj pqr mnb vvx qqa zzb ccx", "en", "src_div", 1)
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qc, "_docs", lambda spark, sf: docs)
+    out = {r.source: r for r in
+           REGISTRY["doremi_lite_weights"].spark(spark, "unused").collect()}
+    assert set(out) == {"src_a", "src_b", "src_div"}
+    assert abs(sum(r.doremi_weight for r in out.values()) - 1.0) < 1e-4
+    assert out["src_div"].excess_nll > out["src_a"].excess_nll
+    # identical-distribution sources behave identically
+    assert abs(out["src_a"].excess_nll - out["src_b"].excess_nll) < 1e-9
+    # the divergent source's weight exceeds its raw bigram share
+    share_div = out["src_div"].n_bigrams / sum(r.n_bigrams for r in out.values())
+    assert out["src_div"].doremi_weight > share_div
+
+
+def test_fighting_words_flags_source_specific_vocab(spark, monkeypatch):
+    """Fightin' Words (r6): a term used heavily by ONE source and never
+    by the rest must be that source's top distinctive term with a
+    positive z; a uniformly-used term must never top any source."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, "zebra zebra zebra common words here", "en", "src_a", 1),
+        (1, "zebra zebra stripes common words here", "en", "src_a", 1),
+        (2, "plain common words here again now", "en", "src_b", 1),
+        (3, "plain common words here again now", "en", "src_b", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = [r for r in REGISTRY["fighting_words"].spark(spark, "unused").collect()]
+    top = {r.source: r for r in out if r.rank == 1}
+    assert top["src_a"].term == "zebra" and top["src_a"].log_odds_z > 0
+    assert all(r.term != "common" or r.rank > 1 for r in out)
+
+
 def test_gopher_repetition_known_fractions(spark, monkeypatch):
     """Hand-checkable repetition battery values: a doc that is one
     2-gram repeated 3 times vs a doc with all-distinct tokens."""
