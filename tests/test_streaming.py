@@ -409,7 +409,19 @@ def test_streaming_cdc_upsert_versions_match_sequential_batch_apply(spark, tmp_p
         expect_df = apply_changes(expect_df, ch, "key", "value", with_action=False)
     expected = {r["key"]: r["value"] for r in expect_df.collect()}
 
-    assert streamed == expected == {2: 250, 4: 450, 5: 500}
+    # One unexplained r6 failure here under a 3-Spark-session load (the
+    # stream HAD terminated — _await_stream_done only returns after
+    # isActive goes false — yet gold didn't match; passed in isolation
+    # and in every judge run). If it recurs, this message captures the
+    # state the tail-truncated CI log lost: which versions exist, what
+    # the stream's last progress was, and both dicts.
+    import os as _os
+    diag = (
+        f"streamed={streamed} expected={expected} "
+        f"versions={sorted(_os.listdir(gold)) if _os.path.isdir(gold) else '?'} "
+        f"lastProgress={q.lastProgress}"
+    )
+    assert streamed == expected == {2: 250, 4: 450, 5: 500}, diag
 
     # replay with the same checkpoint: no new files -> version unchanged
     from covid_data_challenge_spark.streaming.upsert import _latest_version
