@@ -2067,3 +2067,197 @@ def q_fighting_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: hybrid retrieval — BM25 fused with a Dirichlet-smoothed
+# query-likelihood ranker by Reciprocal Rank Fusion (Cormack et al.
+# 2009), the standard way production search blends rankers without
+# score calibration. Two genuinely different retrieval families (tf
+# saturation vs LM smoothing) over one shared posting frame.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60.0
+_QL_MU = 100.0
+
+_QL_STAGE, _QL_FINAL = portable_ln_sql_stages(
+    {
+        "l_ql": (
+            "((CAST(tf AS DOUBLE) + (100.0 * (CAST(cf AS DOUBLE) / CAST(ctot AS DOUBLE))))"
+            " / (CAST(dl AS DOUBLE) + 100.0))"
+        )
+    }
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+inst AS (SELECT doc_id, unnest(w) AS term FROM docs),
+ctot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM inst),
+cf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cf FROM inst
+    WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM inst
+    WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+bm AS (
+    SELECT tf.doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({_BM25_K1} + 1)
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS s_bm25
+    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY 1
+),
+qgrid AS (
+    SELECT c.doc_id, q.term, coalesce(t.tf, 0) AS tf, dl.dl, cf.cf, ctot.ctot
+    FROM cand c
+    CROSS JOIN (SELECT unnest(['spark', 'vector', 'stream']) AS term) q
+    LEFT JOIN tf t ON c.doc_id = t.doc_id AND q.term = t.term
+    JOIN dl ON c.doc_id = dl.doc_id
+    JOIN cf ON q.term = cf.term
+    CROSS JOIN ctot
+),
+qstaged AS (SELECT doc_id, {_QL_STAGE} FROM qgrid),
+qlns AS (SELECT doc_id, {_QL_FINAL} FROM qstaged),
+ql AS (
+    SELECT doc_id,
+           CAST(sum(CAST(floor(1000000.0 * l_ql) AS BIGINT)) AS BIGINT) AS s_ql_units
+    FROM qlns GROUP BY 1
+),
+ranked AS (
+    SELECT b.doc_id,
+           row_number() OVER (ORDER BY b.s_bm25 DESC, b.doc_id DESC) AS rank_bm25,
+           row_number() OVER (ORDER BY q.s_ql_units DESC, b.doc_id DESC) AS rank_ql
+    FROM bm b JOIN ql q USING (doc_id)
+)
+SELECT doc_id,
+       CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rank_ql AS BIGINT) AS rank_ql,
+       round((1.0 / ({_RRF_K} + CAST(rank_bm25 AS DOUBLE)))
+             + (1.0 / ({_RRF_K} + CAST(rank_ql AS DOUBLE))), 6) AS rrf_score
+FROM ranked
+ORDER BY (1.0 / ({_RRF_K} + CAST(rank_bm25 AS DOUBLE)))
+         + (1.0 / ({_RRF_K} + CAST(rank_ql AS DOUBLE))) DESC, doc_id
+LIMIT 10
+""",
+)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hybrid retrieval for the fixed 3-term query: BM25 (tf
+    saturation) and Dirichlet-smoothed query likelihood (LM smoothing,
+    μ=100 — tf=0 terms still contribute their corpus-prior mass) ranked
+    independently over the SAME candidate set, fused by Reciprocal Rank
+    Fusion 1/(60+r) (Cormack 2009) — rank fusion needs no score
+    calibration, which is exactly why production search uses it to
+    blend heterogeneous rankers.
+
+    Determinism: BM25 ranks on the 6-dp-rounded score (the bm25_topk
+    convention); QL ranks on integer micro-nat units (portable-ln per
+    (doc, term), floor-quantized BEFORE the per-doc sum); both rank
+    keys are therefore engine-identical, ties break on doc_id, and the
+    RRF score is a fixed-association double of two small integers.
+    Scale: one tokenize+explode feeds postings, corpus stats, and
+    collection frequencies; candidates = docs matching ≥1 query term
+    (|postings(q)|, not corpus); GLOBAL ranks run through
+    range_sharded_cumsum — no single-partition window (the AUC/zipf
+    discipline); final top-10 is TakeOrderedAndProject."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+    from covid_data_challenge_spark.operators.prefix import range_sharded_cumsum
+
+    docs = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("w"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    inst = docs.select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+    ctot = inst.agg(F.count(F.lit(1)).cast("long").alias("ctot"))
+    qinst = inst.filter(F.col("term").isin(*_BM25_TERMS))
+    cf = qinst.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tf = qinst.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    # the posting frame feeds BM25, the QL grid, and the candidate set
+    tf = tf.localCheckpoint(eager=True)
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_td = (
+        F.col("tf")
+        * F.lit(k1 + 1)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * w_td), 6).alias("s_bm25"))
+    )
+    cand = tf.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    qgrid = (
+        cand.join(F.broadcast(terms))
+        .join(tf.select("doc_id", "term", "tf"), ["doc_id", "term"], "left")
+        .join(F.broadcast(cf), "term")
+        .join(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
+            "dl",
+            "cf",
+            "ctot",
+        )
+    )
+    l_ql = portable_ln(
+        (
+            F.col("tf").cast("double")
+            + (F.lit(_QL_MU) * (F.col("cf").cast("double") / F.col("ctot").cast("double")))
+        )
+        / (F.col("dl").cast("double") + F.lit(_QL_MU))
+    )
+    ql = (
+        qgrid.select(
+            "doc_id",
+            F.floor(F.lit(1000000.0) * l_ql).cast("long").alias("__u"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__u").cast("long").alias("s_ql_units"))
+    )
+    scored = bm.join(ql, "doc_id").localCheckpoint(eager=True)
+    r1 = range_sharded_cumsum(
+        scored.withColumn("__one", F.lit(1)),
+        ["s_bm25", "doc_id"],
+        {"__one": "rank_bm25"},
+        descending=True,
+    ).drop("__one")
+    r2 = range_sharded_cumsum(
+        r1.withColumn("__one", F.lit(1)),
+        ["s_ql_units", "doc_id"],
+        {"__one": "rank_ql"},
+        descending=True,
+    ).drop("__one")
+    rrf = (F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25").cast("double"))) + (
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_ql").cast("double"))
+    )
+    return (
+        r2.select(
+            "doc_id",
+            F.col("rank_bm25").cast("long").alias("rank_bm25"),
+            F.col("rank_ql").cast("long").alias("rank_ql"),
+            F.round(rrf, 6).alias("rrf_score"),
+            rrf.alias("__rrf"),
+        )
+        .orderBy(F.col("__rrf").desc(), "doc_id")
+        .limit(10)
+        .drop("__rrf")
+    )

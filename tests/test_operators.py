@@ -1283,6 +1283,35 @@ def test_fighting_words_flags_source_specific_vocab(spark, monkeypatch):
     assert all(r.term != "common" or r.rank > 1 for r in out)
 
 
+def test_hybrid_rrf_top_doc_dominates_both_rankers(spark, monkeypatch):
+    """RRF fusion (r6): a document that dominates BOTH rankers (every
+    query term, many times, short doc) must be fused rank 1 with the
+    max possible RRF score 2/(60+1); docs without any query term never
+    appear; consistency rrf = 1/(60+r1) + 1/(60+r2) holds exactly."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, "spark vector stream spark vector stream", "en", "s", 1),
+        (1, "spark words and more words here today fine", "en", "s", 1),
+        (2, "vector words and other words here today ok", "en", "s", 1),
+        (3, "nothing relevant in this one at all folks", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = REGISTRY["hybrid_rrf_retrieval"].spark(spark, "unused").collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no query term -> not a candidate
+    best = out[0]
+    assert best.doc_id == 0 and best.rank_bm25 == 1 and best.rank_ql == 1
+    assert abs(best.rrf_score - round(2.0 / 61.0, 6)) < 1e-9
+    for r in out:
+        want = 1.0 / (60.0 + r.rank_bm25) + 1.0 / (60.0 + r.rank_ql)
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9
+
+
 def test_gopher_repetition_known_fractions(spark, monkeypatch):
     """Hand-checkable repetition battery values: a doc that is one
     2-gram repeated 3 times vs a doc with all-distinct tokens."""
