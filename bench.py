@@ -222,6 +222,12 @@ def main() -> None:
         sf1_timings: dict[str, float] = {}
         growth: dict[str, float] = {}
         for name in SCALE_SF1:
+            # GC barrier: the sf1 tier runs heavyweight queries back to
+            # back in one long-lived JVM; without it, heap pressure from
+            # a predecessor (e.g. the census wedge join) bleeds into the
+            # next query's timing (r6: duplicate_spans read 8.1 s in-
+            # bench vs 2.5 s clean-session — same code, same data).
+            spark.sparkContext._jvm.System.gc()
             sf1_timings[name] = _time_best(spark, name, synth_dir)
             growth[name] = (
                 round(sf1_timings[name] / timings[name], 2)

@@ -1,0 +1,245 @@
+"""Unigram-LM tokenizer training (SentencePiece's model family, Kudo
+2018, arXiv:1804.10959) — ONE hard-EM (Viterbi) round as pure DataFrame
+algebra, the probabilistic sibling of the BPE merge loop in
+operators/bpe.py.
+
+The round:
+
+1. Seed vocabulary: every substring (length ≤ ``max_piece``) of every
+   dictionary word, weighted by word frequency; keep ALL single
+   characters (coverage guarantee) plus the top ``vocab_top``
+   multi-character pieces. Seed score = ln(freq/total) — exactly
+   Kudo's suffix-array-seeded initialization, bounded to short pieces.
+2. E-step: Viterbi-segment each dictionary word under the seed scores —
+   a per-word dynamic program over ≤ ``max_word`` positions.
+3. M-step: piece usage counts from the Viterbi paths (weighted by word
+   frequency) → re-estimated scores. Pieces with zero usage are the
+   ones Kudo's loop prunes next round.
+
+Scale design (the bpe.py discipline): the corpus is scanned ONCE into
+the (word, n) frequency dictionary — vocabulary-sized by Heaps' law —
+and every EM step runs over that dictionary or over piece tables
+smaller still. The DP is a per-ROW column expression (two
+``F.aggregate`` folds over arrays bounded by ``max_word``), so the
+E-step is embarrassingly parallel with no shuffle beyond the M-step's
+piece aggregation.
+
+Bit-exactness (what makes the DuckDB oracle possible): piece scores are
+integer micro-nats (``floor(1e6·(portable_ln f − portable_ln F))``), so
+the Viterbi DP is INTEGER arithmetic — no float argmax ties across
+engines, ever. Candidates compare as ``total·8 + j`` (score first, then
+piece length j, longer wins ties), one BIGINT per DP cell; the oracle
+unrolls the same DP as chained CTE columns and decodes identical cells.
+
+Words longer than ``max_word`` characters are excluded from the EM
+dictionary (documented contract — at web scale those are the URL/hash
+junk a tokenizer pipeline pre-filters anyway; the fixture corpus tops
+out at 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.functions.pmath import portable_ln
+from covid_data_challenge_spark.functions.text import tokens
+
+MAX_PIECE = 4
+MAX_WORD = 12
+VOCAB_TOP = 64
+
+#: sentinel for an unreachable DP candidate — far below any real total
+#: (|score| ≤ max_word · ~30e6 micro-nats ≈ 4e8, times 8 ≈ 3e9 ≪ 2^50)
+_NEG_INF = -(2**50)
+
+
+def _decode_j(c: Column) -> Column:
+    """Piece length j from a combined DP cell (total·8 + j)."""
+    return ((c % 8) + 8) % 8
+
+
+def _decode_total(c: Column) -> Column:
+    """Score total from a combined DP cell — exact: c − j is a multiple
+    of 8 and |c| ≪ 2^53, so the double division is exact."""
+    return ((c - _decode_j(c)) / F.lit(8)).cast("long")
+
+
+def word_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus scan → the (w, n) word-frequency dictionary the whole
+    EM round trains on, bounded to ``MAX_WORD``-char words."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= MAX_WORD))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _substrings(wd: DataFrame) -> DataFrame:
+    """(w, n, start, len, piece) for every substring of length ≤
+    MAX_PIECE — the seed-candidate explode, map-side."""
+    sub = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda s: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(MAX_PIECE), F.length("w") - s + 1)
+                    ),
+                    lambda j: F.struct(
+                        s.cast("int").alias("start"),
+                        j.cast("int").alias("len"),
+                        F.substring(F.col("w"), s, j).alias("piece"),
+                    ),
+                ),
+            )
+        )
+    )
+    return wd.select("w", "n", sub.alias("sl")).select(
+        "w", "n", F.col("sl.start").alias("start"), F.col("sl.len").alias("len"),
+        F.col("sl.piece").alias("piece"),
+    )
+
+
+def seed_vocab(wd: DataFrame) -> DataFrame:
+    """Seed piece table (piece, f, u): substring frequencies weighted by
+    word counts; ALL single chars + top ``VOCAB_TOP`` multi-char pieces
+    by (f desc, piece asc); u = integer micro-nat log-probability."""
+    pf = _substrings(wd).groupBy("piece").agg(F.sum("n").cast("long").alias("f"))
+    singles = pf.filter(F.length("piece") == 1)
+    multis = (
+        pf.filter(F.length("piece") >= 2)
+        .orderBy(F.col("f").desc(), "piece")
+        .limit(VOCAB_TOP)
+    )
+    vocab = singles.unionByName(multis)
+    total = vocab.agg(F.sum("f").cast("long").alias("__ftot"))
+    return vocab.join(F.broadcast(total)).select(
+        "piece",
+        "f",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                portable_ln(F.col("f").cast("double"))
+                - portable_ln(F.col("__ftot").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("u"),
+    )
+
+
+def viterbi_segments(wd: DataFrame, vocab: DataFrame) -> DataFrame:
+    """E-step: (w, n, piece) — each dictionary word's Viterbi-best
+    segmentation under the vocab scores, exploded to its pieces.
+
+    The DP runs as one ``F.aggregate`` fold per word over positions
+    1..len(w): cell i holds ``best_total·8 + j`` for the best
+    segmentation of the prefix ending at i (j = length of its final
+    piece; ties prefer the longer piece). Backtracking is a second
+    bounded fold walking ``pos → pos − j``. Single characters are
+    always in the vocab, so every position has a valid candidate and
+    the sentinel never wins."""
+    seg = _substrings(wd).join(vocab.select("piece", "u"), "piece")
+    per_word = seg.groupBy("w", "n").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    ((F.col("start") - 1) * MAX_PIECE + (F.col("len") - 1))
+                    .cast("int")
+                    .alias("slot"),
+                    F.col("u").alias("u"),
+                )
+            )
+        ).alias("m")
+    )
+
+    def cell(acc: Column, i: Column) -> Column:
+        cands = []
+        for j in range(1, MAX_PIECE + 1):
+            u_ij = F.element_at(
+                F.col("m"), ((i - j) * MAX_PIECE + F.lit(j - 1)).cast("int")
+            )
+            prev = F.element_at(acc, (i - j + 1).cast("int"))
+            cands.append(
+                F.when(
+                    (F.lit(j) <= i) & u_ij.isNotNull(),
+                    (_decode_total(prev) + u_ij) * 8 + F.lit(j),
+                ).otherwise(F.lit(_NEG_INF))
+            )
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    dp = per_word.withColumn(
+        "dp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("w")),
+            F.array(F.lit(0).cast("long")),
+            cell,
+        ),
+    )
+
+    # backtrack: struct state (pos, pieces); at most MAX_WORD steps
+    def step(st: Column, _i: Column) -> Column:
+        pos = st.getField("pos")
+        j = _decode_j(F.element_at(F.col("dp"), (pos + 1).cast("int")))
+        return F.when(
+            pos > 0,
+            F.struct(
+                (pos - j).cast("int").alias("pos"),
+                F.concat(
+                    F.array(F.substring(F.col("w"), (pos - j + 1).cast("int"), j.cast("int"))),
+                    st.getField("pieces"),
+                ).alias("pieces"),
+            ),
+        ).otherwise(st)
+
+    walked = dp.withColumn(
+        "seg",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(MAX_WORD)),
+            F.struct(
+                F.length("w").cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("pieces"),
+            ),
+            step,
+        ).getField("pieces"),
+    )
+    return walked.select("w", "n", F.explode("seg").alias("piece"))
+
+
+def unigram_em_round(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One full hard-EM round → (piece, piece_len, seed_freq,
+    viterbi_count, kept, new_score_units): the seed table annotated with
+    Viterbi usage (M-step counts, 0 for pieces no best path uses — the
+    prune set) and the re-estimated integer micro-nat score."""
+    wd = word_dictionary(docs, text_col).localCheckpoint(eager=True)
+    vocab = seed_vocab(wd).localCheckpoint(eager=True)
+    used = (
+        viterbi_segments(wd, vocab)
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("vc"))
+    )
+    joined = vocab.join(used, "piece", "left").select(
+        "piece",
+        "f",
+        F.coalesce(F.col("vc"), F.lit(0)).cast("long").alias("vc"),
+    )
+    vtot = joined.agg(F.sum("vc").cast("long").alias("__vtot"))
+    return joined.join(F.broadcast(vtot)).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("f").alias("seed_freq"),
+        F.col("vc").alias("viterbi_count"),
+        (F.col("vc") > 0).alias("kept"),
+        F.when(
+            F.col("vc") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    portable_ln(F.col("vc").cast("double"))
+                    - portable_ln(F.col("__vtot").cast("double"))
+                )
+            ).cast("long"),
+        ).alias("new_score_units"),
+    )

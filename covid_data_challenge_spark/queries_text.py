@@ -2261,3 +2261,163 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("__rrf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: unigram-LM tokenizer hard-EM round (SentencePiece's model
+# family, Kudo 2018) — the probabilistic sibling of the BPE merge loop.
+# The oracle unrolls the per-word Viterbi DP as chained CTE columns: the
+# DP is INTEGER (micro-nat scores, cells encode best·8 + piece_len), so
+# there is no float argmax tie to diverge on.
+# ---------------------------------------------------------------------------
+
+
+def _unigram_oracle_sql(max_word: int = 12, max_piece: int = 4, top: int = 64) -> str:
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+
+    def pj(b: str) -> str:  # piece length from a combined cell
+        return f"((({b} % 8) + 8) % 8)"
+
+    def pt(b: str) -> str:  # score total from a combined cell (exact)
+        return f"CAST((({b} - {pj(b)}) / 8) AS BIGINT)"
+
+    v_stage, v_final = portable_ln_sql_stages(
+        {"l_f": "CAST(f AS DOUBLE)", "l_t": "CAST(ftot AS DOUBLE)"}
+    )
+    n_stage, n_final = portable_ln_sql_stages(
+        {
+            "l_vc": "CAST(greatest(vc, 1) AS DOUBLE)",
+            "l_vt": "CAST(vtot AS DOUBLE)",
+        }
+    )
+
+    score_cols = ",\n           ".join(
+        f"MAX(CASE WHEN start = {s} AND len = {j} THEN u END) AS s_{s}_{j}"
+        for s in range(1, max_word + 1)
+        for j in range(1, max_piece + 1)
+        if s + j - 1 <= max_word
+    )
+
+    dp_ctes = []
+    for i in range(1, max_word + 1):
+        cands = []
+        for j in range(1, min(max_piece, i) + 1):
+            s = i - j + 1
+            prev = "CAST(0 AS BIGINT)" if i - j == 0 else pt(f"b{i - j}")
+            cands.append(
+                f"CASE WHEN s_{s}_{j} IS NOT NULL THEN ({prev} + s_{s}_{j}) * 8 + {j} "
+                f"ELSE CAST({-(2**50)} AS BIGINT) END"
+            )
+        expr = cands[0] if len(cands) == 1 else "greatest(" + ", ".join(cands) + ")"
+        src = "ss" if i == 1 else f"d{i - 1}"
+        dp_ctes.append(f"d{i} AS MATERIALIZED (SELECT *, {expr} AS b{i} FROM {src})")
+
+    bt_ctes = []
+    b_of_pos_tpl = (
+        "CASE {pos} "
+        + " ".join(f"WHEN {p} THEN b{p}" for p in range(1, max_word + 1))
+        + " ELSE CAST(0 AS BIGINT) END"
+    )
+    prev_src = f"d{max_word}"
+    bt_ctes.append(f"t0 AS MATERIALIZED (SELECT *, CAST(lw AS INT) AS pos_0 FROM {prev_src})")
+    for k in range(1, max_word + 1):
+        b_at = b_of_pos_tpl.format(pos=f"pos_{k - 1}")
+        bt_ctes.append(
+            f"""tj{k} AS MATERIALIZED (SELECT *, CASE WHEN pos_{k - 1} > 0 THEN {pj(f'({b_at})')} ELSE 0 END AS j_{k} FROM t{k - 1})"""
+        )
+        bt_ctes.append(
+            f"""t{k} AS MATERIALIZED (SELECT *,
+    CASE WHEN pos_{k - 1} > 0 THEN substr(w, CAST(pos_{k - 1} - j_{k} + 1 AS INT), CAST(j_{k} AS INT)) END AS piece_{k},
+    CAST(CASE WHEN pos_{k - 1} > 0 THEN pos_{k - 1} - j_{k} ELSE 0 END AS INT) AS pos_{k} FROM tj{k})"""
+        )
+    piece_union = "\n    UNION ALL ".join(
+        f"SELECT w, n, piece_{k} AS piece FROM t{max_word} WHERE piece_{k} IS NOT NULL"
+        for k in range(1, max_word + 1)
+    )
+
+    return f"""
+WITH inst AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+wd AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n FROM inst
+    WHERE len(w) BETWEEN 1 AND {max_word} GROUP BY w
+),
+subs AS (
+    SELECT w, n, CAST(a.s AS INT) AS start, CAST(b.j AS INT) AS len,
+           substr(w, CAST(a.s AS INT), CAST(b.j AS INT)) AS piece
+    FROM wd,
+    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS s) a,
+    LATERAL (SELECT unnest(range(1, least({max_piece}, len(w) - a.s + 1) + 1)) AS j) b
+),
+pf AS (SELECT piece, CAST(sum(n) AS BIGINT) AS f FROM subs GROUP BY 1),
+vocab0 AS (
+    SELECT piece, f FROM pf WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, f FROM (
+        SELECT piece, f FROM pf WHERE len(piece) >= 2
+        ORDER BY f DESC, piece LIMIT {top}
+    )
+),
+ftot AS (SELECT CAST(sum(f) AS BIGINT) AS ftot FROM vocab0),
+vst AS (SELECT piece, f, {v_stage} FROM vocab0 CROSS JOIN ftot),
+vln AS (SELECT piece, f, {v_final} FROM vst),
+vocab AS (
+    SELECT piece, f, CAST(floor(1000000.0 * (l_f - l_t)) AS BIGINT) AS u FROM vln
+),
+seg AS (
+    SELECT s.w, s.n, s.start, s.len, v.u
+    FROM subs s JOIN vocab v USING (piece)
+),
+ss AS MATERIALIZED (
+    SELECT w, n, len(w) AS lw,
+           {score_cols}
+    FROM seg GROUP BY w, n, len(w)
+),
+{",".join(dp_ctes)},
+{",".join(bt_ctes)},
+pieces AS (
+    {piece_union}
+),
+used AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc FROM pieces GROUP BY 1),
+j2 AS (
+    SELECT v.piece, v.f, CAST(coalesce(u2.vc, 0) AS BIGINT) AS vc
+    FROM vocab v LEFT JOIN used u2 USING (piece)
+),
+vtot AS (SELECT CAST(sum(vc) AS BIGINT) AS vtot FROM j2),
+nst AS (SELECT piece, f, vc, {n_stage} FROM j2 CROSS JOIN vtot),
+nln AS (SELECT piece, f, vc, {n_final} FROM nst)
+SELECT piece,
+       CAST(len(piece) AS INT) AS piece_len,
+       f AS seed_freq,
+       vc AS viterbi_count,
+       vc > 0 AS kept,
+       CASE WHEN vc > 0
+            THEN CAST(floor(1000000.0 * (l_vc - l_vt)) AS BIGINT)
+       END AS new_score_units
+FROM nln
+"""
+
+
+@register("unigram_lm_em", oracle=_unigram_oracle_sql())
+def q_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM (Viterbi) round of unigram-LM tokenizer training
+    (SentencePiece's model family, Kudo 2018) over the corpus word
+    dictionary: substring-seeded vocabulary (all single chars + top-64
+    multi-char pieces ≤4 chars, ln-frequency scores), per-word Viterbi
+    segmentation, and M-step usage counts with re-estimated scores —
+    zero-usage pieces are the prune set the next round drops. The
+    probabilistic sibling of `bpe_merge_table`: BPE grows a vocabulary
+    bottom-up by merges, unigram-LM shrinks a rich seed top-down by EM.
+
+    The whole round is oracle-checked INCLUDING the DP: piece scores
+    are integer micro-nats, each Viterbi cell is one BIGINT
+    (best_total·8 + final_piece_len, longer piece wins score ties), so
+    both engines run identical integer argmaxes — DuckDB unrolls the
+    DP as chained CTE columns over the ≤12 word positions. Scale: one
+    corpus scan into the Heaps-law-bounded word dictionary; the E-step
+    is a per-row column fold (no shuffle); M-step is one piece-keyed
+    aggregation (operators/unigram.py)."""
+    from covid_data_challenge_spark.operators.unigram import unigram_em_round
+
+    return unigram_em_round(_docs(spark, sf_dir))

@@ -1283,6 +1283,90 @@ def test_fighting_words_flags_source_specific_vocab(spark, monkeypatch):
     assert all(r.term != "common" or r.rank > 1 for r in out)
 
 
+def test_unigram_em_round_matches_python_viterbi(spark):
+    """Unigram-LM hard-EM round (r6) vs an independent pure-Python
+    replica: seed vocabulary (all single chars + top-64 multis by
+    (freq desc, piece asc)), integer micro-nat scores, Viterbi DP with
+    the longer-piece tie rule, M-step usage counts — every piece row
+    must match. Also pins the semantics: frequent whole words survive
+    as pieces, and zero-usage pieces are flagged kept=False (the prune
+    set)."""
+    import math
+    from collections import Counter
+
+    from covid_data_challenge_spark.functions.pmath import portable_ln_py
+    from covid_data_challenge_spark.operators.unigram import (
+        MAX_PIECE,
+        VOCAB_TOP,
+        unigram_em_round,
+    )
+
+    rows = [
+        (1, "table tablet stream streams a table"),
+        (2, "stream table tab let tables"),
+        (3, "able ables stream tab"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.piece: r for r in unigram_em_round(docs).collect()}
+
+    # ---- replica ----
+    wd = Counter(w for _, t in rows for w in t.split())
+    pf = Counter()
+    for w, n in wd.items():
+        for s in range(len(w)):
+            for j in range(1, min(MAX_PIECE, len(w) - s) + 1):
+                pf[w[s : s + j]] += n
+    singles = {p: f for p, f in pf.items() if len(p) == 1}
+    multis = dict(
+        sorted(
+            ((p, f) for p, f in pf.items() if len(p) >= 2),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:VOCAB_TOP]
+    )
+    vocab = {**singles, **multis}
+    ftot = sum(vocab.values())
+    u = {
+        p: math.floor(1e6 * (portable_ln_py(float(f)) - portable_ln_py(float(ftot))))
+        for p, f in vocab.items()
+    }
+
+    def viterbi(w):
+        best = [(0, 0)]  # (total, j)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in range(1, min(MAX_PIECE, i) + 1):
+                piece = w[i - j : i]
+                if piece in u:
+                    cands.append((best[i - j][0] + u[piece], j))
+            best.append(max(cands))  # ties -> longer j wins
+        out, pos = [], len(w)
+        while pos > 0:
+            j = best[pos][1]
+            out.append(w[pos - j : pos])
+            pos -= j
+        return out[::-1]
+
+    vc = Counter()
+    for w, n in wd.items():
+        for p in viterbi(w):
+            vc[p] += n
+    vtot = sum(vc.values())
+
+    assert set(got) == set(vocab)
+    for p, r in got.items():
+        assert r.seed_freq == vocab[p], p
+        assert r.viterbi_count == vc.get(p, 0), p
+        assert r.kept == (vc.get(p, 0) > 0), p
+        if r.kept:
+            want = math.floor(
+                1e6 * (portable_ln_py(float(vc[p])) - portable_ln_py(float(vtot)))
+            )
+            assert r.new_score_units == want, p
+    # semantics: frequent whole words are pieces and segment as themselves
+    assert got["tab"].kept or got["table"].kept
+    assert any(not r.kept for r in got.values())  # the prune set exists
+
+
 def test_hybrid_rrf_top_doc_dominates_both_rankers(spark, monkeypatch):
     """RRF fusion (r6): a document that dominates BOTH rankers (every
     query term, many times, short doc) must be fused rank 1 with the
