@@ -243,3 +243,34 @@ def unigram_em_round(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("long"),
         ).alias("new_score_units"),
     )
+
+
+def unigram_encode_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The serve half (train→encode, mirroring bpe_encode_stats): train
+    the seed vocab, Viterbi-segment the word DICTIONARY once, then
+    broadcast the vocab-sized (word → piece count) table into one pass
+    over corpus word instances → per-document (n_words, n_pieces,
+    pieces_per_word). The corpus is never segmented row by row — the
+    dictionary segmentation amortizes across every occurrence, which is
+    the entire point of training on the Heaps-bounded dictionary."""
+    wd = word_dictionary(docs, text_col).localCheckpoint(eager=True)
+    vocab = seed_vocab(wd).localCheckpoint(eager=True)
+    wpc = (
+        viterbi_segments(wd, vocab)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter((F.length("w") >= 1) & (F.length("w") <= MAX_WORD))
+    return (
+        docw.join(F.broadcast(wpc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("pieces_per_word"),
+        )
+    )

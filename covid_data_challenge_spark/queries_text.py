@@ -2272,7 +2272,13 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _unigram_oracle_sql(max_word: int = 12, max_piece: int = 4, top: int = 64) -> str:
+def _unigram_oracle_sql(
+    max_word: int = 12, max_piece: int = 4, top: int = 64, tail: str = "em"
+) -> str:
+    """DuckDB twin of the unigram-LM round. ``tail="em"`` emits the
+    EM-round piece table; ``tail="encode"`` reuses the SAME chain
+    (vocab → DP → Viterbi pieces) and aggregates per-document encode
+    stats instead."""
     from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
 
     def pj(b: str) -> str:  # piece length from a combined cell
@@ -2335,8 +2341,7 @@ def _unigram_oracle_sql(max_word: int = 12, max_piece: int = 4, top: int = 64) -
         for k in range(1, max_word + 1)
     )
 
-    return f"""
-WITH inst AS (
+    chain = f"""inst AS (
     SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
 ),
 wd AS (
@@ -2378,7 +2383,26 @@ ss AS MATERIALIZED (
 {",".join(bt_ctes)},
 pieces AS (
     {piece_union}
-),
+)"""
+    if tail == "encode":
+        return f"""
+WITH {chain},
+wpc AS (SELECT w, CAST(count(*) AS BIGINT) AS k FROM pieces GROUP BY w),
+docw AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ) WHERE len(w) BETWEEN 1 AND {max_word}
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(k) AS BIGINT) AS n_pieces,
+       round(CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+           AS pieces_per_word
+FROM docw d JOIN wpc USING (w)
+GROUP BY d.doc_id
+"""
+    return f"""
+WITH {chain},
 used AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc FROM pieces GROUP BY 1),
 j2 AS (
     SELECT v.piece, v.f, CAST(coalesce(u2.vc, 0) AS BIGINT) AS vc
@@ -2421,3 +2445,19 @@ def q_unigram_lm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.unigram import unigram_em_round
 
     return unigram_em_round(_docs(spark, sf_dir))
+
+
+@register("unigram_encode_stats", oracle=_unigram_oracle_sql(tail="encode"))
+def q_unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's SERVE half (train→encode, the
+    bpe_encode_stats symmetry): Viterbi-segment the word dictionary
+    under the trained seed vocab ONCE, broadcast the vocab-sized
+    word→piece-count table into one pass over corpus word instances,
+    and report per-document token-expansion stats (words, pieces,
+    pieces/word — the fertility number for THIS tokenizer). Oracle
+    reuses the exact EM-round CTE chain through the Viterbi pieces and
+    aggregates the per-doc tail instead (operators/unigram.py:
+    unigram_encode_stats)."""
+    from covid_data_challenge_spark.operators.unigram import unigram_encode_stats
+
+    return unigram_encode_stats(_docs(spark, sf_dir))
