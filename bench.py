@@ -89,6 +89,19 @@ EXTENSION = [
     # round 5 late wave: the two-stage IVF-PQ serving path (ADC shortlist
     # + exact re-rank on candidates only)
     "ann_pq_rerank",
+    # round 6: the trigram mod-KN LM (second LM-table join tier), the
+    # composite release report (shares the pair/components frames), the
+    # Matryoshka truncation audit, DoReMi-lite reweighting, Fightin'
+    # Words, RRF hybrid retrieval, and the unigram-LM tokenizer pair
+    # (hard-EM round + encode stats)
+    "kneser_ney3_nll",
+    "corpus_release_report",
+    "matryoshka_recall_audit",
+    "doremi_lite_weights",
+    "fighting_words",
+    "hybrid_rrf_retrieval",
+    "unigram_lm_em",
+    "unigram_encode_stats",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -159,6 +172,12 @@ SCALE_SF1 = [
     "platt_scaling_fit",
     "d4_prune_recipe",
     "ann_pq_rerank",
+    # round 6: the trigram KN's LM tables grow with distinct trigrams
+    # (watch ~linear), and the unigram EM round is bounded by the word
+    # DICTIONARY (Heaps' law) — its growth should be nearly FLAT, the
+    # cleanest demonstration of the train-on-the-dictionary design
+    "kneser_ney3_nll",
+    "unigram_lm_em",
 ]
 
 RUNS_PER_QUERY = 2
