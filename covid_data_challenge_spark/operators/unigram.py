@@ -205,7 +205,12 @@ def viterbi_segments(wd: DataFrame, vocab: DataFrame) -> DataFrame:
             step,
         ).getField("pieces"),
     )
-    return walked.select("w", "n", F.explode("seg").alias("piece"))
+    # posexplode: piece order within a word is part of the segmentation
+    # (equal-score paths can share a multiset, e.g. "aaa" as a+aa vs
+    # aa+a) — downstream counts ignore pos, tests sort on it
+    return walked.select(
+        "w", "n", F.posexplode("seg").alias("pos", "piece")
+    )
 
 
 def unigram_em_round(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -495,3 +495,83 @@ def test_duplicate_spans_matches_bruteforce(spark, docs):
     got = {d: sorted(v) for d, v in got.items()}
     expect = {d: sorted(v) for d, v in expect.items() if v}
     assert got == expect, (got, expect, texts)
+
+
+# random lowercase words ≤ 8 chars over a 3-letter alphabet — guaranteed
+# substring collisions so the seed vocab and the DP tie rule get exercised
+_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(words=_words)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_unigram_viterbi_matches_python_dp(spark, words):
+    """The unigram-LM Viterbi fold must reproduce a direct Python DP —
+    same integer micro-nat scores, same (score, longer-piece) tie rule —
+    on arbitrary small corpora: repeated words, single chars, words that
+    are substrings of each other, whole-word pieces."""
+    from collections import Counter
+
+    from covid_data_challenge_spark.functions.pmath import portable_ln_py
+    from covid_data_challenge_spark.operators.unigram import (
+        MAX_PIECE,
+        VOCAB_TOP,
+        seed_vocab,
+        viterbi_segments,
+        word_dictionary,
+    )
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    wd = word_dictionary(docs)
+    vocab = seed_vocab(wd)
+    got = {}
+    for r in sorted(
+        viterbi_segments(wd, vocab).collect(), key=lambda r: (r.w, r.pos)
+    ):
+        got.setdefault(r.w, []).append(r.piece)
+
+    # ---- python replica ----
+    wcount = Counter(words)
+    pf = Counter()
+    for w, n in wcount.items():
+        for s in range(len(w)):
+            for j in range(1, min(MAX_PIECE, len(w) - s) + 1):
+                pf[w[s : s + j]] += n
+    vocab_py = {p: f for p, f in pf.items() if len(p) == 1}
+    vocab_py.update(
+        dict(
+            sorted(
+                ((p, f) for p, f in pf.items() if len(p) >= 2),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:VOCAB_TOP]
+        )
+    )
+    ftot = sum(vocab_py.values())
+    u = {
+        p: math.floor(
+            1e6 * (portable_ln_py(float(f)) - portable_ln_py(float(ftot)))
+        )
+        for p, f in vocab_py.items()
+    }
+    for w in wcount:
+        best = [(0, 0)]
+        for i in range(1, len(w) + 1):
+            cands = [
+                (best[i - j][0] + u[w[i - j : i]], j)
+                for j in range(1, min(MAX_PIECE, i) + 1)
+                if w[i - j : i] in u
+            ]
+            best.append(max(cands))
+        out, pos = [], len(w)
+        while pos > 0:
+            j = best[pos][1]
+            out.append(w[pos - j : pos])
+            pos -= j
+        expect = out[::-1]
+        assert got[w] == expect, (w, got[w], expect)
+        assert "".join(got[w]) == w  # segmentation is lossless
