@@ -279,3 +279,73 @@ def unigram_encode_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("pieces_per_word"),
         )
     )
+
+
+def unigram_em_round2(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """TWO chained hard-EM rounds — the proof the loop composes (the
+    bpe_merge_table K-merge discipline): round 1 exactly as
+    :func:`unigram_em_round`, then PRUNE (drop zero-usage pieces,
+    keeping all single chars — SentencePiece's coverage guarantee),
+    RE-SCORE from round-1 usage (zero-usage singles take the smoothed
+    ln(1/total) floor), and re-run Viterbi under the round-2 scores.
+
+    Output: (piece, piece_len, round1_count, viterbi_count, kept,
+    new_score_units) over the round-2 vocabulary — the artifact after
+    one full prune-and-refit cycle."""
+    wd = word_dictionary(docs, text_col).localCheckpoint(eager=True)
+    v1 = seed_vocab(wd).localCheckpoint(eager=True)
+    used1 = (
+        viterbi_segments(wd, v1)
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("vc"))
+    )
+    r1 = v1.select("piece").join(used1, "piece", "left").select(
+        "piece", F.coalesce(F.col("vc"), F.lit(0)).cast("long").alias("vc")
+    )
+    vtot1 = r1.agg(F.sum("vc").cast("long").alias("__vt"))
+    v2 = (
+        r1.join(F.broadcast(vtot1))
+        .filter((F.col("vc") > 0) | (F.length("piece") == 1))
+        .select(
+            "piece",
+            F.col("vc").alias("round1_count"),
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    portable_ln(F.greatest(F.col("vc"), F.lit(1)).cast("double"))
+                    - portable_ln(F.col("__vt").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    used2 = (
+        viterbi_segments(wd, v2)
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("vc2"))
+    )
+    j = v2.join(used2, "piece", "left").select(
+        "piece",
+        "round1_count",
+        F.coalesce(F.col("vc2"), F.lit(0)).cast("long").alias("vc2"),
+    )
+    vtot2 = j.agg(F.sum("vc2").cast("long").alias("__vt2"))
+    return j.join(F.broadcast(vtot2)).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "round1_count",
+        F.col("vc2").alias("viterbi_count"),
+        (F.col("vc2") > 0).alias("kept"),
+        F.when(
+            F.col("vc2") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    portable_ln(F.col("vc2").cast("double"))
+                    - portable_ln(F.col("__vt2").cast("double"))
+                )
+            ).cast("long"),
+        ).alias("new_score_units"),
+    )

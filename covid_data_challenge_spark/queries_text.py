@@ -2304,42 +2304,61 @@ def _unigram_oracle_sql(
         if s + j - 1 <= max_word
     )
 
-    dp_ctes = []
-    for i in range(1, max_word + 1):
-        cands = []
-        for j in range(1, min(max_piece, i) + 1):
-            s = i - j + 1
-            prev = "CAST(0 AS BIGINT)" if i - j == 0 else pt(f"b{i - j}")
-            cands.append(
-                f"CASE WHEN s_{s}_{j} IS NOT NULL THEN ({prev} + s_{s}_{j}) * 8 + {j} "
-                f"ELSE CAST({-(2**50)} AS BIGINT) END"
+    def dp_block(px: str, src: str) -> tuple[str, str]:
+        """Prefixed DP + backtrack + pieces CTE block reading the score
+        pivot ``src`` (columns w, n, lw, s_{start}_{len}). Returns
+        (ctes_sql, pieces_cte_name). All chained CTEs are MATERIALIZED —
+        each cell references its predecessor ~8 times, and DuckDB's
+        default CTE inlining would expand the chain exponentially."""
+        dp_ctes = []
+        for i in range(1, max_word + 1):
+            cands = []
+            for j in range(1, min(max_piece, i) + 1):
+                s = i - j + 1
+                prev = "CAST(0 AS BIGINT)" if i - j == 0 else pt(f"{px}b{i - j}")
+                cands.append(
+                    f"CASE WHEN s_{s}_{j} IS NOT NULL THEN ({prev} + s_{s}_{j}) * 8 + {j} "
+                    f"ELSE CAST({-(2**50)} AS BIGINT) END"
+                )
+            expr = cands[0] if len(cands) == 1 else "greatest(" + ", ".join(cands) + ")"
+            frm = src if i == 1 else f"{px}d{i - 1}"
+            dp_ctes.append(
+                f"{px}d{i} AS MATERIALIZED (SELECT *, {expr} AS {px}b{i} FROM {frm})"
             )
-        expr = cands[0] if len(cands) == 1 else "greatest(" + ", ".join(cands) + ")"
-        src = "ss" if i == 1 else f"d{i - 1}"
-        dp_ctes.append(f"d{i} AS MATERIALIZED (SELECT *, {expr} AS b{i} FROM {src})")
 
-    bt_ctes = []
-    b_of_pos_tpl = (
-        "CASE {pos} "
-        + " ".join(f"WHEN {p} THEN b{p}" for p in range(1, max_word + 1))
-        + " ELSE CAST(0 AS BIGINT) END"
-    )
-    prev_src = f"d{max_word}"
-    bt_ctes.append(f"t0 AS MATERIALIZED (SELECT *, CAST(lw AS INT) AS pos_0 FROM {prev_src})")
-    for k in range(1, max_word + 1):
-        b_at = b_of_pos_tpl.format(pos=f"pos_{k - 1}")
-        bt_ctes.append(
-            f"""tj{k} AS MATERIALIZED (SELECT *, CASE WHEN pos_{k - 1} > 0 THEN {pj(f'({b_at})')} ELSE 0 END AS j_{k} FROM t{k - 1})"""
+        bt_ctes = []
+        b_of_pos_tpl = (
+            "CASE {pos} "
+            + " ".join(f"WHEN {p} THEN {px}b{p}" for p in range(1, max_word + 1))
+            + " ELSE CAST(0 AS BIGINT) END"
         )
         bt_ctes.append(
-            f"""t{k} AS MATERIALIZED (SELECT *,
-    CASE WHEN pos_{k - 1} > 0 THEN substr(w, CAST(pos_{k - 1} - j_{k} + 1 AS INT), CAST(j_{k} AS INT)) END AS piece_{k},
-    CAST(CASE WHEN pos_{k - 1} > 0 THEN pos_{k - 1} - j_{k} ELSE 0 END AS INT) AS pos_{k} FROM tj{k})"""
+            f"{px}t0 AS MATERIALIZED (SELECT *, CAST(lw AS INT) AS {px}pos_0 "
+            f"FROM {px}d{max_word})"
         )
-    piece_union = "\n    UNION ALL ".join(
-        f"SELECT w, n, piece_{k} AS piece FROM t{max_word} WHERE piece_{k} IS NOT NULL"
-        for k in range(1, max_word + 1)
-    )
+        for k in range(1, max_word + 1):
+            b_at = b_of_pos_tpl.format(pos=f"{px}pos_{k - 1}")
+            bt_ctes.append(
+                f"""{px}tj{k} AS MATERIALIZED (SELECT *, CASE WHEN {px}pos_{k - 1} > 0 THEN {pj(f'({b_at})')} ELSE 0 END AS {px}j_{k} FROM {px}t{k - 1})"""
+            )
+            bt_ctes.append(
+                f"""{px}t{k} AS MATERIALIZED (SELECT *,
+    CASE WHEN {px}pos_{k - 1} > 0 THEN substr(w, CAST({px}pos_{k - 1} - {px}j_{k} + 1 AS INT), CAST({px}j_{k} AS INT)) END AS {px}piece_{k},
+    CAST(CASE WHEN {px}pos_{k - 1} > 0 THEN {px}pos_{k - 1} - {px}j_{k} ELSE 0 END AS INT) AS {px}pos_{k} FROM {px}tj{k})"""
+            )
+        piece_union = "\n    UNION ALL ".join(
+            f"SELECT w, n, {px}piece_{k} AS piece FROM {px}t{max_word} "
+            f"WHERE {px}piece_{k} IS NOT NULL"
+            for k in range(1, max_word + 1)
+        )
+        ctes = ",".join(dp_ctes) + ",\n" + ",".join(bt_ctes) + f""",
+{px}pieces AS (
+    {piece_union}
+)"""
+        return ctes, f"{px}pieces"
+
+    r1_block, _ = dp_block("", "ss")
+    dp_ctes_sql = r1_block  # round-1 names stay unprefixed (b1, t1, pieces)
 
     chain = f"""inst AS (
     SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
@@ -2379,11 +2398,7 @@ ss AS MATERIALIZED (
            {score_cols}
     FROM seg GROUP BY w, n, len(w)
 ),
-{",".join(dp_ctes)},
-{",".join(bt_ctes)},
-pieces AS (
-    {piece_union}
-)"""
+{dp_ctes_sql}"""
     if tail == "encode":
         return f"""
 WITH {chain},
@@ -2401,16 +2416,18 @@ SELECT d.doc_id,
 FROM docw d JOIN wpc USING (w)
 GROUP BY d.doc_id
 """
-    return f"""
-WITH {chain},
-used AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc FROM pieces GROUP BY 1),
+    em_ctes = f"""used AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc FROM pieces GROUP BY 1),
 j2 AS (
     SELECT v.piece, v.f, CAST(coalesce(u2.vc, 0) AS BIGINT) AS vc
     FROM vocab v LEFT JOIN used u2 USING (piece)
 ),
 vtot AS (SELECT CAST(sum(vc) AS BIGINT) AS vtot FROM j2),
 nst AS (SELECT piece, f, vc, {n_stage} FROM j2 CROSS JOIN vtot),
-nln AS (SELECT piece, f, vc, {n_final} FROM nst)
+nln AS (SELECT piece, f, vc, {n_final} FROM nst)"""
+    if tail == "em":
+        return f"""
+WITH {chain},
+{em_ctes}
 SELECT piece,
        CAST(len(piece) AS INT) AS piece_len,
        f AS seed_freq,
@@ -2420,6 +2437,52 @@ SELECT piece,
             THEN CAST(floor(1000000.0 * (l_vc - l_vt)) AS BIGINT)
        END AS new_score_units
 FROM nln
+"""
+    # tail == "em2": prune (keep vc>0 ∪ all singles), re-score from
+    # round-1 usage (zero-usage singles take the smoothed ln(1/total)
+    # floor — the greatest(vc,1) already staged in nln), re-run the DP
+    r2_block, r2_pieces = dp_block("r2", "ss2")
+    n2_stage, n2_final = portable_ln_sql_stages(
+        {
+            "l_v2": "CAST(greatest(vc2, 1) AS DOUBLE)",
+            "l_t2": "CAST(vt2 AS DOUBLE)",
+        }
+    )
+    return f"""
+WITH {chain},
+{em_ctes},
+v2 AS (
+    SELECT piece, vc AS round1_count,
+           CAST(floor(1000000.0 * (l_vc - l_vt)) AS BIGINT) AS u
+    FROM nln WHERE vc > 0 OR len(piece) = 1
+),
+seg2 AS (
+    SELECT s.w, s.n, s.start, s.len, v.u
+    FROM subs s JOIN v2 v USING (piece)
+),
+ss2 AS MATERIALIZED (
+    SELECT w, n, len(w) AS lw,
+           {score_cols}
+    FROM seg2 GROUP BY w, n, len(w)
+),
+{r2_block},
+used2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc2 FROM {r2_pieces} GROUP BY 1),
+j3 AS (
+    SELECT v.piece, v.round1_count, CAST(coalesce(u3.vc2, 0) AS BIGINT) AS vc2
+    FROM v2 v LEFT JOIN used2 u3 USING (piece)
+),
+vtot2 AS (SELECT CAST(sum(vc2) AS BIGINT) AS vt2 FROM j3),
+n2st AS (SELECT piece, round1_count, vc2, {n2_stage} FROM j3 CROSS JOIN vtot2),
+n2ln AS (SELECT piece, round1_count, vc2, {n2_final} FROM n2st)
+SELECT piece,
+       CAST(len(piece) AS INT) AS piece_len,
+       round1_count,
+       vc2 AS viterbi_count,
+       vc2 > 0 AS kept,
+       CASE WHEN vc2 > 0
+            THEN CAST(floor(1000000.0 * (l_v2 - l_t2)) AS BIGINT)
+       END AS new_score_units
+FROM n2ln
 """
 
 
@@ -2461,3 +2524,22 @@ def q_unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.unigram import unigram_encode_stats
 
     return unigram_encode_stats(_docs(spark, sf_dir))
+
+
+@register("unigram_lm_em2", oracle=_unigram_oracle_sql(tail="em2"))
+def q_unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained unigram-LM hard-EM rounds — the proof the training
+    loop composes: round 1 exactly as `unigram_lm_em`, then PRUNE
+    zero-usage pieces (keeping all single chars, SentencePiece's
+    coverage guarantee), RE-SCORE from round-1 usage, and re-run the
+    Viterbi DP under the round-2 scores. Pieces the re-scored model
+    abandons (or adopts — a piece can gain usage once its competitors
+    are pruned) show up in the round-2 counts.
+
+    The oracle chains BOTH DP unrolls (prefixed CTE blocks, all
+    MATERIALIZED) — the same integer micro-nat cells, so two full EM
+    rounds stay hash-exact end to end (operators/unigram.py:
+    unigram_em_round2)."""
+    from covid_data_challenge_spark.operators.unigram import unigram_em_round2
+
+    return unigram_em_round2(_docs(spark, sf_dir))

@@ -1366,6 +1366,48 @@ def test_unigram_em_round_matches_python_viterbi(spark):
     assert got["tab"].kept or got["table"].kept
     assert any(not r.kept for r in got.values())  # the prune set exists
 
+    # ---- round 2 (unigram_em_round2): prune → re-score → re-segment ----
+    from covid_data_challenge_spark.operators.unigram import unigram_em_round2
+
+    got2 = {r.piece: r for r in unigram_em_round2(docs).collect()}
+    v2 = {p for p in vocab if vc.get(p, 0) > 0 or len(p) == 1}
+    u2 = {
+        p: math.floor(
+            1e6
+            * (
+                portable_ln_py(float(max(vc.get(p, 0), 1)))
+                - portable_ln_py(float(vtot))
+            )
+        )
+        for p in v2
+    }
+
+    def viterbi2(w):
+        best = [(0, 0)]
+        for i in range(1, len(w) + 1):
+            cands = [
+                (best[i - j][0] + u2[w[i - j : i]], j)
+                for j in range(1, min(MAX_PIECE, i) + 1)
+                if w[i - j : i] in u2
+            ]
+            best.append(max(cands))
+        out, pos = [], len(w)
+        while pos > 0:
+            j = best[pos][1]
+            out.append(w[pos - j : pos])
+            pos -= j
+        return out[::-1]
+
+    vc2 = Counter()
+    for w, n in wd.items():
+        for p in viterbi2(w):
+            vc2[p] += n
+    assert set(got2) == v2
+    for p, r in got2.items():
+        assert r.round1_count == vc.get(p, 0), p
+        assert r.viterbi_count == vc2.get(p, 0), p
+        assert r.kept == (vc2.get(p, 0) > 0), p
+
 
 def test_hybrid_rrf_top_doc_dominates_both_rankers(spark, monkeypatch):
     """RRF fusion (r6): a document that dominates BOTH rankers (every
