@@ -2543,3 +2543,285 @@ def q_unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.unigram import unigram_em_round2
 
     return unigram_em_round2(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: retrieval evaluation harness — nDCG@10 / MRR@10 / P@10 for
+# the two lexical rankers against a graded pseudo-relevance standard
+# (relevance = distinct query terms matched − 1, gains 0/1/3). Completes
+# the retrieval story: build (inverted index), serve (bm25/QL/RRF),
+# EVALUATE.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: DCG position discounts 1/log2(i+1), i = 1..10 — Python-computed
+#: double literals embedded identically in both engines.
+_DCG_W = tuple(1.0 / _math.log2(i + 1) for i in range(1, 11))
+
+
+def _retrieval_eval_oracle() -> str:
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+
+    ql_stage, ql_final = portable_ln_sql_stages(
+        {
+            "l_ql": (
+                "((CAST(tf AS DOUBLE) + (100.0 * (CAST(cf AS DOUBLE) / CAST(ctot AS DOUBLE))))"
+                " / (CAST(dl AS DOUBLE) + 100.0))"
+            )
+        }
+    )
+    # per-rank DCG term: floor(1e9 · gain · w_rank)
+    w_case = (
+        "CASE rank "
+        + " ".join(
+            f"WHEN {i + 1} THEN CAST({w!r} AS DOUBLE)"
+            for i, w in enumerate(_DCG_W)
+        )
+        + " END"
+    )
+    # ideal gains: c3 threes, then c1 ones, cut at 10
+    idcg_terms = " + ".join(
+        f"CAST(floor(1000000000.0 * CAST((CASE WHEN {i} <= c3 THEN 3 "
+        f"WHEN {i} <= c3 + c1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"* CAST({w!r} AS DOUBLE)) AS BIGINT)"
+        for i, w in enumerate(_DCG_W, start=1)
+    )
+
+    def ranked(name: str, order: str) -> str:
+        return f"""{name} AS (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY {order}) AS INT) AS rank
+    FROM scored ORDER BY {order} LIMIT 10
+)"""
+
+    def metrics(name: str, label: str) -> str:
+        return f"""
+SELECT '{label}' AS ranker,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_candidates,
+       round(CAST(sum(CAST(floor(1000000000.0 * CAST(g.gain AS DOUBLE) * ({w_case})) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0, 6) AS dcg_at_10,
+       CASE WHEN (SELECT idcg_units FROM idcg) > 0
+            THEN round(CAST(sum(CAST(floor(1000000000.0 * CAST(g.gain AS DOUBLE) * ({w_case}))
+                                AS BIGINT)) AS DOUBLE)
+                       / CAST((SELECT idcg_units FROM idcg) AS DOUBLE), 6)
+            ELSE 0.0 END AS ndcg_at_10,
+       round(coalesce(1.0 / CAST(min(CASE WHEN g.gain > 0 THEN rank END)
+                                 AS DOUBLE), 0.0), 6) AS mrr_at_10,
+       CAST(sum(CASE WHEN g.gain > 0 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+           AS precision_at_10
+FROM {name} r JOIN gains g USING (doc_id)
+"""
+
+    return f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+inst AS (SELECT doc_id, unnest(w) AS term FROM docs),
+ctot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM inst),
+cf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cf FROM inst
+    WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM inst
+    WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+gains AS (
+    SELECT doc_id,
+           CASE count(DISTINCT term) - 1 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+               AS gain
+    FROM tf GROUP BY doc_id
+),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+bm AS (
+    SELECT tf.doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ({_BM25_K1} + 1)
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS s_bm25
+    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY 1
+),
+qgrid AS (
+    SELECT c.doc_id, q.term, coalesce(t.tf, 0) AS tf, dl.dl, cf.cf, ctot.ctot
+    FROM cand c
+    CROSS JOIN (SELECT unnest(['spark', 'vector', 'stream']) AS term) q
+    LEFT JOIN tf t ON c.doc_id = t.doc_id AND q.term = t.term
+    JOIN dl ON c.doc_id = dl.doc_id
+    JOIN cf ON q.term = cf.term
+    CROSS JOIN ctot
+),
+qstaged AS (SELECT doc_id, {ql_stage} FROM qgrid),
+qlns AS (SELECT doc_id, {ql_final} FROM qstaged),
+ql AS (
+    SELECT doc_id,
+           CAST(sum(CAST(floor(1000000.0 * l_ql) AS BIGINT)) AS BIGINT) AS s_ql_units
+    FROM qlns GROUP BY 1
+),
+scored AS (SELECT b.doc_id, b.s_bm25, q.s_ql_units FROM bm b JOIN ql q USING (doc_id)),
+idcg AS (
+    SELECT {idcg_terms} AS idcg_units
+    FROM (
+        SELECT CAST(sum(CASE WHEN gain = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM gains
+    )
+),
+{ranked("top_bm", "s_bm25 DESC, doc_id")},
+{ranked("top_ql", "s_ql_units DESC, doc_id")}
+{metrics("top_bm", "bm25")}
+UNION ALL
+{metrics("top_ql", "query_likelihood")}
+"""
+
+
+@register("retrieval_eval_report", oracle=_retrieval_eval_oracle())
+def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness for the fixed 3-term query: graded
+    pseudo-relevance (distinct query terms matched − 1 → gains 0/1/3),
+    and per ranker (BM25, Dirichlet query likelihood) the standard IR
+    metrics — DCG@10/nDCG@10 with 1/log2(i+1) discounts, MRR@10, P@10.
+    The eval half every retrieval stack needs next to its serving path;
+    at scale the pseudo-relevance table is replaced by a labeled qrels
+    gold table and nothing else changes.
+
+    Determinism: gains are integers; each DCG term quantizes
+    gain·w_rank to integer 1e-9 units BEFORE summation (w_rank are
+    Python-computed double literals embedded identically in both
+    engines); the ideal DCG is a closed form over the gain-level counts
+    (c₃ threes then c₁ ones, cut at 10); nDCG divides two exact
+    integers. Rankings reuse the hybrid_rrf ranking keys (rounded BM25,
+    micro-nat QL units) so rank order is engine-identical; the top-10
+    window sits above a GlobalLimit, bounded by construction."""
+    from pyspark.sql import Window
+
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    docs = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("w"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    inst = docs.select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+    ctot = inst.agg(F.count(F.lit(1)).cast("long").alias("ctot"))
+    qinst = inst.filter(F.col("term").isin(*_BM25_TERMS))
+    cf = qinst.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tf = qinst.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl")
+    ).localCheckpoint(eager=True)
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    gains = tf.groupBy("doc_id").agg(
+        F.when(F.countDistinct("term") - 1 == 2, 3)
+        .when(F.countDistinct("term") - 1 == 1, 1)
+        .otherwise(0)
+        .alias("gain")
+    )
+
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_td = (
+        F.col("tf")
+        * F.lit(k1 + 1)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * w_td), 6).alias("s_bm25"))
+    )
+    cand = tf.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    qgrid = (
+        cand.join(F.broadcast(terms))
+        .join(tf.select("doc_id", "term", "tf"), ["doc_id", "term"], "left")
+        .join(F.broadcast(cf), "term")
+        .join(F.broadcast(ctot))
+        .select("doc_id", F.coalesce(F.col("tf"), F.lit(0)).alias("tf"), "dl", "cf", "ctot")
+    )
+    l_ql = portable_ln(
+        (
+            F.col("tf").cast("double")
+            + (F.lit(100.0) * (F.col("cf").cast("double") / F.col("ctot").cast("double")))
+        )
+        / (F.col("dl").cast("double") + F.lit(100.0))
+    )
+    ql = (
+        qgrid.select("doc_id", F.floor(F.lit(1000000.0) * l_ql).cast("long").alias("__u"))
+        .groupBy("doc_id")
+        .agg(F.sum("__u").cast("long").alias("s_ql_units"))
+    )
+    scored = bm.join(ql, "doc_id").localCheckpoint(eager=True)
+    n_cand = scored.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    lvl = gains.agg(
+        F.sum(F.when(F.col("gain") == 3, 1).otherwise(0)).cast("long").alias("c3"),
+        F.sum(F.when(F.col("gain") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    ideal_g = [
+        F.when(F.lit(i) <= F.col("c3"), 3)
+        .when(F.lit(i) <= F.col("c3") + F.col("c1"), 1)
+        .otherwise(0)
+        for i in range(1, 11)
+    ]
+    idcg = lvl.select(
+        sum(
+            (
+                F.floor(F.lit(1000000000.0) * g.cast("double") * F.lit(w)).cast("long")
+                for g, w in zip(ideal_g, _DCG_W)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("idcg_units")
+    )
+    w_rank = F.element_at(F.array(*[F.lit(w) for w in _DCG_W]), F.col("rank"))
+
+    def metrics(order_cols, label: str) -> DataFrame:
+        top = scored.orderBy(*order_cols).limit(10)
+        ranked = top.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order_cols)).cast("int")
+        ).join(gains, "doc_id")
+        term_u = F.floor(
+            F.lit(1000000000.0) * F.col("gain").cast("double") * w_rank
+        ).cast("long")
+        return (
+            ranked.agg(
+                F.lit(label).alias("ranker"),
+                F.sum(term_u).cast("long").alias("__dcg_units"),
+                F.min(F.when(F.col("gain") > 0, F.col("rank"))).alias("__first"),
+                F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).alias("__nrel"),
+            )
+            .join(F.broadcast(n_cand))
+            .join(F.broadcast(idcg))
+            .select(
+                "ranker",
+                "n_candidates",
+                F.round(
+                    F.col("__dcg_units").cast("double") / F.lit(1000000000.0), 6
+                ).alias("dcg_at_10"),
+                F.when(
+                    F.col("idcg_units") > 0,
+                    F.round(
+                        F.col("__dcg_units").cast("double")
+                        / F.col("idcg_units").cast("double"),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("ndcg_at_10"),
+                F.round(
+                    F.coalesce(
+                        F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("mrr_at_10"),
+                (F.col("__nrel").cast("double") / F.lit(10.0)).alias(
+                    "precision_at_10"
+                ),
+            )
+        )
+
+    bm_m = metrics([F.col("s_bm25").desc(), F.col("doc_id")], "bm25")
+    ql_m = metrics([F.col("s_ql_units").desc(), F.col("doc_id")], "query_likelihood")
+    return bm_m.unionByName(ql_m)

@@ -1438,6 +1438,40 @@ def test_hybrid_rrf_top_doc_dominates_both_rankers(spark, monkeypatch):
         assert abs(r.rrf_score - round(want, 6)) < 1e-9
 
 
+def test_retrieval_eval_report_hand_computed(spark, monkeypatch):
+    """IR eval harness (r6) on a fixture where the ideal ranking is
+    forced: the all-terms doc must head both rankers (MRR 1.0), the
+    graded order (gain 3 → 1 → 0) matches the ideal so nDCG@10 = 1.0,
+    and P@10 counts exactly the gain>0 docs."""
+    import math
+
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = [
+        (0, "spark vector stream extra words here", "en", "s", 1),
+        (1, "spark vector words and words here now", "en", "s", 1),
+        (2, "spark words only in this document now", "en", "s", 1),
+        (3, "none of the terms appear here at all", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = {r.ranker: r for r in
+           REGISTRY["retrieval_eval_report"].spark(spark, "unused").collect()}
+    assert set(out) == {"bm25", "query_likelihood"}
+    w = [1.0 / math.log2(i + 1) for i in range(1, 11)]
+    # ideal DCG for gains [3, 1, 0]: quantized exactly as the engines do
+    ideal_units = math.floor(1e9 * 3.0 * w[0]) + math.floor(1e9 * 1.0 * w[1])
+    for r in out.values():
+        assert r.n_candidates == 3
+        assert r.mrr_at_10 == 1.0  # the gain-3 doc leads both rankings
+        assert abs(r.precision_at_10 - 0.2) < 1e-12  # 2 of 10 slots relevant
+        assert r.ndcg_at_10 == 1.0  # ranking 3 > 1 > 0 IS the ideal order
+        assert abs(r.dcg_at_10 - round(ideal_units / 1e9, 6)) < 1e-9
+
+
 def test_gopher_repetition_known_fractions(spark, monkeypatch):
     """Hand-checkable repetition battery values: a doc that is one
     2-gram repeated 3 times vs a doc with all-distinct tokens."""
