@@ -102,6 +102,9 @@ EXTENSION = [
     "hybrid_rrf_retrieval",
     "unigram_lm_em",
     "unigram_encode_stats",
+    # round 6 late wave: two chained EM rounds and the IR eval harness
+    "unigram_lm_em2",
+    "retrieval_eval_report",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
