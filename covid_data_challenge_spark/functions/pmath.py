@@ -61,6 +61,54 @@ def portable_ln(x: Column) -> Column:
     return F.when(x < 1, -ln_y).otherwise(ln_y)
 
 
+def portable_ln_let(x: Column) -> Column:
+    """:func:`portable_ln` with let-bound internals — bit-identical
+    output, compact expression tree.
+
+    ``portable_ln`` reuses its Python locals (y inside e/m, z inside the
+    Horner chain), so the Column DAG expands to a TREE of thousands of
+    nodes. Codegen's subexpression elimination collapses it again — but
+    ONLY when the expression is unconditional: inside a ``CASE WHEN``
+    branch elimination is disabled, the generated method crosses
+    janino's 64 KB limit, and the whole stage silently falls back to
+    interpreted execution (the r6 ``unigram_lm_em*`` defect; the
+    ``ERROR CodeGenerator`` stack trace in BENCH_r06.json's tail).
+
+    Here every intermediate is bound ONCE through :func:`let`
+    (single-element-array transform), so the tree stays ~linear in the
+    series length. The arithmetic and association are identical —
+    outputs are bit-equal to :func:`portable_ln` — but the HOF nodes
+    evaluate interpreted, so use THIS variant inside conditionals /
+    vocab-sized projections and keep plain ``portable_ln`` on
+    unconditional hot paths where elimination works and codegen wins."""
+    from covid_data_challenge_spark.functions.text import let
+
+    def with_y(y: Column) -> Column:
+        def with_e(e: Column) -> Column:
+            p2 = F.call_function("shiftleft", F.lit(1).cast("long"), e).cast("double")
+
+            def with_m(m: Column) -> Column:
+                def with_z(z: Column) -> Column:
+                    def with_z2(z2: Column) -> Column:
+                        acc = F.lit(COEFFS[-1])
+                        for c in reversed(COEFFS[:-1]):
+                            acc = F.lit(c) + z2 * acc
+                        return e.cast("double") * F.lit(LN2) + F.lit(2.0) * (z * acc)
+
+                    return let(z * z, with_z2)
+
+                return let((m - F.lit(1.0)) / (m + F.lit(1.0)), with_z)
+
+            return let(y / p2, with_m)
+
+        return let(F.length(F.bin(F.floor(y).cast("long"))) - F.lit(1), with_e)
+
+    ln_y = let(
+        F.when(x < 1, F.lit(1.0) / x).otherwise(x.cast("double")), with_y
+    )
+    return F.when(x < 1, -ln_y).otherwise(ln_y)
+
+
 def portable_ln_sql_stages(args: dict[str, str]) -> tuple[str, str]:
     """DuckDB replay of :func:`portable_ln` for several inputs at once.
 

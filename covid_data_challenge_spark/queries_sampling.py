@@ -1534,9 +1534,19 @@ def q_corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- contamination: worst partner per source ---
-    sh = docs.select(
-        "source", F.explode(word_shingle_expr(F.col("text"), 3)).alias("s")
-    ).distinct()
+    # the distinct (source, shingle) frame feeds THREE consumers (the
+    # per-source sizes and both sides of the overlap self-join) — without
+    # a boundary the shingle explode+distinct shuffle runs three times
+    # (this was most of the r6 51-exchange plan). Checkpoint once; the
+    # frame is distinct-shingle-bounded (vocabulary × |sources|), the
+    # same scale class as the inverted-index gold tables.
+    sh = (
+        docs.select(
+            "source", F.explode(word_shingle_expr(F.col("text"), 3)).alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = sh.select(F.col("source").alias("src_a"), "s")
     b = sh.select(F.col("source").alias("src_b"), "s")
@@ -1566,6 +1576,10 @@ def q_corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
+        # ≤ |sources|² rows and consumed twice (max-overlap + top-partner
+        # branches, the second of which ALSO re-joins the first) — without
+        # a boundary the shingle self-join re-runs three more times
+        .localCheckpoint(eager=True)
     )
     both_dir = cj.select(
         F.col("src_a").alias("source"), F.col("src_b").alias("partner"), "jaccard"

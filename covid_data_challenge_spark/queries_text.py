@@ -2438,51 +2438,65 @@ SELECT piece,
        END AS new_score_units
 FROM nln
 """
-    # tail == "em2": prune (keep vc>0 ∪ all singles), re-score from
-    # round-1 usage (zero-usage singles take the smoothed ln(1/total)
-    # floor — the greatest(vc,1) already staged in nln), re-run the DP
-    r2_block, r2_pieces = dp_block("r2", "ss2")
-    n2_stage, n2_final = portable_ln_sql_stages(
-        {
-            "l_v2": "CAST(greatest(vc2, 1) AS DOUBLE)",
-            "l_t2": "CAST(vt2 AS DOUBLE)",
-        }
-    )
+    # tail == "em{k}", k >= 2: k−1 prune-and-refit cycles. Each round r:
+    # prune (keep vc>0 ∪ all singles), re-score from round r−1 usage
+    # (zero-usage singles take the smoothed ln(1/total) floor — the
+    # greatest(vc,1) already staged in the previous nln), re-run the DP.
+    # Round 1's CTEs keep their historical unprefixed names (nln carries
+    # vc / l_vc / l_vt), so r=2 reads them specially; r >= 3 is uniform.
+    k = int(tail.removeprefix("em") or "2")
+    round_ctes: list[str] = []
+    for r in range(2, k + 1):
+        src_ln = "nln" if r == 2 else f"n{r - 1}ln"
+        src_vc = "vc" if r == 2 else f"vc{r - 1}"
+        src_lv = "l_vc" if r == 2 else f"l_v{r - 1}"
+        src_lt = "l_vt" if r == 2 else f"l_t{r - 1}"
+        rb, rp = dp_block(f"r{r}", f"ss{r}")
+        st, fin = portable_ln_sql_stages(
+            {
+                f"l_v{r}": f"CAST(greatest(vc{r}, 1) AS DOUBLE)",
+                f"l_t{r}": f"CAST(vt{r} AS DOUBLE)",
+            }
+        )
+        round_ctes.append(
+            f"""v{r} AS (
+    SELECT piece, {src_vc} AS round{r - 1}_count,
+           CAST(floor(1000000.0 * ({src_lv} - {src_lt})) AS BIGINT) AS u
+    FROM {src_ln} WHERE {src_vc} > 0 OR len(piece) = 1
+),
+seg{r} AS (
+    SELECT s.w, s.n, s.start, s.len, v.u
+    FROM subs s JOIN v{r} v USING (piece)
+),
+ss{r} AS MATERIALIZED (
+    SELECT w, n, len(w) AS lw,
+           {score_cols}
+    FROM seg{r} GROUP BY w, n, len(w)
+),
+{rb},
+used{r} AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc{r} FROM {rp} GROUP BY 1),
+j{r + 1} AS (
+    SELECT v.piece, v.round{r - 1}_count, CAST(coalesce(u{r + 1}.vc{r}, 0) AS BIGINT) AS vc{r}
+    FROM v{r} v LEFT JOIN used{r} u{r + 1} USING (piece)
+),
+vtot{r} AS (SELECT CAST(sum(vc{r}) AS BIGINT) AS vt{r} FROM j{r + 1}),
+n{r}st AS (SELECT piece, round{r - 1}_count, vc{r}, {st} FROM j{r + 1} CROSS JOIN vtot{r}),
+n{r}ln AS (SELECT piece, round{r - 1}_count, vc{r}, {fin} FROM n{r}st)"""
+        )
+    rounds_sql = ",\n".join(round_ctes)
     return f"""
 WITH {chain},
 {em_ctes},
-v2 AS (
-    SELECT piece, vc AS round1_count,
-           CAST(floor(1000000.0 * (l_vc - l_vt)) AS BIGINT) AS u
-    FROM nln WHERE vc > 0 OR len(piece) = 1
-),
-seg2 AS (
-    SELECT s.w, s.n, s.start, s.len, v.u
-    FROM subs s JOIN v2 v USING (piece)
-),
-ss2 AS MATERIALIZED (
-    SELECT w, n, len(w) AS lw,
-           {score_cols}
-    FROM seg2 GROUP BY w, n, len(w)
-),
-{r2_block},
-used2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc2 FROM {r2_pieces} GROUP BY 1),
-j3 AS (
-    SELECT v.piece, v.round1_count, CAST(coalesce(u3.vc2, 0) AS BIGINT) AS vc2
-    FROM v2 v LEFT JOIN used2 u3 USING (piece)
-),
-vtot2 AS (SELECT CAST(sum(vc2) AS BIGINT) AS vt2 FROM j3),
-n2st AS (SELECT piece, round1_count, vc2, {n2_stage} FROM j3 CROSS JOIN vtot2),
-n2ln AS (SELECT piece, round1_count, vc2, {n2_final} FROM n2st)
+{rounds_sql}
 SELECT piece,
        CAST(len(piece) AS INT) AS piece_len,
-       round1_count,
-       vc2 AS viterbi_count,
-       vc2 > 0 AS kept,
-       CASE WHEN vc2 > 0
-            THEN CAST(floor(1000000.0 * (l_v2 - l_t2)) AS BIGINT)
+       round{k - 1}_count,
+       vc{k} AS viterbi_count,
+       vc{k} > 0 AS kept,
+       CASE WHEN vc{k} > 0
+            THEN CAST(floor(1000000.0 * (l_v{k} - l_t{k})) AS BIGINT)
        END AS new_score_units
-FROM n2ln
+FROM n{k}ln
 """
 
 
@@ -2543,6 +2557,26 @@ def q_unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.unigram import unigram_em_round2
 
     return unigram_em_round2(_docs(spark, sf_dir))
+
+
+@register("unigram_lm_em3", oracle=_unigram_oracle_sql(tail="em3"))
+def q_unigram_lm_em3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE chained unigram-LM hard-EM rounds via the k-round trainer
+    loop (`unigram_em_rounds(docs, 3)` — Kudo 2018 §3.2's real
+    SentencePiece shape, not a fixed two-step): seed → Viterbi →
+    prune/re-score → Viterbi → prune/re-score → Viterbi. Each round's
+    re-scored vocabulary is eagerly checkpointed, which is both the
+    loop's O(1)-lineage guarantee AND what keeps every Viterbi DP
+    compiling as its own whole-stage-codegen stage (janino's 64 KB
+    method limit — the r6 `unigram_lm_em2` fallback lesson).
+
+    The oracle chains all three DP unrolls (prefixed MATERIALIZED CTE
+    blocks) over the same integer micro-nat cells, so three full EM
+    rounds stay hash-exact end to end (operators/unigram.py:
+    unigram_em_rounds)."""
+    from covid_data_challenge_spark.operators.unigram import unigram_em_rounds
+
+    return unigram_em_rounds(_docs(spark, sf_dir), 3)
 
 
 # ---------------------------------------------------------------------------

@@ -1408,6 +1408,59 @@ def test_unigram_em_round_matches_python_viterbi(spark):
         assert r.viterbi_count == vc2.get(p, 0), p
         assert r.kept == (vc2.get(p, 0) > 0), p
 
+    # ---- round 3 (unigram_em_rounds k=3): one more prune/re-fit ----
+    from covid_data_challenge_spark.operators.unigram import unigram_em_rounds
+
+    got3 = {r.piece: r for r in unigram_em_rounds(docs, 3).collect()}
+    vtot2 = sum(vc2.values())
+    v3 = {p for p in v2 if vc2.get(p, 0) > 0 or len(p) == 1}
+    u3 = {
+        p: math.floor(
+            1e6
+            * (
+                portable_ln_py(float(max(vc2.get(p, 0), 1)))
+                - portable_ln_py(float(vtot2))
+            )
+        )
+        for p in v3
+    }
+
+    def viterbi3(w):
+        best = [(0, 0)]
+        for i in range(1, len(w) + 1):
+            cands = [
+                (best[i - j][0] + u3[w[i - j : i]], j)
+                for j in range(1, min(MAX_PIECE, i) + 1)
+                if w[i - j : i] in u3
+            ]
+            best.append(max(cands))
+        out, pos = [], len(w)
+        while pos > 0:
+            j = best[pos][1]
+            out.append(w[pos - j : pos])
+            pos -= j
+        return out[::-1]
+
+    vc3 = Counter()
+    for w, n in wd.items():
+        for p in viterbi3(w):
+            vc3[p] += n
+    vtot3 = sum(vc3.values())
+    assert set(got3) == v3
+    for p, r in got3.items():
+        assert r.round2_count == vc2.get(p, 0), p
+        assert r.viterbi_count == vc3.get(p, 0), p
+        assert r.kept == (vc3.get(p, 0) > 0), p
+        if r.kept:
+            want = math.floor(
+                1e6 * (portable_ln_py(float(vc3[p])) - portable_ln_py(float(vtot3)))
+            )
+            assert r.new_score_units == want, p
+    # k=2 must reproduce unigram_em_round2 exactly (the named wrapper)
+    assert got2.keys() == {
+        r.piece for r in unigram_em_rounds(docs, 2).collect()
+    }
+
 
 def test_hybrid_rrf_top_doc_dominates_both_rankers(spark, monkeypatch):
     """RRF fusion (r6): a document that dominates BOTH rankers (every

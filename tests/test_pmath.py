@@ -93,6 +93,47 @@ def test_portable_ln_spark_bit_identity(spark):
     assert portable_ln_py(1.0) == 0.0
 
 
+def test_portable_ln_let_bit_equal_even_inside_case_when(spark):
+    """portable_ln_let (the compact let-bound tree for conditional
+    contexts — r7 fix for the janino-64KB interpreted fallback) must be
+    bit-equal to portable_ln/portable_ln_py on the same sweep, INCLUDING
+    when wrapped in a CASE WHEN branch (the shape that broke codegen),
+    with codegen fallback disabled so a 64 KB regression fails loudly."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.functions.pmath import portable_ln_let
+
+    cases = (
+        [(a, b) for a in (1, 2, 3, 7, 22, 1000, 999983) for b in (1, 3, 8, 2035, 10**6)]
+        + [(1, 1), (4, 1), (1024, 1), (1, 1024)]
+    )
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = spark.createDataFrame(cases, "a long, b long").select(
+            "a",
+            "b",
+            portable_ln_let(F.col("a").cast("double") / F.col("b")).alias("l"),
+            F.when(
+                F.col("a") > 0,
+                F.floor(
+                    F.lit(1000000.0)
+                    * (
+                        portable_ln_let(F.col("a").cast("double"))
+                        - portable_ln_let(F.col("b").cast("double"))
+                    )
+                ).cast("long"),
+            ).alias("u"),
+        )
+        for r in df.collect():
+            assert _bits(r.l) == _bits(portable_ln_py(r.a / r.b)), (r.a, r.b)
+            want = math.floor(
+                1e6 * (portable_ln_py(float(r.a)) - portable_ln_py(float(r.b)))
+            )
+            assert r.u == want, (r.a, r.b)
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
 @pytest.fixture(scope="module")
 def dsir_corpus(spark):
     """20 target docs about 'quantum physics lab', 60 raw docs: 20 near
