@@ -210,6 +210,74 @@ def bigram_lm_nll_with(
     )
 
 
+def bigram_lm_nll_multi(
+    bigram_counts: DataFrame, lms: dict[str, DataFrame]
+) -> DataFrame:
+    """Score ONE batch under SEVERAL LMs in a single pass — the fused
+    form of calling :func:`bigram_lm_nll_with` once per model
+    (moore_lewis_select's in-domain vs general passes previously ran
+    the batch-bigram distinct, the instance join, and the per-doc
+    aggregation TWICE; here each runs once, with one vocab-keyed left
+    join per model stacked on the shared distinct-bigram frame).
+
+    ``bigram_counts``: a (doc_id, bg, __k) occurrence-count frame
+    (checkpoint it — it is consumed twice: the distinct and the final
+    join). ``lms``: tag → :func:`bigram_lm_build` table. Output:
+    (doc_id, n_bigrams, nll_{tag}...). Per-model unit values are
+    bit-identical to the single-LM scorer — same smoothing fallbacks,
+    same portable-ln association, same integer micro-nat quantization
+    before the per-doc sum."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
+    per = bigram_counts.select("bg").distinct()
+    unit_cols = []
+    for tag, lm in lms.items():
+        v_row = lm.select(F.col("v").alias(f"__v_{tag}")).limit(1)
+        prefixes = (
+            lm.select(
+                F.substring_index("bg", " ", 1).alias(f"__pre_{tag}"),
+                F.col("c_a").alias(f"__pre_c_a_{tag}"),
+            )
+            .dropDuplicates([f"__pre_{tag}"])
+        )
+        per = (
+            per.join(
+                lm.select(
+                    "bg",
+                    F.col("c_ab").alias(f"__c_ab_{tag}"),
+                    F.col("c_a").alias(f"__c_a_{tag}"),
+                ),
+                "bg",
+                "left",
+            )
+            .join(
+                prefixes,
+                F.substring_index(F.col("bg"), " ", 1) == F.col(f"__pre_{tag}"),
+                "left",
+            )
+            .join(F.broadcast(v_row))
+        )
+        num = F.coalesce(F.col(f"__c_ab_{tag}"), F.lit(0)) + F.lit(1)
+        den = F.coalesce(
+            F.col(f"__c_a_{tag}"), F.col(f"__pre_c_a_{tag}"), F.lit(0)
+        ) + F.col(f"__v_{tag}")
+        unit_cols.append(
+            F.floor(F.lit(1000000.0) * (portable_ln(den) - portable_ln(num)))
+            .cast("long")
+            .alias(f"__u_{tag}")
+        )
+    per_bg = per.select("bg", *unit_cols)
+    aggs = [F.sum("__k").alias("n_bigrams")]
+    for tag in lms:
+        aggs.append(
+            (
+                F.sum(F.col("__k") * F.col(f"__u_{tag}")).cast("double")
+                / (F.sum("__k").cast("double") * F.lit(1000000.0))
+            ).alias(f"nll_{tag}")
+        )
+    return bigram_counts.join(per_bg, "bg").groupBy("doc_id").agg(*aggs)
+
+
 def doc_trigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, tri) trigram instances — the 3-token sibling of
     :func:`doc_bigrams`, same let-bound single tokenization."""

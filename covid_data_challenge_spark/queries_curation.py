@@ -2262,7 +2262,7 @@ def q_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool), every join is bigram-keyed or broadcast."""
     from covid_data_challenge_spark.operators.lm import (
         bigram_lm_build,
-        bigram_lm_nll_with,
+        bigram_lm_nll_multi,
         doc_bigrams,
     )
 
@@ -2271,9 +2271,9 @@ def q_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(is_target)
     pool = docs.filter(~is_target)
     # ONE collapse of the pool's bigram stream serves everything: the
-    # general LM's type counts (a map-side sum over it) and BOTH
-    # scoring passes (the in-domain vs general NLL joins) — without it
-    # each consumer would re-run the (doc_id, bg) aggregation.
+    # general LM's type counts (a map-side sum over it) and the fused
+    # two-model scoring pass — without it each consumer would re-run
+    # the (doc_id, bg) aggregation.
     pool_bgc = (
         doc_bigrams(pool)
         .groupBy("doc_id", "bg")
@@ -2284,14 +2284,16 @@ def q_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_gen = bigram_lm_build(pool, bigram_counts=pool_bgc).localCheckpoint(
         eager=True
     )
-    nll_in = bigram_lm_nll_with(pool, lm_in, bigram_counts=pool_bgc).select(
-        "doc_id", "n_bigrams", F.col("nll").alias("nll_in")
-    )
-    nll_gen = bigram_lm_nll_with(pool, lm_gen, bigram_counts=pool_bgc).select(
-        "doc_id", F.col("nll").alias("nll_gen")
-    )
-    scored = nll_in.join(nll_gen, "doc_id").withColumn(
-        "ce_diff", F.col("nll_in") - F.col("nll_gen")
+    # fused scorer (r7): both models' NLLs come from ONE distinct-bigram
+    # frame, one stacked pair of vocab-keyed joins, and ONE per-doc
+    # aggregation — the in-domain and general passes previously each ran
+    # their own distinct + instance join + groupBy(doc_id).
+    # doc-sized and consumed twice (median threshold + final join) —
+    # checkpoint so the scoring chain runs once
+    scored = (
+        bigram_lm_nll_multi(pool_bgc, {"in": lm_in, "gen": lm_gen})
+        .withColumn("ce_diff", F.col("nll_in") - F.col("nll_gen"))
+        .localCheckpoint(eager=True)
     )
     thr = scored.agg(F.percentile(F.col("ce_diff"), F.lit(0.5)).alias("t"))
     return scored.join(F.broadcast(thr)).select(
