@@ -1632,3 +1632,364 @@ def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# ---------------------------------------------------------------------------
+# Round 7: top-r principal components by BLOCK power iteration (orthogonal
+# iteration with per-round Gram-Schmidt) and ABTT-v2 — Mu & Viswanath 2018
+# as the paper actually specifies it: remove the top-D common directions
+# (D ≈ dim/100 → 2 here), not just PC1.
+# ---------------------------------------------------------------------------
+
+_PC_R = 3
+
+
+def _block_power_iteration(
+    emb: DataFrame, dim: int = 64, r: int = _PC_R, iters: int = 3
+) -> tuple[int, list[float], list[list[float]], list[float], int]:
+    """Top-r principal directions of the centered embedding cloud by
+    orthogonal (block power) iteration — the r-vector generalization of
+    :func:`_power_iteration`, same determinism discipline: exact
+    integer micro-unit component sums collected at the API boundary
+    (r·dim doubles of driver state per round, ≤ 192 here), per-row dot
+    products as ordered double folds, and modified Gram-Schmidt in
+    driver-side Python floats (correctly-rounded IEEE ops only, so the
+    DuckDB CTE unroll in :func:`_block_pc_ctes` matches bit-for-bit).
+
+    One corpus pass per round computes ALL r matvecs (r dot-product
+    columns + one posexplode into a dim-group integer aggregate);
+    Gram-Schmidt then runs on r×dim literals. v₁'s trajectory is
+    identical to the single-vector helper (GS subtracts only EARLIER
+    vectors), so PC1 here bit-matches embedding_top_pc's.
+
+    Returns (n, mu, V, lams, trace_units) with V = [v₁..v_r] and lams
+    the final round's pre-normalization norms (Rayleigh estimates)."""
+    import math
+
+    from covid_data_challenge_spark.functions.vector import to_double
+
+    n = emb.count()
+    xd = to_double(F.col("embedding"))
+    su_rows = (
+        emb.select(F.posexplode(xd).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
+        .collect()
+    )
+    su = {row.j: row.su for row in su_rows}
+    mu = [su[j] / (float(n) * 1000000.0) for j in range(dim)]
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    xc = F.zip_with(xd, mu_arr, lambda x, m: x - m)
+
+    tvu = (
+        emb.select(F.explode(xc).alias("xcj"))
+        .agg(
+            F.sum(
+                F.floor(F.lit(1000000.0) * F.col("xcj") * F.col("xcj")).cast("long")
+            ).alias("tvu")
+        )
+        .collect()[0]
+        .tvu
+    )
+
+    vs = [[1.0 if j == k else 0.0 for j in range(dim)] for k in range(r)]
+    lams = [0.0] * r
+    for _ in range(iters):
+        s_cols = []
+        for k in range(r):
+            v_arr = F.array(*[F.lit(x) for x in vs[k]])
+            s_cols.append(
+                F.aggregate(
+                    F.zip_with(xc, v_arr, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                ).alias(f"__s{k}")
+            )
+        u_rows = (
+            emb.select(*s_cols, F.posexplode(xc).alias("j", "xcj"))
+            .groupBy("j")
+            .agg(
+                *[
+                    F.sum(
+                        F.floor(
+                            F.lit(1000000.0) * F.col(f"__s{k}") * F.col("xcj")
+                        ).cast("long")
+                    ).alias(f"u{k}")
+                    for k in range(r)
+                ]
+            )
+            .collect()
+        )
+        by_j = {row.j: row for row in u_rows}
+        new_vs: list[list[float]] = []
+        for k in range(r):
+            w = [by_j[j][f"u{k}"] / 1000000.0 for j in range(dim)]
+            for l in range(k):  # noqa: E741
+                d = sum(w[j] * new_vs[l][j] for j in range(dim))
+                w = [w[j] - d * new_vs[l][j] for j in range(dim)]
+            lam = math.sqrt(sum(y * y for y in w))
+            new_vs.append([y / lam for y in w])
+            lams[k] = lam
+        vs = new_vs
+    return n, mu, vs, lams, tvu
+
+
+def _block_pc_ctes(iters: int = 3, dim: int = 64, r: int = _PC_R) -> str:
+    """DuckDB twin of :func:`_block_power_iteration`: the shared
+    centroid/centering/trace chain of ``_top_pc_ctes`` plus ``iters``
+    unrolled block rounds — per round one r-column matvec aggregate and
+    a Gram-Schmidt CTE chain whose every dot, subtraction, norm, and
+    division mirrors the driver Python token-for-token. Exposes
+    ``su/nn/tvu/xc`` and the final ``bv{iters}_{k}`` (v, lam) rows."""
+    basis = lambda k: (  # noqa: E731
+        "[" + ", ".join("1.0" if j == k else "0.0" for j in range(dim)) + "]"
+    )
+    parts = [
+        f"""uniq AS (SELECT vec_id, embedding FROM embeddings),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uniq),
+comp AS (
+    SELECT vec_id, i,
+           CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS xu
+    FROM uniq
+    JOIN (SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS i) idx
+        ON i <= len(embedding)
+),
+su AS (SELECT i, CAST(sum(xu) AS BIGINT) AS su FROM comp GROUP BY 1),
+mu AS (
+    SELECT list(CAST(su AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0)
+                ORDER BY i) AS mu
+    FROM su, nn GROUP BY nn.n
+),
+xc AS (
+    SELECT u.vec_id,
+           list_transform(list_zip(u.embedding, m.mu),
+                          p -> CAST(p[1] AS DOUBLE) - p[2]) AS xc
+    FROM uniq u, mu m
+),
+tvu AS (
+    SELECT CAST(sum(CAST(floor(1000000.0 * xcj * xcj) AS BIGINT)) AS BIGINT)
+        AS tvu
+    FROM (SELECT unnest(xc) AS xcj FROM xc)
+)"""
+    ]
+    for k in range(r):
+        parts.append(f"bv0_{k} AS (SELECT {basis(k)} AS v, 0.0 AS lam)")
+    dot = (
+        lambda a, b: f"list_aggregate(list_transform(list_zip({a}, {b}),"
+        f" p -> p[1] * p[2]), 'sum')"
+    )  # noqa: E731
+    for t in range(1, iters + 1):
+        s_cols = ",\n           ".join(
+            f"{dot('x.xc', f'bv{t - 1}_{k}.v')} AS s{k}" for k in range(r)
+        )
+        froms = ", ".join(f"bv{t - 1}_{k}" for k in range(r))
+        parts.append(
+            f"""sB{t} AS (
+    SELECT x.vec_id, x.xc,
+           {s_cols}
+    FROM xc x, {froms}
+)"""
+        )
+        u_cols = ",\n           ".join(
+            f"CAST(sum(CAST(floor(1000000.0 * s{k} * xcj) AS BIGINT)) AS BIGINT)"
+            f" AS u{k}"
+            for k in range(r)
+        )
+        s_pass = ", ".join(f"s{k}" for k in range(r))
+        parts.append(
+            f"""uuB{t} AS (
+    SELECT i,
+           {u_cols}
+    FROM (SELECT {s_pass}, unnest(xc) AS xcj, generate_subscripts(xc, 1) AS i
+          FROM sB{t})
+    GROUP BY 1
+)"""
+        )
+        for k in range(r):
+            parts.append(
+                f"wB{t}_{k}_0 AS (SELECT list(CAST(u{k} AS DOUBLE) / 1000000.0"
+                f" ORDER BY i) AS w FROM uuB{t})"
+            )
+            for l in range(k):  # noqa: E741
+                prev = f"wB{t}_{k}_{l}"
+                parts.append(
+                    f"""dB{t}_{k}_{l} AS (
+    SELECT p.w, {dot('p.w', f'bv{t}_{l}.v')} AS d FROM {prev} p, bv{t}_{l}
+),
+wB{t}_{k}_{l + 1} AS (
+    SELECT list_transform(list_zip(p.w, bv{t}_{l}.v),
+                          q -> q[1] - (p.d * q[2])) AS w
+    FROM dB{t}_{k}_{l} p, bv{t}_{l}
+)"""
+                )
+            last = f"wB{t}_{k}_{k}"
+            parts.append(
+                f"""bv{t}_{k} AS (
+    SELECT list_transform(w, y -> y / lam) AS v, lam
+    FROM (SELECT w,
+                 sqrt(list_aggregate(list_transform(w, y -> y * y), 'sum'))
+                     AS lam
+          FROM {last})
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def _top_pcs_oracle(iters: int = 3, dim: int = 64, r: int = _PC_R) -> str:
+    pc_cols = ",\n       ".join(
+        f"round(b{k}.v[su.i], 6) AS pc{k + 1}" for k in range(r)
+    )
+    eig_cols = ",\n       ".join(
+        f"round(b{k}.lam, 6) AS eig{k + 1},\n       "
+        f"round(b{k}.lam / (CAST(tvu.tvu AS DOUBLE) / 1000000.0), 6)"
+        f" AS var_share{k + 1}"
+        for k in range(r)
+    )
+    froms = ", ".join(f"bv{iters}_{k} b{k}" for k in range(r))
+    return (
+        "WITH "
+        + _block_pc_ctes(iters, dim, r)
+        + f"""
+SELECT CAST(su.i - 1 AS INT) AS dim,
+       round(CAST(su.su AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 6)
+           AS mu,
+       {pc_cols},
+       {eig_cols}
+FROM su, nn, tvu, {froms}
+"""
+    )
+
+
+def _abtt_v2_oracle(iters: int = 3, dim: int = 64) -> str:
+    # D = 2: project out PC1 then PC2 sequentially (they are orthogonal,
+    # but the ARITHMETIC must mirror the Spark side's two-step removal)
+    return (
+        "WITH "
+        + _block_pc_ctes(iters, dim, _PC_R)
+        + f"""
+, proj AS (
+    SELECT x.vec_id, x.xc,
+           list_aggregate(list_transform(list_zip(x.xc, b0.v),
+                          p -> p[1] * p[2]), 'sum') AS p1,
+           list_aggregate(list_transform(list_zip(x.xc, b1.v),
+                          p -> p[1] * p[2]), 'sum') AS p2
+    FROM xc x, bv{iters}_0 b0, bv{iters}_1 b1
+),
+r1 AS (
+    SELECT p.vec_id, p.p1, p.p2,
+           list_transform(list_zip(p.xc, b0.v),
+                          q -> q[1] - (p.p1 * q[2])) AS xr
+    FROM proj p, bv{iters}_0 b0
+),
+r2 AS (
+    SELECT p.vec_id, p.p1, p.p2,
+           list_transform(list_zip(p.xr, b1.v),
+                          q -> q[1] - (p.p2 * q[2])) AS xr
+    FROM r1 p, bv{iters}_1 b1
+)
+SELECT vec_id, round(p1, 6) AS pc1_proj, round(p2, 6) AS pc2_proj,
+       round(sqrt(list_aggregate(list_transform(xr, y -> y * y), 'sum')), 6)
+           AS resid_norm
+FROM r2
+"""
+    )
+
+
+@register("embedding_top_pcs", oracle=_top_pcs_oracle())
+def q_embedding_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 principal components of the centered embedding cloud by
+    BLOCK power iteration (orthogonal iteration with per-round modified
+    Gram-Schmidt) — the r-vector upgrade of `embedding_top_pc` that Mu &
+    Viswanath's ABTT actually needs (remove top-D, D ≈ dim/100). One
+    row per dimension with the exact micro-unit mean, the three unit PC
+    components, and each PC's Rayleigh eigenvalue estimate + variance
+    share. PC1 bit-matches `embedding_top_pc` (Gram-Schmidt only
+    subtracts EARLIER vectors, so v₁'s trajectory is plain power
+    iteration).
+
+    Scale shape: 1 + iters corpus passes; each pass computes ALL THREE
+    matvecs in one scan (three ordered-fold dot columns + one
+    posexplode into a 64-group integer aggregate — map-side
+    combinable), so going from r=1 to r=3 adds zero passes. Driver
+    state: 3×64 doubles + Gram-Schmidt in Python floats (IEEE
+    correctly-rounded ops only — the oracle unrolls the same dots,
+    subtractions, norms round by round, bit-exactly)."""
+    from covid_data_challenge_spark.functions.vector import to_double
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    n, mu, vs, lams, tvu = _block_power_iteration(emb, dim=dim, r=_PC_R, iters=3)
+    xd = to_double(F.col("embedding"))
+    v_arrs = [F.array(*[F.lit(x) for x in v]) for v in vs]
+    cols = [
+        F.col("j").cast("int").alias("dim"),
+        F.round(
+            F.col("su").cast("double") / (F.lit(float(n)) * F.lit(1000000.0)), 6
+        ).alias("mu"),
+    ]
+    for k in range(_PC_R):
+        cols.append(
+            F.round(
+                F.element_at(v_arrs[k], F.col("j").cast("int") + F.lit(1)), 6
+            ).alias(f"pc{k + 1}")
+        )
+    for k in range(_PC_R):
+        cols.append(F.round(F.lit(lams[k]), 6).alias(f"eig{k + 1}"))
+        cols.append(
+            F.round(F.lit(lams[k] / (tvu / 1000000.0)), 6).alias(
+                f"var_share{k + 1}"
+            )
+        )
+    return (
+        emb.select(F.posexplode(xd).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
+        .select(*cols)
+    )
+
+
+@register("abtt_v2_scores", oracle=_abtt_v2_oracle())
+def q_abtt_v2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top v2 (Mu & Viswanath 2018, as specified): remove
+    the mean and the top-D = 2 principal components (D ≈ dim/100 of the
+    64-dim space), not just PC1 — per vector the projections onto PC1
+    and PC2 and the residual norm after sequentially removing both
+    (x' = x_c − p₁v₁ − p₂v₂). Vectors with large |p₁|,|p₂| ride the
+    corpus's common directions (boilerplate/template embeddings); the
+    residual is the representation the paper shows improves similarity
+    tasks.
+
+    Scale shape: the block power iteration fixes v₁, v₂ as 128 literal
+    doubles; scoring is ONE map-side corpus scan (two ordered-fold
+    projections + two zip_with removals + one fold norm — no shuffle,
+    no join). The oracle replays the block-iteration CTE chain and the
+    same two-step removal arithmetic, hash-exactly."""
+    from covid_data_challenge_spark.functions.vector import to_double
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    n, mu, vs, lams, tvu = _block_power_iteration(emb, dim=dim, r=_PC_R, iters=3)
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v1 = F.array(*[F.lit(x) for x in vs[0]])
+    v2 = F.array(*[F.lit(x) for x in vs[1]])
+    xc = F.zip_with(to_double(F.col("embedding")), mu_arr, lambda x, m: x - m)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, y: acc + y
+    )
+    p1 = fold(F.zip_with(xc, v1, lambda a, b: a * b))
+    p2 = fold(F.zip_with(xc, v2, lambda a, b: a * b))
+    base = emb.select("vec_id", xc.alias("__xc"), p1.alias("__p1"), p2.alias("__p2"))
+    r1 = F.zip_with(
+        F.col("__xc"), v1, lambda a, b: a - F.col("__p1") * b
+    )
+    staged = base.select("vec_id", "__p1", "__p2", r1.alias("__r1"))
+    r2 = F.zip_with(
+        F.col("__r1"), v2, lambda a, b: a - F.col("__p2") * b
+    )
+    resid_sq = fold(F.transform(r2, lambda y: y * y))
+    return staged.select(
+        "vec_id",
+        F.round(F.col("__p1"), 6).alias("pc1_proj"),
+        F.round(F.col("__p2"), 6).alias("pc2_proj"),
+        F.round(F.sqrt(resid_sq), 6).alias("resid_norm"),
+    )

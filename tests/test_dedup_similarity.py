@@ -995,3 +995,68 @@ def test_embedding_abtt_scores_remove_common_direction(spark, monkeypatch):
     # projection signs follow the alternation (up to global PC sign)
     signs = {i: (1 if out[i].pc1_proj > 0 else -1) for i in out}
     assert all(signs[i] == signs[0] * (1 if i % 2 == 0 else -1) for i in signs)
+
+
+def test_embedding_top_pcs_recovers_planted_2d_subspace(spark, monkeypatch):
+    """embedding_top_pcs (r7 block power iteration): on a cloud whose
+    variance is planted on axes 0 (strong) and 1 (weaker), PC1 aligns
+    with axis 0, PC2 with axis 1, PC1 bit-matches embedding_top_pc's,
+    the two PCs are orthonormal, and eig1 > eig2 > eig3."""
+    import covid_data_challenge_spark.queries_similarity as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = []
+    for i in range(16):
+        a = 3.0 if i % 2 == 0 else -3.0
+        b = 1.0 if i % 4 < 2 else -1.0
+        c = 0.03 if i % 3 == 0 else -0.03
+        rows.append((i, [a, b, c] + [0.0] * 61, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    out = {r.dim: r for r in
+           REGISTRY["embedding_top_pcs"].spark(spark, "unused").collect()}
+    assert len(out) == 64
+    assert abs(out[0].pc1) > 0.999 and abs(out[0].pc2) < 0.05
+    assert abs(out[1].pc2) > 0.999 and abs(out[1].pc1) < 0.05
+    # orthonormal: unit norms, zero dot
+    assert abs(sum(r.pc1 ** 2 for r in out.values()) - 1.0) < 1e-3
+    assert abs(sum(r.pc2 ** 2 for r in out.values()) - 1.0) < 1e-3
+    assert abs(sum(r.pc1 * r.pc2 for r in out.values())) < 1e-3
+    r0 = out[0]
+    assert r0.eig1 > r0.eig2 > r0.eig3 >= 0
+    assert r0.var_share1 > 0.85 and r0.var_share2 > 0.05
+    # PC1 bit-matches the single-vector helper (same trajectory)
+    single = {r.dim: r.pc1 for r in
+              REGISTRY["embedding_top_pc"].spark(spark, "unused").collect()}
+    for j, r in out.items():
+        assert r.pc1 == single[j], j
+
+
+def test_abtt_v2_scores_remove_top2_subspace(spark, monkeypatch):
+    """abtt_v2_scores (r7): on the planted 2-D cloud the two
+    projections recover each vector's axis-0/axis-1 offsets and the
+    residual norm is only the tiny axis-2 wiggle — BOTH common
+    directions are gone (PC1-only removal would leave the ±1 axis-1
+    component in the residual)."""
+    import covid_data_challenge_spark.queries_similarity as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = []
+    for i in range(16):
+        a = 3.0 if i % 2 == 0 else -3.0
+        b = 1.0 if i % 4 < 2 else -1.0
+        c = 0.03 if i % 3 == 0 else -0.03
+        rows.append((i, [a, b, c] + [0.0] * 61, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    out = {r.vec_id: r for r in
+           REGISTRY["abtt_v2_scores"].spark(spark, "unused").collect()}
+    assert len(out) == 16
+    for i, r in out.items():
+        assert abs(abs(r.pc1_proj) - 3.0) < 0.02, i
+        assert abs(abs(r.pc2_proj) - 1.0) < 0.02, i
+        assert r.resid_norm < 0.1, i  # PC1-only would leave ~1.0 here
+    # v1-only removal for contrast: the old ABTT residual keeps axis 1
+    old = {r.vec_id: r for r in
+           REGISTRY["embedding_abtt_scores"].spark(spark, "unused").collect()}
+    assert all(old[i].resid_norm > 0.9 for i in old)
