@@ -82,3 +82,30 @@ def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's durations are id-derived, so the sampled timestamps replay
     exactly in DuckDB."""
     return frame_sample_plan(synth_media_table(spark, n=96), every_ms=1000)
+
+
+@register("multimodal_jpeg_features")  # rows-only: Huffman+IDCT has no SQL twin
+def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode → image-statistics features through the
+    Arrow-batched mapInPandas stage (r7 — un-gates the most common
+    real-world image format; operators/jpeg.py is a pure stdlib+numpy
+    baseline JFIF decoder: Annex-K Huffman, dequant, IDCT, YCbCr→RGB,
+    4:4:4/4:2:2/4:2:0, restart intervals). The fixture table cycles
+    subsampling modes and restart intervals and plants one corrupt
+    payload per 16; corrupt rows surface as decoded=false with null
+    features — the quarantine contract, not an exception. No DuckDB
+    oracle: entropy decoding is not SQL-expressible (the driver records
+    the rows-only check); the decode kernel itself is pinned by golden
+    pytest against the engine's own encoder (flat-image exactness,
+    round-trip error bounds, restart equivalence)."""
+    from covid_data_challenge_spark.operators.multimodal import synth_jpeg_table
+
+    media = synth_jpeg_table(spark, n=32)
+    feats = extract_features(media, decoder="jpeg")
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("features").isNotNull().alias("decoded"),
+        "features",
+    )

@@ -250,3 +250,108 @@ def test_y4m_roundtrip_real_video_kernel_and_frame_sampling(spark):
            for r in extract_features(media, decoder="y4m").collect()}
     assert out[1] is None
     assert [round(v, 6) for v in out[0]] == feats
+
+
+def test_jpeg_codec_flat_image_decodes_exactly(spark):
+    """A flat image is DC-only in every block: after quantization all
+    coefficients are 0 except (exactly representable) DC, so the
+    baseline decode must reproduce the flat color EXACTLY — in 4:4:4,
+    4:2:0, and with restart intervals (lossy-format caveats don't apply
+    to the DC-only case)."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    flat = np.full((16, 24, 3), 128, dtype=np.uint8)
+    for kwargs in ({}, {"subsample": True}, {"restart_interval": 1}):
+        out = decode_jpeg(encode_jpeg_baseline(24, 16, img=flat, **kwargs))
+        assert out is not None and out.shape == (16, 24, 3)
+        assert (out == 128).all(), kwargs
+
+
+def test_jpeg_codec_roundtrip_error_bounds_and_restart_equivalence():
+    """Round-trip through the engine's own encoder: 4:4:4 at q95 stays
+    within a small mean error; 4:2:0 is bounded too (looser — the
+    fixture pattern has per-pixel chroma). Restart markers re-pack the
+    SAME quantized coefficients, so the decode with DRI is pixel-equal
+    to the decode without."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.jpeg import (
+        _test_pattern,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    img = _test_pattern(40, 24, seed=3)
+    out444 = decode_jpeg(encode_jpeg_baseline(40, 24, seed=3, quality=95))
+    assert out444 is not None and out444.shape == (24, 40, 3)
+    mae = np.abs(out444.astype(int) - img.astype(int)).mean()
+    assert mae < 5.0, mae
+    out420 = decode_jpeg(
+        encode_jpeg_baseline(40, 24, seed=3, quality=95, subsample=True)
+    )
+    assert out420 is not None
+    mae420 = np.abs(out420.astype(int) - img.astype(int)).mean()
+    assert mae420 < 25.0, mae420
+    plain = decode_jpeg(encode_jpeg_baseline(40, 24, seed=3, quality=90))
+    dri = decode_jpeg(
+        encode_jpeg_baseline(40, 24, seed=3, quality=90, restart_interval=2)
+    )
+    assert (plain == dri).all()
+
+
+def test_jpeg_codec_quarantine_contract():
+    """Corrupt / beyond-baseline payloads → None, never an exception:
+    truncation, garbage, a progressive SOF2 frame, a grayscale-coerced
+    single-component file still decodes (to replicated gray)."""
+    from covid_data_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    p = encode_jpeg_baseline(16, 16, seed=1)
+    assert decode_jpeg(p[: len(p) // 2]) is None
+    assert decode_jpeg(b"\xff\xd8not a jpeg") is None
+    assert decode_jpeg(b"") is None
+    # flip SOF0 -> SOF2 (progressive): the marker byte is in the header
+    # region, before any entropy data
+    sof_at = p.index(b"\xff\xc0")
+    prog = p[:sof_at] + b"\xff\xc2" + p[sof_at + 2 :]
+    assert decode_jpeg(prog) is None
+
+
+def test_jpeg_spark_stage_matches_kernel_and_quarantines(spark):
+    """extract_features(decoder='jpeg'): the Arrow-batched stage output
+    equals the per-row kernel for every decodable payload; the planted
+    corrupt payload surfaces as null features (quarantine, not error);
+    the registered rows-only query reports decoded=false for it."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401 — populate REGISTRY
+    from covid_data_challenge_spark.operators.multimodal import (
+        extract_features,
+        jpeg_features,
+        synth_jpeg_table,
+    )
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    media = synth_jpeg_table(spark, n=32)
+    local = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {r.media_id: r for r in
+           extract_features(media, decoder="jpeg").collect()}
+    assert len(got) == 32
+    for mid, payload in local.items():
+        want = jpeg_features(payload)
+        have = got[mid].features
+        if want is None:
+            assert have is None, mid
+        else:
+            assert [round(v, 6) for v in have] == [round(v, 6) for v in want], mid
+    assert got[0].features is None  # the planted truncation
+    assert sum(1 for r in got.values() if r.features is None) == 2  # ids 0, 16
+    out = {r.media_id: r for r in
+           REGISTRY["multimodal_jpeg_features"].spark(spark, "unused").collect()}
+    assert not out[0].decoded and not out[16].decoded
+    assert sum(1 for r in out.values() if r.decoded) == 30
