@@ -2859,3 +2859,173 @@ def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm_m = metrics([F.col("s_bm25").desc(), F.col("doc_id")], "bm25")
     ql_m = metrics([F.col("s_ql_units").desc(), F.col("doc_id")], "query_likelihood")
     return bm_m.unionByName(ql_m)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: HyperLogLog distinct-token sketch — completes the engine's
+# sketch family (count-min heavy hitters, Bloom decontamination, MinHash
+# signatures ship already; HLL is the cardinality member). Flajolet et
+# al. 2007, with the standard small-range correction.
+# ---------------------------------------------------------------------------
+
+#: HLL precision: p = 10 → m = 1024 registers; the 60-bit md5-derived
+#: hash splits top-10 (register index) / low-50 (rank field, q = 50).
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_Q = 60 - _HLL_P
+#: bias constant alpha_m for m = 1024 and the numerator alpha·m²·2^q —
+#: Python-computed double literals embedded identically in both engines.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_Q + 1))
+
+
+def _hll_oracle() -> str:
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+
+    ln_stage, ln_final = portable_ln_sql_stages(
+        {"l_mv": f"({_HLL_M}.0 / CAST(greatest(v_zero, 1) AS DOUBLE))"}
+    )
+    return f"""
+WITH tok AS (
+    SELECT DISTINCT source, unnest(string_split({_NORM}, ' ')) AS w
+    FROM documents
+),
+hashed AS (
+    SELECT source, w,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM tok
+),
+ranked AS (
+    SELECT source,
+           h >> {_HLL_Q} AS idx,
+           CASE WHEN (h & {(1 << _HLL_Q) - 1}) = 0 THEN {_HLL_Q + 1}
+                ELSE {_HLL_Q + 1} - length(bin(h & {(1 << _HLL_Q) - 1}))
+           END AS rho
+    FROM hashed
+),
+regs AS (
+    SELECT source, idx, CAST(max(rho) AS BIGINT) AS mj
+    FROM ranked GROUP BY 1, 2
+),
+per_src AS (
+    SELECT source,
+           CAST({_HLL_M} - count(*) AS BIGINT) AS v_zero,
+           CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_Q + 1} - mj AS INT))
+                AS BIGINT) AS s_present
+    FROM regs GROUP BY 1
+),
+raw AS (
+    SELECT source, v_zero,
+           CAST({_HLL_NUM!r} AS DOUBLE)
+             / CAST(v_zero * (CAST(1 AS BIGINT) << {_HLL_Q + 1}) + s_present
+                    AS DOUBLE) AS e_raw
+    FROM per_src
+),
+stg AS (SELECT source, v_zero, e_raw, {ln_stage} FROM raw),
+lns AS (SELECT source, v_zero, e_raw, {ln_final} FROM stg),
+est AS (
+    SELECT source, v_zero,
+           CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v_zero > 0
+                THEN {_HLL_M}.0 * l_mv ELSE e_raw END AS e
+    FROM lns
+),
+exact AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY 1
+)
+SELECT x.source, x.n_exact,
+       round(e.e, 2) AS hll_estimate,
+       round((e.e - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE), 4)
+           AS rel_error,
+       e.v_zero AS n_zero_registers
+FROM exact x JOIN est e USING (source)
+"""
+
+
+@register("hll_distinct_tokens", oracle=_hll_oracle())
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality by HyperLogLog (Flajolet
+    2007, p=10 → 1024 registers, small-range linear-counting
+    correction), reported beside the exact count with the relative
+    error — the sketch a 100 TB vocabulary census actually runs (the
+    register table is 1024 rows per source and MERGES across
+    partitions/days by max, where countDistinct must re-shuffle every
+    token). Completes the engine's sketch family: count-min (heavy
+    hitters), Bloom (decontamination), MinHash (similarity), HLL
+    (cardinality).
+
+    Bit-exactness: the hash is the top 60 bits of md5 (identical
+    engines-wide), register ranks are integers, the harmonic-mean
+    denominator is assembled in INTEGER units (V·2^{q+1} + Σ 2^{q+1−Mj}
+    — every term an exact power of two, order-free BIGINT sum), and the
+    only doubles are one literal/denominator division plus the
+    portable-ln linear-counting branch — let-bound, it sits inside a
+    CASE (the r7 codegen lesson). Exact counts come from the same
+    distinct frame, so rel_error is hash-stable too.
+
+    Scale shape: one distinct over (source, token) — shared shape with
+    the OOV/Zipf family — then a 1024-register-per-source aggregate;
+    everything after is per-source scalars. The sketch side never
+    touches the corpus again; on a real cluster the register table is
+    the persisted gold artifact and new batches merge map-side."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln_let
+    from covid_data_challenge_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        # feeds BOTH the register build and the exact count — one shuffle
+        .localCheckpoint(eager=True)
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    low = h.bitwiseAND(F.lit((1 << _HLL_Q) - 1))
+    rho = F.when(low == 0, F.lit(_HLL_Q + 1)).otherwise(
+        F.lit(_HLL_Q + 1) - F.length(F.bin(low))
+    )
+    regs = (
+        tok.select("source", F.shiftright(h, _HLL_Q).alias("idx"), rho.alias("rho"))
+        .groupBy("source", "idx")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    per_src = regs.groupBy("source").agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(_HLL_Q + 1) - F.col("mj")).cast("int"),
+            )
+        )
+        .cast("long")
+        .alias("s_present"),
+    )
+    e_raw = F.lit(_HLL_NUM) / (
+        F.col("v_zero") * F.lit(1 << (_HLL_Q + 1)) + F.col("s_present")
+    ).cast("double")
+    est = per_src.select(
+        "source",
+        "v_zero",
+        F.when(
+            (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+            # linear counting: m·ln(m/V) — let-bound inside the CASE
+            F.lit(float(_HLL_M))
+            * portable_ln_let(
+                F.lit(float(_HLL_M))
+                / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
+            ),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    exact = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return exact.join(est, "source").select(
+        "source",
+        "n_exact",
+        F.round(F.col("e"), 2).alias("hll_estimate"),
+        F.round(
+            (F.col("e") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rel_error"),
+        F.col("v_zero").alias("n_zero_registers"),
+    )

@@ -1859,3 +1859,38 @@ def test_split_leakage_audit_cluster_policy_never_leaks(spark, sf_dir):
     assert out["cluster_key"].leak_rate == 0.0
     assert out["doc_key"].n_pairs == out["cluster_key"].n_pairs > 0
     assert out["doc_key"].n_cross_split >= 0
+
+
+def test_hll_distinct_tokens_accuracy_and_correction_branches(spark, monkeypatch):
+    """HLL sketch (r7): on two sources with KNOWN cardinalities — one
+    small enough to take the linear-counting branch (V > 0, E ≤ 2.5m),
+    one big enough for the raw harmonic estimate — the estimate lands
+    within the expected error band (σ ≈ 1.04/√1024 ≈ 3.3%; assert 4σ)
+    and rel_error is consistent with the exact count."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = []
+    # 'small': 400 distinct tokens across 4 docs; 'big': 6000 across 30
+    for d in range(4):
+        toks = " ".join(f"s{i}" for i in range(d * 100, (d + 1) * 100))
+        rows.append((d, toks, "en", "small", len(toks)))
+    for d in range(30):
+        toks = " ".join(f"b{i}" for i in range(d * 200, (d + 1) * 200))
+        rows.append((100 + d, toks, "en", "big", len(toks)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = {r.source: r for r in
+           REGISTRY["hll_distinct_tokens"].spark(spark, "unused").collect()}
+    assert out["small"].n_exact == 400
+    assert out["big"].n_exact == 6000
+    for src in ("small", "big"):
+        r = out[src]
+        assert abs(r.rel_error) < 4 * 1.04 / (1024 ** 0.5), (src, r.rel_error)
+        assert abs(r.hll_estimate / r.n_exact - 1.0 - r.rel_error) < 1e-3
+    # the small source must have many untouched registers (V > 0 branch);
+    # the big one drives V toward 0
+    assert out["small"].n_zero_registers > 500
+    assert out["big"].n_zero_registers < out["small"].n_zero_registers
