@@ -105,6 +105,17 @@ EXTENSION = [
     # round 6 late wave: two chained EM rounds and the IR eval harness
     "unigram_lm_em2",
     "retrieval_eval_report",
+    # round 7: the k-round SentencePiece trainer loop (3 rounds, each
+    # Viterbi compiling as its own codegen stage), the block-power-
+    # iteration PC family and top-D ABTT, the HLL cardinality sketch +
+    # its register-merge (incremental gold-table) twin, and the real
+    # baseline-JPEG decode through the Arrow mapInPandas stage
+    "unigram_lm_em3",
+    "embedding_top_pcs",
+    "abtt_v2_scores",
+    "hll_distinct_tokens",
+    "hll_register_merge",
+    "multimodal_jpeg_features",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

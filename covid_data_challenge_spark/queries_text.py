@@ -3029,3 +3029,162 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_error"),
         F.col("v_zero").alias("n_zero_registers"),
     )
+
+
+def _hll_merge_oracle() -> str:
+    """DuckDB twin of the register-merge query: history/batch registers
+    built independently, merged by elementwise max, and the merged
+    estimate compared against the full-corpus registers' estimate."""
+
+    def reg_block(tag: str, where: str) -> str:
+        return f"""tok_{tag} AS (
+    SELECT DISTINCT source, unnest(string_split({_NORM}, ' ')) AS w
+    FROM documents {where}
+),
+ranked_{tag} AS (
+    SELECT source,
+           h >> {_HLL_Q} AS idx,
+           CASE WHEN (h & {(1 << _HLL_Q) - 1}) = 0 THEN {_HLL_Q + 1}
+                ELSE {_HLL_Q + 1} - length(bin(h & {(1 << _HLL_Q) - 1}))
+           END AS rho
+    FROM (SELECT source, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+          FROM tok_{tag})
+),
+regs_{tag} AS (
+    SELECT source, idx, CAST(max(rho) AS BIGINT) AS mj
+    FROM ranked_{tag} GROUP BY 1, 2
+)"""
+
+    def est_block(tag: str, regs: str) -> str:
+        return f"""per_{tag} AS (
+    SELECT source,
+           CAST({_HLL_M} - count(*) AS BIGINT) AS v_zero,
+           CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_Q + 1} - mj AS INT))
+                AS BIGINT) AS s_present
+    FROM {regs} GROUP BY 1
+),
+raw_{tag} AS (
+    SELECT source, v_zero,
+           CAST({_HLL_NUM!r} AS DOUBLE)
+             / CAST(v_zero * (CAST(1 AS BIGINT) << {_HLL_Q + 1}) + s_present
+                    AS DOUBLE) AS e_raw
+    FROM per_{tag}
+),
+stg_{tag} AS (SELECT source, v_zero, e_raw, {{st}} FROM raw_{tag}),
+lns_{tag} AS (SELECT source, v_zero, e_raw, {{fin}} FROM stg_{tag}),
+est_{tag} AS (
+    SELECT source,
+           CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v_zero > 0
+                THEN {_HLL_M}.0 * l_mv ELSE e_raw END AS e
+    FROM lns_{tag}
+)"""
+
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+
+    st, fin = portable_ln_sql_stages(
+        {"l_mv": f"({_HLL_M}.0 / CAST(greatest(v_zero, 1) AS DOUBLE))"}
+    )
+    return f"""
+WITH {reg_block("hist", "WHERE doc_id % 5 <> 0")},
+{reg_block("batch", "WHERE doc_id % 5 = 0")},
+{reg_block("full", "")},
+merged AS (
+    SELECT source, idx, CAST(max(mj) AS BIGINT) AS mj
+    FROM (SELECT * FROM regs_hist UNION ALL SELECT * FROM regs_batch)
+    GROUP BY 1, 2
+),
+{est_block("m", "merged").format(st=st, fin=fin)},
+{est_block("f", "regs_full").format(st=st, fin=fin)}
+SELECT m.source,
+       round(m.e, 2) AS merged_estimate,
+       round(f.e, 2) AS full_estimate,
+       round(m.e, 2) = round(f.e, 2) AS merge_exact
+FROM est_m m JOIN est_f f USING (source)
+"""
+
+
+@register("hll_register_merge", oracle=_hll_merge_oracle())
+def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the 100 TB cardinality sketch:
+    registers MERGE by elementwise max. History (doc_id % 5 ≠ 0) and a
+    new batch (doc_id % 5 = 0) build their register tables
+    independently — in production, the history side is a persisted
+    1024-rows-per-source gold table that is never rebuilt — and the
+    merged estimate must equal the full-corpus estimate EXACTLY (max is
+    associative/commutative/idempotent over the same hash function; the
+    query reports the equality per source and the oracle hash-checks
+    both numbers). This is the incremental-batch twin of
+    incremental_batch_dedup for cardinality: per batch, one scan of the
+    NEW data + a 1024-row merge, never a re-shuffle of history.
+
+    Same bit-exactness discipline as hll_distinct_tokens (integer
+    registers, integer harmonic denominator, let-bound portable-ln
+    linear-counting branch)."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln_let
+    from covid_data_challenge_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+
+    def regs_of(part: DataFrame) -> DataFrame:
+        tok = part.select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        ).distinct()
+        h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        low = h.bitwiseAND(F.lit((1 << _HLL_Q) - 1))
+        rho = F.when(low == 0, F.lit(_HLL_Q + 1)).otherwise(
+            F.lit(_HLL_Q + 1) - F.length(F.bin(low))
+        )
+        return (
+            tok.select(
+                "source", F.shiftright(h, _HLL_Q).alias("idx"), rho.alias("rho")
+            )
+            .groupBy("source", "idx")
+            .agg(F.max("rho").cast("long").alias("mj"))
+        )
+
+    def estimate(regs: DataFrame) -> DataFrame:
+        per = regs.groupBy("source").agg(
+            (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+            F.sum(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.lit(_HLL_Q + 1) - F.col("mj")).cast("int"),
+                )
+            )
+            .cast("long")
+            .alias("s_present"),
+        )
+        e_raw = F.lit(_HLL_NUM) / (
+            F.col("v_zero") * F.lit(1 << (_HLL_Q + 1)) + F.col("s_present")
+        ).cast("double")
+        return per.select(
+            "source",
+            F.when(
+                (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+                F.lit(float(_HLL_M))
+                * portable_ln_let(
+                    F.lit(float(_HLL_M))
+                    / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
+                ),
+            )
+            .otherwise(e_raw)
+            .alias("e"),
+        )
+
+    hist = regs_of(docs.filter(F.col("doc_id") % 5 != 0))
+    batch = regs_of(docs.filter(F.col("doc_id") % 5 == 0))
+    merged = (
+        hist.unionByName(batch)
+        .groupBy("source", "idx")
+        .agg(F.max("mj").cast("long").alias("mj"))
+    )
+    full = regs_of(docs)
+    em = estimate(merged).withColumnRenamed("e", "em")
+    ef = estimate(full).withColumnRenamed("e", "ef")
+    return em.join(ef, "source").select(
+        "source",
+        F.round(F.col("em"), 2).alias("merged_estimate"),
+        F.round(F.col("ef"), 2).alias("full_estimate"),
+        (F.round(F.col("em"), 2) == F.round(F.col("ef"), 2)).alias("merge_exact"),
+    )

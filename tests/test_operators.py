@@ -1894,3 +1894,27 @@ def test_hll_distinct_tokens_accuracy_and_correction_branches(spark, monkeypatch
     # the big one drives V toward 0
     assert out["small"].n_zero_registers > 500
     assert out["big"].n_zero_registers < out["small"].n_zero_registers
+
+
+def test_hll_register_merge_is_exact(spark, monkeypatch):
+    """HLL merge (r7): history+batch registers merged by max must give
+    the SAME estimate as full-corpus registers — the property that
+    makes the sketch incrementally maintainable. Checked on a fixture
+    where history and batch overlap (shared tokens) AND each contributes
+    unique tokens."""
+    import covid_data_challenge_spark.queries_text as qt
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = []
+    for d in range(10):  # doc_id % 5 splits history/batch
+        toks = " ".join(f"t{i}" for i in range(d * 60, d * 60 + 90))  # overlaps
+        rows.append((d, toks, "en", "s" + str(d % 2), len(toks)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qt, "_docs", lambda spark, sf: docs)
+    out = REGISTRY["hll_register_merge"].spark(spark, "unused").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.merge_exact, r
+        assert r.merged_estimate == r.full_estimate
