@@ -116,6 +116,7 @@ EXTENSION = [
     "hll_distinct_tokens",
     "hll_register_merge",
     "multimodal_jpeg_features",
+    "wordpiece_merge_table",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

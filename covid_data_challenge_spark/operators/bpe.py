@@ -295,3 +295,180 @@ def bpe_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
         for step in range(1, k + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer (r7) — the THIRD tokenizer family: BPE merges the
+# most FREQUENT pair, WordPiece (Schuster & Nakajima 2012; the BERT
+# tokenizer's trainer) merges the pair maximizing the likelihood score
+# count(ab) / (count(a)·count(b)) — a frequent pair of rare symbols
+# beats a frequent pair of ubiquitous ones. Same dictionary-bounded
+# loop, same sentinel rewriting; only the winner ranking differs.
+# ---------------------------------------------------------------------------
+
+
+def _sym_counts(wdf: DataFrame, wcol: str) -> DataFrame:
+    """Per-symbol (single current char, sentinels included) corpus unit
+    counts over the dictionary: (sym, c)."""
+    w = F.col(wcol)
+    sym = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+        )
+    ).alias("sym")
+    return wdf.select(sym, "n").groupBy("sym").agg(
+        F.sum("n").cast("long").alias("c")
+    )
+
+
+def _wp_win(wdf: DataFrame, wcol: str) -> DataFrame:
+    """Top-1 pair by WordPiece likelihood score (cnt_ab/(c_a·c_b) as one
+    correctly-rounded double — identical in DuckDB), pair tie-break."""
+    pairs = _sym_pairs(wdf, wcol)
+    syms = _sym_counts(wdf, wcol)
+    sa = syms.select(F.col("sym").alias("__a"), F.col("c").alias("ca"))
+    sb = syms.select(F.col("sym").alias("__b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(F.broadcast(sa), F.substring("pair", 1, 1) == F.col("__a"))
+        .join(F.broadcast(sb), F.substring("pair", 2, 1) == F.col("__b"))
+        .select(
+            "pair",
+            "cnt",
+            (
+                F.col("cnt").cast("double")
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "pair").limit(1)
+
+
+def wordpiece_merge_table(
+    docs: DataFrame, k: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Train ``k`` WordPiece merges → (rank, pair, cnt, score_units)
+    with sentinels expanded (score quantized to integer 1e-12 units —
+    one IEEE double ratio, floor'd, so the ranking AND the reported
+    score replay bit-exactly in DuckDB).
+
+    Scale shape is :func:`bpe_merge_table`'s: one corpus scan into the
+    Heaps-bounded (word, n) dictionary, then per merge a pair aggregate
+    + a symbol aggregate (both vocab-sized, the symbol table is
+    alphabet-sized and broadcast), a 1-row winner, and a broadcast
+    sentinel rewrite. Note the real-trainer simplification: training
+    runs over whole words (no ## continuation markers — those are a
+    vocab SERIALIZATION detail; the likelihood-ranked merge loop is the
+    trainer's substance)."""
+    wc = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cached: list[DataFrame] = []
+    try:
+        wins: list[DataFrame] = []
+        cur = wc.persist()
+        cached.append(cur)
+        for step in range(1, k + 1):
+            win = _wp_win(cur, "w").select(
+                F.col("pair").alias(f"wp{step}"),
+                F.col("cnt").alias(f"cnt{step}"),
+                F.floor(F.lit(1e12) * F.col("score"))
+                .cast("long")
+                .alias(f"su{step}"),
+            )
+            wins.append(win)
+            if step < k:
+                cur = (
+                    cur.join(F.broadcast(win))
+                    .select(
+                        F.replace(
+                            F.col("w"), F.col(f"wp{step}"), F.lit(chr(step))
+                        ).alias("w"),
+                        "n",
+                    )
+                    .persist()
+                )
+                cached.append(cur)
+
+        allw = wins[0]
+        for win in wins[1:]:
+            allw = allw.join(F.broadcast(win))
+
+        def expand(step: int) -> Column:
+            col: Column = F.col(f"wp{step}")
+            for j in range(step - 1, 0, -1):
+                col = F.replace(col, F.lit(chr(j)), expand(j))
+            return col
+
+        rows = [
+            allw.select(
+                F.lit(step).cast("int").alias("rank"),
+                expand(step).alias("pair"),
+                F.col(f"cnt{step}").alias("cnt"),
+                F.col(f"su{step}").alias("score_units"),
+            )
+            for step in range(1, k + 1)
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
+def wordpiece_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
+    """DuckDB twin of :func:`wordpiece_merge_table`, unrolled for fixed
+    ``k`` — the bpe_winner_ctes chain with the likelihood-scored winner."""
+    ctes = [
+        f"wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ("
+        f"SELECT unnest(string_split({norm_expr}, ' ')) AS w FROM documents"
+        f") GROUP BY w)",
+        "idx AS (SELECT CAST(unnest(range(1, 1000)) AS INT) AS i)",
+    ]
+    prev = "wc"
+    for step in range(1, k + 1):
+        ctes.append(
+            f"p{step} AS (SELECT substr(w, i, 2) AS pair, "
+            f"CAST(sum(n) AS BIGINT) AS cnt "
+            f"FROM {prev} JOIN idx ON i <= len(w) - 1 GROUP BY 1)"
+        )
+        ctes.append(
+            f"s{step} AS (SELECT substr(w, i, 1) AS sym, "
+            f"CAST(sum(n) AS BIGINT) AS c "
+            f"FROM {prev} JOIN idx ON i <= len(w) GROUP BY 1)"
+        )
+        ctes.append(
+            f"sc{step} AS (SELECT p.pair, p.cnt, "
+            f"CAST(p.cnt AS DOUBLE) / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))"
+            f" AS score "
+            f"FROM p{step} p "
+            f"JOIN s{step} a ON substr(p.pair, 1, 1) = a.sym "
+            f"JOIN s{step} b ON substr(p.pair, 2, 1) = b.sym)"
+        )
+        ctes.append(
+            f"w{step} AS (SELECT pair, cnt, score FROM sc{step} "
+            f"ORDER BY score DESC, pair LIMIT 1)"
+        )
+        if step < k:
+            ctes.append(
+                f"m{step} AS (SELECT replace(w, (SELECT pair FROM w{step}), "
+                f"chr({step})) AS w, n FROM {prev})"
+            )
+            prev = f"m{step}"
+
+    def expand(step: int) -> str:
+        expr = f"(SELECT pair FROM w{step})"
+        for j in range(step - 1, 0, -1):
+            expr = f"replace({expr}, chr({j}), {expand(j)})"
+        return expr
+
+    selects = [
+        f"SELECT CAST({step} AS INT) AS rank, {expand(step)} AS pair, "
+        f"(SELECT cnt FROM w{step}) AS cnt, "
+        f"(SELECT CAST(floor(1e12 * score) AS BIGINT) FROM w{step}) AS score_units"
+        for step in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

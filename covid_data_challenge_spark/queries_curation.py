@@ -2725,3 +2725,28 @@ def q_doremi_lite_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doremi_weight"),
     )
+
+
+@register(
+    "wordpiece_merge_table",
+    oracle=__import__(
+        "covid_data_challenge_spark.operators.bpe", fromlist=["x"]
+    ).wordpiece_merge_oracle_sql(_NORM, _BPE_MERGES),
+)
+def q_wordpiece_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece trainer (r7) — the third tokenizer family beside BPE
+    (frequency merges) and unigram-LM (EM pruning): k merges ranked by
+    the likelihood score count(ab)/(count(a)·count(b)) (Schuster &
+    Nakajima 2012, the BERT tokenizer's training objective) — a
+    frequent pair of RARE symbols beats a frequent pair of ubiquitous
+    ones, which is exactly where WordPiece and BPE diverge on real
+    corpora. Output: (rank, pair, cnt, score_units) with the score
+    quantized to integer 1e-12 units so ranking and report replay
+    bit-exactly in the unrolled DuckDB CTE chain.
+
+    Scale shape = bpe_merge_table's dictionary-bounded loop plus one
+    alphabet-sized symbol aggregate per merge (broadcast into the pair
+    scoring join) — operators/bpe.py:wordpiece_merge_table."""
+    from covid_data_challenge_spark.operators.bpe import wordpiece_merge_table
+
+    return wordpiece_merge_table(_docs(spark, sf_dir), k=_BPE_MERGES)

@@ -348,3 +348,46 @@ def test_fim_and_t5_transforms_reconstruct_original_text(spark, sf_dir):
             rebuilt = rebuilt.replace(tag, body)
         assert " ".join(rebuilt.split()) == norm[r.doc_id], r.doc_id
         assert r.masked_tokens == sum(len(s.split()) for s in spans.values())
+
+
+def test_wordpiece_merge_table_likelihood_ranking_diverges_from_bpe(spark):
+    """WordPiece (r7) vs a pure-Python replica, on a fixture built so
+    the likelihood winner DIFFERS from the frequency winner: 'xy'
+    appears 5x but x and y are everywhere (score 5/(9*8)=0.069...);
+    'qz' appears 3x and q/z appear ONLY there (score 3/(3*3)=0.333) —
+    BPE merges 'xy' first, WordPiece must merge 'qz' first."""
+    from collections import Counter
+
+    from covid_data_challenge_spark.operators.bpe import (
+        bpe_merge_table,
+        wordpiece_merge_table,
+    )
+
+    text = "xy xy xy xy xy qz qz qz xa yb xc yd"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    # pure-Python replica of one WordPiece step
+    wd = Counter(text.split())
+    pair_cnt: Counter = Counter()
+    sym_cnt: Counter = Counter()
+    for w, n in wd.items():
+        for i in range(len(w) - 1):
+            pair_cnt[w[i : i + 2]] += n
+        for ch in w:
+            sym_cnt[ch] += n
+    scored = {
+        p: c / (sym_cnt[p[0]] * sym_cnt[p[1]]) for p, c in pair_cnt.items()
+    }
+    best = max(scored.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0]]))
+
+    wp = {r["rank"]: r for r in wordpiece_merge_table(docs, k=2).collect()}
+    bp = {r["rank"]: r for r in bpe_merge_table(docs, k=1).collect()}
+    assert bp[1]["pair"] == "xy"  # frequency winner
+    assert wp[1]["pair"] == "qz" == best[0]  # likelihood winner
+    assert wp[1]["cnt"] == 3
+    import math
+
+    assert wp[1]["score_units"] == math.floor(1e12 * scored["qz"])
+    # second merge runs over the sentinel-rewritten dictionary and the
+    # expansion reads back as a real string (no control bytes)
+    assert "\x01" not in wp[2]["pair"]
