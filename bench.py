@@ -117,6 +117,7 @@ EXTENSION = [
     "hll_register_merge",
     "multimodal_jpeg_features",
     "wordpiece_merge_table",
+    "matryoshka_abtt_audit",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -1275,7 +1275,7 @@ def _top_pc_ctes(iters: int = 3, dim: int = 64) -> str:
     ``su/nn/tvu/xc/v{iters}`` for the composing query's SELECT."""
     v0 = "[" + ", ".join("1.0" if j == 0 else "0.0" for j in range(dim)) + "]"
     parts = [
-        f"""uniq AS (SELECT vec_id, embedding FROM embeddings),
+        f"""uniq AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uniq),
 comp AS (
     SELECT vec_id, i,
@@ -1745,7 +1745,7 @@ def _block_pc_ctes(iters: int = 3, dim: int = 64, r: int = _PC_R) -> str:
         "[" + ", ".join("1.0" if j == k else "0.0" for j in range(dim)) + "]"
     )
     parts = [
-        f"""uniq AS (SELECT vec_id, embedding FROM embeddings),
+        f"""uniq AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uniq),
 comp AS (
     SELECT vec_id, i,
@@ -1760,7 +1760,7 @@ mu AS (
                 ORDER BY i) AS mu
     FROM su, nn GROUP BY nn.n
 ),
-xc AS (
+xc AS MATERIALIZED (
     SELECT u.vec_id,
            list_transform(list_zip(u.embedding, m.mu),
                           p -> CAST(p[1] AS DOUBLE) - p[2]) AS xc
@@ -1993,3 +1993,157 @@ def q_abtt_v2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__p2"), 6).alias("pc2_proj"),
         F.round(F.sqrt(resid_sq), 6).alias("resid_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: Matryoshka audit conditioned on the ABTT residual space — the
+# VERDICT r6 composition: does prefix truncation still preserve retrieval
+# once the top-2 common directions are removed? (ABTT spreads variance
+# off the dominant axes, so truncation behaves differently on the
+# residual representation than on the raw one — this query reports it.)
+# ---------------------------------------------------------------------------
+
+
+def _dd_topk_sliced_over(
+    name: str, src: str, vec: str, d: int | None, k: int = 5
+) -> str:
+    """_dd_topk_sliced generalized to any (vec_id, <vec>) CTE — BOTH
+    sides sliced (list_zip would NULL-pad a mixed-length zip)."""
+    cv = f"(c.{vec})" if d is None else f"(c.{vec})[1:{d}]"
+    qv = "qemb" if d is None else f"qemb[1:{d}]"
+    return f"""
+{name} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_dd_cos(qv, cv)} DESC, c.vec_id
+               ) AS rank
+        FROM (SELECT vec_id, {vec} AS qemb FROM {src}
+              WHERE vec_id % 100 = 0) q
+        JOIN {src} c ON q.vec_id <> c.vec_id
+    ) WHERE rank <= {k}
+)"""
+
+
+def _matryoshka_abtt_oracle(iters: int = 3) -> str:
+    # residual CTE chain = the abtt_v2 oracle's proj/r1/r2
+    trunc = [
+        _dd_topk_sliced_over("rfull5", "resid", "xr", None),
+    ] + [
+        _dd_topk_sliced_over(f"rt{d}", "resid", "xr", d)
+        for d in _MATRYOSHKA_DIMS
+    ]
+    # NOTE: _dd_topk_sliced_over slices c-side via `c.xr` unsliced for
+    # d != None — fix by slicing both sides below instead
+    body = "\nUNION ALL\n".join(
+        f"""
+SELECT CAST({d} AS INT) AS trunc_dim,
+       CAST(count(DISTINCT f.query_id) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_hits,
+       CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         / (CAST(count(DISTINCT f.query_id) AS DOUBLE) * 5.0) AS recall_at_5
+FROM rfull5 f
+LEFT JOIN rt{d} t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+"""
+        for d in _MATRYOSHKA_DIMS
+    )
+    return (
+        "WITH "
+        + _block_pc_ctes(iters, 64, _PC_R)
+        + f"""
+, proj AS (
+    SELECT x.vec_id, x.xc,
+           list_aggregate(list_transform(list_zip(x.xc, b0.v),
+                          p -> p[1] * p[2]), 'sum') AS p1,
+           list_aggregate(list_transform(list_zip(x.xc, b1.v),
+                          p -> p[1] * p[2]), 'sum') AS p2
+    FROM xc x, bv{iters}_0 b0, bv{iters}_1 b1
+),
+rr1 AS MATERIALIZED (
+    SELECT p.vec_id, p.p2,
+           list_transform(list_zip(p.xc, b0.v),
+                          q -> q[1] - (p.p1 * q[2])) AS xr
+    FROM proj p, bv{iters}_0 b0
+),
+resid AS MATERIALIZED (
+    SELECT p.vec_id,
+           list_transform(list_zip(p.xr, b1.v),
+                          q -> q[1] - (p.p2 * q[2])) AS xr
+    FROM rr1 p, bv{iters}_1 b1
+),
+{",".join(trunc)}
+{body}
+"""
+    )
+
+
+@register("matryoshka_abtt_audit", oracle=_matryoshka_abtt_oracle())
+def q_matryoshka_abtt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-recall audit ON THE ABTT-v2 RESIDUAL
+    representation (mean + top-2 PCs removed): exact cosine top-5 over
+    the first 16/32 of 64 residual dimensions, scored as recall against
+    the full-residual top-5. Read beside `matryoshka_recall_audit` (raw
+    vectors), this is the number that tells a team whether common-
+    direction removal and prefix truncation COMPOSE — ABTT pushes
+    variance off the dominant axes, so truncation on the residual keeps
+    a different (usually smaller) share of the ranking signal.
+
+    Scale shape: block power iteration fixes v₁, v₂ as literals; the
+    residual frame is computed in one map-side scan and checkpointed
+    once (it feeds the full-dim pass and both truncations); the three
+    brute-force passes are the audit tier's documented |Q|·|corpus|
+    shape. All arithmetic is the shared ordered-fold double discipline,
+    so rankings and recalls hash-match the oracle's replay of the same
+    block rounds + removals + sliced cosines."""
+    from covid_data_challenge_spark.functions.vector import to_double
+    from covid_data_challenge_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    n, mu, vs, lams, tvu = _block_power_iteration(emb, dim=dim, r=_PC_R, iters=3)
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v1 = F.array(*[F.lit(x) for x in vs[0]])
+    v2 = F.array(*[F.lit(x) for x in vs[1]])
+    xc = F.zip_with(to_double(F.col("embedding")), mu_arr, lambda x, m: x - m)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, y: acc + y
+    )
+    p1 = fold(F.zip_with(xc, v1, lambda a, b: a * b))
+    p2 = fold(F.zip_with(xc, v2, lambda a, b: a * b))
+    base = emb.select("vec_id", xc.alias("__xc"), p1.alias("__p1"), p2.alias("__p2"))
+    r1 = F.zip_with(F.col("__xc"), v1, lambda a, b: a - F.col("__p1") * b)
+    staged = base.select("vec_id", "__p2", r1.alias("__r1"))
+    r2 = F.zip_with(F.col("__r1"), v2, lambda a, b: a - F.col("__p2") * b)
+    resid = staged.select("vec_id", r2.alias("embedding")).localCheckpoint(
+        eager=True
+    )
+    queries = resid.filter(F.col("vec_id") % 100 == 0)
+    full = (
+        cosine_topk(resid, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for d in _MATRYOSHKA_DIMS:
+        t = resid.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tq = queries.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tk = cosine_topk(t, tq, k=5).select(
+            "query_id", "neighbor_id", F.lit(1).alias("__hit")
+        )
+        cmp = full.join(tk, ["query_id", "neighbor_id"], "left")
+        parts.append(
+            cmp.agg(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+                (
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                    / (F.countDistinct("query_id").cast("double") * F.lit(5.0))
+                ).alias("recall_at_5"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
