@@ -118,6 +118,7 @@ EXTENSION = [
     "multimodal_jpeg_features",
     "wordpiece_merge_table",
     "matryoshka_abtt_audit",
+    "ann_binary_rerank",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

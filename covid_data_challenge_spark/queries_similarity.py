@@ -2147,3 +2147,174 @@ def q_matryoshka_abtt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# ---------------------------------------------------------------------------
+# Round 7: binary (sign-bit) quantization ANN — the fourth rung of the
+# quantization ladder (float brute → int8 → IVF-PQ → 1-bit). 64 dims →
+# two 32-bit sign words against the per-dim corpus mean; Hamming
+# shortlist by XOR+popcount, exact-cosine re-rank on candidates only
+# (the modern vector-DB "binary quantization + rescore" serving shape).
+# ---------------------------------------------------------------------------
+
+_BQ_SHORTLIST = 20
+_BQ_K = 5
+
+
+def _ann_binary_oracle(dim: int = 64) -> str:
+    def pack(lo: bool) -> str:
+        j0, j1 = (0, 32) if lo else (32, 64)
+        return (
+            f"list_aggregate(list_transform(range({j0}, {j1}), "
+            f"j -> CASE WHEN CAST(embedding[j + 1] AS DOUBLE) > m.mu[j + 1] "
+            f"THEN (CAST(1 AS BIGINT) << CAST(j - {j0} AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END), 'sum')"
+        )
+
+    return f"""
+WITH uniq AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uniq),
+comp AS (
+    SELECT vec_id, i,
+           CAST(floor(1000000.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS xu
+    FROM uniq
+    JOIN (SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS i) idx
+        ON i <= len(embedding)
+),
+su AS (SELECT i, CAST(sum(xu) AS BIGINT) AS su FROM comp GROUP BY 1),
+mu AS (
+    SELECT list(CAST(su AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0)
+                ORDER BY i) AS mu
+    FROM su, nn GROUP BY nn.n
+),
+sk AS MATERIALIZED (
+    SELECT u.vec_id, u.embedding,
+           {pack(True)} AS lo,
+           {pack(False)} AS hi
+    FROM uniq u, mu m
+),
+q AS (SELECT * FROM sk WHERE vec_id % 100 = 0),
+cand AS (
+    SELECT query_id, neighbor_id, hd, qemb, cemb FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS hd,
+               q.embedding AS qemb, c.embedding AS cemb,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.lo, c.lo))
+                          + bit_count(xor(q.hi, c.hi)), c.vec_id
+               ) AS hrank
+        FROM q JOIN sk c ON q.vec_id <> c.vec_id
+    ) WHERE hrank <= {_BQ_SHORTLIST}
+),
+rer AS (
+    SELECT query_id, neighbor_id, hd,
+           {_dd_cos("qemb", "cemb")} AS sim,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_dd_cos("qemb", "cemb")} DESC, neighbor_id
+           ) AS rank
+    FROM cand
+)
+SELECT query_id, neighbor_id, CAST(hd AS INT) AS hamming,
+       round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM rer WHERE rank <= {_BQ_K}
+"""
+
+
+@register("ann_binary_rerank", oracle=_ann_binary_oracle())
+def q_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN serving (the vector-DB "BQ + rescore"
+    shape): each 64-dim vector compresses to TWO 32-bit sign words
+    (sign of x_j − μ_j against the exact micro-unit corpus mean — the
+    mean-centering that balances bits, Gong & Lazebnik ITQ's zeroth-
+    order trick), candidates come from Hamming distance (XOR +
+    popcount — integer, engine-identical), and the top-{_BQ_SHORTLIST}
+    shortlist is re-ranked by exact cosine to the final
+    top-{_BQ_K}. 64× memory compression on the index side; the full
+    vectors are touched only for shortlist rows.
+
+    Scale shape: the (vec_id, lo, hi) sketch is the persisted gold
+    artifact (16 bytes/vector); the Hamming pass is a broadcast-query
+    scan ranking INTEGER distances (no doubles until the re-rank);
+    re-rank reads {_BQ_SHORTLIST} full vectors per query. Completes
+    the quantization ladder beside ann_cosine_topk_int8 and
+    ann_pq_rerank. Determinism: sign bits from exact-IEEE comparisons
+    against the micro-unit mean, Hamming is integer, cosine is the
+    shared ordered-fold — ranking and scores hash-match the oracle."""
+    from pyspark.sql import Window
+
+    from covid_data_challenge_spark.functions.vector import cosine, to_double
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    n = emb.count()
+    su_rows = (
+        emb.select(F.posexplode(to_double(F.col("embedding"))).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
+        .collect()
+    )
+    su = {r.j: r.su for r in su_rows}
+    mu = [su[j] / (float(n) * 1000000.0) for j in range(dim)]
+    xd = to_double(F.col("embedding"))
+
+    def pack(j0: int, j1: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(j0), F.lit(j1 - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(xd, (j + 1).cast("int"))
+                > F.element_at(F.array(*[F.lit(m) for m in mu]), (j + 1).cast("int")),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (j - F.lit(j0)).cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    sk = emb.select(
+        "vec_id",
+        "embedding",
+        pack(0, 32).alias("lo"),
+        pack(32, 64).alias("hi"),
+    ).localCheckpoint(eager=True)
+    q = sk.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qemb"),
+        F.col("lo").alias("__qlo"),
+        F.col("hi").alias("__qhi"),
+    )
+    hd = F.bit_count(F.col("__qlo").bitwiseXOR(F.col("lo"))) + F.bit_count(
+        F.col("__qhi").bitwiseXOR(F.col("hi"))
+    )
+    wh = Window.partitionBy("query_id").orderBy(F.col("hd"), F.col("neighbor_id"))
+    cand = (
+        sk.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hd.alias("hd"),
+            "__qemb",
+            F.col("embedding").alias("__cemb"),
+        )
+        .withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= _BQ_SHORTLIST)
+    )
+    sim = cosine(F.col("__qemb"), F.col("__cemb"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", "hd", sim.alias("__sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _BQ_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hd").cast("int").alias("hamming"),
+            F.round(F.col("__sim"), 4).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

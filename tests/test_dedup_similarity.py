@@ -1060,3 +1060,35 @@ def test_abtt_v2_scores_remove_top2_subspace(spark, monkeypatch):
     old = {r.vec_id: r for r in
            REGISTRY["embedding_abtt_scores"].spark(spark, "unused").collect()}
     assert all(old[i].resid_norm > 0.9 for i in old)
+
+
+def test_ann_binary_rerank_recall_and_rescore_properties(spark, sf_dir):
+    """Binary-quantization ANN (r7): (a) recall@5 vs exact brute-force
+    stays above the 1-bit-at-64-dims floor (measured 0.56-0.60 on the
+    fixture embeddings; pinned at 0.4), (b) within a query the re-rank
+    emits candidates in exact-cosine order, (c) exactly 5 rows per
+    query, ranks 1..5, and every neighbor differs from its query."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.similarity import cosine_topk
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    out = REGISTRY["ann_binary_rerank"].spark(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, 6)), q
+        sims = [r.cosine_sim for r in rows]
+        assert sims == sorted(sims, reverse=True), q
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qs, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, recall
