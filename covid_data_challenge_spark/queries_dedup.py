@@ -1118,12 +1118,21 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    truth = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=None).select(
-        "doc_a", "doc_b"
+    # each pair frame feeds TWO consumers (its own count + the hit
+    # semi-join) — checkpoint so the expensive uncapped-jaccard and
+    # banded-LSH chains run once each (the r7 release-report discipline)
+    truth = (
+        jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    pred = minhash_lsh_pairs(
-        docs, n=3, num_perm=32, bands=8, threshold=0.2, portable=True
-    ).select("doc_a", "doc_b")
+    pred = (
+        minhash_lsh_pairs(
+            docs, n=3, num_perm=32, bands=8, threshold=0.2, portable=True
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.join(pred, ["doc_a", "doc_b"], "left_semi")
     ct = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     cp = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
