@@ -1666,60 +1666,99 @@ def _block_power_iteration(
     the final round's pre-normalization norms (Rayleigh estimates)."""
     import math
 
+    from covid_data_challenge_spark.functions.text import let
     from covid_data_challenge_spark.functions.vector import to_double
 
-    n = emb.count()
     xd = to_double(F.col("embedding"))
+    # ONE action for the centroid pass: every row contributes to all dim
+    # groups, so any group's row count IS n — no separate emb.count()
     su_rows = (
         emb.select(F.posexplode(xd).alias("j", "x"))
         .groupBy("j")
-        .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
+        .agg(
+            F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
         .collect()
     )
     su = {row.j: row.su for row in su_rows}
+    n = su_rows[0].cnt
     mu = [su[j] / (float(n) * 1000000.0) for j in range(dim)]
     mu_arr = F.array(*[F.lit(m) for m in mu])
     xc = F.zip_with(xd, mu_arr, lambda x, m: x - m)
 
-    tvu = (
-        emb.select(F.explode(xc).alias("xcj"))
-        .agg(
-            F.sum(
-                F.floor(F.lit(1000000.0) * F.col("xcj") * F.col("xcj")).cast("long")
-            ).alias("tvu")
-        )
-        .collect()[0]
-        .tvu
-    )
-
+    tvu = 0
     vs = [[1.0 if j == k else 0.0 for j in range(dim)] for k in range(r)]
     lams = [0.0] * r
-    for _ in range(iters):
-        s_cols = []
-        for k in range(r):
-            v_arr = F.array(*[F.lit(x) for x in vs[k]])
-            s_cols.append(
-                F.aggregate(
-                    F.zip_with(xc, v_arr, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, y: acc + y,
-                ).alias(f"__s{k}")
+    spark = emb.sparkSession
+    for it in range(iters):
+        # the iterate enters the plan as a 1-row broadcast aux TABLE,
+        # not as r×dim inline literals: fresh literals defeat the plan
+        # cache and Catalyst re-analyzes a multi-thousand-node tree
+        # every round (~3 s of pure planning per matvec at dim=64 —
+        # the execution itself is milliseconds). Array values are the
+        # same exact doubles either way.
+        aux = spark.createDataFrame(
+            [tuple([mu] + [vs[k] for k in range(r)])],
+            ", ".join(["__mu array<double>"]
+                      + [f"__v{k} array<double>" for k in range(r)]),
+        )
+        xcb = F.zip_with(xd, F.col("__mu"), lambda x, m: x - m)
+        s = [
+            F.aggregate(
+                F.zip_with(xcb, F.col(f"__v{k}"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+            for k in range(r)
+        ]
+        # per-row scalars LET-BOUND before the per-dimension expansion:
+        # a plain `select(s..., posexplode(xc))` re-evaluates every fold
+        # once per EXPLODED element (dim× amplification — measured ~7 s
+        # per matvec on 2000 rows); binding them once and referencing
+        # through the lambda variable makes the expansion a slot read
+        packed = F.struct(
+            *[s[k].alias(f"s{k}") for k in range(r)], xcb.alias("xc")
+        )
+        arr = let(
+            packed,
+            lambda t: F.transform(
+                t.getField("xc"),
+                lambda x, i: F.struct(
+                    i.alias("j"),
+                    x.alias("xcj"),
+                    *[t.getField(f"s{k}").alias(f"s{k}") for k in range(r)],
+                ),
+            ),
+        )
+        aggs = [
+            F.sum(
+                F.floor(
+                    F.lit(1000000.0) * F.col(f"s{k}") * F.col("xcj")
+                ).cast("long")
+            ).alias(f"u{k}")
+            for k in range(r)
+        ]
+        if it == 0:
+            # trace units ride the first matvec pass: per-j integer
+            # subtotals sum driver-side to the SAME exact integer as a
+            # dedicated global aggregate (order-free BIGINT addition)
+            aggs.append(
+                F.sum(
+                    F.floor(
+                        F.lit(1000000.0) * F.col("xcj") * F.col("xcj")
+                    ).cast("long")
+                ).alias("tv")
             )
         u_rows = (
-            emb.select(*s_cols, F.posexplode(xc).alias("j", "xcj"))
+            emb.join(F.broadcast(aux))
+            .select(F.inline(arr))
             .groupBy("j")
-            .agg(
-                *[
-                    F.sum(
-                        F.floor(
-                            F.lit(1000000.0) * F.col(f"__s{k}") * F.col("xcj")
-                        ).cast("long")
-                    ).alias(f"u{k}")
-                    for k in range(r)
-                ]
-            )
+            .agg(*aggs)
             .collect()
         )
+        if it == 0:
+            tvu = sum(row.tv for row in u_rows)
         by_j = {row.j: row for row in u_rows}
         new_vs: list[list[float]] = []
         for k in range(r):
