@@ -2287,16 +2287,24 @@ def q_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     dim = 64
-    n = emb.count()
+    # one action: per-dim micro-unit sums + n (every row hits all groups)
     su_rows = (
         emb.select(F.posexplode(to_double(F.col("embedding"))).alias("j", "x"))
         .groupBy("j")
-        .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
+        .agg(
+            F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
         .collect()
     )
     su = {r.j: r.su for r in su_rows}
+    n = su_rows[0].cnt
     mu = [su[j] / (float(n) * 1000000.0) for j in range(dim)]
     xd = to_double(F.col("embedding"))
+    # the mean rides a 1-row broadcast aux table (inline literal arrays
+    # inside a fold lambda re-instantiate per element and defeat the
+    # plan cache — the block-power-iteration lesson)
+    aux = emb.sparkSession.createDataFrame([(mu,)], "__mu array<double>")
 
     def pack(j0: int, j1: int) -> F.Column:
         return F.aggregate(
@@ -2305,19 +2313,23 @@ def q_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, j: acc
             + F.when(
                 F.element_at(xd, (j + 1).cast("int"))
-                > F.element_at(F.array(*[F.lit(m) for m in mu]), (j + 1).cast("int")),
+                > F.element_at(F.col("__mu"), (j + 1).cast("int")),
                 F.call_function(
                     "shiftleft", F.lit(1).cast("long"), (j - F.lit(j0)).cast("int")
                 ),
             ).otherwise(F.lit(0).cast("long")),
         )
 
-    sk = emb.select(
-        "vec_id",
-        "embedding",
-        pack(0, 32).alias("lo"),
-        pack(32, 64).alias("hi"),
-    ).localCheckpoint(eager=True)
+    sk = (
+        emb.join(F.broadcast(aux))
+        .select(
+            "vec_id",
+            "embedding",
+            pack(0, 32).alias("lo"),
+            pack(32, 64).alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
     q = sk.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qemb"),
