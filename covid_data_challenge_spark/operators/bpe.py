@@ -92,8 +92,17 @@ def bpe_merge_table(
         cur = wc.persist()
         cached.append(cur)
         for step in range(1, k + 1):
-            win = _win(_sym_pairs(cur, "w")).select(
-                F.col("pair").alias(f"wp{step}"), F.col("cnt").alias(f"cnt{step}")
+            # 1-row winner, eagerly checkpointed: consumed by the next
+            # rewrite AND the final merge-table chain (lazy, each
+            # consumer re-ran the step's pair aggregate — r7 fix, same
+            # as bpe_encode_stats/wordpiece)
+            win = (
+                _win(_sym_pairs(cur, "w"))
+                .select(
+                    F.col("pair").alias(f"wp{step}"),
+                    F.col("cnt").alias(f"cnt{step}"),
+                )
+                .localCheckpoint(eager=True)
             )
             wins.append(win)
             if step < k:
@@ -370,12 +379,20 @@ def wordpiece_merge_table(
         cur = wc.persist()
         cached.append(cur)
         for step in range(1, k + 1):
-            win = _wp_win(cur, "w").select(
-                F.col("pair").alias(f"wp{step}"),
-                F.col("cnt").alias(f"cnt{step}"),
-                F.floor(F.lit(1e12) * F.col("score"))
-                .cast("long")
-                .alias(f"su{step}"),
+            # 1-row winner, eagerly checkpointed (the bpe_encode_stats
+            # discipline): it feeds the next rewrite AND the final
+            # merge-table chain — lazy, each consumer would re-run the
+            # step's pair+symbol aggregates
+            win = (
+                _wp_win(cur, "w")
+                .select(
+                    F.col("pair").alias(f"wp{step}"),
+                    F.col("cnt").alias(f"cnt{step}"),
+                    F.floor(F.lit(1e12) * F.col("score"))
+                    .cast("long")
+                    .alias(f"su{step}"),
+                )
+                .localCheckpoint(eager=True)
             )
             wins.append(win)
             if step < k:
