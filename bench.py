@@ -195,6 +195,12 @@ SCALE_SF1 = [
     # cleanest demonstration of the train-on-the-dictionary design
     "kneser_ney3_nll",
     "unigram_lm_em",
+    # round 7: the likelihood-merge trainer is dictionary-bounded like
+    # unigram EM (growth should be near-flat), and the HLL register
+    # build grows with DISTINCT tokens (Heaps-sublinear) — both are
+    # scale-claim demonstrations, not just regression watches
+    "wordpiece_merge_table",
+    "hll_distinct_tokens",
 ]
 
 RUNS_PER_QUERY = 2
