@@ -887,3 +887,97 @@ def q_doc_neardup_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory_sink(result, "doc_neardup_screen_stream_sink", mode="complete")
     return spark.table("doc_neardup_screen_stream_sink")
+
+
+def _hll_stream_oracle() -> str:
+    """Batch twin of the streamed registers: per-source estimate +
+    zero-register count (the exact-count columns belong to the batch
+    query; the stream maintains only the register state)."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+    from covid_data_challenge_spark.queries_shared import _NORM
+    from covid_data_challenge_spark.queries_text import _HLL_M, _HLL_NUM, _HLL_Q
+
+    st, fin = portable_ln_sql_stages(
+        {"l_mv": f"({_HLL_M}.0 / CAST(greatest(v_zero, 1) AS DOUBLE))"}
+    )
+    return f"""
+WITH tok AS (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+ranked AS (
+    SELECT source,
+           h >> {_HLL_Q} AS idx,
+           CASE WHEN (h & {(1 << _HLL_Q) - 1}) = 0 THEN {_HLL_Q + 1}
+                ELSE {_HLL_Q + 1} - length(bin(h & {(1 << _HLL_Q) - 1}))
+           END AS rho
+    FROM (SELECT source, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+          FROM tok)
+),
+regs AS (
+    SELECT source, idx, CAST(max(rho) AS BIGINT) AS mj
+    FROM ranked GROUP BY 1, 2
+),
+per AS (
+    SELECT source,
+           CAST({_HLL_M} - count(*) AS BIGINT) AS v_zero,
+           CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_Q + 1} - mj AS INT))
+                AS BIGINT) AS s_present
+    FROM regs GROUP BY 1
+),
+raw AS (
+    SELECT source, v_zero,
+           CAST({_HLL_NUM!r} AS DOUBLE)
+             / CAST(v_zero * (CAST(1 AS BIGINT) << {_HLL_Q + 1}) + s_present
+                    AS DOUBLE) AS e_raw
+    FROM per
+),
+stg AS (SELECT source, v_zero, e_raw, {st} FROM raw),
+lns AS (SELECT source, v_zero, e_raw, {fin} FROM stg)
+SELECT source,
+       round(CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v_zero > 0
+                  THEN {_HLL_M}.0 * l_mv ELSE e_raw END, 2) AS hll_estimate,
+       v_zero AS n_zero_registers
+FROM lns
+"""
+
+
+@register("hll_registers_stream", oracle=_hll_stream_oracle())
+def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog: the per-source register table maintained
+    as Structured Streaming state — tokens hash map-side in the stream
+    (the shared queries_text.hll_rho_cols expressions), and the ONLY
+    stateful operator is `groupBy(source, idx).max(rho)`, whose state
+    is bounded at 1024 rows per source FOREVER, whatever the stream
+    volume (the register-merge property made updatable: max is the
+    streaming-safe monotone aggregate). The estimate is computed over
+    the drained register sink and hash-matches the BATCH twin exactly —
+    register max is order- and batching-insensitive, the same argument
+    the cms/quantile-grid stream updaters pin in pytest. Note the
+    stream skips the batch query's (source, token) distinct: max over
+    duplicate tokens is idempotent, so dedup before the register
+    aggregate is unnecessary work in either engine."""
+    from covid_data_challenge_spark.queries_text import (
+        hll_estimate_from_regs,
+        hll_rho_cols,
+    )
+    from covid_data_challenge_spark.functions.text import tokens
+    from covid_data_challenge_spark.streaming.events import (
+        read_document_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_document_stream(spark, sf_dir)
+    idx, rho = hll_rho_cols("w")
+    regs = (
+        stream.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .select("source", idx, rho)
+        .groupBy("source", "idx")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    run_to_memory_sink(regs, "hll_registers_stream_sink", mode="complete")
+    sunk = spark.table("hll_registers_stream_sink")
+    return hll_estimate_from_regs(sunk).select(
+        "source",
+        F.round(F.col("e"), 2).alias("hll_estimate"),
+        F.col("v_zero").alias("n_zero_registers"),
+    )

@@ -2879,6 +2879,55 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_Q + 1))
 
 
+def hll_rho_cols(word_col: str = "w") -> tuple["F.Column", "F.Column"]:
+    """(register index, rank) expressions over a token column — the
+    shared map-side half of every HLL query (batch, merge, streaming):
+    top-60 md5 bits split p=10 index / q=50 rank field."""
+    h = F.conv(F.substring(F.md5(word_col), 1, 15), 16, 10).cast("long")
+    low = h.bitwiseAND(F.lit((1 << _HLL_Q) - 1))
+    rho = F.when(low == 0, F.lit(_HLL_Q + 1)).otherwise(
+        F.lit(_HLL_Q + 1) - F.length(F.bin(low))
+    )
+    return F.shiftright(h, _HLL_Q).alias("idx"), rho.alias("rho")
+
+
+def hll_estimate_from_regs(regs: "DataFrame") -> "DataFrame":
+    """(source, e): the HLL estimate from a (source, idx, mj) register
+    table — integer harmonic denominator, let-bound linear-counting
+    branch; shared by the batch, merge, and streaming queries."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln_let
+
+    per = regs.groupBy("source").agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(_HLL_Q + 1) - F.col("mj")).cast("int"),
+            )
+        )
+        .cast("long")
+        .alias("s_present"),
+    )
+    e_raw = F.lit(_HLL_NUM) / (
+        F.col("v_zero") * F.lit(1 << (_HLL_Q + 1)) + F.col("s_present")
+    ).cast("double")
+    return per.select(
+        "source",
+        "v_zero",
+        F.when(
+            (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+            F.lit(float(_HLL_M))
+            * portable_ln_let(
+                F.lit(float(_HLL_M))
+                / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
+            ),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+
+
 def _hll_oracle() -> str:
     from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
 
@@ -2967,7 +3016,6 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is per-source scalars. The sketch side never
     touches the corpus again; on a real cluster the register table is
     the persisted gold artifact and new batches merge map-side."""
-    from covid_data_challenge_spark.functions.pmath import portable_ln_let
     from covid_data_challenge_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -2977,46 +3025,13 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds BOTH the register build and the exact count — one shuffle
         .localCheckpoint(eager=True)
     )
-    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    low = h.bitwiseAND(F.lit((1 << _HLL_Q) - 1))
-    rho = F.when(low == 0, F.lit(_HLL_Q + 1)).otherwise(
-        F.lit(_HLL_Q + 1) - F.length(F.bin(low))
-    )
+    idx, rho = hll_rho_cols("w")
     regs = (
-        tok.select("source", F.shiftright(h, _HLL_Q).alias("idx"), rho.alias("rho"))
+        tok.select("source", idx, rho)
         .groupBy("source", "idx")
         .agg(F.max("rho").cast("long").alias("mj"))
     )
-    per_src = regs.groupBy("source").agg(
-        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
-        F.sum(
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                (F.lit(_HLL_Q + 1) - F.col("mj")).cast("int"),
-            )
-        )
-        .cast("long")
-        .alias("s_present"),
-    )
-    e_raw = F.lit(_HLL_NUM) / (
-        F.col("v_zero") * F.lit(1 << (_HLL_Q + 1)) + F.col("s_present")
-    ).cast("double")
-    est = per_src.select(
-        "source",
-        "v_zero",
-        F.when(
-            (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
-            # linear counting: m·ln(m/V) — let-bound inside the CASE
-            F.lit(float(_HLL_M))
-            * portable_ln_let(
-                F.lit(float(_HLL_M))
-                / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
-            ),
-        )
-        .otherwise(e_raw)
-        .alias("e"),
-    )
+    est = hll_estimate_from_regs(regs)
     exact = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     return exact.join(est, "source").select(
         "source",
@@ -3120,7 +3135,6 @@ def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same bit-exactness discipline as hll_distinct_tokens (integer
     registers, integer harmonic denominator, let-bound portable-ln
     linear-counting branch)."""
-    from covid_data_challenge_spark.functions.pmath import portable_ln_let
     from covid_data_challenge_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -3129,48 +3143,15 @@ def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok = part.select(
             "source", F.explode(tokens(F.col("text"))).alias("w")
         ).distinct()
-        h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-        low = h.bitwiseAND(F.lit((1 << _HLL_Q) - 1))
-        rho = F.when(low == 0, F.lit(_HLL_Q + 1)).otherwise(
-            F.lit(_HLL_Q + 1) - F.length(F.bin(low))
-        )
+        idx, rho = hll_rho_cols("w")
         return (
-            tok.select(
-                "source", F.shiftright(h, _HLL_Q).alias("idx"), rho.alias("rho")
-            )
+            tok.select("source", idx, rho)
             .groupBy("source", "idx")
             .agg(F.max("rho").cast("long").alias("mj"))
         )
 
     def estimate(regs: DataFrame) -> DataFrame:
-        per = regs.groupBy("source").agg(
-            (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
-            F.sum(
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    (F.lit(_HLL_Q + 1) - F.col("mj")).cast("int"),
-                )
-            )
-            .cast("long")
-            .alias("s_present"),
-        )
-        e_raw = F.lit(_HLL_NUM) / (
-            F.col("v_zero") * F.lit(1 << (_HLL_Q + 1)) + F.col("s_present")
-        ).cast("double")
-        return per.select(
-            "source",
-            F.when(
-                (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
-                F.lit(float(_HLL_M))
-                * portable_ln_let(
-                    F.lit(float(_HLL_M))
-                    / F.greatest(F.col("v_zero"), F.lit(1)).cast("double")
-                ),
-            )
-            .otherwise(e_raw)
-            .alias("e"),
-        )
+        return hll_estimate_from_regs(regs).select("source", "e")
 
     hist = regs_of(docs.filter(F.col("doc_id") % 5 != 0))
     batch = regs_of(docs.filter(F.col("doc_id") % 5 == 0))
