@@ -119,6 +119,8 @@ EXTENSION = [
     "wordpiece_merge_table",
     "matryoshka_abtt_audit",
     "ann_binary_rerank",
+    "wordpiece_encode_stats",
+    "classifier_ece",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -439,6 +439,95 @@ def wordpiece_merge_table(
 def wordpiece_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
     """DuckDB twin of :func:`wordpiece_merge_table`, unrolled for fixed
     ``k`` — the bpe_winner_ctes chain with the likelihood-scored winner."""
+    ctes = wordpiece_winner_ctes(norm_expr, k)
+
+    def expand(step: int) -> str:
+        expr = f"(SELECT pair FROM w{step})"
+        for j in range(step - 1, 0, -1):
+            expr = f"replace({expr}, chr({j}), {expand(j)})"
+        return expr
+
+    selects = [
+        f"SELECT CAST({step} AS INT) AS rank, {expand(step)} AS pair, "
+        f"(SELECT cnt FROM w{step}) AS cnt, "
+        f"(SELECT CAST(floor(1e12 * score) AS BIGINT) FROM w{step}) AS score_units"
+        for step in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def wordpiece_encode_stats(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE with the trained WordPiece merges — the serve half
+    (mirrors :func:`bpe_encode_stats`, with the likelihood-ranked
+    winners): train k merges, then apply them to every document's words
+    in rank order (greedy leftmost replace chain, winners in sentinel
+    form so later merges can consume earlier ones). Per doc: unit
+    counts before/after + compression — the tokenizer-cost number under
+    THIS tokenizer, read beside bpe_encode_stats' to see where
+    likelihood-ranked merges pay off."""
+    wc = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cached: list[DataFrame] = []
+    wins: list[DataFrame] = []
+    try:
+        cur = wc.persist()
+        cached.append(cur)
+        for step in range(1, k + 1):
+            win = (
+                _wp_win(cur, "w")
+                .select(F.col("pair").alias(f"wp{step}"))
+                .localCheckpoint(eager=True)
+            )
+            wins.append(win)
+            if step < k:
+                cur = (
+                    cur.join(F.broadcast(win))
+                    .select(
+                        F.replace(
+                            F.col("w"), F.col(f"wp{step}"), F.lit(chr(step))
+                        ).alias("w"),
+                        "n",
+                    )
+                    .persist()
+                )
+                cached.append(cur)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+    enc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).select("doc_id", F.length("w").alias("len0"), "w")
+    for step, win in enumerate(wins, 1):
+        enc = enc.join(F.broadcast(win)).select(
+            "doc_id",
+            "len0",
+            F.replace(F.col("w"), F.col(f"wp{step}"), F.lit(chr(step))).alias("w"),
+        )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("len0").alias("units_before"),
+        F.sum(F.length("w")).alias("units_after"),
+        (F.sum("len0") - F.sum(F.length("w"))).alias("merges_applied"),
+        (
+            F.sum(F.length("w")).cast("double") / F.sum("len0").cast("double")
+        ).alias("compression"),
+    )
+
+
+def wordpiece_winner_ctes(norm_expr: str, k: int) -> list[str]:
+    """The WordPiece training-loop CTE chain (likelihood-ranked winners
+    ``w1..wk`` in sentinel form) — the wordpiece_merge_oracle_sql chain
+    factored out so the encode oracle can reuse it."""
     ctes = [
         f"wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ("
         f"SELECT unnest(string_split({norm_expr}, ' ')) AS w FROM documents"
@@ -475,17 +564,32 @@ def wordpiece_merge_oracle_sql(norm_expr: str, k: int = 4) -> str:
                 f"chr({step})) AS w, n FROM {prev})"
             )
             prev = f"m{step}"
+    return ctes
 
-    def expand(step: int) -> str:
-        expr = f"(SELECT pair FROM w{step})"
-        for j in range(step - 1, 0, -1):
-            expr = f"replace({expr}, chr({j}), {expand(j)})"
-        return expr
 
-    selects = [
-        f"SELECT CAST({step} AS INT) AS rank, {expand(step)} AS pair, "
-        f"(SELECT cnt FROM w{step}) AS cnt, "
-        f"(SELECT CAST(floor(1e12 * score) AS BIGINT) FROM w{step}) AS score_units"
-        for step in range(1, k + 1)
-    ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+def wordpiece_encode_oracle_sql(norm_expr: str, k: int = 4) -> str:
+    """DuckDB twin of :func:`wordpiece_encode_stats` for fixed ``k``."""
+    ctes = wordpiece_winner_ctes(norm_expr, k)
+    chain = "w"
+    for step in range(1, k + 1):
+        chain = f"replace({chain}, (SELECT pair FROM w{step}), chr({step}))"
+    ctes.append(
+        f"doc_toks AS (SELECT doc_id, "
+        f"unnest(string_split({norm_expr}, ' ')) AS w FROM documents)"
+    )
+    ctes.append(
+        f"enc AS (SELECT doc_id, len(w) AS len0, {chain} AS we FROM doc_toks)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id,
+       count(*) AS n_words,
+       sum(len0) AS units_before,
+       sum(len(we)) AS units_after,
+       sum(len0) - sum(len(we)) AS merges_applied,
+       CAST(sum(len(we)) AS DOUBLE) / CAST(sum(len0) AS DOUBLE) AS compression
+FROM enc GROUP BY doc_id
+"""
+    )

@@ -2750,3 +2750,136 @@ def q_wordpiece_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.bpe import wordpiece_merge_table
 
     return wordpiece_merge_table(_docs(spark, sf_dir), k=_BPE_MERGES)
+
+
+@register(
+    "wordpiece_encode_stats",
+    oracle=__import__(
+        "covid_data_challenge_spark.operators.bpe", fromlist=["x"]
+    ).wordpiece_encode_oracle_sql(_NORM, _BPE_MERGES),
+)
+def q_wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece tokenizer's SERVE half (train→encode, completing
+    the third tokenizer family the way bpe_encode_stats and
+    unigram_encode_stats complete theirs): apply the k likelihood-ranked
+    merges to every document's words in rank order (greedy leftmost
+    replace chain, sentinel form) and report per-doc unit counts
+    before/after + compression. Read beside bpe_encode_stats to see
+    where likelihood-ranked merges compress differently from
+    frequency-ranked ones on the same corpus. Oracle reuses the
+    wordpiece winner CTE chain with the encode tail
+    (operators/bpe.py:wordpiece_encode_stats)."""
+    from covid_data_challenge_spark.operators.bpe import wordpiece_encode_stats
+
+    return wordpiece_encode_stats(_docs(spark, sf_dir), k=_BPE_MERGES)
+
+
+@register(
+    "classifier_ece",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+    + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+probs AS (
+    SELECT y,
+           (1.0 / (1.0 + {portable_exp_sql("zneg")})) AS p
+    FROM (SELECT y, -(CAST(logit_units AS DOUBLE) / 1000000000.0) AS zneg
+          FROM scored)
+),
+binned AS (
+    SELECT CAST(least(floor(p * 10.0), 9.0) AS INT) AS bin,
+           CAST(floor(1000000000.0 * p) AS BIGINT) AS p_units, y
+    FROM probs
+),
+per_bin AS (
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(p_units) AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS conf,
+           CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS acc
+    FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM per_bin),
+contrib AS (
+    SELECT n_b, abs(conf - acc) AS adiff,
+           CAST(floor(1000000000.0 *
+                ((CAST(n_b AS DOUBLE) / CAST(tot.n AS DOUBLE)) * abs(conf - acc)))
+                AS BIGINT) AS cu
+    FROM per_bin, tot
+)
+SELECT (SELECT n FROM tot) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_bins_nonempty,
+       CAST(sum(cu) AS BIGINT) / 1000000000.0 AS ece,
+       round(max(adiff), 9) AS mce
+FROM contrib
+""",
+)
+def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the quality classifier — THE
+    scalar quoted beside a classifier-filtered corpus (Guo et al. 2017
+    eq. 3: Σ_b (n_b/N)·|conf_b − acc_b| over probability deciles),
+    plus MCE (the worst bin). Distills classifier_calibration's
+    reliability table into the number that decides whether
+    platt_scaling_fit needs to run.
+
+    Hash-exactness: per-bin conf/acc are single divisions of exact
+    integer sums; the ECE summation crosses ≤10 bins, so each bin's
+    weighted contribution quantizes to integer nano-units BEFORE the
+    sum (cross-row double addition is order-dependent; integer
+    addition is not) and the final value is one division. MCE is a max
+    — order-free on doubles. One aggregation over the scored docs +
+    a 10-row re-aggregate."""
+    docs = _docs(spark, sf_dir)
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    p = (
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + portable_exp(-(F.col("logit_units").cast("double") / F.lit(1e9)))
+        )
+    )
+    binned = scored.select(
+        "y",
+        F.least(F.floor(p * F.lit(10.0)), F.lit(9.0)).cast("int").alias("bin"),
+        F.floor(F.lit(1e9) * p).cast("long").alias("p_units"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        (
+            F.sum("p_units").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("conf"),
+        (
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("acc"),
+    )
+    tot = per_bin.agg(F.sum("n_b").cast("long").alias("n"))
+    adiff = F.abs(F.col("conf") - F.col("acc"))
+    contrib = per_bin.join(F.broadcast(tot)).select(
+        "n_b",
+        adiff.alias("adiff"),
+        F.floor(
+            F.lit(1e9)
+            * (
+                (F.col("n_b").cast("double") / F.col("n").cast("double"))
+                * adiff
+            )
+        )
+        .cast("long")
+        .alias("cu"),
+        "n",
+    )
+    return contrib.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_nonempty"),
+        (F.sum("cu").cast("long") / F.lit(1e9)).alias("ece"),
+        F.round(F.max("adiff"), 9).alias("mce"),
+    ).select(
+        F.col("n").alias("n_docs"), "n_bins_nonempty", "ece", "mce"
+    )

@@ -391,3 +391,53 @@ def test_wordpiece_merge_table_likelihood_ranking_diverges_from_bpe(spark):
     # second merge runs over the sentinel-rewritten dictionary and the
     # expansion reads back as a real string (no control bytes)
     assert "\x01" not in wp[2]["pair"]
+
+
+def test_classifier_ece_consistent_with_reliability_table(spark, sf_dir):
+    """classifier_ece (r7) must be exactly the Guo et al. reduction of
+    classifier_calibration's reliability table: same bins, ECE equals
+    the integer-quantized weighted |conf − acc| sum, MCE the max, and
+    0 <= ECE <= MCE <= 1."""
+    import math
+
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    table = REGISTRY["classifier_calibration"].spark(spark, sf_dir).collect()
+    out = REGISTRY["classifier_ece"].spark(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    n = sum(b.n_docs for b in table)
+    assert r.n_docs == n
+    assert r.n_bins_nonempty == len(table)
+    want_units = sum(
+        math.floor(1e9 * ((b.n_docs / n) * abs(b.mean_predicted - b.frac_positive)))
+        for b in table
+    )
+    assert r.ece == want_units / 1e9
+    want_mce = round(max(abs(b.mean_predicted - b.frac_positive) for b in table), 9)
+    assert r.mce == want_mce
+    assert 0.0 <= r.ece <= r.mce <= 1.0
+
+
+def test_wordpiece_encode_stats_consistency(spark):
+    """wordpiece_encode_stats (r7): every merge application shrinks
+    unit counts by exactly merges_applied; compression = after/before;
+    the likelihood-trained tokenizer compresses the rare-symbol-pair
+    corpus where BPE's frequency winner differs (the divergence
+    fixture)."""
+    from covid_data_challenge_spark.operators.bpe import (
+        bpe_encode_stats,
+        wordpiece_encode_stats,
+    )
+
+    text = "xy xy xy xy xy qz qz qz xa yb xc yd"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    wp = wordpiece_encode_stats(docs, k=1).collect()[0]
+    bp = bpe_encode_stats(docs, k=1).collect()[0]
+    assert wp.units_before == bp.units_before == 24  # 12 words x 2 chars
+    # k=1: WP merges 'qz' (3 occurrences), BPE merges 'xy' (5)
+    assert wp.merges_applied == 3 and bp.merges_applied == 5
+    assert wp.units_after == 21 and bp.units_after == 19
+    assert abs(wp.compression - 21 / 24) < 1e-12
+    assert wp.n_words == 12
