@@ -121,6 +121,7 @@ EXTENSION = [
     "ann_binary_rerank",
     "wordpiece_encode_stats",
     "classifier_ece",
+    "unigram_encode_stats_em2",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

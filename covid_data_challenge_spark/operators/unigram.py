@@ -375,3 +375,65 @@ def unigram_em_round2(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (kept as a named entry point; the registered query and its oracle
     predate the k-round generalization)."""
     return unigram_em_rounds(docs, 2, text_col)
+
+
+def unigram_encode_stats_rounds(
+    docs: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """The serve half under the ROUND-k trained model (train k−1
+    prune/re-fit cycles exactly as :func:`unigram_em_rounds`, then
+    encode): Viterbi-segment the word dictionary under the round-k
+    scores once, broadcast the vocab-sized word→piece-count table into
+    one corpus pass → per-document fertility stats. This is what
+    shipping the SentencePiece model after training actually looks
+    like — the pruned, re-scored vocabulary serves, not the seed."""
+    if k < 2:
+        raise ValueError("use unigram_encode_stats for the seed-model serve")
+    wd = word_dictionary(docs, text_col).localCheckpoint(eager=True)
+    vocab = seed_vocab(wd).select("piece", "u").localCheckpoint(eager=True)
+    for _r in range(1, k):
+        used = (
+            viterbi_segments(wd, vocab)
+            .groupBy("piece")
+            .agg(F.sum("n").cast("long").alias("vc"))
+        )
+        rj = vocab.select("piece").join(used, "piece", "left").select(
+            "piece", F.coalesce(F.col("vc"), F.lit(0)).cast("long").alias("vc")
+        )
+        vtot = rj.agg(F.sum("vc").cast("long").alias("__vt"))
+        vocab = (
+            rj.join(F.broadcast(vtot))
+            .filter((F.col("vc") > 0) | (F.length("piece") == 1))
+            .select(
+                "piece",
+                F.floor(
+                    F.lit(1000000.0)
+                    * (
+                        portable_ln(F.greatest(F.col("vc"), F.lit(1)).cast("double"))
+                        - portable_ln(F.col("__vt").cast("double"))
+                    )
+                )
+                .cast("long")
+                .alias("u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wpc = (
+        viterbi_segments(wd, vocab)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter((F.length("w") >= 1) & (F.length("w") <= MAX_WORD))
+    return (
+        docw.join(F.broadcast(wpc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("pieces_per_word"),
+        )
+    )

@@ -2438,13 +2438,15 @@ SELECT piece,
        END AS new_score_units
 FROM nln
 """
-    # tail == "em{k}", k >= 2: k−1 prune-and-refit cycles. Each round r:
+    # tail == "em{k}" / "encode{k}", k >= 2: k−1 prune-and-refit cycles.
+    # Each round r:
     # prune (keep vc>0 ∪ all singles), re-score from round r−1 usage
     # (zero-usage singles take the smoothed ln(1/total) floor — the
     # greatest(vc,1) already staged in the previous nln), re-run the DP.
     # Round 1's CTEs keep their historical unprefixed names (nln carries
     # vc / l_vc / l_vt), so r=2 reads them specially; r >= 3 is uniform.
-    k = int(tail.removeprefix("em") or "2")
+    encode_mode = tail.startswith("encode")
+    k = int(tail.removeprefix("encode" if encode_mode else "em") or "2")
     round_ctes: list[str] = []
     for r in range(2, k + 1):
         src_ln = "nln" if r == 2 else f"n{r - 1}ln"
@@ -2484,6 +2486,28 @@ n{r}st AS (SELECT piece, round{r - 1}_count, vc{r}, {st} FROM j{r + 1} CROSS JOI
 n{r}ln AS (SELECT piece, round{r - 1}_count, vc{r}, {fin} FROM n{r}st)"""
         )
     rounds_sql = ",\n".join(round_ctes)
+    if encode_mode:
+        # serve under the round-k model: encode tail over the round-k
+        # Viterbi pieces (the trailing used{k}/n{k}ln CTEs of the last
+        # generated round are simply never referenced)
+        return f"""
+WITH {chain},
+{em_ctes},
+{rounds_sql},
+wpc AS (SELECT w, CAST(count(*) AS BIGINT) AS k FROM r{k}pieces GROUP BY w),
+docw AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ) WHERE len(w) BETWEEN 1 AND {max_word}
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(k) AS BIGINT) AS n_pieces,
+       round(CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+           AS pieces_per_word
+FROM docw d JOIN wpc USING (w)
+GROUP BY d.doc_id
+"""
     return f"""
 WITH {chain},
 {em_ctes},
@@ -2557,6 +2581,23 @@ def q_unigram_lm_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.unigram import unigram_em_round2
 
     return unigram_em_round2(_docs(spark, sf_dir))
+
+
+@register("unigram_encode_stats_em2", oracle=_unigram_oracle_sql(tail="encode2"))
+def q_unigram_encode_stats_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's serve half under the ROUND-2 model —
+    what shipping a SentencePiece model after a prune/re-fit cycle
+    actually serves (the pruned, usage-re-scored vocabulary, not the
+    seed). Same one-dictionary-segmentation + broadcast word→pieces
+    design as `unigram_encode_stats`; read the two side by side to see
+    what the prune cycle does to fertility. Oracle: the em2 CTE chain
+    through the round-2 Viterbi pieces + the encode tail
+    (operators/unigram.py:unigram_encode_stats_rounds)."""
+    from covid_data_challenge_spark.operators.unigram import (
+        unigram_encode_stats_rounds,
+    )
+
+    return unigram_encode_stats_rounds(_docs(spark, sf_dir), 2)
 
 
 @register("unigram_lm_em3", oracle=_unigram_oracle_sql(tail="em3"))
