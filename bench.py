@@ -122,6 +122,7 @@ EXTENSION = [
     "wordpiece_encode_stats",
     "classifier_ece",
     "unigram_encode_stats_em2",
+    "corpus_prep_recipe_v5",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -2883,3 +2883,136 @@ def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").alias("n_docs"), "n_bins_nonempty", "ece", "mce"
     )
+
+
+def _v5_oracle() -> str:
+    from covid_data_challenge_spark.operators.splits import split_sql_case
+    from covid_data_challenge_spark.queries_shared import jaccard_edge_ctes
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0])
+        + f""",
+scored AS ({_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[1]}),
+probs AS (
+    SELECT doc_id, y,
+           CAST(floor(1000000000.0
+                * (1.0 / (1.0 + {portable_exp_sql("zneg")}))) AS BIGINT)
+             AS p_units
+    FROM (SELECT doc_id, y,
+                 -(CAST(logit_units AS DOUBLE) / 1000000000.0) AS zneg
+          FROM scored)
+),
+kept5 AS (
+    SELECT d.doc_id, d.text, d.lang, d.source, p.p_units
+    FROM documents d JOIN probs p USING (doc_id)
+    WHERE p.y = 0.0
+      AND {md5_unit_fraction_sql("d.doc_id || 'cpr4'")}
+          < CAST(p.p_units AS DOUBLE) / 1000000000.0
+),
+{jaccard_edge_ctes("kept5")},
+clustered AS (
+    SELECT k.doc_id, k.lang, k.source, k.p_units,
+           coalesce(a.cluster_id, k.doc_id) AS cluster_id
+    FROM kept5 k LEFT JOIN assigned a USING (doc_id)
+),
+survivors AS (
+    SELECT cluster_id, min(doc_id) AS doc_id FROM clustered GROUP BY cluster_id
+)
+SELECT c.doc_id, c.lang, c.source, c.p_units, c.cluster_id,
+       {split_sql_case("c.cluster_id", splits)} AS split
+FROM clustered c JOIN survivors s
+  ON c.cluster_id = s.cluster_id AND c.doc_id = s.doc_id
+"""
+    )
+
+
+@register("corpus_prep_recipe_v5", oracle=_v5_oracle())
+def q_corpus_prep_recipe_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE-grade curation recipe — v4's supervised gate composed
+    with the near-dup/leakage machinery into the artifact a training
+    run actually consumes:
+
+    1. LR classifier gate (train → portable-exp sigmoid → md5-coin soft
+       selection; v4 steps 1–3, bit-identical chain, same 'cpr4' coin);
+    2. NEAR-dup dedup on the kept set — banded n-gram Jaccard pairs →
+       connected components → lowest-id canonical survivor per cluster
+       (v4 stops at exact dedup; near-copies of a kept doc survive v4
+       and leak across splits);
+    3. cluster-keyed train/val/test split on the survivors — the
+       split_leakage_audit's zero-leak-by-construction policy.
+
+    Output: (doc_id, lang, source, p_units, cluster_id, split) — the
+    release table. Every stage replays in ONE DuckDB chain: unrolled GD,
+    portable-exp sigmoid, md5 coin, shingle/Jaccard edges over the KEPT
+    subset (the parameterized jaccard_edge_ctes — clustering only what
+    survived the gate, which is also the 100 TB order: the cheap gate
+    shrinks the corpus before the expensive pair generation), recursive
+    components, md5 split case.
+
+    Scale shape: gate is map-side after a broadcast scoring join;
+    pair generation is the capped banded self-join (skew-immune);
+    components is the bounded large-star/small-star loop; the split is
+    a map-side md5 case. Frames consumed twice are checkpointed."""
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+    from covid_data_challenge_spark.operators.components import cluster_assignments
+    from covid_data_challenge_spark.operators.dedup import jaccard_pairs
+    from covid_data_challenge_spark.operators.sampling import md5_unit_fraction
+    from covid_data_challenge_spark.operators.splits import assign_split
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = _docs(spark, sf_dir)
+    feats = lr_features(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    ).localCheckpoint(eager=True)
+    scored = lr_score(feats, lr_train(feats))
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + portable_exp(-(F.col("logit_units").cast("double") / F.lit(1e9)))
+    )
+    probs = scored.select(
+        "doc_id", "y", F.floor(F.lit(1e9) * p).cast("long").alias("p_units")
+    )
+    kept = (
+        docs.join(probs, "doc_id")
+        .filter(
+            (F.col("y") == 0.0)
+            & (
+                md5_unit_fraction(F.concat(F.col("doc_id"), F.lit("cpr4")))
+                < F.col("p_units").cast("double") / F.lit(1e9)
+            )
+        )
+        .select("doc_id", "text", "lang", "source", "p_units")
+        # feeds pair generation, the components seed, AND the final
+        # projection — checkpoint so the gate chain runs once
+        .localCheckpoint(eager=True)
+    )
+    pairs = jaccard_pairs(kept, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    clustered = (
+        kept.select("doc_id", "lang", "source", "p_units")
+        .join(
+            cluster_assignments(kept, pairs).select("doc_id", "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "p_units",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        # consumed by the survivor argmin AND the final join
+        .localCheckpoint(eager=True)
+    )
+    survivors = clustered.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    out = clustered.join(survivors, ["cluster_id", "doc_id"])
+    out = assign_split(out, "cluster_id", splits, out_col="split")
+    return out.select(
+        "doc_id", "lang", "source", "p_units", "cluster_id", "split"
+    )

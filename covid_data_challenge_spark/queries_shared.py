@@ -158,9 +158,14 @@ FROM t
 
 #: Shared CTE block recomputing the n-gram Jaccard near-dup edge list in
 #: DuckDB (same semantics as `ngram_jaccard_pairs`), for the clustering
-#: oracles below.
-_JACCARD_EDGE_CTES = f"""
-docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+#: oracles below. ``jaccard_edge_ctes(src)`` parameterizes the source
+#: relation (r7: corpus_prep_recipe_v5 clusters the classifier-KEPT
+#: subset, not the whole corpus).
+
+
+def jaccard_edge_ctes(src: str = "documents") -> str:
+    return f"""
+docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {src}),
 sh AS (
     SELECT DISTINCT doc_id,
            w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
@@ -187,9 +192,12 @@ edges AS (
     UNION ALL SELECT doc_b, doc_a FROM pairs
 ),
 walk(id, comp) AS (
-    SELECT doc_id, doc_id FROM documents
+    SELECT doc_id, doc_id FROM {src}
     UNION
     SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
 ),
 assigned AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
 """
+
+
+_JACCARD_EDGE_CTES = jaccard_edge_ctes("documents")

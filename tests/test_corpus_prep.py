@@ -441,3 +441,39 @@ def test_wordpiece_encode_stats_consistency(spark):
     assert wp.units_after == 21 and bp.units_after == 19
     assert abs(wp.compression - 21 / 24) < 1e-12
     assert wp.n_words == 12
+
+
+def test_corpus_prep_recipe_v5_neardup_prune_and_cluster_split(spark, monkeypatch):
+    """v5 (r7): on a corpus with planted near-duplicate pairs among the
+    raw docs, the recipe must (a) keep only the lowest-id survivor per
+    near-dup cluster (v4's exact dedup would keep both), (b) assign the
+    split on the CLUSTER key, and (c) never emit two docs from one
+    cluster."""
+    import covid_data_challenge_spark.queries_curation as qc
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    base = ("quantum physics lab experiment with detailed measurement "
+            "notes and long careful sentences about the apparatus")
+    rows = []
+    for i in range(10):  # curated positives (training targets)
+        rows.append((i, f"quantum physics lab notes {i}", "en", "src0", 100))
+    for i in range(20):  # raw docs: 10 near-dup PAIRS (1-word tweak)
+        rows.append((100 + 2 * i, base + f" variant {i}", "en", "raw", 200))
+        rows.append((101 + 2 * i, base + f" variant {i} extra", "en", "raw", 200))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(qc, "_docs", lambda spark, sf: docs)
+    out = REGISTRY["corpus_prep_recipe_v5"].spark(spark, "unused").collect()
+    assert out, "the md5 coin kept nothing — fixture needs retuning"
+    clusters = [r.cluster_id for r in out]
+    assert len(clusters) == len(set(clusters))  # one survivor per cluster
+    # every kept doc is its cluster's minimum (canonical survivor)
+    for r in out:
+        assert r.doc_id == r.cluster_id or r.doc_id >= r.cluster_id
+    # planted pairs: if both ends passed the gate, only the even id stays
+    ids = {r.doc_id for r in out}
+    for i in range(20):
+        a, b = 100 + 2 * i, 101 + 2 * i
+        assert not (a in ids and b in ids), (a, b)
+    assert {r.split for r in out} <= {"train", "val", "test"}
