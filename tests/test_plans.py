@@ -663,3 +663,41 @@ def test_duplicate_spans_islands_partition_by_doc(spark, sf_dir):
     simple = _plan(spark, REGISTRY["duplicate_spans"].spark(spark, sf_dir), "simple")
     assert "Exchange SinglePartition" not in simple, simple
     assert "hashpartitioning(doc_id" in simple, simple
+
+
+def test_moore_lewis_fused_scorer_single_per_doc_aggregate(spark, sf_dir):
+    """The r7 fused multi-LM scorer must survive refactors: the final
+    moore_lewis_select plan starts from the checkpointed scored frame
+    (both scoring passes + the per-doc aggregation already collapsed
+    into ONE chain behind the boundary), so the visible plan contains
+    no corpus-sized joins, no sort-merge joins, and no window — only
+    the median broadcast onto the scored rows."""
+    plan = _plan(spark, REGISTRY["moore_lewis_select"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    # the scored frame is a checkpoint leaf, not a re-derived LM chain
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_block_power_iteration_matvec_is_single_scan_no_shuffle_amplification(
+    spark, sf_dir
+):
+    """embedding_top_pcs (r7): the returned frame is the per-dim
+    projection over ONE posexplode aggregate — a single exchange (the
+    64-group aggregate), no joins, no window; the iterate enters as
+    literals so the plan is join-free (the iteration-internal matvecs
+    already ran eagerly via the aux-table pattern)."""
+    plan = _plan(spark, REGISTRY["embedding_top_pcs"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final of the 64-group agg
+
+
+def test_hll_register_build_is_two_aggregates_no_window(spark, sf_dir):
+    """hll_distinct_tokens (r7): registers are groupBy(source, idx)
+    max — map-side combinable — and the estimate is a per-source
+    re-aggregate; no window, no sort-merge join anywhere (the exact
+    side joins the estimate by source, broadcast-sized)."""
+    plan = _plan(spark, REGISTRY["hll_distinct_tokens"].spark(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
