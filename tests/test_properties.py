@@ -575,3 +575,63 @@ def test_unigram_viterbi_matches_python_dp(spark, words):
         expect = out[::-1]
         assert got[w] == expect, (w, got[w], expect)
         assert "".join(got[w]) == w  # segmentation is lossless
+
+
+@given(
+    w=st.integers(min_value=1, max_value=37),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=10**6),
+    quality=st.integers(min_value=60, max_value=100),
+    subsample=st.booleans(),
+    dri=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_codec_roundtrip_property(w, h, seed, quality, subsample, dri):
+    """Property: for ANY size (odd/prime dims included — the edge-pad
+    paths), seed, quality >= 60, subsampling mode, and restart
+    interval, encode->decode succeeds with the right shape and bounded
+    error (quantization error shrinks with quality; 4:2:0 is looser on
+    the per-pixel-chroma pattern)."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.jpeg import (
+        _test_pattern,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    img = _test_pattern(w, h, seed)
+    payload = encode_jpeg_baseline(
+        w, h, seed=seed, quality=quality, subsample=subsample,
+        restart_interval=dri,
+    )
+    out = decode_jpeg(payload)
+    assert out is not None and out.shape == (h, w, 3)
+    mae = np.abs(out.astype(int) - img.astype(int)).mean()
+    bound = 40.0 if subsample else 22.0
+    assert mae < bound, (w, h, seed, quality, subsample, dri, mae)
+
+
+@given(
+    cut=st.integers(min_value=2, max_value=400),
+    flip_at=st.integers(min_value=2, max_value=400),
+    flip_to=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_decoder_never_raises_on_mangled_payloads(cut, flip_at, flip_to):
+    """Quarantine property: truncations and single-byte corruptions of a
+    valid JPEG either decode to a well-shaped image or return None —
+    NEVER raise (the per-row mapInPandas contract)."""
+    from covid_data_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    payload = encode_jpeg_baseline(24, 16, seed=7, quality=85)
+    t = payload[: min(cut, len(payload))]
+    out = decode_jpeg(t)
+    assert out is None or out.shape == (16, 24, 3)
+    pos = min(flip_at, len(payload) - 1)
+    m = payload[:pos] + bytes([flip_to]) + payload[pos + 1 :]
+    out = decode_jpeg(m)
+    assert out is None or out.shape[2] == 3
