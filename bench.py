@@ -123,6 +123,7 @@ EXTENSION = [
     "classifier_ece",
     "unigram_encode_stats_em2",
     "corpus_prep_recipe_v5",
+    "dsir_ess_report",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

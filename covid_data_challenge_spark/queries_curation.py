@@ -3016,3 +3016,127 @@ def q_corpus_prep_recipe_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "source", "p_units", "cluster_id", "split"
     )
+
+
+def _dsir_ess_oracle() -> str:
+    from covid_data_challenge_spark.functions.pmath import portable_exp_sql
+
+    # shared DSIR weight chain (identical to dsir_importance_select's),
+    # then: per-source max-shifted linear weights via portable-exp
+    # (clamped at e^-30 — scale-invariance lets every group shift by its
+    # own max), integer nano-unit quantization, exact integer moment
+    # sums (DuckDB sums BIGINT into HUGEINT — lossless), one division.
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           source IN {_DSIR_TARGET_SOURCES} AS is_target,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, source, is_target,
+           CAST(
+             (CAST(('0x' || substr(md5(term || '{DSIR_SALT}'), 1, 8)) AS BIGINT)
+              % {DSIR_BUCKETS} + {DSIR_BUCKETS}) % {DSIR_BUCKETS} AS INT
+           ) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY 1, 2, 3, 4
+),
+per_bucket AS (
+    SELECT bucket,
+           sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+           sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cr
+    FROM bucketed GROUP BY 1
+),
+grid AS (
+    SELECT bucket, ct, cr,
+           (SELECT sum(ct) FROM per_bucket) AS nt,
+           (SELECT sum(cr) FROM per_bucket) AS nr
+    FROM per_bucket
+),
+staged AS (SELECT bucket, {_DSIR_STAGE} FROM grid),
+lns AS (SELECT bucket, {_DSIR_FINAL} FROM staged),
+wtab AS (
+    SELECT bucket,
+           CAST(floor(1000000.0 * ((((l1) - (l2)) - (l3)) + (l4))) AS BIGINT)
+             AS w_units
+    FROM lns
+),
+docw AS (
+    SELECT b.doc_id, b.source,
+           sum(b.cnt * w.w_units) AS w_units
+    FROM bucketed b JOIN wtab w USING (bucket)
+    WHERE NOT b.is_target
+    GROUP BY 1, 2
+),
+mx AS (SELECT source, max(w_units) AS mx FROM docw GROUP BY 1),
+lin AS (
+    SELECT d.source,
+           CAST(floor(1000000000.0 *
+                ({portable_exp_sql("(CAST(d.w_units - m.mx AS DOUBLE) / 1000000.0)")}))
+                AS BIGINT) AS wu
+    FROM docw d JOIN mx m USING (source)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round((CAST(sum(wu) AS DOUBLE) * CAST(sum(wu) AS DOUBLE))
+             / CAST(sum(wu * wu) AS DOUBLE), 4) AS ess,
+       round(((CAST(sum(wu) AS DOUBLE) * CAST(sum(wu) AS DOUBLE))
+             / CAST(sum(wu * wu) AS DOUBLE)) / CAST(count(*) AS DOUBLE), 6)
+           AS ess_frac
+FROM lin GROUP BY source
+"""
+
+
+@register("dsir_ess_report", oracle=_dsir_ess_oracle())
+def q_dsir_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights, per raw
+    source — THE importance-sampling health metric (Kong 1992:
+    ESS = (Σw)²/Σw²): ess_frac near 1 means the weights are flat (the
+    selection barely reweights); near 1/n means a handful of documents
+    dominate and the resampled corpus will be near-duplicates of them.
+    Read this BEFORE trusting dsir_importance_select / dsir_gumbel_topk
+    output sizes.
+
+    Determinism: the per-doc log-weights are the shared integer
+    micro-nat DSIR weights; each source's weights shift by their own
+    max (ESS is scale-invariant; the shift keeps portable-exp inside
+    its clamp for everything that matters — weights below e⁻³⁰ of the
+    max contribute nothing to either moment), quantize to integer
+    nano-units, and the two moment sums are EXACT integer aggregates
+    (Spark sums into decimal(38,0), DuckDB into HUGEINT — both
+    lossless), so ESS is two correctly-rounded divisions. Scale: the
+    weight chain is dsir_doc_weights' (bucket model broadcast, one
+    doc-level aggregate); the report adds one per-source max broadcast
+    and one per-source aggregate."""
+    from covid_data_challenge_spark.functions.pmath import portable_exp
+    from covid_data_challenge_spark.operators.dsir import dsir_doc_weights
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_doc_weights(
+        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    )
+    raw = (
+        docs.select("doc_id", "source")
+        .join(w.filter(~F.col("is_target")).select("doc_id", "w_units"), "doc_id")
+    )
+    mx = raw.groupBy("source").agg(F.max("w_units").alias("mx"))
+    lin = raw.join(F.broadcast(mx), "source").select(
+        "source",
+        F.floor(
+            F.lit(1e9)
+            * portable_exp(
+                (F.col("w_units") - F.col("mx")).cast("double") / F.lit(1e6)
+            )
+        )
+        .cast("long")
+        .alias("wu"),
+    )
+    s1 = F.sum(F.col("wu").cast("decimal(38,0)")).cast("double")
+    s2 = F.sum((F.col("wu") * F.col("wu")).cast("decimal(38,0)")).cast("double")
+    ess = (s1 * s1) / s2
+    return lin.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.count(F.lit(1)).cast("double"), 6).alias("ess_frac"),
+    )

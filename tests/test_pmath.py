@@ -326,3 +326,41 @@ def test_platt_fit_recovers_shift_on_miscalibrated_scores(spark):
         ).alias("a")
     ).collect()[0].a
     assert acc > 0.95, acc  # raw scores give 0.5 (all positive)
+
+
+def test_dsir_ess_flat_vs_degenerate_weights(spark, dsir_corpus, monkeypatch):
+    """dsir_ess_report (r7): a raw source whose docs all look alike gets
+    ess_frac near 1 (flat weights); planting ONE strongly target-like
+    doc inside an otherwise-uniform source collapses its ESS toward a
+    single effective sample."""
+    from pyspark.sql import functions as F
+
+    import covid_data_challenge_spark.queries_curation as qc
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    extra = spark.createDataFrame(
+        [(900, "quantum physics lab " * 12, "rawmix")]
+        + [(901 + i, f"butter flour sugar recipe oven {i}", "rawmix")
+           for i in range(9)],
+        "doc_id long, text string, source string",
+    )
+    docs = dsir_corpus.unionByName(extra)
+    monkeypatch.setattr(qc, "_docs", lambda spark, sf: docs)
+    monkeypatch.setattr(
+        qc, "_DSIR_TARGET_SOURCES", ("tgt",), raising=False
+    )
+    out = {r.source: r for r in
+           REGISTRY["dsir_ess_report"].spark(spark, "unused").collect()}
+    assert set(out) == {"rawlike", "rawfood", "rawmix"}
+    # homogeneous sources keep a healthy effective fraction (the {i%k}
+    # digit wobble still spreads hashed-bucket weights a bit)
+    assert out["rawfood"].ess_frac > 0.4
+    assert out["rawlike"].ess_frac > 0.4
+    # the planted dominant doc collapses the mixed source's ESS to ~1
+    # effective sample
+    assert out["rawmix"].n_docs == 10
+    assert out["rawmix"].ess_frac < 0.2, out["rawmix"]
+    assert out["rawmix"].ess_frac < out["rawfood"].ess_frac
+    assert out["rawmix"].ess_frac < out["rawlike"].ess_frac
+    for r in out.values():  # 1 <= ESS <= n always
+        assert 1.0 <= r.ess <= r.n_docs + 1e-6
