@@ -2073,8 +2073,8 @@ def _matryoshka_abtt_oracle(iters: int = 3) -> str:
         _dd_topk_sliced_over(f"rt{d}", "resid", "xr", d)
         for d in _MATRYOSHKA_DIMS
     ]
-    # NOTE: _dd_topk_sliced_over slices c-side via `c.xr` unsliced for
-    # d != None — fix by slicing both sides below instead
+    # _dd_topk_sliced_over slices BOTH the query and candidate vectors to
+    # d dims ((c.{vec})[1:{d}]) so list_zip never NULL-pads a length mismatch.
     body = "\nUNION ALL\n".join(
         f"""
 SELECT CAST({d} AS INT) AS trunc_dim,

@@ -317,8 +317,10 @@ def test_jpeg_codec_quarantine_contract():
     assert decode_jpeg(p[: len(p) // 2]) is None
     assert decode_jpeg(b"\xff\xd8not a jpeg") is None
     assert decode_jpeg(b"") is None
-    # flip SOF0 -> SOF2 (progressive): the marker byte is in the header
-    # region, before any entropy data
+    # flip SOF0 -> SOF2: the file CLAIMS progressive but carries a
+    # baseline full-spectrum interleaved scan (Ss=0, Se=63) — an
+    # illegal progressive scan header, which must quarantine rather
+    # than decode with the wrong scan semantics
     sof_at = p.index(b"\xff\xc0")
     prog = p[:sof_at] + b"\xff\xc2" + p[sof_at + 2 :]
     assert decode_jpeg(prog) is None
@@ -355,3 +357,64 @@ def test_jpeg_spark_stage_matches_kernel_and_quarantines(spark):
            REGISTRY["multimodal_jpeg_features"].spark(spark, "unused").collect()}
     assert not out[0].decoded and not out[16].decoded
     assert sum(1 for r in out.values() if r.decoded) == 30
+
+
+def test_jpeg_noninterleaved_and_progressive_decode_exactly():
+    """All three scan layouts of the same (img, quality, subsample)
+    carry identical quantized coefficients, so decode equality is
+    EXACT: non-interleaved baseline (the ADVICE r7 silent-misdecode
+    class) and progressive SOF2 (12-scan spectral selection +
+    successive approximation) must both reproduce the interleaved
+    baseline decode pixel-for-pixel."""
+    from covid_data_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_baseline_noninterleaved,
+        encode_jpeg_progressive,
+    )
+
+    for (w, h, seed, q, sub, dri) in [
+        (24, 16, 7, 85, False, 0),
+        (40, 24, 3, 95, True, 2),
+        (17, 9, 5, 75, False, 1),
+        (33, 31, 11, 90, True, 0),
+    ]:
+        base = decode_jpeg(
+            encode_jpeg_baseline(
+                w, h, seed=seed, quality=q, subsample=sub, restart_interval=dri
+            )
+        )
+        assert base is not None and base.shape == (h, w, 3)
+        ni = decode_jpeg(
+            encode_jpeg_baseline_noninterleaved(
+                w, h, seed=seed, quality=q, subsample=sub, restart_interval=dri
+            )
+        )
+        assert ni is not None and (ni == base).all(), (w, h, seed, q, sub, dri)
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, seed=seed, quality=q, subsample=sub)
+        )
+        assert prog is not None and (prog == base).all(), (w, h, seed, q, sub)
+
+
+def test_jpeg_fill_bytes_and_progressive_quarantine():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker — files padded that way must decode identically, not
+    quarantine (ADVICE r7). Truncated progressive payloads quarantine
+    like truncated baseline ones."""
+    from covid_data_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    p = encode_jpeg_baseline(24, 16, seed=7, quality=85)
+    base = decode_jpeg(p)
+    assert p[20:22] == b"\xff\xdb"  # DQT right after SOI + APP0
+    filled = p[:20] + b"\xff\xff\xff" + p[20:-2] + b"\xff" + p[-2:]
+    out = decode_jpeg(filled)
+    assert out is not None and (out == base).all()
+
+    pp = encode_jpeg_progressive(24, 16, seed=2)
+    assert decode_jpeg(pp[: len(pp) // 2]) is None
+    assert decode_jpeg(pp) is not None

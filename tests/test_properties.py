@@ -635,3 +635,41 @@ def test_jpeg_decoder_never_raises_on_mangled_payloads(cut, flip_at, flip_to):
     m = payload[:pos] + bytes([flip_to]) + payload[pos + 1 :]
     out = decode_jpeg(m)
     assert out is None or out.shape[2] == 3
+
+
+@given(
+    w=st.integers(min_value=1, max_value=37),
+    h=st.integers(min_value=1, max_value=23),
+    seed=st.integers(min_value=0, max_value=10**6),
+    quality=st.integers(min_value=60, max_value=100),
+    subsample=st.booleans(),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_scan_layouts_decode_identically_property(w, h, seed, quality, subsample):
+    """Property: for ANY size/seed/quality/subsampling, the progressive
+    (SOF2, spectral selection + successive approximation) and
+    non-interleaved-baseline encodings of an image decode EXACTLY equal
+    to the interleaved baseline decode — the three layouts are
+    different entropy packings of the same quantized coefficients, so
+    any per-pixel difference is a decoder bug, not quantization."""
+    from covid_data_challenge_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_baseline_noninterleaved,
+        encode_jpeg_progressive,
+    )
+
+    base = decode_jpeg(
+        encode_jpeg_baseline(w, h, seed=seed, quality=quality, subsample=subsample)
+    )
+    assert base is not None and base.shape == (h, w, 3)
+    ni = decode_jpeg(
+        encode_jpeg_baseline_noninterleaved(
+            w, h, seed=seed, quality=quality, subsample=subsample
+        )
+    )
+    assert ni is not None and (ni == base).all()
+    prog = decode_jpeg(
+        encode_jpeg_progressive(w, h, seed=seed, quality=quality, subsample=subsample)
+    )
+    assert prog is not None and (prog == base).all()
