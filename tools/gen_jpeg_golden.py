@@ -1,0 +1,121 @@
+"""Generate the golden-parquet oracle twins for the JPEG feature
+queries (VERDICT r7 next-round #1).
+
+The fixture corpora are pure functions of the row id (deterministic
+encoders in operators/jpeg.py), and the decode→feature kernel is pinned
+independently by golden + hypothesis pytest against those encoders — so
+the expected feature rows can be materialized ONCE, committed as small
+parquet files, and served to DuckDB via ``read_parquet``. That lifts
+the reference's inline golden-value assertion style
+(tests/test_integration.py:49-89 in lfaller/covid-data-challenge) to
+the oracle layer: the driver's correctness gate then hash-checks the
+whole Spark plumbing (mapInPandas batching, schema, quarantine nulls)
+against the committed goldens instead of recording a rows-only check.
+
+Run from the repo root after changing the fixture corpora or the
+feature kernel:  python tools/gen_jpeg_golden.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+FIXTURE_DIR = "/root/repo/covid_data_challenge_spark/fixtures"
+
+GOLDEN_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("decoded", pa.bool_()),
+        ("feat_idx", pa.int32()),
+        ("feat_value", pa.float32()),
+    ]
+)
+
+
+def _payloads_baseline(n: int = 32) -> list[tuple[int, bytes]]:
+    """Exactly operators/multimodal.synth_jpeg_table's payloads."""
+    from covid_data_challenge_spark.operators.jpeg import encode_jpeg_baseline
+
+    out = []
+    for i in range(n):
+        w, h = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+        jpg = encode_jpeg_baseline(
+            w,
+            h,
+            seed=i,
+            quality=85 + (i % 3) * 5,
+            subsample=(i % 2 == 1),
+            restart_interval=(2 if i % 4 == 2 else 0),
+        )
+        out.append((i, jpg[: len(jpg) // 2] if i % 16 == 0 else jpg))
+    return out
+
+
+def _payloads_progressive(n: int = 32) -> list[tuple[int, bytes]]:
+    """Exactly operators/multimodal.synth_jpeg_progressive_table's."""
+    from covid_data_challenge_spark.operators.jpeg import (
+        encode_jpeg_baseline_noninterleaved,
+        encode_jpeg_progressive,
+    )
+
+    out = []
+    for i in range(n):
+        w, h = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+        enc = (
+            encode_jpeg_baseline_noninterleaved
+            if i % 8 == 5
+            else encode_jpeg_progressive
+        )
+        jpg = enc(w, h, seed=i, quality=85 + (i % 3) * 5, subsample=(i % 2 == 1))
+        out.append((i, jpg[: len(jpg) // 2] if i % 16 == 0 else jpg))
+    return out
+
+
+def _rows(payloads: list[tuple[int, bytes]]) -> dict[str, list]:
+    from covid_data_challenge_spark.operators.multimodal import jpeg_features
+
+    cols: dict[str, list] = {k: [] for k in GOLDEN_SCHEMA.names}
+    for media_id, payload in payloads:
+        feats = jpeg_features(payload)
+        if feats is None:
+            cols["media_id"].append(media_id)
+            cols["kind"].append("image")
+            cols["n_bytes"].append(len(payload))
+            cols["decoded"].append(False)
+            cols["feat_idx"].append(None)
+            cols["feat_value"].append(None)
+        else:
+            for j, v in enumerate(feats):
+                cols["media_id"].append(media_id)
+                cols["kind"].append("image")
+                cols["n_bytes"].append(len(payload))
+                cols["decoded"].append(True)
+                cols["feat_idx"].append(j)
+                cols["feat_value"].append(v)
+    return cols
+
+
+def main() -> None:
+    import os
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    for name, payloads in (
+        ("jpeg_features_golden", _payloads_baseline()),
+        ("jpeg_progressive_golden", _payloads_progressive()),
+    ):
+        table = pa.table(_rows(payloads), schema=GOLDEN_SCHEMA)
+        path = f"{FIXTURE_DIR}/{name}.parquet"
+        pq.write_table(table, path)
+        n_corrupt = table.num_rows - table.column("decoded").to_pylist().count(True)
+        print(f"{path}: {table.num_rows} rows ({n_corrupt} quarantine rows)")
+
+
+if __name__ == "__main__":
+    main()
