@@ -284,6 +284,86 @@ def unigram_encode_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _round_usage(wd: DataFrame, vocab: DataFrame) -> DataFrame:
+    """One E-step: Viterbi-segment the dictionary under ``vocab`` scores
+    → per-piece usage counts (piece, vc), weighted by word frequency."""
+    return (
+        viterbi_segments(wd, vocab)
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("vc"))
+    )
+
+
+def _rescored_vocab(
+    vocab: DataFrame, used: DataFrame, count_alias: str | None = None
+) -> DataFrame:
+    """One prune/re-score refit cycle (the shared M-step of the k-round
+    EM trainer, the round-k serve path, and the converged trainer —
+    ADVICE r7: a single implementation is what guarantees train-vs-serve
+    bit-exactness): prune zero-usage pieces (keeping all single chars —
+    the coverage guarantee), re-score from usage (zero-usage singles
+    take the smoothed ln(1/total) floor). Returns (piece[, count_alias],
+    u), ``localCheckpoint``-ed EAGERLY — that boundary is load-bearing
+    twice over: (a) O(1) lineage per round, and (b) each Viterbi fold
+    compiles as its OWN whole-stage-codegen stage under janino's 64 KB
+    method limit (the r6 interpreted-mode fallback)."""
+    rj = vocab.select("piece").join(used, "piece", "left").select(
+        "piece", F.coalesce(F.col("vc"), F.lit(0)).cast("long").alias("vc")
+    )
+    vtot = rj.agg(F.sum("vc").cast("long").alias("__vt"))
+    cols = ["piece"]
+    if count_alias is not None:
+        cols.append(F.col("vc").alias(count_alias))
+    cols.append(
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                portable_ln(F.greatest(F.col("vc"), F.lit(1)).cast("double"))
+                - portable_ln(F.col("__vt").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("u")
+    )
+    return (
+        rj.join(F.broadcast(vtot))
+        .filter((F.col("vc") > 0) | (F.length("piece") == 1))
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _final_em_table(
+    vocab: DataFrame, usedk: DataFrame, prev_count: str
+) -> DataFrame:
+    """The k-round EM output table: the round-k vocabulary annotated
+    with round-k Viterbi usage and re-estimated scores."""
+    j = vocab.join(usedk.withColumnRenamed("vc", "vck"), "piece", "left").select(
+        "piece",
+        prev_count,
+        F.coalesce(F.col("vck"), F.lit(0)).cast("long").alias("vck"),
+    )
+    vtotk = j.agg(F.sum("vck").cast("long").alias("__vtk"))
+    return j.join(F.broadcast(vtotk)).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        prev_count,
+        F.col("vck").alias("viterbi_count"),
+        (F.col("vck") > 0).alias("kept"),
+        F.when(
+            F.col("vck") > 0,
+            # let-bound: see unigram_em_round's new_score_units note
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    portable_ln_let(F.col("vck").cast("double"))
+                    - portable_ln_let(F.col("__vtk").cast("double"))
+                )
+            ).cast("long"),
+        ).alias("new_score_units"),
+    )
+
+
 def unigram_em_rounds(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """K chained hard-EM rounds — the REAL SentencePiece trainer loop
     (Kudo 2018 §3.2), generalizing the fixed two-step: round 1 exactly
@@ -311,63 +391,60 @@ def unigram_em_rounds(docs: DataFrame, k: int, text_col: str = "text") -> DataFr
     vocab = seed_vocab(wd).select("piece", "u").localCheckpoint(eager=True)
     prev_count = "round1_count"
     for r in range(1, k):
-        used = (
-            viterbi_segments(wd, vocab)
-            .groupBy("piece")
-            .agg(F.sum("n").cast("long").alias("vc"))
-        )
-        rj = vocab.select("piece").join(used, "piece", "left").select(
-            "piece", F.coalesce(F.col("vc"), F.lit(0)).cast("long").alias("vc")
-        )
-        vtot = rj.agg(F.sum("vc").cast("long").alias("__vt"))
         prev_count = f"round{r}_count"
-        vocab = (
-            rj.join(F.broadcast(vtot))
-            .filter((F.col("vc") > 0) | (F.length("piece") == 1))
-            .select(
-                "piece",
-                F.col("vc").alias(prev_count),
-                F.floor(
-                    F.lit(1000000.0)
-                    * (
-                        portable_ln(F.greatest(F.col("vc"), F.lit(1)).cast("double"))
-                        - portable_ln(F.col("__vt").cast("double"))
-                    )
-                )
-                .cast("long")
-                .alias("u"),
-            )
-            .localCheckpoint(eager=True)
+        vocab = _rescored_vocab(vocab, _round_usage(wd, vocab), prev_count)
+    return _final_em_table(vocab, _round_usage(wd, vocab), prev_count)
+
+
+def unigram_em_converged(
+    docs: DataFrame, tol: int = 0, k_max: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Convergence-stopped EM (VERDICT r7 next-round #5) — the real
+    SentencePiece trainer termination: loop prune/re-score rounds until
+    the corpus Viterbi log-likelihood stops improving by more than
+    ``tol`` micro-nats (with a ``k_max`` bound), instead of a fixed k.
+
+    The likelihood needs no extra pass: the round-r best-path corpus
+    log-probability under the round-r scores is exactly
+    Σ_piece vc_r · u_r — an INTEGER micro-nat sum over the vocab-sized
+    usage table, order-free and bit-identical across engines. Each round
+    collects that one BIGINT as an API-boundary scalar (the k-center
+    discipline: driver state is one number per round, bounded by
+    ``k_max``); hard EM is monotone here, so the delta hits ``tol``
+    quickly on any stationary corpus.
+
+    Output: the round-k EM table exactly as :func:`unigram_em_rounds`
+    (k = realized rounds) with the previous-round count under the FIXED
+    name ``prev_round_count`` (the realized k is data-dependent, so the
+    column can't carry it) plus ``rounds_run`` and ``ll_delta_units``
+    — the oracle chains the same number of rounds and pins both."""
+    if k_max < 2:
+        raise ValueError("unigram_em_converged needs k_max >= 2")
+    wd = word_dictionary(docs, text_col).localCheckpoint(eager=True)
+    vocab = seed_vocab(wd).select("piece", "u").localCheckpoint(eager=True)
+    prev_ll: int | None = None
+    delta: int = 0
+    rounds = 0
+    while True:
+        rounds += 1
+        # usage feeds BOTH the likelihood scalar and (maybe) the refit —
+        # checkpoint so the Viterbi segmentation runs once per round
+        used = _round_usage(wd, vocab).localCheckpoint(eager=True)
+        ll = int(
+            used.join(vocab.select("piece", "u"), "piece")
+            .agg(F.sum(F.col("vc") * F.col("u")).cast("long"))
+            .collect()[0][0]
         )
-    usedk = (
-        viterbi_segments(wd, vocab)
-        .groupBy("piece")
-        .agg(F.sum("n").cast("long").alias("vck"))
-    )
-    j = vocab.join(usedk, "piece", "left").select(
-        "piece",
-        prev_count,
-        F.coalesce(F.col("vck"), F.lit(0)).cast("long").alias("vck"),
-    )
-    vtotk = j.agg(F.sum("vck").cast("long").alias("__vtk"))
-    return j.join(F.broadcast(vtotk)).select(
-        "piece",
-        F.length("piece").cast("int").alias("piece_len"),
-        prev_count,
-        F.col("vck").alias("viterbi_count"),
-        (F.col("vck") > 0).alias("kept"),
-        F.when(
-            F.col("vck") > 0,
-            # let-bound: see unigram_em_round's new_score_units note
-            F.floor(
-                F.lit(1000000.0)
-                * (
-                    portable_ln_let(F.col("vck").cast("double"))
-                    - portable_ln_let(F.col("__vtk").cast("double"))
+        if prev_ll is not None:
+            delta = ll - prev_ll
+            if delta <= tol or rounds == k_max:
+                return _final_em_table(
+                    vocab, used, "prev_round_count"
+                ).withColumn("rounds_run", F.lit(rounds).cast("int")).withColumn(
+                    "ll_delta_units", F.lit(delta).cast("long")
                 )
-            ).cast("long"),
-        ).alias("new_score_units"),
-    )
+        prev_ll = ll
+        vocab = _rescored_vocab(vocab, used, "prev_round_count")
 
 
 def unigram_em_round2(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -392,32 +469,7 @@ def unigram_encode_stats_rounds(
     wd = word_dictionary(docs, text_col).localCheckpoint(eager=True)
     vocab = seed_vocab(wd).select("piece", "u").localCheckpoint(eager=True)
     for _r in range(1, k):
-        used = (
-            viterbi_segments(wd, vocab)
-            .groupBy("piece")
-            .agg(F.sum("n").cast("long").alias("vc"))
-        )
-        rj = vocab.select("piece").join(used, "piece", "left").select(
-            "piece", F.coalesce(F.col("vc"), F.lit(0)).cast("long").alias("vc")
-        )
-        vtot = rj.agg(F.sum("vc").cast("long").alias("__vt"))
-        vocab = (
-            rj.join(F.broadcast(vtot))
-            .filter((F.col("vc") > 0) | (F.length("piece") == 1))
-            .select(
-                "piece",
-                F.floor(
-                    F.lit(1000000.0)
-                    * (
-                        portable_ln(F.greatest(F.col("vc"), F.lit(1)).cast("double"))
-                        - portable_ln(F.col("__vt").cast("double"))
-                    )
-                )
-                .cast("long")
-                .alias("u"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        vocab = _rescored_vocab(vocab, _round_usage(wd, vocab))
     wpc = (
         viterbi_segments(wd, vocab)
         .groupBy("w")

@@ -1918,3 +1918,42 @@ def test_hll_register_merge_is_exact(spark, monkeypatch):
     for r in out:
         assert r.merge_exact, r
         assert r.merged_estimate == r.full_estimate
+
+
+def test_unigram_em_converged_early_stop_and_rounds_equivalence(spark):
+    """Convergence-stopped EM (r8): (a) on a corpus whose seed model is
+    already stationary (single-character words only — segmentation is
+    forced, so likelihood can never improve) the trainer stops at the
+    MINIMUM two rounds with a zero delta; (b) on a mixed corpus the
+    output table equals unigram_em_rounds at the realized k row-for-row
+    (the converged trainer is the same loop with a measured stop, not a
+    different trainer)."""
+    from covid_data_challenge_spark.operators.unigram import (
+        unigram_em_converged,
+        unigram_em_rounds,
+    )
+
+    flat = spark.createDataFrame(
+        [(i, "a b c a b a") for i in range(4)], ["doc_id", "text"]
+    )
+    out = unigram_em_converged(flat, tol=0, k_max=8)
+    rows = out.collect()
+    assert rows and all(r.rounds_run == 2 for r in rows)
+    assert all(r.ll_delta_units == 0 for r in rows)
+
+    mixed = spark.createDataFrame(
+        [(i, "banana band ban banana bandana") for i in range(3)]
+        + [(10 + i, "ban band banana") for i in range(2)],
+        ["doc_id", "text"],
+    )
+    conv = unigram_em_converged(mixed, tol=0, k_max=8)
+    k = conv.collect()[0].rounds_run
+    fixed = {
+        r.piece: (r.viterbi_count, r.kept, r.new_score_units)
+        for r in unigram_em_rounds(mixed, int(k)).collect()
+    }
+    got = {
+        r.piece: (r.viterbi_count, r.kept, r.new_score_units)
+        for r in conv.collect()
+    }
+    assert got == fixed
