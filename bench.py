@@ -132,6 +132,7 @@ EXTENSION = [
     "multimodal_jpeg_progressive",
     "ann_pq_build",
     "ann_pq_serve",
+    "hll_sparse_distinct",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -3117,6 +3117,216 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL++ sparse mode (Heule, Nunkesser & Hall 2013 §5.3): below the
+#: upgrade threshold a source's sketch is the sorted list of DISTINCT
+#: high-precision hash prefixes (p' = 25), estimated by LINEAR COUNTING
+#: over m' = 2^25 — near-exact for small cardinalities AND smaller than
+#: 1024 dense rows. T ≈ m/4 entries is where the sparse list stops
+#: being cheaper than the dense array (HLL++'s 6·m-bit budget at ~32
+#: bits per sparse entry).
+_HLL_SP_P = 25
+_HLL_SP_M = 1 << _HLL_SP_P
+_HLL_SPARSE_T = 192
+
+
+def hll_sparse_entries(tok: "DataFrame") -> "DataFrame":
+    """(source, idx25, rho): the sparse representation — one row per
+    distinct p'=25 prefix of the same 60-bit md5 hash the dense
+    registers use, carrying the max dense-precision rank alongside
+    (HLL++'s encoded pair). That makes the upgrade LOSSLESS by
+    construction: dense registers are exactly (idx = idx25 >> 15,
+    mj = max rho) — no rehash, no rank approximation — which the
+    boundary-crossing pytest pins against registers built directly.
+    Shared by the batch query and the merge/upgrade pytest."""
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    idx, rho = hll_rho_cols("w")
+    return (
+        tok.select("source", F.shiftright(h, 60 - _HLL_SP_P).alias("idx25"), rho)
+        .groupBy("source", "idx25")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def _hll_sparse_oracle() -> str:
+    from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
+
+    lc_stage, lc_final = portable_ln_sql_stages(
+        {
+            "l_sp": (
+                f"(CAST({_HLL_SP_M} AS DOUBLE)"
+                f" / CAST({_HLL_SP_M} - nnz AS DOUBLE))"
+            ),
+            "l_mv": f"({_HLL_M}.0 / CAST(greatest(v_zero, 1) AS DOUBLE))",
+        }
+    )
+    return f"""
+WITH ws AS (
+    SELECT source, string_split({_NORM}, ' ') AS w FROM documents
+),
+tok AS (
+    SELECT DISTINCT source || '|token' AS source, t.u AS w
+    FROM ws, LATERAL (SELECT unnest(w) AS u) t
+    UNION
+    SELECT DISTINCT source || '|bigram' AS source,
+           w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i + 1 AS INT)] AS w
+    FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+),
+hashed AS (
+    SELECT source, w,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM tok
+),
+sparse AS (
+    SELECT source,
+           CAST(count(DISTINCT h >> {60 - _HLL_SP_P}) AS BIGINT) AS nnz
+    FROM hashed GROUP BY 1
+),
+ranked AS (
+    SELECT source,
+           h >> {_HLL_Q} AS idx,
+           CASE WHEN (h & {(1 << _HLL_Q) - 1}) = 0 THEN {_HLL_Q + 1}
+                ELSE {_HLL_Q + 1} - length(bin(h & {(1 << _HLL_Q) - 1}))
+           END AS rho
+    FROM hashed
+),
+regs AS (
+    SELECT source, idx, CAST(max(rho) AS BIGINT) AS mj
+    FROM ranked GROUP BY 1, 2
+),
+per_src AS (
+    SELECT source,
+           CAST({_HLL_M} - count(*) AS BIGINT) AS v_zero,
+           CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_Q + 1} - mj AS INT))
+                AS BIGINT) AS s_present
+    FROM regs GROUP BY 1
+),
+raw AS (
+    SELECT p.source, s.nnz, p.v_zero,
+           CAST({_HLL_NUM!r} AS DOUBLE)
+             / CAST(p.v_zero * (CAST(1 AS BIGINT) << {_HLL_Q + 1}) + p.s_present
+                    AS DOUBLE) AS e_raw
+    FROM per_src p JOIN sparse s USING (source)
+),
+stg AS (SELECT source, nnz, v_zero, e_raw, {lc_stage} FROM raw),
+lns AS (SELECT source, nnz, v_zero, e_raw, {lc_final} FROM stg),
+est AS (
+    SELECT source, nnz,
+           CASE WHEN nnz <= {_HLL_SPARSE_T} THEN 'sparse' ELSE 'dense' END AS mode,
+           CASE WHEN nnz <= {_HLL_SPARSE_T} THEN nnz
+                ELSE CAST({_HLL_M} AS BIGINT) END AS stored_entries,
+           CASE WHEN nnz <= {_HLL_SPARSE_T}
+                THEN CAST({_HLL_SP_M} AS DOUBLE) * l_sp
+                WHEN e_raw <= {2.5 * _HLL_M!r} AND v_zero > 0
+                THEN {_HLL_M}.0 * l_mv
+                ELSE e_raw END AS e
+    FROM lns
+),
+exact AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY 1
+)
+SELECT split_part(x.source, '|', 1) AS source,
+       split_part(x.source, '|', 2) AS gram,
+       e.mode, e.stored_entries, x.n_exact,
+       round(e.e, 2) AS hll_estimate,
+       round((e.e - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE), 4)
+           AS rel_error
+FROM exact x JOIN est e USING (source)
+"""
+
+
+@register("hll_sparse_distinct", oracle=_hll_sparse_oracle())
+def q_hll_sparse_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ SPARSE mode (r8 — VERDICT r7 next-round #8; Heule et al.
+    2013 §5.3): a sketch whose sparse list of distinct p'=25 hash
+    prefixes fits under T=192 entries keeps the LIST as its
+    representation — fewer rows than the 1024 dense registers AND
+    near-exact (linear counting over m'=2^25) — and upgrades to the
+    dense p=10 register array only past the threshold, where the list
+    would out-weigh the registers. Sketched at TWO granularities per
+    source so the fixture corpus exercises both modes: the token
+    vocabulary (tiny → every sketch stays sparse and exact) and the
+    bigram vocabulary (combinatorial, ~700/source → every sketch
+    upgrades to dense registers with a few-percent estimate). Per
+    (source, gram): the chosen mode, the rows the gold table would
+    actually store, and the mode's estimate beside the exact count.
+    Composes with hll_register_merge: sparse lists merge by
+    DISTINCT-union and upgrade when the merged size crosses T (the
+    boundary-crossing pytest in test_operators).
+
+    Bit-exactness: nnz is an integer; linear counting's ln argument is
+    one exact IEEE division of ≤2^25 integers through the let-bound
+    portable ln (CASE branch — the r7 codegen lesson); the dense branch
+    is hll_distinct_tokens' integer-denominator math unchanged."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln_let
+    from covid_data_challenge_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    ws = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = (
+        docs.select(
+            F.concat(F.col("source"), F.lit("|token")).alias("source"),
+            F.explode(ws).alias("w"),
+        )
+        .unionByName(
+            docs.select(
+                F.concat(F.col("source"), F.lit("|bigram")).alias("source"),
+                F.explode(bigrams).alias("w"),
+            )
+        )
+        .distinct()
+        # feeds the sparse list, the dense registers, and the exact
+        # count — one shuffle
+        .localCheckpoint(eager=True)
+    )
+    nnz = (
+        hll_sparse_entries(tok)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("nnz"))
+    )
+    idx, rho = hll_rho_cols("w")
+    regs = (
+        tok.select("source", idx, rho)
+        .groupBy("source", "idx")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    dense = hll_estimate_from_regs(regs)
+    exact = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    is_sparse = F.col("nnz") <= _HLL_SPARSE_T
+    lc = F.lit(float(_HLL_SP_M)) * portable_ln_let(
+        F.lit(float(_HLL_SP_M)) / (F.lit(_HLL_SP_M) - F.col("nnz")).cast("double")
+    )
+    e = F.when(is_sparse, lc).otherwise(F.col("e"))
+    return (
+        exact.join(nnz, "source")
+        .join(dense, "source")
+        .select(
+            F.split_part(F.col("source"), F.lit("|"), F.lit(1)).alias("source"),
+            F.split_part(F.col("source"), F.lit("|"), F.lit(2)).alias("gram"),
+            F.when(is_sparse, F.lit("sparse")).otherwise(F.lit("dense")).alias("mode"),
+            F.when(is_sparse, F.col("nnz"))
+            .otherwise(F.lit(_HLL_M))
+            .cast("long")
+            .alias("stored_entries"),
+            "n_exact",
+            F.round(e, 2).alias("hll_estimate"),
+            F.round(
+                (e - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
 def _hll_merge_oracle() -> str:
     """DuckDB twin of the register-merge query: history/batch registers
     built independently, merged by elementwise max, and the merged

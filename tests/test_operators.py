@@ -1957,3 +1957,68 @@ def test_unigram_em_converged_early_stop_and_rounds_equivalence(spark):
         for r in conv.collect()
     }
     assert got == fixed
+
+
+def test_hll_sparse_merge_crosses_boundary_and_upgrades_losslessly(spark):
+    """HLL++ sparse mode (r8): a history sketch under the T=192 sparse
+    threshold merged with a new batch crosses the boundary, and the
+    UPGRADE is lossless — dense registers derived from the merged
+    sparse pairs (idx = idx25 >> 15, mj = max rho) must equal the dense
+    registers built directly from the union corpus, register for
+    register (hence identical estimates). Also pins the sparse merge
+    itself: union-distinct on (idx25) with max-rho is the sparse twin
+    of the dense elementwise-max merge."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.queries_text import (
+        _HLL_SPARSE_T,
+        hll_rho_cols,
+        hll_sparse_entries,
+    )
+
+    def docs_of(words):
+        return spark.createDataFrame(
+            [(i, "s", " ".join(words[i::4])) for i in range(4)],
+            ["doc_id", "source", "text"],
+        )
+
+    hist_words = [f"hw{i:04d}" for i in range(150)]
+    batch_words = [f"bw{i:04d}" for i in range(120)]
+
+    def tok_of(docs):
+        from covid_data_challenge_spark.functions.text import tokens
+
+        return docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("w")
+        ).distinct()
+
+    sp_hist = hll_sparse_entries(tok_of(docs_of(hist_words)))
+    sp_batch = hll_sparse_entries(tok_of(docs_of(batch_words)))
+    n_hist = sp_hist.count()
+    assert n_hist <= _HLL_SPARSE_T  # history alone stays sparse
+
+    merged = (
+        sp_hist.unionByName(sp_batch)
+        .groupBy("source", "idx25")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+    n_merged = merged.count()
+    assert n_merged > _HLL_SPARSE_T  # the merge crosses the boundary
+
+    upgraded = (
+        merged.select(
+            "source", F.shiftright(F.col("idx25"), 15).alias("idx"), "rho"
+        )
+        .groupBy("source", "idx")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    idx, rho = hll_rho_cols("w")
+    direct = (
+        tok_of(docs_of(hist_words + batch_words))
+        .select("source", idx, rho)
+        .groupBy("source", "idx")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    up = {(r.idx): r.mj for r in upgraded.collect()}
+    dr = {(r.idx): r.mj for r in direct.collect()}
+    assert up == dr  # lossless upgrade, register for register
