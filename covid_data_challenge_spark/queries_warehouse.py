@@ -1247,17 +1247,28 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The three chained ntiles would otherwise each re-derive the
     # orders scan + per-customer aggregate (and re-count it for the
-    # bucket rule): cut the lineage once and share ONE row-count frame —
-    # measured 36 exchanges -> single digits on the audit, same hash.
+    # bucket rule): cut the lineage once and share ONE row-count frame.
     per = per.localCheckpoint(eager=True)
     total = per.agg(F.count(F.lit(1)).cast("long").alias("__ps_n"))
     scored = per
-    for cols, out in (
-        (["last_order", "c_custkey"], "r_score"),
-        (["frequency", "c_custkey"], "f_score"),
-        (["monetary_cents", "c_custkey"], "m_score"),
+    for i, (cols, out) in enumerate(
+        (
+            (["last_order", "c_custkey"], "r_score"),
+            (["frequency", "c_custkey"], "f_score"),
+            (["monetary_cents", "c_custkey"], "m_score"),
+        )
     ):
         scored = range_sharded_ntile(scored, cols, 4, out, total=total)
+        if i < 2:
+            # each ntile references its input TWICE (global positions +
+            # shard offsets), so chaining three of them lazily re-derives
+            # every earlier ntile's subtree on both sides — 49 Exchange
+            # nodes at r8 audit. A checkpoint between stages caps the
+            # plan at ONE ntile subtree (~7 exchanges); the materialized
+            # frame is the same |customers| rows each ntile already
+            # shuffles, so this trades re-computation for one write —
+            # the right trade at any scale. Same values, same hash.
+            scored = scored.localCheckpoint(eager=True)
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )
