@@ -133,6 +133,7 @@ EXTENSION = [
     "ann_pq_build",
     "ann_pq_serve",
     "hll_sparse_distinct",
+    "ann_ivfpq_residual",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
