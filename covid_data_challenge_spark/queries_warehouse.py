@@ -1702,3 +1702,163 @@ def q_observed_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, high_discount_lines long, negative_qty_lines long, revenue double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: SCD2 dimension history + point-in-time (temporal) join — the
+# classic warehouse pair the engine lacked. Versions are run-collapsed
+# attribute changes (a new version opens ONLY when the attribute
+# changes — the real SCD2 merge nuance); the PIT probe is an equi-join
+# on the dimension key plus an interval predicate, which is exactly how
+# production temporal joins execute (hash join on key, versions-per-key
+# small; bucket both sides by key at 100 TB and the join is
+# co-located).
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH seq AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(o_orderdate AS DATE) AS d,
+           o_orderpriority AS priority,
+           lag(o_orderpriority) OVER w AS prev_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+    SELECT c_custkey, d AS valid_from, priority
+    FROM seq WHERE prev_priority IS NULL OR priority <> prev_priority
+),
+versions AS (
+    SELECT c_custkey, priority, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version_n,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM runs
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY valid_from, priority)
+)
+"""
+
+
+@register(
+    "customer_priority_scd2",
+    oracle=f"""{_SCD2_SQL}
+SELECT c_custkey, version_n, priority, valid_from, valid_to, is_current
+FROM versions
+""",
+)
+def q_customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history (r8): each customer's
+    order-priority regime as validity intervals — a new version opens
+    ONLY when the priority actually changes (consecutive same-value
+    orders collapse into one run, the nuance that separates SCD2 from
+    naive event snapshots), valid_to = next version's valid_from (NULL
+    while current). Deterministic: the change sequence is ordered by
+    (o_orderdate, o_orderkey) — the synthetic orders can share dates —
+    and versions tie-break on (valid_from, priority). Scale shape: two
+    key-partitioned windows over the orders scan, no global sort, no
+    self-join; the history table this builds IS the persisted dimension
+    gold table the PIT join probes."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+    )
+    runs = seq.filter(
+        F.col("prev_priority").isNull()
+        | (F.col("priority") != F.col("prev_priority"))
+    ).select("c_custkey", F.col("d").alias("valid_from"), "priority")
+    wv = Window.partitionBy("c_custkey").orderBy("valid_from", "priority")
+    return runs.select(
+        "c_custkey",
+        F.row_number().over(wv).cast("int").alias("version_n"),
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    ).select(
+        "c_custkey", "version_n", "priority", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
+    "lineitem_pit_priority",
+    oracle=f"""{_SCD2_SQL},
+probe AS (
+    SELECT o.o_custkey AS c_custkey, o.o_orderpriority AS order_priority,
+           CAST(l.l_shipdate AS DATE) AS ship_d
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT v.priority AS regime_at_ship, p.order_priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN v.priority <> p.order_priority THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drifted
+FROM probe p
+JOIN versions v
+  ON p.c_custkey = v.c_custkey
+ AND v.valid_from <= p.ship_d
+ AND (v.valid_to IS NULL OR p.ship_d < v.valid_to)
+GROUP BY 1, 2
+""",
+)
+def q_lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 history (r8) —
+    the reason SCD2 exists: for every lineitem, the customer's priority
+    REGIME in force on the ship date (ships happen after ordering, so
+    a later order may have opened a new version in between — the
+    drift this measures), versus the order's own priority. Output:
+    line counts per (regime-at-ship, order-priority) cell with the
+    drifted count. Join shape: equi-join on the dimension key plus the
+    validity-interval predicate — Spark executes a hash join on
+    c_custkey with the interval as a post-join filter; versions per key
+    are few by construction (runs, not events), and bucketing both
+    sides by key makes it co-located at 100 TB. Every probe row matches
+    EXACTLY one version (intervals partition [first_order_date, ∞) and
+    shipping follows ordering), so the join is lossless — no window,
+    no as-of sort-merge needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+    )
+    runs = seq.filter(
+        F.col("prev_priority").isNull()
+        | (F.col("priority") != F.col("prev_priority"))
+    ).select("c_custkey", F.col("d").alias("valid_from"), "priority")
+    wv = Window.partitionBy("c_custkey").orderBy("valid_from", "priority")
+    versions = runs.select(
+        "c_custkey",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    probe = li.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.to_date("l_shipdate").alias("ship_d"),
+    )
+    joined = probe.join(
+        versions,
+        (probe.c_custkey == versions.c_custkey)
+        & (versions.valid_from <= probe.ship_d)
+        & (versions.valid_to.isNull() | (probe.ship_d < versions.valid_to)),
+    )
+    return joined.groupBy(
+        F.col("priority").alias("regime_at_ship"), "order_priority"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("priority") != F.col("order_priority"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_drifted"),
+    )
