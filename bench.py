@@ -134,6 +134,8 @@ EXTENSION = [
     "ann_pq_serve",
     "hll_sparse_distinct",
     "ann_ivfpq_residual",
+    "customer_priority_scd2",
+    "lineitem_pit_priority",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
