@@ -2446,7 +2446,12 @@ FROM nln
     # Round 1's CTEs keep their historical unprefixed names (nln carries
     # vc / l_vc / l_vt), so r=2 reads them specially; r >= 3 is uniform.
     encode_mode = tail.startswith("encode")
-    k = int(tail.removeprefix("encode" if encode_mode else "em") or "2")
+    prefix = (
+        "converged"
+        if tail.startswith("converged")
+        else ("encode" if encode_mode else "em")
+    )
+    k = int(tail.removeprefix(prefix) or "2")
     round_ctes: list[str] = []
     for r in range(2, k + 1):
         src_ln = "nln" if r == 2 else f"n{r - 1}ln"
@@ -2486,6 +2491,48 @@ n{r}st AS (SELECT piece, round{r - 1}_count, vc{r}, {st} FROM j{r + 1} CROSS JOI
 n{r}ln AS (SELECT piece, round{r - 1}_count, vc{r}, {fin} FROM n{r}st)"""
         )
     rounds_sql = ",\n".join(round_ctes)
+    if tail.startswith("converged"):
+        # Replays the convergence RULE, not a realized count: per-round
+        # corpus log-likelihood L_r = Σ vc_r·u_r (exact BIGINT), stop at
+        # the first r with L_r − L_{r−1} ≤ 0 (else k_max) — so the
+        # oracle is scale-independent: the pytest gate at sf0.001
+        # (fixpoint 3) and the driver gate at sf0.01 (fixpoint 4) both
+        # hash-match the same SQL. Costs a k_max-round unroll.
+        l_ctes = [
+            "lik1 AS (SELECT CAST(sum(u2.vc * v.u) AS BIGINT) AS l "
+            "FROM used u2 JOIN vocab v USING (piece))"
+        ]
+        for r in range(2, k + 1):
+            l_ctes.append(
+                f"lik{r} AS (SELECT CAST(sum(ur.vc{r} * v.u) AS BIGINT) AS l "
+                f"FROM used{r} ur JOIN v{r} v USING (piece))"
+            )
+        cases = " ".join(
+            f"WHEN (SELECT l FROM lik{r}) - (SELECT l FROM lik{r - 1}) <= 0 THEN {r}"
+            for r in range(2, k + 1)
+        )
+        ks = f"ks AS (SELECT CASE {cases} ELSE {k} END AS kstar)"
+        branches = "\nUNION ALL\n".join(
+            f"""SELECT piece, CAST(len(piece) AS INT) AS piece_len,
+       round{r - 1}_count AS prev_round_count,
+       vc{r} AS viterbi_count, vc{r} > 0 AS kept,
+       CASE WHEN vc{r} > 0
+            THEN CAST(floor(1000000.0 * (l_v{r} - l_t{r})) AS BIGINT)
+       END AS new_score_units,
+       CAST({r} AS INT) AS rounds_run,
+       CAST((SELECT l FROM lik{r}) - (SELECT l FROM lik{r - 1}) AS BIGINT)
+           AS ll_delta_units
+FROM n{r}ln WHERE (SELECT kstar FROM ks) = {r}"""
+            for r in range(2, k + 1)
+        )
+        return f"""
+WITH {chain},
+{em_ctes},
+{rounds_sql},
+{",".join(l_ctes)},
+{ks}
+{branches}
+"""
     if encode_mode:
         # serve under the round-k model: encode tail over the round-k
         # Viterbi pieces (the trailing used{k}/n{k}ln CTEs of the last
@@ -2622,12 +2669,7 @@ def q_unigram_lm_em3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_lm_em_converged",
-    oracle=f"""
-SELECT piece, piece_len, round3_count AS prev_round_count, viterbi_count,
-       kept, new_score_units,
-       CAST(4 AS INT) AS rounds_run, CAST(0 AS BIGINT) AS ll_delta_units
-FROM ({_unigram_oracle_sql(tail="em4")})
-""",
+    oracle=_unigram_oracle_sql(tail="converged5"),
 )
 def q_unigram_lm_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERGENCE-stopped unigram-LM EM (r8 — VERDICT r7 next-round #5,
@@ -2635,19 +2677,19 @@ def q_unigram_lm_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     run until the corpus Viterbi log-likelihood (the exact integer
     micro-nat sum Σ vc·u — one BIGINT collected per round, the k-center
     API-boundary-scalar discipline) stops improving by more than tol=0,
-    bounded by k_max=8. On this corpus the likelihood goes exactly
-    stationary at FOUR rounds (hard EM is monotone; the fixpoint is a
-    data property, not a tuning choice), so the oracle chains four DP
-    unrolls — the em4 CTE chain — and pins BOTH the realized
-    `rounds_run` and the final-round `ll_delta_units` = 0: an engine
-    that stopped early, late, or with a nonzero delta hash-fails.
-    NOTE: the realized round count is a property of the sf0.01 gate
-    corpus (the driver's correctness scale); at other scales the query
-    still runs, finding that corpus's own fixpoint
-    (operators/unigram.py:unigram_em_converged)."""
+    bounded by k_max=5. The oracle replays the convergence RULE itself,
+    not a realized count: it unrolls all k_max DP rounds, computes each
+    round's likelihood as the same BIGINT sum, picks the stop round
+    with the same first-nonimproving-delta rule, and emits that round's
+    EM table plus `rounds_run`/`ll_delta_units` — so it is
+    scale-independent (the pytest gate's sf0.001 corpus goes stationary
+    at THREE rounds, the driver gate's sf0.01 at FOUR; both hash-match
+    this one SQL) and an engine stopping early/late/nonzero hash-fails
+    at any scale (operators/unigram.py:unigram_em_converged; k_max=5
+    bounds the oracle unroll, the operator takes any k_max)."""
     from covid_data_challenge_spark.operators.unigram import unigram_em_converged
 
-    return unigram_em_converged(_docs(spark, sf_dir), tol=0, k_max=8)
+    return unigram_em_converged(_docs(spark, sf_dir), tol=0, k_max=5)
 
 
 # ---------------------------------------------------------------------------
