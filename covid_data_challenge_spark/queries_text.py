@@ -3303,7 +3303,13 @@ def q_hll_sparse_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
-    ws = tokens(F.col("text"))
+    # bind the split ONCE: the transform lambda reads the token array
+    # four times (size twice, element_at twice per element) — left as a
+    # raw tokens(text) subtree each read re-runs normalize+split PER
+    # ELEMENT (the r7 generator-re-evaluation trap; measured 9.5→3.1 s
+    # at sf0.1 for the bigram stage)
+    base = docs.select("source", tokens(F.col("text")).alias("__ws"))
+    ws = F.col("__ws")
     bigrams = F.when(
         F.size(ws) >= 2,
         F.transform(
@@ -3314,12 +3320,12 @@ def q_hll_sparse_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     tok = (
-        docs.select(
+        base.select(
             F.concat(F.col("source"), F.lit("|token")).alias("source"),
             F.explode(ws).alias("w"),
         )
         .unionByName(
-            docs.select(
+            base.select(
                 F.concat(F.col("source"), F.lit("|bigram")).alias("source"),
                 F.explode(bigrams).alias("w"),
             )
