@@ -1401,3 +1401,80 @@ def q_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("effective_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: distributed suffix array (prefix doubling) + longest repeated
+# spans — the data structure Lee et al. 2021's exact-substring dedup is
+# actually built on; the duplicate_spans family above finds FIXED-length
+# window matches, the suffix array finds the LONGEST repeats exactly.
+# ---------------------------------------------------------------------------
+
+_SA_CAP = 64
+
+
+@register(
+    "suffix_array_repeated_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+pos AS (
+    -- suffixes CAPPED at the comparator length up front: the span
+    -- query's order is by first-_SA_CAP tokens then (doc_id, off),
+    -- exactly the bounded comparator the radix-4 doubling builds
+    SELECT doc_id, CAST(t.o AS INT) AS off,
+           ws[CAST(t.o AS INT) : CAST(least(len(ws), t.o + 64 - 1) AS INT)] AS suf
+    FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS o) t
+),
+sa AS (
+    SELECT doc_id, off, suf,
+           row_number() OVER (ORDER BY suf, doc_id, off) AS sa_pos
+    FROM pos
+),
+adj AS (
+    -- a = the EARLIER (lexicographically smaller) suffix of the pair,
+    -- matching the Spark side's doc_a convention
+    SELECT a.doc_id AS doc_a, a.off AS off_a, a.suf AS s1,
+           b.doc_id AS doc_b, b.off AS off_b, b.suf AS s2
+    FROM sa a JOIN sa b ON b.sa_pos = a.sa_pos + 1
+),
+lc AS (
+    SELECT doc_a, off_a, doc_b, off_b, s1,
+           coalesce(
+             (SELECT min(u.i)
+              FROM (SELECT unnest(range(1, least(len(s1), len(s2), {_SA_CAP}) + 1)) AS i) u
+              WHERE s1[CAST(u.i AS INT)] <> s2[CAST(u.i AS INT)]) - 1,
+             least(len(s1), len(s2), {_SA_CAP})
+           ) AS lcp
+    FROM adj
+)
+SELECT CAST(lcp AS INT) AS lcp,
+       array_to_string(s1[1:CAST(lcp AS INT)], ' ') AS span,
+       doc_a, CAST(off_a AS INT) AS off_a,
+       doc_b, CAST(off_b AS INT) AS off_b
+FROM lc WHERE lcp >= 2
+ORDER BY lcp DESC, doc_a, off_a, doc_b, off_b
+LIMIT 20
+""",
+)
+def q_suffix_array_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated token spans in the corpus, EXACTLY, via a
+    distributed suffix array built by prefix doubling (r8;
+    operators/suffix.py — Manber & Myers 1990 as log-round DataFrame
+    algebra, the structure under Lee et al. 2021's exact-substring
+    dedup). Adjacent suffix-array entries carry the corpus's longest
+    common prefixes, so one pass over the n−1 adjacent pairs surfaces
+    every maximal repeat, within or across documents.
+
+    Scale shape: the round count is O(log max_doc_tokens) — CONSTANT in
+    corpus size, because suffixes are doc-bounded — and each round is
+    two hash shuffles + one range exchange, all linear in corpus token
+    positions; rank re-densification uses the range-sharded cumulative
+    rank (no single-partition window anywhere); per-round rank tables
+    are eagerly checkpointed (O(1) lineage). The oracle sorts the
+    sliced suffix lists directly — quadratic storage DuckDB can afford
+    at gate scale, which is exactly the naive construction prefix
+    doubling replaces — and replays the bounded LCP fold; ties
+    (identical suffixes) break by (doc_id, off) in both engines."""
+    from covid_data_challenge_spark.operators.suffix import longest_repeated_spans
+
+    return longest_repeated_spans(_docs(spark, sf_dir), top_k=20, cap=_SA_CAP)

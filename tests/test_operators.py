@@ -2022,3 +2022,70 @@ def test_hll_sparse_merge_crosses_boundary_and_upgrades_losslessly(spark):
     up = {(r.idx): r.mj for r in upgraded.collect()}
     dr = {(r.idx): r.mj for r in direct.collect()}
     assert up == dr  # lossless upgrade, register for register
+
+
+def test_suffix_array_matches_python_replica(spark):
+    """Distributed suffix array (r8, radix-4 prefix doubling with
+    window seeding): the SA order must equal a direct Python sort of
+    the capped suffixes — (first-cap tokens, doc_id, off) — including
+    (a) docs that are proper prefixes of other docs (shorter suffix
+    sorts first), (b) ties BEYOND the cap broken by (doc_id, off), and
+    (c) the window-string seed's order-preservation (the space
+    separator sorts below every token char, so 'a b' < 'ab' exactly as
+    ['a','b'] < ['ab'])."""
+    from covid_data_challenge_spark.operators.suffix import suffix_array
+
+    long_a = " ".join(f"w{i:02d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox leaps over a lazy dog"),
+            (3, "the quick brown cat sits under the lazy dog"),
+            (4, long_a + " tail_four"),
+            (5, long_a + " tail_five"),   # ties with 4 beyond cap=16
+            (6, long_a),                  # proper prefix of 4 and 5
+            (7, "ab x"),
+            (8, "a b x"),                 # 'a b' vs 'ab' seed-order case
+        ],
+        ["doc_id", "text"],
+    )
+    cap = 16
+    rows = docs.collect()
+    suffixes = []
+    for r in rows:
+        ws = r.text.split(" ")
+        for o in range(len(ws)):
+            suffixes.append((ws[o : o + cap], r.doc_id, o + 1))
+    suffixes.sort(key=lambda t: (t[0], t[1], t[2]))
+    want = [(i + 1, d, o) for i, (_, d, o) in enumerate(suffixes)]
+    maxlen = max(len(r.text.split(" ")) for r in rows)
+    got = sorted(
+        [(r.sa_pos, r.doc_id, r.off) for r in suffix_array(docs, maxlen, cap).collect()]
+    )
+    assert got == want
+
+
+def test_longest_repeated_spans_finds_exact_repeats(spark):
+    """The spans query must surface the known longest repeats of a
+    crafted corpus with exact values: the 3-token cross-doc spans and
+    their locations, ordered (lcp desc, doc_a, off_a, ...) with doc_a
+    = the lexicographically-earlier suffix of the adjacent pair."""
+    from covid_data_challenge_spark.operators.suffix import longest_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox leaps over a lazy dog"),
+            (3, "the quick brown cat sits under the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = [
+        (r.lcp, r.span, r.doc_a, r.off_a, r.doc_b, r.off_b)
+        for r in longest_repeated_spans(docs, top_k=3, cap=16).collect()
+    ]
+    assert out == [
+        (3, "quick brown fox", 1, 2, 2, 2),
+        (3, "the lazy dog", 1, 7, 3, 7),
+        (3, "the quick brown", 3, 1, 1, 1),
+    ]
