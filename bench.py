@@ -137,7 +137,6 @@ EXTENSION = [
     "customer_priority_scd2",
     "lineitem_pit_priority",
     "suffix_array_repeated_spans",
-    "funnel_conversion",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -1513,132 +1513,3 @@ def q_events_late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-# ---------------------------------------------------------------------------
-# Round 8: ordered funnel conversion — the classic product-analytics
-# shape the events family lacked: users completing signup → click →
-# purchase IN ORDER, with per-step conversion and time-to-convert.
-# ---------------------------------------------------------------------------
-
-_FUNNEL_STEPS = ("signup", "click", "purchase")
-
-
-@register(
-    "funnel_conversion",
-    oracle=f"""
-WITH s1 AS (
-    SELECT user_id, min(ts) AS t1 FROM events
-    WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
-),
-s2 AS (
-    SELECT e.user_id, min(e.ts) AS t2
-    FROM events e JOIN s1 ON e.user_id = s1.user_id
-    WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
-    GROUP BY 1
-),
-s3 AS (
-    SELECT e.user_id, min(e.ts) AS t3
-    FROM events e JOIN s2 ON e.user_id = s2.user_id
-    WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
-    GROUP BY 1
-),
-m AS (
-    SELECT
-        (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
-        (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
-        (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3,
-        (SELECT round(quantile_cont(CAST(epoch_us(s2.t2) - epoch_us(s1.t1)
-             AS DOUBLE), 0.5), 1)
-         FROM s2 JOIN s1 ON s2.user_id = s1.user_id) AS med12,
-        (SELECT round(quantile_cont(CAST(epoch_us(s3.t3) - epoch_us(s2.t2)
-             AS DOUBLE), 0.5), 1)
-         FROM s3 JOIN s2 ON s3.user_id = s2.user_id) AS med23
-)
-SELECT CAST(1 AS INT) AS step_n, '{_FUNNEL_STEPS[0]}' AS step, n1 AS n_users,
-       CAST(1.0 AS DOUBLE) AS conversion, CAST(NULL AS DOUBLE) AS median_us_from_prev
-FROM m
-UNION ALL
-SELECT CAST(2 AS INT), '{_FUNNEL_STEPS[1]}', n2,
-       round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 4), med12 FROM m
-UNION ALL
-SELECT CAST(3 AS INT), '{_FUNNEL_STEPS[2]}', n3,
-       round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 4), med23 FROM m
-""",
-)
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel conversion (r8): users completing signup → click
-    → purchase STRICTLY in order — step i counts only events after the
-    user's step-(i−1) completion time, the semantics that separates a
-    funnel from three independent counts — with per-step conversion
-    vs the funnel head and the median time between steps (exact
-    interpolated median over integer microsecond gaps, the
-    order_fill_latency_percentiles determinism pattern; at 100 TB the
-    same call shape switches to approx_percentile).
-
-    Scale shape: three user-keyed filtered aggregates chained by two
-    equi-joins on user_id (each step's frame only shrinks), one 1-row
-    metrics aggregate, 3-row output — no window over the event stream,
-    no per-user sort."""
-    ev = _events(spark, sf_dir)
-
-    def first_after(step: str, prev: DataFrame, prev_t: str, out_t: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == step)
-        if prev is None:
-            return e.groupBy("user_id").agg(F.min("ts").alias(out_t))
-        return (
-            e.join(prev, "user_id")
-            .filter(F.col("ts") > F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_t))
-        )
-
-    s1 = first_after(_FUNNEL_STEPS[0], None, "", "t1")
-    s2 = first_after(_FUNNEL_STEPS[1], s1, "t1", "t2")
-    s3 = first_after(_FUNNEL_STEPS[2], s2, "t2", "t3")
-    gap12 = (
-        s2.join(s1, "user_id")
-        .select((F.unix_micros("t2") - F.unix_micros("t1")).cast("double").alias("g"))
-        .agg(F.round(F.expr("percentile(g, 0.5)"), 1).alias("med12"))
-    )
-    gap23 = (
-        s3.join(s2, "user_id")
-        .select((F.unix_micros("t3") - F.unix_micros("t2")).cast("double").alias("g"))
-        .agg(F.round(F.expr("percentile(g, 0.5)"), 1).alias("med23"))
-    )
-    counts = (
-        s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
-        .join(s2.agg(F.count(F.lit(1)).cast("long").alias("n2")))
-        .join(s3.agg(F.count(F.lit(1)).cast("long").alias("n3")))
-        .join(gap12)
-        .join(gap23)
-    )
-    rows = F.explode(
-        F.array(
-            F.struct(
-                F.lit(1).cast("int").alias("step_n"),
-                F.lit(_FUNNEL_STEPS[0]).alias("step"),
-                F.col("n1").alias("n_users"),
-                F.lit(1.0).alias("conversion"),
-                F.lit(None).cast("double").alias("median_us_from_prev"),
-            ),
-            F.struct(
-                F.lit(2).cast("int").alias("step_n"),
-                F.lit(_FUNNEL_STEPS[1]).alias("step"),
-                F.col("n2").alias("n_users"),
-                F.round(F.col("n2").cast("double") / F.col("n1").cast("double"), 4
-                        ).alias("conversion"),
-                F.col("med12").alias("median_us_from_prev"),
-            ),
-            F.struct(
-                F.lit(3).cast("int").alias("step_n"),
-                F.lit(_FUNNEL_STEPS[2]).alias("step"),
-                F.col("n3").alias("n_users"),
-                F.round(F.col("n3").cast("double") / F.col("n1").cast("double"), 4
-                        ).alias("conversion"),
-                F.col("med23").alias("median_us_from_prev"),
-            ),
-        )
-    ).alias("f")
-    return counts.select(rows).select(
-        "f.step_n", "f.step", "f.n_users", "f.conversion", "f.median_us_from_prev"
-    )
