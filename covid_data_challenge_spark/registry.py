@@ -24,6 +24,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a duplicate name would SILENTLY shadow the earlier query
+            # (dict overwrite) — caught live in r8 when a new funnel
+            # query clobbered the existing funnel_conversion; fail at
+            # import time instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle)
         return fn
 
