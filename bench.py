@@ -219,10 +219,6 @@ SCALE_SF1 = [
     # scale-claim demonstrations, not just regression watches
     "wordpiece_merge_table",
     "hll_distinct_tokens",
-    # round 8: the distributed suffix array — rounds are O(log cap),
-    # CONSTANT in corpus size (doc-bounded suffixes), every stage linear
-    # in token positions; growth should track the position count
-    "suffix_array_repeated_spans",
     # round 8 (VERDICT r7 #2): the PQ SERVING band — fixed 64-query
     # batch against prebuilt gold tables, so this growth number is the
     # per-batch serve cost (inverted lists grow 10×, |Q| doesn't);
