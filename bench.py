@@ -137,6 +137,9 @@ EXTENSION = [
     "customer_priority_scd2",
     "lineitem_pit_priority",
     "suffix_array_repeated_spans",
+    # round 8 late wave: robust statistics for the events family
+    "theil_sen_trends",
+    "seasonal_decomposition",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -1513,3 +1513,222 @@ def q_events_late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Round 8 late wave: robust trend estimation — Theil–Sen (median of
+# pairwise slopes), the robust-statistics sibling of the EWMA smoother:
+# up to ~29% contaminated days cannot move the estimate (breakdown
+# point), where OLS follows a single corrupted outlier day.
+# ---------------------------------------------------------------------------
+
+
+def _arr_median(arr):
+    """Exact interpolated median of a sorted double array as pure
+    column algebra — identical to percentile(x, 0.5)/quantile_cont:
+    middle element when odd, mean of the two middles when even."""
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+
+
+@register(
+    "theil_sen_trends",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+t0 AS (SELECT user_id, min(day) AS d0 FROM daily GROUP BY 1),
+dd AS (
+    SELECT d.user_id, CAST(date_diff('day', t.d0, d.day) AS DOUBLE) AS t, d.x
+    FROM daily d JOIN t0 t USING (user_id)
+),
+pairs AS (
+    SELECT a.user_id, (b.x - a.x) / (b.t - a.t) AS s
+    FROM dd a JOIN dd b ON a.user_id = b.user_id AND b.t > a.t
+),
+slope AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(s, 0.5) AS m
+    FROM pairs GROUP BY 1
+),
+icpt AS (
+    SELECT d.user_id, quantile_cont(d.x - sl.m * d.t, 0.5) AS b
+    FROM dd d JOIN slope sl USING (user_id) GROUP BY 1
+),
+nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days FROM dd GROUP BY 1)
+SELECT n.user_id, n.n_days, s.n_pairs,
+       round(s.m, 6) AS sen_slope, round(i.b, 6) AS sen_intercept
+FROM nd n JOIN slope s USING (user_id) JOIN icpt i USING (user_id)
+WHERE n.n_days >= 2
+""",
+)
+def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per user (Theil 1950 / Sen 1968): slope =
+    median of all pairwise slopes of the daily-value series, intercept
+    = median of (x − slope·t) — the estimator a ~29% fraction of
+    corrupted days cannot move, where least squares follows one bad
+    day. The per-user day series is bounded (≤31 here), so the pair
+    set (≤465) and both medians live INSIDE the per-user array: nested
+    transform builds the slope array, array_sort + middle-element
+    arithmetic is the exact interpolated median — pure column algebra,
+    no pair explode, no per-user shuffle beyond the one daily
+    aggregation (the user_daily_value_ewma discipline; the oracle
+    replays with a pair self-join + quantile_cont, same multiset, same
+    interpolation rule). Day values snap to round-6 BEFORE any ratio so
+    partition order can't leak into the medians."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    per = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("dx")
+    )
+    d0 = F.element_at(F.col("dx"), 1).getField("day")
+    tx = F.transform(
+        F.col("dx"),
+        lambda s: F.struct(
+            F.datediff(s.getField("day"), d0).cast("double").alias("t"),
+            s.getField("x").alias("x"),
+        ),
+    )
+    per = per.select("user_id", tx.alias("tx")).filter(F.size("tx") >= 2)
+    e = lambda i: F.element_at(F.col("tx"), i)  # noqa: E731
+    n = F.size(F.col("tx"))
+    slopes = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: (
+                    (e(j).getField("x") - e(i).getField("x"))
+                    / (e(j).getField("t") - e(i).getField("t"))
+                ),
+            ),
+        )
+    )
+    per = per.select(
+        "user_id",
+        "tx",
+        F.size("tx").cast("long").alias("n_days"),
+        F.array_sort(slopes).alias("__sl"),
+    ).select(
+        "user_id",
+        "n_days",
+        F.size("__sl").cast("long").alias("n_pairs"),
+        _arr_median(F.col("__sl")).alias("__m"),
+        "tx",
+    )
+    resid = F.array_sort(
+        F.transform(
+            F.col("tx"),
+            lambda s: s.getField("x") - F.col("__m") * s.getField("t"),
+        )
+    )
+    return per.select(
+        "user_id",
+        "n_days",
+        "n_pairs",
+        F.round(F.col("__m"), 6).alias("sen_slope"),
+        F.round(_arr_median(resid), 6).alias("sen_intercept"),
+    )
+
+
+@register(
+    "seasonal_decomposition",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+tr AS (
+    SELECT event_type, day, x,
+           CASE WHEN count(*) OVER w = 7
+                THEN round(avg(CAST(x AS DOUBLE)) OVER w, 6) END AS trend
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT *, CAST(strftime(day, '%w') AS INT) AS dow,
+           CAST(x AS DOUBLE) - trend AS d
+    FROM tr
+),
+seas AS (
+    SELECT event_type, dow, round(avg(d), 6) AS seasonal
+    FROM detr WHERE d IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.x, t.trend, s.seasonal,
+       round(t.d - s.seasonal, 6) AS residual
+FROM detr t LEFT JOIN seas s
+  ON t.event_type = s.event_type AND t.dow = s.dow AND t.d IS NOT NULL
+""",
+)
+def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-type daily
+    event-count series (the moving-average decomposition STL
+    generalizes): trend = centered 7-row moving average (NULL where the
+    window isn't full — no half-window edge estimates), seasonal =
+    day-of-week mean of the detrended series, residual = what's left —
+    the series-health view that separates 'weekends are quiet' from
+    'something broke on the 14th'. Determinism: integer daily counts;
+    the trend snaps round-6 BEFORE detrending and the seasonal index
+    before the residual (each stage's floats are reproducible
+    sum/count divisions over integers); day-of-week is the explicit
+    %w convention on both engines (Sunday = 0). Scale shape: one
+    fact-table aggregation; every window partitions by event_type over
+    a bounded day series — no global window, no self-join."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.avg(F.col("x").cast("double")).over(w), 6),
+        ).alias("trend"),
+    )
+    detr = tr.select(
+        "*",
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+        (F.col("x").cast("double") - F.col("trend")).alias("d"),
+    )
+    seas = (
+        detr.filter(F.col("d").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(F.round(F.avg("d"), 6).alias("seasonal"))
+    )
+    seas2 = seas.select(
+        F.col("event_type").alias("__et"),
+        F.col("dow").alias("__dow"),
+        "seasonal",
+    )
+    return (
+        detr.join(
+            F.broadcast(seas2),
+            (F.col("event_type") == F.col("__et"))
+            & (F.col("dow") == F.col("__dow"))
+            & F.col("d").isNotNull(),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            "x",
+            "trend",
+            "seasonal",
+            F.round(F.col("d") - F.col("seasonal"), 6).alias("residual"),
+        )
+    )
