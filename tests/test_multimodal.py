@@ -418,3 +418,45 @@ def test_jpeg_fill_bytes_and_progressive_quarantine():
     pp = encode_jpeg_progressive(24, 16, seed=2)
     assert decode_jpeg(pp[: len(pp) // 2]) is None
     assert decode_jpeg(pp) is not None
+
+
+def test_phash_neardup_recovers_planted_groups(spark):
+    """pHash near-dup (r8): the banded Hamming join must recover
+    EXACTLY the planted re-encoding groups (8 groups × 3 encodings →
+    24 intra-group pairs, zero cross-group pairs — measured intra ≤ 6
+    bits vs inter ≥ 12), equal to brute-force all-pairs at the same
+    threshold (banding recall is exact by pigeonhole for ≤ 8 bits);
+    the corrupt payload quarantines (decoded=false) and never pairs."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.operators.multimodal import (
+        phash63,
+        phash_hashes,
+        synth_phash_table,
+    )
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    media = synth_phash_table(spark, n_groups=8)
+    hs = {r.media_id: r for r in phash_hashes(media).collect()}
+    corrupt_id = 8 * 4 + 3
+    assert not hs[corrupt_id].decoded and hs[corrupt_id].phash is None
+    local = {
+        r.media_id: phash63(bytes(r.payload))
+        for r in media.collect()
+        if r.media_id != corrupt_id
+    }
+    for mid, h in local.items():
+        assert hs[mid].phash == h, mid  # Arrow stage == kernel
+
+    brute = set()
+    ids = sorted(local)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(local[ids[i]] ^ local[ids[j]]).count("1") <= 6:
+                brute.add((ids[i], ids[j]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["image_phash_neardup"].spark(spark, "unused").collect()
+    }
+    assert got == brute
+    assert len(got) == 24
+    assert all(a // 4 == b // 4 for a, b in got)  # intra-group only

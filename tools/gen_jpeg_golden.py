@@ -115,6 +115,46 @@ def main() -> None:
         pq.write_table(table, path)
         n_corrupt = table.num_rows - table.column("decoded").to_pylist().count(True)
         print(f"{path}: {table.num_rows} rows ({n_corrupt} quarantine rows)")
+    gen_phash_pairs()
+
+
+def gen_phash_pairs() -> None:
+    """Ground-truth near-dup pairs of the pHash fixture corpus: kernel
+    hashes for every decodable payload, ALL pairs at Hamming ≤ 6 —
+    banding recall is exact by pigeonhole, so the engine's banded join
+    must reproduce this set precisely."""
+    from covid_data_challenge_spark.operators.jpeg import encode_jpeg_baseline
+    from covid_data_challenge_spark.operators.multimodal import (
+        encode_png_rgb,
+        phash63,
+    )
+
+    payloads = []
+    for g in range(8):
+        seed = g * 97
+        payloads.append((g * 4 + 0, encode_png_rgb(48, 32, seed=seed)))
+        payloads.append((g * 4 + 1, encode_jpeg_baseline(48, 32, seed=seed, quality=90)))
+        payloads.append(
+            (g * 4 + 2,
+             encode_jpeg_baseline(48, 32, seed=seed, quality=75, subsample=True))
+        )
+    hashes = [(mid, phash63(p)) for mid, p in payloads]
+    cols = {"id_a": [], "id_b": [], "hamming": []}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            (ia, ha), (ib, hb) = hashes[i], hashes[j]
+            d = bin(ha ^ hb).count("1")
+            if d <= 6:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                cols["id_a"].append(a)
+                cols["id_b"].append(b)
+                cols["hamming"].append(d)
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+    )
+    path = f"{FIXTURE_DIR}/phash_pairs_golden.parquet"
+    pq.write_table(pa.table(cols, schema=schema), path)
+    print(f"{path}: {len(cols['id_a'])} pairs")
 
 
 if __name__ == "__main__":
