@@ -141,6 +141,7 @@ EXTENSION = [
     "theil_sen_trends",
     "seasonal_decomposition",
     "image_phash_neardup",
+    "audio_fp_neardup",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -824,3 +824,117 @@ def synth_phash_table(spark: SparkSession, n_groups: int = 8) -> DataFrame:
     rows.append((n_groups * 4 + 3, "image", bytearray(b"corrupt!"), "image/*",
                  -1, -1, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (r8) — the audio leg of the near-duplicate trio
+# (text: MinHash/SimHash/suffix array; image: pHash; audio: this), a
+# simplified Haitsma & Kalker 2002: per overlapped frame, 16 sign bits
+# of the time-and-frequency double difference of 17 band energies —
+# volume-invariant by construction (energy scale cancels in the sign).
+# float64 FFT → deterministic → golden-parquet oracle.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_BANDS = 17
+AUDIO_FP_WIN = 1024
+AUDIO_FP_HOP = 512
+
+
+def encode_wav_samples(samples, sample_rate: int = 8000) -> bytes:
+    """Pack a float array in [-1, 1] as a mono PCM16 WAV — the fixture
+    encoder for derived variants (volume/noise) of a base clip."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def audio_fingerprint(payload: bytes):
+    """Fingerprint an encoded WAV → list of 16-bit frame words, or None
+    for undecodable payloads. Word t bit m = sign of
+    (E_t[m] − E_t[m+1]) − (E_{t−1}[m] − E_{t−1}[m+1]) over 17 band
+    energies of the 1024-sample rectangular-window power spectrum at
+    hop 512 (Haitsma & Kalker's bit rule)."""
+    import numpy as np
+
+    decoded = decode_wav(bytes(payload))
+    if decoded is None:
+        return None
+    samples, _rate = decoded
+    if len(samples) < AUDIO_FP_WIN + AUDIO_FP_HOP:
+        return None  # too short for even two frames
+    edges = np.linspace(1, 342, AUDIO_FP_BANDS + 1).astype(int)
+    frames = []
+    for start in range(0, len(samples) - AUDIO_FP_WIN + 1, AUDIO_FP_HOP):
+        spec = np.abs(np.fft.rfft(samples[start : start + AUDIO_FP_WIN])) ** 2
+        frames.append(
+            np.array(
+                [spec[edges[b] : edges[b + 1]].sum() for b in range(AUDIO_FP_BANDS)]
+            )
+        )
+    words = []
+    for t in range(1, len(frames)):
+        w = 0
+        for m in range(AUDIO_FP_BANDS - 1):
+            d = (frames[t][m] - frames[t][m + 1]) - (
+                frames[t - 1][m] - frames[t - 1][m + 1]
+            )
+            if d > 0:
+                w |= 1 << m
+        words.append(int(w))
+    return words
+
+
+def audio_fp_table(media: DataFrame) -> DataFrame:
+    """Arrow-batched fingerprint stage → (media_id, fp array<int>,
+    decoded); quarantine as usual."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = pdf["payload"].map(audio_fingerprint)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fp": fps,
+                    "decoded": fps.notna(),
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, fp array<int>, decoded boolean"
+    )
+
+
+def synth_audio_fp_table(spark: SparkSession, n_groups: int = 6) -> DataFrame:
+    """Audio corpus with planted perceptual-duplicate groups: each group
+    is one tone-mixture clip (4096 samples) carried as the original, a
+    0.6× volume version, and a 0.9× + faint-tone version — same
+    perceptual content, different PCM bytes — plus a corrupt payload."""
+    import numpy as np
+
+    rows = []
+    for g in range(n_groups):
+        seed = g * 13
+        base = decode_wav(encode_wav(4096, seed=seed))[0]
+        t = np.arange(len(base))
+        variants = [
+            encode_wav_samples(base),
+            encode_wav_samples(base * 0.6),
+            encode_wav_samples(
+                base * 0.9 + 0.02 * np.sin(2 * np.pi * 3777 * t / 8000.0)
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            rows.append(
+                (g * 4 + v, "audio", bytearray(payload), "audio/wav", -1, -1, 512)
+            )
+    rows.append((n_groups * 4 + 3, "audio", bytearray(b"not audio"), "audio/wav",
+                 -1, -1, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

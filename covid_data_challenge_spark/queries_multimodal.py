@@ -226,3 +226,65 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .distinct()
     )
+
+
+@register(
+    "audio_fp_neardup",
+    oracle=f"""
+SELECT id_a, id_b, hamming
+FROM read_parquet('{_FIXTURES}/audio_fp_pairs_golden.parquet')
+""",
+)
+def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by perceptual fingerprint (r8 —
+    completes the near-dup trio: text MinHash/SimHash/suffix-array,
+    image pHash, audio THIS): simplified Haitsma & Kalker 2002 — per
+    overlapped frame, 16 sign bits of the time-and-frequency double
+    difference of band energies, volume-invariant by construction
+    (operators/multimodal.audio_fingerprint, float64 FFT,
+    deterministic). Candidates come from exact-matching (frame_idx,
+    word) bands — pigeonhole guarantees recall for Hamming ≤ 5 over
+    the 6-word fingerprints — verified by a zip_with XOR popcount fold
+    ≤ 5 on equal-length fingerprints; never all-pairs. The fixture
+    plants 6 groups (original / 0.6× volume / 0.9× + faint added tone;
+    measured intra ≤ 3 bits of 96, inter ≥ 19) plus a quarantined
+    corrupt payload. Oracle: committed golden parquet of ground-truth
+    pairs (banding recall exact ⇒ sets coincide)."""
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fp_table,
+        synth_audio_fp_table,
+    )
+
+    fps = audio_fp_table(synth_audio_fp_table(spark, n_groups=6)).filter(
+        F.col("decoded")
+    )
+    bands = fps.select(
+        "media_id", "fp", F.posexplode("fp").alias("widx", "word")
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"),
+        "widx", "word",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("fp").alias("__fb"),
+        "widx", "word",
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__fa"),
+            F.col("__fb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y).cast("long")),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        a.join(b, ["widx", "word"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.size("__fa") == F.size("__fb"))
+        )
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 5)
+        .distinct()
+    )

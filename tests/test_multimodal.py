@@ -460,3 +460,52 @@ def test_phash_neardup_recovers_planted_groups(spark):
     assert got == brute
     assert len(got) == 24
     assert all(a // 4 == b // 4 for a, b in got)  # intra-group only
+
+
+def test_audio_fp_neardup_recovers_planted_groups(spark):
+    """Audio fingerprint near-dup (r8): banded join must recover
+    EXACTLY the planted perceptual-duplicate groups (6 groups × 3
+    variants → 18 intra-group pairs, zero cross-group; measured intra
+    ≤ 3 bits of 96, inter ≥ 19), equal to brute force at the same
+    threshold (exact-word banding is pigeonhole-complete for ≤ 5 over
+    6 words); volume invariance holds by the sign rule; the corrupt
+    payload quarantines."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fp_table,
+        synth_audio_fp_table,
+    )
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    media = synth_audio_fp_table(spark, n_groups=6)
+    out = {r.media_id: r for r in audio_fp_table(media).collect()}
+    corrupt_id = 6 * 4 + 3
+    assert not out[corrupt_id].decoded and out[corrupt_id].fp is None
+    local = {
+        r.media_id: audio_fingerprint(bytes(r.payload))
+        for r in media.collect()
+        if r.media_id != corrupt_id
+    }
+    for mid, fp in local.items():
+        assert list(out[mid].fp) == fp, mid  # Arrow stage == kernel
+    # volume-only variant is bit-identical to the original (exact
+    # invariance of the double-difference sign rule)
+    for g in range(6):
+        assert local[g * 4] == local[g * 4 + 1]
+
+    brute = set()
+    ids = sorted(local)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            fa, fb = local[ids[i]], local[ids[j]]
+            if len(fa) == len(fb) and sum(
+                bin(x ^ y).count("1") for x, y in zip(fa, fb)
+            ) <= 5:
+                brute.add((ids[i], ids[j]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["audio_fp_neardup"].spark(spark, "unused").collect()
+    }
+    assert got == brute and len(got) == 18
+    assert all(a // 4 == b // 4 for a, b in got)

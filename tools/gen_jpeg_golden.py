@@ -116,6 +116,7 @@ def main() -> None:
         n_corrupt = table.num_rows - table.column("decoded").to_pylist().count(True)
         print(f"{path}: {table.num_rows} rows ({n_corrupt} quarantine rows)")
     gen_phash_pairs()
+    gen_audio_fp_pairs()
 
 
 def gen_phash_pairs() -> None:
@@ -153,6 +154,51 @@ def gen_phash_pairs() -> None:
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
     )
     path = f"{FIXTURE_DIR}/phash_pairs_golden.parquet"
+    pq.write_table(pa.table(cols, schema=schema), path)
+    print(f"{path}: {len(cols['id_a'])} pairs")
+
+
+
+def gen_audio_fp_pairs() -> None:
+    """Ground-truth near-dup pairs of the audio-fingerprint fixture:
+    kernel fingerprints, ALL equal-length pairs at Hamming ≤ 5."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+        encode_wav_samples,
+    )
+
+    fps = []
+    for g in range(6):
+        base = decode_wav(encode_wav(4096, seed=g * 13))[0]
+        t = np.arange(len(base))
+        variants = [
+            encode_wav_samples(base),
+            encode_wav_samples(base * 0.6),
+            encode_wav_samples(
+                base * 0.9 + 0.02 * np.sin(2 * np.pi * 3777 * t / 8000.0)
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            fps.append((g * 4 + v, audio_fingerprint(payload)))
+    cols = {"id_a": [], "id_b": [], "hamming": []}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (ia, fa), (ib, fb) = fps[i], fps[j]
+            if len(fa) != len(fb):
+                continue
+            d = sum(bin(x ^ y).count("1") for x, y in zip(fa, fb))
+            if d <= 5:
+                cols["id_a"].append(min(ia, ib))
+                cols["id_b"].append(max(ia, ib))
+                cols["hamming"].append(d)
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+    )
+    path = f"{FIXTURE_DIR}/audio_fp_pairs_golden.parquet"
     pq.write_table(pa.table(cols, schema=schema), path)
     print(f"{path}: {len(cols['id_a'])} pairs")
 
