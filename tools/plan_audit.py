@@ -175,7 +175,16 @@ _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
 #: with reset is not window-expressible), and streaming stateful ops
 #: (applyInPandasWithState / transformWithStateInPandas by design).
 _PY_SANCTIONED_PREFIXES = ("multimodal", "stream")
-_PY_SANCTIONED_EXACT = {"sequence_packing", "packing_stats"}
+#: r8: the perceptual-hash/fingerprint near-dup queries run the same
+#: multimodal decode kernels (pHash DCT, audio FFT — operators/
+#: multimodal.py) through one mapInPandas stage each; everything after
+#: the hash column (banding, joins, popcount verify) is JVM algebra.
+_PY_SANCTIONED_EXACT = {
+    "sequence_packing",
+    "packing_stats",
+    "image_phash_neardup",
+    "audio_fp_neardup",
+}
 
 
 def python_eval_nodes(plan: str) -> int:
