@@ -142,6 +142,7 @@ EXTENSION = [
     "seasonal_decomposition",
     "image_phash_neardup",
     "audio_fp_neardup",
+    "video_fp_neardup",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).

@@ -938,3 +938,106 @@ def synth_audio_fp_table(spark: SparkSession, n_groups: int = 6) -> DataFrame:
     rows.append((n_groups * 4 + 3, "audio", bytearray(b"not audio"), "audio/wav",
                  -1, -1, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprinting (r8) — the fourth modality of the near-dup
+# family: per-frame 63 DCT sign bits of the 32×32 luma (the pHash rule
+# applied to every frame), so a clip's fingerprint is one word per
+# frame. Brightness shifts change only the DC coefficient — excluded —
+# so uniformly re-graded variants are bit-IDENTICAL.
+# ---------------------------------------------------------------------------
+
+
+def _frame_word63(luma) -> int:
+    """pHash rule over one grayscale frame → 63-bit word."""
+    import numpy as np
+
+    a32 = _dct_matrix_n(32)
+    g32 = resize_nearest(
+        luma[..., None].repeat(3, axis=2).astype(np.uint8), 32, 32
+    ).mean(axis=2).astype(np.float64)
+    d = a32 @ g32 @ a32.T
+    vals = d[0:8, 0:8].flatten()[1:]
+    med = np.sort(vals)[31]
+    w = 0
+    for k, v in enumerate(vals):
+        if v > med:
+            w |= 1 << k
+    return int(w)
+
+
+def video_fingerprint(payload: bytes):
+    """Fingerprint a Y4M clip → one 63-bit word per frame, or None for
+    undecodable payloads."""
+    decoded = decode_y4m(bytes(payload))
+    if decoded is None:
+        return None
+    frames, _w, _h = decoded
+    return [_frame_word63(f) for f in frames]
+
+
+def video_fp_table(media: DataFrame) -> DataFrame:
+    """Arrow-batched video-fingerprint stage → (media_id, fp
+    array<long>, decoded)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = pdf["payload"].map(video_fingerprint)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "fp": fps, "decoded": fps.notna()}
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, fp array<long>, decoded boolean"
+    )
+
+
+def encode_y4m_luma(frames, width: int, height: int) -> bytes:
+    """Build a C420 Y4M clip from explicit luma frames (flat-gray
+    chroma) — the fixture encoder for derived variants of a base clip."""
+    import numpy as np
+
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    cw, ch = width // 2, height // 2
+    flat = np.full((ch, cw), 128, np.uint8).tobytes()
+    for f in frames:
+        out.append(b"FRAME\n" + np.asarray(f, dtype=np.uint8).tobytes() + flat + flat)
+    return b"".join(out)
+
+
+def synth_video_fp_table(spark: SparkSession, n_groups: int = 5) -> DataFrame:
+    """Video corpus with planted perceptual-duplicate groups: each
+    group is one 6-frame clip carried as the original, a +12 uniform
+    brightness regrade (bit-identical fingerprint by construction),
+    and a faint deterministic-noise version — plus a corrupt payload."""
+    import numpy as np
+
+    rows = []
+    w, h = 32, 24
+    for g in range(n_groups):
+        frames, _, _ = decode_y4m(encode_y4m(w, h, 6, seed=g * 31))
+        yy, xx = np.mgrid[0:h, 0:w]
+        variants = [
+            encode_y4m_luma(frames, w, h),
+            encode_y4m_luma(
+                [np.clip(f.astype(np.int32) + 12, 0, 255) for f in frames], w, h
+            ),
+            encode_y4m_luma(
+                [
+                    np.clip(
+                        f.astype(np.int32) + ((xx * 3 + yy * 5 + i) % 7 - 3), 0, 255
+                    )
+                    for i, f in enumerate(frames)
+                ],
+                w,
+                h,
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            rows.append(
+                (g * 4 + v, "video", bytearray(payload), "video/x-y4m", w, h, 240)
+            )
+    rows.append((n_groups * 4 + 3, "video", bytearray(b"not video"), "video/x-y4m",
+                 -1, -1, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

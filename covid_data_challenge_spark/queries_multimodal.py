@@ -288,3 +288,55 @@ def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 5)
         .distinct()
     )
+
+
+@register(
+    "video_fp_neardup",
+    oracle=f"""
+SELECT id_a, id_b, hamming
+FROM read_parquet('{_FIXTURES}/video_fp_pairs_golden.parquet')
+""",
+)
+def q_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by per-frame perceptual fingerprint
+    (r8 — the FOURTH modality of the near-dup family: text, image,
+    audio, video): each frame gets the pHash rule's 63 DCT sign bits
+    over its 32×32 luma (operators/multimodal.video_fingerprint) — a
+    uniform brightness regrade changes only the excluded DC
+    coefficient, so such variants are bit-IDENTICAL (measured: intra
+    ≤ 2 bits across 6×63, inter ≥ 170). Candidates from exact-matching
+    (frame_idx, word) bands — pigeonhole-complete for Hamming ≤ 5 over
+    6 frames — verified by the zip_with XOR popcount fold on
+    equal-length fingerprints. Same golden-parquet oracle discipline
+    as the image/audio legs."""
+    from covid_data_challenge_spark.operators.multimodal import (
+        synth_video_fp_table,
+        video_fp_table,
+    )
+
+    fps = video_fp_table(synth_video_fp_table(spark, n_groups=5)).filter(
+        F.col("decoded")
+    )
+    bands = fps.select("media_id", "fp", F.posexplode("fp").alias("widx", "word"))
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"), "widx", "word"
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("fp").alias("__fb"), "widx", "word"
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__fa"), F.col("__fb"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        a.join(b, ["widx", "word"])
+        .filter(
+            (F.col("id_a") < F.col("id_b")) & (F.size("__fa") == F.size("__fb"))
+        )
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 5)
+        .distinct()
+    )

@@ -509,3 +509,48 @@ def test_audio_fp_neardup_recovers_planted_groups(spark):
     }
     assert got == brute and len(got) == 18
     assert all(a // 4 == b // 4 for a, b in got)
+
+
+def test_video_fp_neardup_recovers_planted_groups(spark):
+    """Video fingerprint near-dup (r8): planted groups recovered
+    exactly (5 groups × 3 variants → 15 pairs, zero cross-group;
+    intra ≤ 2 of 378 bits, inter ≥ 170); the +12 uniform brightness
+    regrade is bit-IDENTICAL (DC excluded from the sign bits); banded
+    == brute force; corrupt payload quarantines."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.operators.multimodal import (
+        synth_video_fp_table,
+        video_fingerprint,
+        video_fp_table,
+    )
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    media = synth_video_fp_table(spark, n_groups=5)
+    out = {r.media_id: r for r in video_fp_table(media).collect()}
+    corrupt_id = 5 * 4 + 3
+    assert not out[corrupt_id].decoded and out[corrupt_id].fp is None
+    local = {
+        r.media_id: video_fingerprint(bytes(r.payload))
+        for r in media.collect()
+        if r.media_id != corrupt_id
+    }
+    for mid, fp in local.items():
+        assert list(out[mid].fp) == fp, mid
+    for g in range(5):
+        assert local[g * 4] == local[g * 4 + 1]  # brightness invariance
+
+    brute = set()
+    ids = sorted(local)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            fa, fb = local[ids[i]], local[ids[j]]
+            if len(fa) == len(fb) and sum(
+                bin(x ^ y).count("1") for x, y in zip(fa, fb)
+            ) <= 5:
+                brute.add((ids[i], ids[j]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["video_fp_neardup"].spark(spark, "unused").collect()
+    }
+    assert got == brute and len(got) == 15
+    assert all(a // 4 == b // 4 for a, b in got)

@@ -117,6 +117,7 @@ def main() -> None:
         print(f"{path}: {table.num_rows} rows ({n_corrupt} quarantine rows)")
     gen_phash_pairs()
     gen_audio_fp_pairs()
+    gen_video_fp_pairs()
 
 
 def gen_phash_pairs() -> None:
@@ -199,6 +200,60 @@ def gen_audio_fp_pairs() -> None:
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
     )
     path = f"{FIXTURE_DIR}/audio_fp_pairs_golden.parquet"
+    pq.write_table(pa.table(cols, schema=schema), path)
+    print(f"{path}: {len(cols['id_a'])} pairs")
+
+
+
+def gen_video_fp_pairs() -> None:
+    """Ground-truth near-dup pairs of the video-fingerprint fixture."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        encode_y4m_luma,
+        video_fingerprint,
+    )
+
+    fps = []
+    w, h = 32, 24
+    for g in range(5):
+        frames, _, _ = decode_y4m(encode_y4m(w, h, 6, seed=g * 31))
+        yy, xx = np.mgrid[0:h, 0:w]
+        variants = [
+            encode_y4m_luma(frames, w, h),
+            encode_y4m_luma(
+                [np.clip(f.astype(np.int32) + 12, 0, 255) for f in frames], w, h
+            ),
+            encode_y4m_luma(
+                [
+                    np.clip(
+                        f.astype(np.int32) + ((xx * 3 + yy * 5 + i) % 7 - 3), 0, 255
+                    )
+                    for i, f in enumerate(frames)
+                ],
+                w,
+                h,
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            fps.append((g * 4 + v, video_fingerprint(payload)))
+    cols = {"id_a": [], "id_b": [], "hamming": []}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (ia, fa), (ib, fb) = fps[i], fps[j]
+            if len(fa) != len(fb):
+                continue
+            d = sum(bin(x ^ y).count("1") for x, y in zip(fa, fb))
+            if d <= 5:
+                cols["id_a"].append(min(ia, ib))
+                cols["id_b"].append(max(ia, ib))
+                cols["hamming"].append(d)
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+    )
+    path = f"{FIXTURE_DIR}/video_fp_pairs_golden.parquet"
     pq.write_table(pa.table(cols, schema=schema), path)
     print(f"{path}: {len(cols['id_a'])} pairs")
 

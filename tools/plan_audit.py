@@ -184,6 +184,7 @@ _PY_SANCTIONED_EXACT = {
     "packing_stats",
     "image_phash_neardup",
     "audio_fp_neardup",
+    "video_fp_neardup",
 }
 
 
