@@ -24,6 +24,7 @@ partition the input by file-size bins so batches stay uniform.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -732,7 +733,10 @@ def synth_jpeg_progressive_table(spark: SparkSession, n: int = 32) -> DataFrame:
 PHASH_BITS = 63
 
 
+@functools.lru_cache(maxsize=8)
 def _dct_matrix_n(n: int):
+    # cached: phash63 / _frame_word63 call this per image row and per
+    # video frame inside mapInPandas — build once per executor (ADVICE r8)
     import numpy as np
 
     a = np.zeros((n, n), dtype=np.float64)

@@ -209,6 +209,10 @@ def longest_repeated_spans(
         .agg(F.max("count"))
         .collect()[0][0]
     )
+    if max_len is None:  # max over zero rows is NULL, not 0
+        raise ValueError(
+            "longest_repeated_spans: empty corpus (no tokenized documents)"
+        )
     sa = suffix_array(docs, int(max_len), cap, text_col)
     arrays = docs.select("doc_id", tokens(F.col(text_col)).alias("__ws"))
 

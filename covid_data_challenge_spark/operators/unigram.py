@@ -430,11 +430,17 @@ def unigram_em_converged(
         # usage feeds BOTH the likelihood scalar and (maybe) the refit —
         # checkpoint so the Viterbi segmentation runs once per round
         used = _round_usage(wd, vocab).localCheckpoint(eager=True)
-        ll = int(
+        ll_raw = (
             used.join(vocab.select("piece", "u"), "piece")
             .agg(F.sum(F.col("vc") * F.col("u")).cast("long"))
             .collect()[0][0]
         )
+        if ll_raw is None:  # sum over zero rows is NULL, not 0
+            raise ValueError(
+                "unigram_em_converged: empty corpus (no usable pieces) — "
+                "likelihood sum is NULL"
+            )
+        ll = int(ll_raw)
         if prev_ll is not None:
             delta = ll - prev_ll
             if delta <= tol or rounds == k_max:

@@ -1530,7 +1530,10 @@ def _arr_median(arr):
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    return F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+    # lo + (hi - lo)/2, NOT (lo + hi)/2: DuckDB quantile_cont interpolates
+    # lo + (hi - lo) * 0.5, and the two formulas can differ by 1 ulp — the
+    # round-6 snap only probabilistically hides that (ADVICE r8).
+    return F.when(n % 2 == 1, lo).otherwise(lo + (hi - lo) / 2)
 
 
 @register(

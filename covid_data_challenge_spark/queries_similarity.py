@@ -453,11 +453,14 @@ def _dd_l2sq(a: str, b: str) -> str:
     )
 
 
-def _ivf_ctes(n_centroids: int = 16) -> str:
+def _ivf_ctes(n_centroids: int | str = 16) -> str:
     """The coarse-IVF half of the oracle chains as a reusable WITH-body
     (through ``cent`` + ``inv``): the ann_ivf_topk Lloyd unroll. Shared
     by the raw-PQ build (_ivfpq_build_ctes) and the r8 residual-IVFADC
-    oracle (which trains its codebooks on ``vec − cent.cvec``)."""
+    oracle (which trains its codebooks on ``vec − cent.cvec``).
+    ``n_centroids`` may be a SQL expression string (DuckDB LIMIT takes
+    expressions) — the gold-table oracles pass the bounded-cell sizing
+    rule so the gate stays valid past 8.7k vectors (ADVICE r8)."""
     return f"""uniq AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
 seeds AS (
     SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
@@ -475,8 +478,15 @@ cent AS (
 inv AS ({_dd_assign('uniq', 'cent')})"""
 
 
+#: DuckDB twin of _pq_n_centroids (defined below): the bounded-cell IVF
+#: sizing rule as a LIMIT expression, so the ann_pq_build/serve oracles
+#: track the engine's nlist at ANY corpus size instead of hard-coding
+#: the 16 the sf0.01 gate happens to produce (ADVICE r8).
+_PQ_NLIST_SQL = "greatest(16, (SELECT count(*) FROM uniq) // 512)"
+
+
 def _ivfpq_build_ctes(
-    n_centroids: int = 16, n_sub: int = 32, n_codes: int = 32
+    n_centroids: int | str = 16, n_sub: int = 32, n_codes: int = 32
 ) -> str:
     """The BUILD half of the IVF-PQ oracle as a reusable WITH-body
     (through ``inv`` + ``enc``): the IVF half reuses the ann_ivf_topk
@@ -535,7 +545,7 @@ enc AS (
 
 
 def _ann_ivfpq_oracle(
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     nprobe: int = 8,
     n_sub: int = 32,
     n_codes: int = 32,
@@ -2468,15 +2478,19 @@ def _pq_gold_load(
     import os
 
     base = _pq_gold_base(sf_dir)
+    # every table needs its _SUCCESS marker — directory existence alone
+    # would serve a crash-mid-write partitioned index (ADVICE r8)
     missing = not all(
-        os.path.exists(f"{base}/{t}/_SUCCESS") for t in ("centroids", "codebook")
-    ) or not os.path.exists(f"{base}/pq_index")
+        os.path.exists(f"{base}/{t}/_SUCCESS") for t in _PQ_GOLD_TABLES
+    )
     stale = False
     if not missing:
         src = f"{sf_dir}/embeddings.parquet"
         if os.path.exists(src):
+            # pq_index is written LAST, so its marker is the build's
+            # completion time — the correct staleness reference
             stale = os.path.getmtime(src) > os.path.getmtime(
-                f"{base}/centroids/_SUCCESS"
+                f"{base}/pq_index/_SUCCESS"
             )
     if missing or stale:
         _pq_gold_build(spark, sf_dir)
@@ -2490,7 +2504,7 @@ def _pq_gold_load(
 @register(
     "ann_pq_build",
     oracle=f"""
-WITH {_ivfpq_build_ctes()},
+WITH {_ivfpq_build_ctes(n_centroids=_PQ_NLIST_SQL)},
 percode AS (
     SELECT id, CAST(sum(code) AS BIGINT) AS cs FROM enc GROUP BY id
 )
@@ -2536,7 +2550,8 @@ def q_ann_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH short AS (
     SELECT query_id, neighbor_id
-    FROM ({_ann_ivfpq_oracle(k=20, qfilter=_PQ_SERVE_FILTER)})
+    FROM ({_ann_ivfpq_oracle(n_centroids=_PQ_NLIST_SQL, k=20,
+                             qfilter=_PQ_SERVE_FILTER)})
 ),
 qv AS (
     SELECT vec_id AS query_id, embedding AS qvec
