@@ -1,0 +1,106 @@
+"""Close-out artifact drift gate (VERDICT r8 next-round #2).
+
+Round 8 shipped a PLAN_AUDIT.md one query stale (the final commit
+landed after the audit ran) and a SCALING.md whose final counts said
+289 while the registry held 290 — invisible to every other gate. These
+tests make the full pytest suite FAIL whenever the committed artifacts
+disagree with the live registry, so a registry-touching commit cannot
+land without regenerating them:
+
+    python tools/plan_audit.py && python tools/gen_readme_counts.py
+
+No Spark session needed — pure text-vs-registry comparison.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _registry():
+    import covid_data_challenge_spark.queries_ext  # noqa: F401 — populate
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    return REGISTRY
+
+
+def _plan_audit_tool():
+    """Import tools/plan_audit.py by path (tools/ is not a package) so
+    the skip-list lives in ONE place and this gate can't drift from it."""
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit_tool", REPO / "tools" / "plan_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_audit_covers_registry():
+    """PLAN_AUDIT.md must hold exactly one row per plannable registered
+    query and list exactly the runs-own-action queries as skipped."""
+    registry = _registry()
+    tool = _plan_audit_tool()
+    plannable = {
+        n for n in registry if not any(t in n for t in tool._RUNS_OWN_ACTION)
+    }
+    skipped = set(registry) - plannable
+
+    text = (REPO / "PLAN_AUDIT.md").read_text()
+    rows = {
+        m.group(1)
+        for m in re.finditer(r"^\| (\w+) \| \d+ \|", text, re.MULTILINE)
+    }
+    m = re.search(r"^Skipped[^:]*: (.+)$", text, re.MULTILINE)
+    assert m, "PLAN_AUDIT.md lost its Skipped line"
+    audited_skipped = {s.strip() for s in m.group(1).split(",")}
+
+    missing = plannable - rows
+    stale = rows - plannable
+    assert not missing and not stale, (
+        f"PLAN_AUDIT.md drifted from the registry — regenerate with "
+        f"`python tools/plan_audit.py`. missing={sorted(missing)} "
+        f"stale={sorted(stale)}"
+    )
+    assert audited_skipped == skipped, (
+        f"PLAN_AUDIT.md skip list drifted: "
+        f"missing={sorted(skipped - audited_skipped)} "
+        f"stale={sorted(audited_skipped - skipped)}"
+    )
+
+
+def test_readme_counts_match_registry():
+    registry = _registry()
+    n = len(registry)
+    n_oracle = sum(1 for s in registry.values() if s.oracle is not None)
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+)-query registry in\n? +total", text)
+    assert m, "README.md lost its registry-count sentence"
+    assert int(m.group(1)) == n, (
+        f"README says {m.group(1)} queries, registry has {n} — run "
+        f"`python tools/gen_readme_counts.py`"
+    )
+    m = re.search(r"all (\d+) registered queries hash-checked", text)
+    assert m, "README.md lost its oracle-count sentence"
+    assert int(m.group(1)) == n_oracle, (
+        f"README says {m.group(1)} oracle-paired, registry has {n_oracle}"
+    )
+
+
+def test_scaling_final_counts_match_registry():
+    """The LAST 'N queries, N oracle-paired' claim in SCALING.md must
+    describe the live registry (the r8 close-out shipped it stale)."""
+    registry = _registry()
+    n = len(registry)
+    n_oracle = sum(1 for s in registry.values() if s.oracle is not None)
+    text = (REPO / "SCALING.md").read_text()
+    claims = re.findall(r"\*\*(\d+) queries,\s*(\d+)\s*\n?\s*oracle-paired\*\*", text)
+    assert claims, "SCALING.md lost its registry-count claim"
+    last_n, last_oracle = int(claims[-1][0]), int(claims[-1][1])
+    assert (last_n, last_oracle) == (n, n_oracle), (
+        f"SCALING.md's final claim says {last_n}/{last_oracle}, registry "
+        f"is {n}/{n_oracle} — update the close-out section"
+    )

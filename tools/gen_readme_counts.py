@@ -43,6 +43,30 @@ def main() -> int:
         text = new
     open(README, "w").write(text)
     print(f"README counts: {n} queries, {n_oracle} oracle-paired")
+
+    # r9 (VERDICT r8 #2): PLAN_AUDIT.md must hold one row per plannable
+    # query — the r8 close-out shipped it one query stale because the
+    # last commit landed after the audit ran. tests/test_artifacts.py
+    # enforces the same (with name-level diffs) inside the pytest gate.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit_tool", "/root/repo/tools/plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    plannable = sum(
+        1 for q in REGISTRY if not any(t in q for t in pa._RUNS_OWN_ACTION)
+    )
+    audit = open("/root/repo/PLAN_AUDIT.md").read()
+    n_rows = len(re.findall(r"^\| \w+ \| \d+ \|", audit, re.MULTILINE))
+    if n_rows != plannable:
+        print(
+            f"ERROR: PLAN_AUDIT.md has {n_rows} rows but the registry has "
+            f"{plannable} plannable queries — run `python tools/plan_audit.py`"
+        )
+        return 1
+    print(f"PLAN_AUDIT rows: {n_rows} == plannable registry size")
     return 0
 
 
