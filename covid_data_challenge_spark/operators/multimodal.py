@@ -1045,3 +1045,237 @@ def synth_video_fp_table(spark: SparkSession, n_groups: int = 5) -> DataFrame:
     rows.append((n_groups * 4 + 3, "video", bytearray(b"not video"), "video/x-y4m",
                  -1, -1, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Shift-tolerant fingerprint matching (r9 — VERDICT r8 next-round #1).
+# The r8 audio/video near-dup legs band on exact (frame_idx, word) and
+# verify equal-length fingerprints only, so a clip trimmed by one hop,
+# padded, or re-cut — the most common real-world duplicate — never
+# matches by construction. Haitsma & Kalker's actual system (§III of
+# the 2002 paper) matches fingerprint BLOCKS at any offset: a word hit
+# anywhere proposes an alignment, and the verdict is the bit error rate
+# over the best-aligned overlap. This operator is that, bucketed:
+#
+#   candidates: band on the WORD VALUE alone — each (a, b) band hit
+#     PROPOSES the alignment offset widx_b − widx_a (derived, not
+#     scanned), bounded by |offset| ≤ max_shift; never all-pairs.
+#   verify:     integer BER over the aligned overlap (zip_with XOR
+#     popcount on slices), accept iff ham·ber_den ≤ ber_num·L·bits
+#     and L ≥ min_overlap; best alignment per pair by the integer
+#     comparator (hamming, −overlap, |offset|, offset).
+#
+# Recall is EXACT by pigeonhole iff the accepted BER stays strictly
+# below 1/bits_per_word: then ham ≤ ber·L·bits < L, and ham bit errors
+# touch at most ham < L words, so at least one overlap word matches
+# exactly and proposes exactly this offset — the banded candidate set
+# contains every alignment the all-pairs × all-offsets brute force
+# would accept, and the golden-parquet oracle legitimately equals that
+# truth. The operator REFUSES looser thresholds (H&K's production 0.35
+# needs multi-word OR-banding for guaranteed recall — out of scope);
+# the measured intra-group rates (≤3/96 audio, ≤2/378 video) sit well
+# inside the exact-recall budget.
+#
+# 100 TB shape: the word self-join is an equi-join on the word value;
+# degenerate words (digital silence, black frames) are the skew risk,
+# so max_band_freq drops words carried by more than that many media
+# before the join — the stop-word discipline of the MinHash-LSH leg.
+# Dropping a word can only lose pairs whose EVERY matching word is
+# degenerate (i.e. wall-to-wall silence), which is the desired outcome.
+# ---------------------------------------------------------------------------
+
+
+def shifted_fp_pairs(
+    fps: DataFrame,
+    bits_per_word: int,
+    max_shift: int = 2,
+    ber_num: int = 1,
+    ber_den: int | None = None,
+    min_overlap: int = 4,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate (id_a, id_b, offset, overlap, hamming) pairs of
+    ``fps`` (media_id, fp array<integral word>) at ANY alignment offset
+    within ``max_shift`` — see the module comment above. ``offset`` is
+    the index shift aligning a[i] with b[i + offset]; ``overlap`` the
+    aligned word count; ``hamming`` the XOR popcount over the overlap.
+    Accepts iff hamming·ber_den ≤ ber_num·overlap·bits_per_word and
+    overlap ≥ min_overlap; among accepted alignments of a pair reports
+    the minimum of (hamming, −overlap, |offset|, offset) — an integer
+    comparator, so the brute-force oracle twin replays it exactly.
+    ``ber_den`` defaults to bits_per_word + 1, the largest budget with
+    pigeonhole-exact recall; looser settings raise."""
+    if ber_den is None:
+        ber_den = bits_per_word * ber_num + 1
+    if ber_num * bits_per_word >= ber_den:
+        raise ValueError(
+            "shifted_fp_pairs: BER threshold must stay strictly below "
+            "1/bits_per_word for pigeonhole-exact banding recall "
+            f"(got {ber_num}/{ber_den} with {bits_per_word}-bit words)"
+        )
+    bands = fps.select(
+        "media_id", F.posexplode("fp").alias("widx", "word")
+    ).select("media_id", "widx", F.col("word").cast("long").alias("word"))
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("word")
+            .agg(F.count_distinct("media_id").alias("__df"))
+            .filter(F.col("__df") > max_band_freq)
+            .select("word")
+        )
+        bands = bands.join(F.broadcast(hot), "word", "left_anti")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("widx").alias("__wa"), "word"
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("widx").alias("__wb"), "word"
+    )
+    cands = (
+        a.join(b, "word")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__wb") - F.col("__wa")).cast("int").alias("offset"),
+        )
+        .filter(F.abs(F.col("offset")) <= max_shift)
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("media_id").alias("id_a"),
+        F.col("fp").cast("array<long>").alias("__fa"),
+    )
+    fb = fps.select(
+        F.col("media_id").alias("id_b"),
+        F.col("fp").cast("array<long>").alias("__fb"),
+    )
+    na, nb, off = F.size("__fa"), F.size("__fb"), F.col("offset")
+    start_a = F.greatest(F.lit(1), F.lit(1) - off)  # 1-based slice start
+    end_a = F.least(na, nb - off)
+    ln = end_a - start_a + 1
+    ham = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__fa"), start_a, ln),
+            F.slice(F.col("__fb"), start_a + off, ln),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(ln >= min_overlap)
+        .select(
+            "id_a",
+            "id_b",
+            "offset",
+            ln.cast("int").alias("overlap"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(
+            F.col("hamming") * ber_den
+            <= ber_num * F.col("overlap") * bits_per_word
+        )
+    )
+    best = F.min_by(
+        F.struct("offset", "overlap", "hamming"),
+        F.struct(
+            F.col("hamming"),
+            (-F.col("overlap")).alias("__no"),
+            F.abs(F.col("offset")).alias("__ao"),
+            F.col("offset"),
+        ),
+    )
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(best.alias("__b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__b.offset").alias("offset"),
+            F.col("__b.overlap").alias("overlap"),
+            F.col("__b.hamming").alias("hamming"),
+        )
+    )
+
+
+def synth_audio_shift_table(spark: SparkSession, n_groups: int = 6) -> DataFrame:
+    """Audio corpus with planted SHIFTED duplicates: each group is one
+    tone-mixture clip (4096 samples) carried as the original, a
+    hop-trimmed 0.6×-volume version (first AUDIO_FP_HOP samples cut —
+    its fingerprint is the original's shifted one word), and a
+    hop-padded version with a faint added tone (AUDIO_FP_HOP leading
+    zeros — shifted the other way, with one junction word) — the
+    clip surgeries the aligned r8 leg is blind to by construction.
+    Other groups' clips are the planted rejects; one corrupt payload
+    exercises the quarantine. media_id = group·4 + variant."""
+    import numpy as np
+
+    rows = []
+    for g in range(n_groups):
+        base = decode_wav(encode_wav(4096, seed=g * 13))[0]
+        t = np.arange(len(base) + AUDIO_FP_HOP)
+        padded = np.concatenate([np.zeros(AUDIO_FP_HOP), base])
+        variants = [
+            encode_wav_samples(base),
+            encode_wav_samples(base[AUDIO_FP_HOP:] * 0.6),
+            encode_wav_samples(
+                padded * 0.9 + 0.02 * np.sin(2 * np.pi * 3777 * t / 8000.0)
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            rows.append(
+                (g * 4 + v, "audio", bytearray(payload), "audio/wav", -1, -1, 512)
+            )
+    rows.append((n_groups * 4 + 3, "audio", bytearray(b"not audio"), "audio/wav",
+                 -1, -1, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_video_shift_table(spark: SparkSession, n_groups: int = 5) -> DataFrame:
+    """Video corpus with planted SHIFTED duplicates: each group is one
+    6-frame clip carried as the original, a first-frame-trimmed re-cut
+    (fingerprint = the original's minus its first word), and a
+    gray-lead-in padded version with faint deterministic noise (one
+    junk leading word) — plus a corrupt payload."""
+    import numpy as np
+
+    rows = []
+    w, h = 32, 24
+    for g in range(n_groups):
+        # per-group DISTINCT gradient directions — encode_y4m's seed is
+        # g·31, which aliases its f·31 per-frame shift, making every
+        # group's clip a frame-shifted duplicate of every other's (the
+        # aligned r8 leg never noticed; a shift-tolerant matcher
+        # correctly would). Different (a, b) slopes → different DCT
+        # sign patterns → genuinely distinct content per group.
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = [
+            ((xx * (7 + 2 * g) + yy * (13 + 5 * g) + i * 31 + g * 97) % 256
+             ).astype(np.uint8)
+            for i in range(6)
+        ]
+        gray = np.full((h, w), 128, np.uint8)
+        variants = [
+            encode_y4m_luma(frames, w, h),
+            encode_y4m_luma(frames[1:], w, h),
+            encode_y4m_luma(
+                [gray]
+                + [
+                    np.clip(
+                        f.astype(np.int32) + ((xx * 3 + yy * 5 + i) % 7 - 3), 0, 255
+                    )
+                    for i, f in enumerate(frames)
+                ],
+                w,
+                h,
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            rows.append(
+                (g * 4 + v, "video", bytearray(payload), "video/x-y4m", w, h, 240)
+            )
+    rows.append((n_groups * 4 + 3, "video", bytearray(b"not video"),
+                 "video/x-y4m", -1, -1, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

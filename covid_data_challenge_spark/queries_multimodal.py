@@ -340,3 +340,76 @@ def q_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 5)
         .distinct()
     )
+
+
+@register(
+    "audio_fp_shifted_neardup",
+    oracle=f"""
+SELECT id_a, id_b, "offset", overlap, hamming
+FROM read_parquet('{_FIXTURES}/audio_fp_shifted_pairs_golden.parquet')
+""",
+)
+def q_audio_fp_shifted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-TOLERANT audio near-duplicate pairs (r9 — VERDICT r8
+    next-round #1): the aligned r8 leg bands on exact (frame_idx, word)
+    and demands equal-length fingerprints, so a clip trimmed by one hop
+    or padded — the most common real duplicate — is invisible by
+    construction. This is Haitsma & Kalker §III block matching: every
+    word-value band hit PROPOSES the alignment offset widx_b − widx_a
+    (derived, never scanned), |offset| ≤ 2; the verdict is the integer
+    bit-error count over the best-aligned overlap (zip_with XOR
+    popcount on slices), accepted strictly below BER 1/17 — the
+    largest budget with pigeonhole-exact banding recall, so the
+    committed golden parquet (all-pairs × all-offsets brute force,
+    same comparator) IS the engine's answer. The fixture plants, per
+    group: the original, a hop-trimmed 0.6×-volume cut (caught at
+    offset −1), and a hop-padded faint-tone variant (caught at +1);
+    other groups' clips are the planted rejects (measured best-offset
+    BER ≥ 0.23 vs threshold 0.059). The word self-join carries the
+    max_band_freq stop-word guard against degenerate silence words
+    (inert at fixture scale; exercised in pytest)."""
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fp_table,
+        shifted_fp_pairs,
+        synth_audio_shift_table,
+    )
+
+    fps = audio_fp_table(synth_audio_shift_table(spark, n_groups=6)).filter(
+        F.col("decoded")
+    )
+    return shifted_fp_pairs(
+        fps, bits_per_word=16, max_shift=2, min_overlap=4, max_band_freq=64
+    )
+
+
+@register(
+    "video_fp_shifted_neardup",
+    oracle=f"""
+SELECT id_a, id_b, "offset", overlap, hamming
+FROM read_parquet('{_FIXTURES}/video_fp_shifted_pairs_golden.parquet')
+""",
+)
+def q_video_fp_shifted_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-TOLERANT video near-duplicate pairs (r9): the same block
+    matching as audio_fp_shifted_neardup over per-frame 63-bit pHash
+    words — a re-cut (first frame dropped) is caught at offset −1 and
+    a gray-lead-in padded variant at +1, where the aligned r8 leg sees
+    nothing. BER budget 1/64 (pigeonhole-exact recall). The fixture's
+    groups use DISTINCT gradient directions per group — encode_y4m's
+    seed g·31 aliases its per-frame f·31 shift, making every aligned-
+    fixture clip a frame-shifted duplicate of every other, which an
+    offset-scanning matcher would (correctly!) report; the shift
+    fixture generates genuinely distinct content instead. Same
+    golden-parquet discipline as the other fingerprint legs."""
+    from covid_data_challenge_spark.operators.multimodal import (
+        shifted_fp_pairs,
+        synth_video_shift_table,
+        video_fp_table,
+    )
+
+    fps = video_fp_table(synth_video_shift_table(spark, n_groups=5)).filter(
+        F.col("decoded")
+    )
+    return shifted_fp_pairs(
+        fps, bits_per_word=63, max_shift=2, min_overlap=4, max_band_freq=64
+    )

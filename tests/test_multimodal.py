@@ -554,3 +554,128 @@ def test_video_fp_neardup_recovers_planted_groups(spark):
     }
     assert got == brute and len(got) == 15
     assert all(a // 4 == b // 4 for a, b in got)
+
+
+def _brute_shift(local, bits, max_shift=2, min_overlap=4):
+    """Python replica of operators/multimodal.shifted_fp_pairs: all
+    pairs x all offsets, accept strictly below BER 1/bits, best by the
+    integer comparator (hamming, -overlap, |offset|, offset)."""
+    out = {}
+    ids = sorted(local)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            fa, fb = local[ids[i]], local[ids[j]]
+            best = None
+            for off in range(-max_shift, max_shift + 1):
+                sa, ea = max(0, -off), min(len(fa), len(fb) - off)
+                ln = ea - sa
+                if ln < min_overlap:
+                    continue
+                ham = sum(
+                    bin(fa[t] ^ fb[t + off]).count("1") for t in range(sa, ea)
+                )
+                if ham * (bits + 1) > ln * bits:
+                    continue
+                key = (ham, -ln, abs(off), off)
+                if best is None or key < best:
+                    best = key
+            if best is not None:
+                out[(ids[i], ids[j])] = (best[3], -best[1], best[0])
+    return out
+
+
+def test_audio_shifted_neardup_catches_trim_and_pad(spark):
+    """Shift-tolerant audio matching (r9 — VERDICT r8 #1): the
+    hop-trimmed cut is caught at offset -1 and the hop-padded variant
+    at +1 — both invisible to the aligned r8 leg by construction
+    (different fingerprint lengths) — while cross-group clips are
+    rejected (best-offset BER >= 0.23 vs the 1/17 budget); banded ==
+    brute force (pigeonhole-exact at BER < 1/bits)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_audio_shift_table,
+    )
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    media = synth_audio_shift_table(spark, n_groups=6)
+    corrupt_id = 6 * 4 + 3
+    local = {
+        r.media_id: audio_fingerprint(bytes(r.payload))
+        for r in media.collect()
+        if r.media_id != corrupt_id
+    }
+    # trimmed/padded variants really do have DIFFERENT lengths — the
+    # exact blindness the aligned leg has and this operator removes
+    for g in range(6):
+        assert len(local[g * 4 + 1]) == len(local[g * 4]) - 1
+        assert len(local[g * 4 + 2]) == len(local[g * 4]) + 1
+
+    brute = _brute_shift(local, bits=16)
+    rows = REGISTRY["audio_fp_shifted_neardup"].spark(spark, "unused").collect()
+    got = {(r.id_a, r.id_b): (r.offset, r.overlap, r.hamming) for r in rows}
+    assert got == brute
+    assert len(got) == 18 and all(a // 4 == b // 4 for a, b in got)
+    for g in range(6):
+        assert got[(g * 4, g * 4 + 1)][0] == -1  # trim caught at -1
+        assert got[(g * 4, g * 4 + 2)][0] == 1   # pad caught at +1
+
+
+def test_video_shifted_neardup_catches_recut_and_lead_in(spark):
+    """Shift-tolerant video matching (r9): first-frame re-cut caught at
+    offset -1, gray-lead-in pad at +1; cross-group rejected; banded ==
+    brute force."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.operators.multimodal import (
+        synth_video_shift_table,
+        video_fingerprint,
+    )
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    media = synth_video_shift_table(spark, n_groups=5)
+    corrupt_id = 5 * 4 + 3
+    local = {
+        r.media_id: video_fingerprint(bytes(r.payload))
+        for r in media.collect()
+        if r.media_id != corrupt_id
+    }
+    brute = _brute_shift(local, bits=63)
+    rows = REGISTRY["video_fp_shifted_neardup"].spark(spark, "unused").collect()
+    got = {(r.id_a, r.id_b): (r.offset, r.overlap, r.hamming) for r in rows}
+    assert got == brute
+    assert len(got) == 15 and all(a // 4 == b // 4 for a, b in got)
+    for g in range(5):
+        assert got[(g * 4, g * 4 + 1)][0] == -1
+        assert got[(g * 4, g * 4 + 2)][0] == 1
+
+
+def test_shifted_fp_pairs_skew_guard_and_ber_bound(spark):
+    """The max_band_freq stop-word guard drops degenerate words
+    (digital silence carried by many media) BEFORE the self-join — the
+    100 TB skew defense — while ordinary pairs still match; and the
+    operator refuses BER budgets at or above 1/bits (banding recall
+    would no longer be pigeonhole-exact)."""
+    import pytest
+
+    from covid_data_challenge_spark.operators.multimodal import shifted_fp_pairs
+
+    # 8 wall-to-wall-silence clips (all words 0) + one genuine pair
+    rows = [(i, [0, 0, 0, 0, 0, 0]) for i in range(8)]
+    rows += [(100, [7, 9, 11, 13, 15, 17]), (101, [9, 11, 13, 15, 17, 19])]
+    fps = spark.createDataFrame(rows, "media_id long, fp array<int>")
+
+    guarded = shifted_fp_pairs(
+        fps, bits_per_word=16, max_shift=2, min_overlap=4, max_band_freq=4
+    ).collect()
+    got = {(r.id_a, r.id_b): r.offset for r in guarded}
+    # word 0 appears in 8 > 4 media -> dropped; silence clips pair with
+    # nothing; the genuine shifted pair (100, 101) survives at offset -1
+    assert got == {(100, 101): -1}
+
+    unguarded = shifted_fp_pairs(
+        fps, bits_per_word=16, max_shift=2, min_overlap=4
+    ).collect()
+    assert len(unguarded) == 8 * 7 // 2 + 1  # silence all-pairs + genuine
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        shifted_fp_pairs(fps, bits_per_word=16, ber_num=1, ber_den=16)

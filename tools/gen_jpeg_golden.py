@@ -118,6 +118,8 @@ def main() -> None:
     gen_phash_pairs()
     gen_audio_fp_pairs()
     gen_video_fp_pairs()
+    gen_audio_shift_pairs()
+    gen_video_shift_pairs()
 
 
 def gen_phash_pairs() -> None:
@@ -255,6 +257,136 @@ def gen_video_fp_pairs() -> None:
     )
     path = f"{FIXTURE_DIR}/video_fp_pairs_golden.parquet"
     pq.write_table(pa.table(cols, schema=schema), path)
+    print(f"{path}: {len(cols['id_a'])} pairs")
+
+
+_SHIFT_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("offset", pa.int32()),
+        ("overlap", pa.int32()),
+        ("hamming", pa.int32()),
+    ]
+)
+
+
+def _brute_shift_pairs(
+    fps: list[tuple[int, list[int]]],
+    bits_per_word: int,
+    max_shift: int = 2,
+    min_overlap: int = 4,
+) -> dict[str, list]:
+    """All-pairs × all-offsets ground truth with EXACTLY the operator's
+    accept rule (ham·(bits+1) ≤ overlap·bits, i.e. BER strictly below
+    1/bits) and best-alignment comparator (hamming, −overlap, |offset|,
+    offset) — operators/multimodal.shifted_fp_pairs. Banding recall is
+    pigeonhole-exact at this budget, so the sets coincide."""
+    cols: dict[str, list] = {k: [] for k in _SHIFT_SCHEMA.names}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (ia, fa), (ib, fb) = fps[i], fps[j]
+            if ia > ib:
+                (ia, fa), (ib, fb) = (ib, fb), (ia, fa)
+            best = None
+            for off in range(-max_shift, max_shift + 1):
+                sa = max(0, -off)
+                ea = min(len(fa), len(fb) - off)
+                ln = ea - sa
+                if ln < min_overlap:
+                    continue
+                ham = sum(
+                    bin(fa[t] ^ fb[t + off]).count("1") for t in range(sa, ea)
+                )
+                if ham * (bits_per_word + 1) > ln * bits_per_word:
+                    continue  # BER at or above 1/bits — reject
+                key = (ham, -ln, abs(off), off)
+                if best is None or key < best[0]:
+                    best = (key, off, ln, ham)
+            if best is not None:
+                cols["id_a"].append(ia)
+                cols["id_b"].append(ib)
+                cols["offset"].append(best[1])
+                cols["overlap"].append(best[2])
+                cols["hamming"].append(best[3])
+    return cols
+
+
+def gen_audio_shift_pairs() -> None:
+    """Ground truth for audio_fp_shifted_neardup: exactly
+    synth_audio_shift_table's payloads through the fingerprint kernel,
+    then the brute-force shift matcher."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import (
+        AUDIO_FP_HOP,
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+        encode_wav_samples,
+    )
+
+    fps = []
+    for g in range(6):
+        base = decode_wav(encode_wav(4096, seed=g * 13))[0]
+        t = np.arange(len(base) + AUDIO_FP_HOP)
+        padded = np.concatenate([np.zeros(AUDIO_FP_HOP), base])
+        variants = [
+            encode_wav_samples(base),
+            encode_wav_samples(base[AUDIO_FP_HOP:] * 0.6),
+            encode_wav_samples(
+                padded * 0.9 + 0.02 * np.sin(2 * np.pi * 3777 * t / 8000.0)
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            fps.append((g * 4 + v, audio_fingerprint(payload)))
+    cols = _brute_shift_pairs(fps, bits_per_word=16)
+    path = f"{FIXTURE_DIR}/audio_fp_shifted_pairs_golden.parquet"
+    pq.write_table(pa.table(cols, schema=_SHIFT_SCHEMA), path)
+    print(f"{path}: {len(cols['id_a'])} pairs")
+
+
+def gen_video_shift_pairs() -> None:
+    """Ground truth for video_fp_shifted_neardup: exactly
+    synth_video_shift_table's payloads (distinct per-group gradients)
+    through the per-frame pHash kernel, then the brute-force matcher."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import (
+        encode_y4m_luma,
+        video_fingerprint,
+    )
+
+    fps = []
+    w, h = 32, 24
+    for g in range(5):
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = [
+            ((xx * (7 + 2 * g) + yy * (13 + 5 * g) + i * 31 + g * 97) % 256
+             ).astype(np.uint8)
+            for i in range(6)
+        ]
+        gray = np.full((h, w), 128, np.uint8)
+        variants = [
+            encode_y4m_luma(frames, w, h),
+            encode_y4m_luma(frames[1:], w, h),
+            encode_y4m_luma(
+                [gray]
+                + [
+                    np.clip(
+                        f.astype(np.int32) + ((xx * 3 + yy * 5 + i) % 7 - 3), 0, 255
+                    )
+                    for i, f in enumerate(frames)
+                ],
+                w,
+                h,
+            ),
+        ]
+        for v, payload in enumerate(variants):
+            fps.append((g * 4 + v, video_fingerprint(payload)))
+    cols = _brute_shift_pairs(fps, bits_per_word=63)
+    path = f"{FIXTURE_DIR}/video_fp_shifted_pairs_golden.parquet"
+    pq.write_table(pa.table(cols, schema=_SHIFT_SCHEMA), path)
     print(f"{path}: {len(cols['id_a'])} pairs")
 
 

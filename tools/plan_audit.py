@@ -185,6 +185,10 @@ _PY_SANCTIONED_EXACT = {
     "image_phash_neardup",
     "audio_fp_neardup",
     "video_fp_neardup",
+    # r9 shift-tolerant legs: same decode kernels, one mapInPandas
+    # fingerprint stage each; banding/verify is JVM column algebra
+    "audio_fp_shifted_neardup",
+    "video_fp_shifted_neardup",
 }
 
 
