@@ -323,47 +323,29 @@ def ivfpq_topk(
         index.unpersist()
 
 
-def ivfpq_residual_topk(
+def ivfpq_residual_build_tables(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
     n_sub: int = 8,
     n_codes: int = 16,
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-) -> DataFrame:
-    """IVF-PQ with RESIDUAL encoding — the actual IVFADC of Jégou et
-    al. 2011 §III (and FAISS's IVFPQ default), upgrading this module's
-    raw-vector variant: each vector is quantized as the residual
-    ``vec − centroid(cell)``, which concentrates the distribution the
-    codebooks must cover (residuals are near zero regardless of where
-    the cell sits), so the same code budget buys lower quantization
-    error. The price is at SERVE time: the ADC lookup table becomes
-    per-(query, probed cell) — |Q|·nprobe LUTs instead of |Q| — because
-    the query must be re-expressed in each cell's residual frame.
-
-    Spark shapes: residuals are one broadcast-join + ``zip_with``
-    subtraction in DOUBLE (exact for float32 inputs — both engines
-    subtract identically); codebook training and encoding REUSE
-    pq_train/pq_encode unchanged over the residual frame (the module's
-    "residuals change accuracy, not the dataflow" claim, now code); the
-    per-(query, cell) LUT keys pack as ``query_id·C + cid`` so the
-    LUT build is the same _subvectors → broadcast-codebook join. ADC
-    candidates join on (cid, packed key) — still equi-joins, never
-    all-pairs. Deterministic end to end → DuckDB oracle hash-checks it;
-    recall-vs-exact and the residual-beats-raw contrast are pinned in
-    pytest."""
-    from covid_data_challenge_spark.functions.vector import cosine
-
-    sub_dim = dim // n_sub
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The BUILD half of residual-encoded IVF-PQ (r9 — VERDICT r8 #3,
+    the same split ivfpq_build_tables gave the raw-vector variant):
+    → (centroids, residual codebook, index) where ``index`` is
+    (neighbor_id, cid, codes) with codes quantizing ``vec −
+    centroid(cell)`` — Jégou et al. 2011 §III / the FAISS IVFPQ
+    default. Residuals are one broadcast-join + ``zip_with``
+    subtraction in DOUBLE (exact for float32 inputs); codebook
+    training and encoding REUSE pq_train/pq_encode unchanged over the
+    residual frame. All three outputs are meant to be written as
+    parquet gold tables (partition the index by ``cid``)."""
     centroids, inverted = ivf_build(
         corpus, n_centroids, lloyd_iters, id_col, vec_col
     )
-    centroids = centroids.persist()
     cent = centroids.select("cid", "cvec")
     resid = inverted.join(F.broadcast(cent), "cid").select(
         F.col("neighbor_id").alias("id"),
@@ -373,24 +355,51 @@ def ivfpq_residual_topk(
             F.col("cvec"),
             lambda x, y: x.cast("double") - y.cast("double"),
         ).alias("rv"),
-    ).persist()
+    )
     codebook = pq_train(
         resid, n_sub, n_codes, lloyd_iters, id_col="id", vec_col="rv", dim=dim
-    ).persist()
+    )
+    codes = pq_encode(resid, codebook, n_sub, "id", "rv", dim).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    index = resid.select(F.col("id").alias("neighbor_id"), "cid").join(
+        codes, "neighbor_id"
+    )
+    return centroids, codebook, index
+
+
+def ivfpq_residual_serve(
+    centroids: DataFrame,
+    codebook: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The SERVE half of residual IVFADC: probe prebuilt gold tables
+    with a query batch → (query_id, rank, neighbor_id, adc_distance).
+    Differs from :func:`ivfpq_serve` only in the lookup table: it is
+    per-(query, probed cell) — |Q|·nprobe LUTs instead of |Q| —
+    because the query re-expresses in each cell's residual frame; the
+    key packs as ``query_id·n_centroids + cid`` so the slicing/
+    codebook machinery stays single-keyed. Candidates join on (cid,
+    packed key) — still equi-joins, never all-pairs; corpus float
+    vectors are never read on this path."""
+    from covid_data_challenge_spark.functions.vector import cosine
+
+    sub_dim = dim // n_sub
     n_cb = codebook.count()
     if n_cb != n_sub * n_codes:
         raise ValueError(
             f"PQ codebook is not dense: {n_cb} rows, expected {n_sub * n_codes}"
         )
-    codes = pq_encode(resid, codebook, n_sub, "id", "rv", dim).select(
-        F.col("id").alias("neighbor_id"), "codes"
-    )
-    index = (
-        resid.select(F.col("id").alias("neighbor_id"), "cid")
-        .join(codes, "neighbor_id")
-        .persist()
-    )
-
+    cent = centroids.select("cid", "cvec")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cid"))
     probes = (
@@ -450,10 +459,42 @@ def ivfpq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_distance")
     )
+    # Materialize the small (|Q|·k rows) result — repeated invocations
+    # must not re-run the probe DAG per consumer.
+    return out.localCheckpoint(eager=True)
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Residual IVFADC in one call: :func:`ivfpq_residual_build_tables`
+    + :func:`ivfpq_residual_serve` — the single-shot build+audit
+    composite (the registered ``ann_ivfpq_residual`` entry; production
+    serving goes through the gold tables instead). The three index
+    tables sit upstream of several consumers — persist so the Lloyd
+    DAGs run once, not once per consumer."""
+    centroids, codebook, index = ivfpq_residual_build_tables(
+        corpus, n_centroids, n_sub, n_codes, lloyd_iters, id_col, vec_col, dim
+    )
+    centroids = centroids.persist()
+    codebook = codebook.persist()
+    index = index.persist()
     try:
-        return out.localCheckpoint(eager=True)
+        return ivfpq_residual_serve(
+            centroids, codebook, index, queries,
+            k, nprobe, n_centroids, n_sub, n_codes, id_col, vec_col, dim,
+        )
     finally:
         centroids.unpersist()
-        resid.unpersist()
         codebook.unpersist()
         index.unpersist()

@@ -2630,26 +2630,21 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivfpq_residual_oracle(
-    n_centroids: int = 16,
-    nprobe: int = 8,
-    n_sub: int = 32,
-    n_codes: int = 32,
-    k: int = 5,
-    qfilter: str = "vec_id % 50 = 0",
+def _ivfpq_residual_build_ctes(
+    n_centroids: int | str = 16, n_sub: int = 32, n_codes: int = 32
 ) -> str:
-    """Residual-IVFADC unrolled as DuckDB CTEs: the coarse half is the
+    """The BUILD half of the residual-IVFADC oracle as a reusable
+    WITH-body (through ``inv`` + ``encr``): the coarse half is the
     shared _ivf_ctes chain; residuals are DOUBLE subtractions of each
     vector from its cell centroid (exact for float32 inputs on both
     engines); codebook training/encoding mirror the raw-PQ chain over
     the residual frame (seeds stay unsnapped DOUBLE slices, rebuilt
     means take the float32 snap, empty clusters keep the seed — exactly
-    operators/pq.pq_train over ``rv``); the LUT is per (query, probed
-    cell) because the query re-expresses in each cell's residual frame;
-    ADC is the same ordered sub-ascending fold."""
+    operators/pq.pq_train over ``rv``). Shared by the full-search
+    oracle (_ann_ivfpq_residual_oracle) and the r9 build-summary oracle
+    (ann_ivfpq_residual_build)."""
     sub_dim = 64 // n_sub
-    return f"""
-WITH {_ivf_ctes(n_centroids)},
+    return f"""{_ivf_ctes(n_centroids)},
 resid AS (
     SELECT i.id, i.cid,
            list_transform(list_zip(i.vec, c.cvec),
@@ -2696,7 +2691,24 @@ encr AS (
                ) AS rn
         FROM svr s JOIN cbr c ON s.sub = c.sub
     ) WHERE rn = 1
-),
+)"""
+
+
+def _ann_ivfpq_residual_oracle(
+    n_centroids: int | str = 16,
+    nprobe: int = 8,
+    n_sub: int = 32,
+    n_codes: int = 32,
+    k: int = 5,
+    qfilter: str = "vec_id % 50 = 0",
+) -> str:
+    """Residual-IVFADC search unrolled as DuckDB CTEs: the build half
+    is :func:`_ivfpq_residual_build_ctes`; the LUT is per (query,
+    probed cell) because the query re-expresses in each cell's residual
+    frame; ADC is the same ordered sub-ascending fold."""
+    sub_dim = 64 // n_sub
+    return f"""
+WITH {_ivfpq_residual_build_ctes(n_centroids, n_sub, n_codes)},
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {qfilter}),
 probes AS (
     SELECT query_id, cid FROM (
@@ -2766,4 +2778,143 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ivfpq_residual_topk(
         emb, queries, k=5, n_centroids=16, nprobe=8, n_sub=32, n_codes=32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: residual IVFADC split into BUILD and SERVE gold-table
+# entries (VERDICT r8 next-round #3) — the same split r8 gave flat PQ:
+# the 5.7–6.6 s ann_ivfpq_residual composite stays as the build+audit
+# regression watch; production serving probes prebuilt gold tables
+# with a fixed query batch, so the graded sf1 tier measures the
+# residual SERVING band beside ann_pq_serve's 1.51–1.85×.
+# ---------------------------------------------------------------------------
+
+_PQRES_GOLD_VERSION = 1
+
+
+def _pqres_gold_base(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/spark_graft_pqres_gold_v{_PQRES_GOLD_VERSION}/{key}"
+
+
+def _pqres_gold_build(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the residual-IVFADC gold tables (centroids, residual
+    codebook, cid-partitioned code index) — the one-off build cost.
+    Returns the base path."""
+    from covid_data_challenge_spark.operators.pq import (
+        ivfpq_residual_build_tables,
+    )
+
+    base = _pqres_gold_base(sf_dir)
+    emb = _emb(spark, sf_dir)
+    centroids, codebook, index = ivfpq_residual_build_tables(
+        emb, n_centroids=_pq_n_centroids(emb.count()), n_sub=32, n_codes=32
+    )
+    # centroids/codebook feed the index DAG — persist so the Lloyd and
+    # codebook-training passes run once across the three writes
+    centroids = centroids.persist()
+    codebook = codebook.persist()
+    try:
+        centroids.write.mode("overwrite").parquet(f"{base}/centroids")
+        codebook.write.mode("overwrite").parquet(f"{base}/codebook")
+        index.write.mode("overwrite").partitionBy("cid").parquet(f"{base}/pq_index")
+    finally:
+        centroids.unpersist()
+        codebook.unpersist()
+    return base
+
+
+def _pqres_gold_load(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read the residual gold tables, building them first if absent or
+    older than the source corpus — every table checked through its
+    _SUCCESS marker, staleness against pq_index's (written last)."""
+    import os
+
+    base = _pqres_gold_base(sf_dir)
+    missing = not all(
+        os.path.exists(f"{base}/{t}/_SUCCESS") for t in _PQ_GOLD_TABLES
+    )
+    stale = False
+    if not missing:
+        src = f"{sf_dir}/embeddings.parquet"
+        if os.path.exists(src):
+            stale = os.path.getmtime(src) > os.path.getmtime(
+                f"{base}/pq_index/_SUCCESS"
+            )
+    if missing or stale:
+        _pqres_gold_build(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{base}/centroids"),
+        spark.read.parquet(f"{base}/codebook"),
+        spark.read.parquet(f"{base}/pq_index"),
+    )
+
+
+@register(
+    "ann_ivfpq_residual_build",
+    oracle=f"""
+WITH {_ivfpq_residual_build_ctes(n_centroids=_PQ_NLIST_SQL)},
+percode AS (
+    SELECT id, CAST(sum(code) AS BIGINT) AS cs FROM encr GROUP BY id
+)
+SELECT CAST(i.cid AS INT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(p.cs) AS BIGINT) AS code_sum
+FROM inv i JOIN percode p USING (id)
+GROUP BY i.cid
+""",
+)
+def q_ann_ivfpq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-IVFADC index BUILD (r9): train coarse centroids, train
+    the codebooks ON RESIDUALS (vec − centroid(cell)), encode, and
+    WRITE the three gold tables — then return the per-centroid summary
+    (row counts + code checksums) read back FROM THE WRITTEN FILES, so
+    the oracle — coarse Lloyd + residual codebook training unrolled as
+    DuckDB CTEs, with the bounded-cell nlist rule inlined as a LIMIT
+    expression — hash-checks the persisted artifact end to end. Same
+    discipline as ann_pq_build; the in-session ann_ivfpq_residual
+    composite stays registered as the regression watch."""
+    base = _pqres_gold_build(spark, sf_dir)
+    idx = spark.read.parquet(f"{base}/pq_index")
+    code_sum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+    )
+    return (
+        idx.select(F.col("cid").cast("int").alias("cid"), code_sum.alias("cs"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("cs").cast("long").alias("code_sum"),
+        )
+    )
+
+
+@register(
+    "ann_ivfpq_residual_serve",
+    oracle=_ann_ivfpq_residual_oracle(
+        n_centroids=_PQ_NLIST_SQL, k=5, qfilter=_PQ_SERVE_FILTER
+    ),
+)
+def q_ann_ivfpq_residual_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-IVFADC SERVE (r9): probe the PREBUILT residual gold
+    tables with the FIXED query batch (|Q| constant across scales —
+    the ann_pq_serve discipline) → ADC top-5 per query. The packed
+    per-(query, cell) LUT needs the built centroid count; it comes
+    from the tiny centroids gold table itself (one count over ≤ N/512
+    rows), NOT a corpus scan — the corpus float vectors are never
+    read on this path. This is the number that prices a residual query
+    batch once the index exists; the sf1 tier records its growth
+    beside ann_pq_serve's 1.51–1.85× band."""
+    from covid_data_challenge_spark.operators.pq import ivfpq_residual_serve
+
+    centroids, codebook, index = _pqres_gold_load(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200))
+    return ivfpq_residual_serve(
+        centroids, codebook, index, queries,
+        k=5, nprobe=8, n_centroids=centroids.count(),
+        n_sub=32, n_codes=32,
     )

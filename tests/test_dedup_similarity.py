@@ -1145,3 +1145,52 @@ def test_ivfpq_residual_quantization_beats_raw_on_clustered_corpus(spark):
         rs.sort()
         assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
         assert [d for _, d in rs] == sorted(d for _, d in rs)
+
+
+def test_ivfpq_residual_gold_roundtrip_serve_matches_composite(spark, sf_dir, tmp_path):
+    """r9 build/serve split: probing residual gold tables RELOADED from
+    parquet is bit-identical to the in-session composite — float32/int
+    parquet roundtrip is exact, so the ann_ivfpq_residual_serve oracle
+    (which replays the full build + probe as CTEs) legitimately
+    hash-matches either path."""
+    from pyspark.sql import functions as F
+
+    from covid_data_challenge_spark.operators.pq import (
+        ivfpq_residual_build_tables,
+        ivfpq_residual_serve,
+        ivfpq_residual_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(n_centroids=16, n_sub=8, n_codes=16)
+
+    composite = ivfpq_residual_topk(
+        emb, queries, k=5, nprobe=4, **kw
+    ).collect()
+
+    cents, cb, idx = ivfpq_residual_build_tables(emb, **kw)
+    cents = cents.persist()
+    cb = cb.persist()
+    base = str(tmp_path / "gold")
+    cents.write.parquet(f"{base}/centroids")
+    cb.write.parquet(f"{base}/codebook")
+    idx.write.partitionBy("cid").parquet(f"{base}/pq_index")
+    cents.unpersist()
+    cb.unpersist()
+
+    served = ivfpq_residual_serve(
+        spark.read.parquet(f"{base}/centroids"),
+        spark.read.parquet(f"{base}/codebook"),
+        spark.read.parquet(f"{base}/pq_index"),
+        queries,
+        k=5,
+        nprobe=4,
+        **kw,
+    ).collect()
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, served), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, composite), key=lambda t: (t[0], t[1])
+    )
+    assert len(served) > 0
