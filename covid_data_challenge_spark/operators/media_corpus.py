@@ -1,0 +1,157 @@
+"""sf-SCALED media corpus — the decode path's growth fixture
+(VERDICT r8 next-round #4).
+
+Every other family prices its 10× growth against the driver's parquet
+tables; the multimodal decode/fingerprint queries ran on fixed-size
+in-query ``synth_*`` tables, so the sf1 tier could not see mapInPandas
+decode throughput at all. This module materializes a deterministic
+parquet corpus of ENCODED media payloads whose item count scales with
+the sf directory (∝ the ``documents`` row count), cached as a gold
+table under /tmp exactly like the IVF-PQ index
+(queries_similarity._pq_gold_load's _SUCCESS + staleness discipline).
+
+Corpus layout — ``corpus_item`` is a pure function of (media_id), the
+contract tools/gen_media_golden.py replays for the DuckDB oracle twins:
+
+- id % 4 == 0 → PNG of :func:`multimodal.lowfreq_content`(id // 4)
+- id % 4 == 1 → JPEG of the SAME content (q90 4:4:4 / q75 4:2:0
+  alternating by group) — a planted cross-format near-duplicate pair
+  per group, pHash-verifiable at the ≤ 6-bit gate by construction
+- id % 4 == 2 → mono PCM16 WAV (6000 + (id % 5)·800 samples @ 8 kHz)
+- id % 4 == 3 → Y4M C420 clip (24×16, 6 frames)
+- id % 32 == 17 (a JPEG slot, truncated stream) and id % 32 == 30 (a
+  WAV slot, header-only torso) are CORRUPT — the quarantine contract
+  must hold at every sf
+
+Scale notes (the 100 TB story): the build is one embarrassingly
+parallel mapInPandas over ``spark.range`` — no shuffle, payloads never
+sit on the driver; the decode queries chain a second shuffle-free
+mapInPandas onto the parquet scan. At sf0.01/sf0.001 (500 docs) the
+corpus is 48 items — exactly what the committed golden parquets
+replay; at sf0.1 it is 500 and at the synthetic sf1 fixture 5000, so
+the sf1 tier finally prices decode throughput (expected ~linear in
+payload bytes).
+
+Reference parity note: lfaller/covid-data-challenge has no media path
+at all — this family is part of the training-data-pipeline surface the
+brief adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from covid_data_challenge_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    encode_png_rgb,
+    encode_wav,
+    encode_y4m,
+    lowfreq_content,
+)
+
+#: bump to invalidate cached corpora when the layout contract changes
+MEDIA_CORPUS_VERSION = 1
+
+#: one corpus item per ~10 documents, floored to a whole 4-kind cycle;
+#: the max() keeps the gate-scale corpus (500 docs at sf0.01 AND
+#: sf0.001) at exactly the 48 items the committed goldens replay
+_DOCS_PER_ITEM = 10
+_MIN_ITEMS = 48
+
+
+def corpus_size(n_docs: int) -> int:
+    return max(_MIN_ITEMS, (n_docs // _DOCS_PER_ITEM) // 4 * 4)
+
+
+def corpus_item(i: int) -> tuple:
+    """(media_id, kind, payload, mime, width, height, duration_ms) —
+    pure function of the id; any change here must bump
+    MEDIA_CORPUS_VERSION and regenerate the goldens
+    (tools/gen_media_golden.py)."""
+    from covid_data_challenge_spark.operators.jpeg import encode_jpeg_baseline
+
+    m = i % 4
+    if m == 0:
+        payload = encode_png_rgb(48, 32, img=lowfreq_content(i // 4))
+        row = (i, "image", payload, "image/png", 48, 32, -1)
+    elif m == 1:
+        g = i // 4
+        payload = encode_jpeg_baseline(
+            48,
+            32,
+            quality=90 if g % 2 == 0 else 75,
+            subsample=(g % 2 == 1),
+            img=lowfreq_content(g),
+        )
+        row = (i, "image", payload, "image/jpeg", 48, 32, -1)
+    elif m == 2:
+        n_samples = 6000 + (i % 5) * 800
+        payload = encode_wav(n_samples, sample_rate=8000, seed=i)
+        row = (i, "audio", payload, "audio/wav", -1, -1, n_samples * 1000 // 8000)
+    else:
+        payload = encode_y4m(24, 16, 6, seed=i)
+        row = (i, "video", payload, "video/y4m", 24, 16, 240)
+    if i % 32 == 17:  # a JPEG slot per 32: truncated stream → quarantine
+        payload = payload[: len(payload) // 2]
+        row = (row[0], row[1], payload, row[3], row[4], row[5], row[6])
+    elif i % 32 == 30:  # a WAV slot per 32: header-only torso → quarantine
+        # (a half-length PCM body would still parse as a shorter clip —
+        # RIFF is self-describing per chunk — so cut inside the header)
+        payload = payload[:16]
+        row = (row[0], row[1], payload, row[3], row[4], row[5], row[6])
+    return (row[0], row[1], bytearray(row[2]), row[3], row[4], row[5], row[6])
+
+
+def _gold_base(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/spark_graft_media_v{MEDIA_CORPUS_VERSION}/{key}"
+
+
+def build_media_corpus(spark: SparkSession, sf_dir: str, n_items: int) -> DataFrame:
+    """Distributed corpus build: mapInPandas over ``spark.range`` —
+    payload encoding runs on executors, nothing collects."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [corpus_item(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "payload",
+                    "mime",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    n_parts = min(32, max(4, n_items // 16))
+    return spark.range(0, n_items, 1, n_parts).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached sf-scaled corpus for ``sf_dir``: build-once gold
+    table (missing or older than the source documents parquet →
+    rebuild), then a plain parquet scan — so the decode queries' timed
+    cost is decode, not synthesis. In production this is the ingest
+    landing table; the build branch never fires on the query path."""
+    path = f"{_gold_base(sf_dir)}/media.parquet"
+    src = f"{sf_dir}/documents.parquet"
+    marker = f"{path}/_SUCCESS"
+    fresh = os.path.exists(marker) and (
+        not os.path.exists(src)
+        or os.path.getmtime(src) <= os.path.getmtime(marker)
+    )
+    if not fresh:
+        n_docs = spark.read.parquet(src).count()
+        build_media_corpus(spark, sf_dir, corpus_size(n_docs)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)

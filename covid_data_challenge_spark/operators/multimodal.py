@@ -103,7 +103,7 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     unavailable in this environment → NotImplementedError (by contract,
     see module docstring). The Spark-side plumbing is identical for all.
     """
-    if decoder not in ("fake", "real", "ppm", "png", "jpeg", "wav", "y4m"):
+    if decoder not in ("fake", "real", "ppm", "png", "jpeg", "wav", "y4m", "auto"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,6 +121,7 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
                 "jpeg": jpeg_features,
                 "wav": wav_features,
                 "y4m": y4m_features,
+                "auto": auto_features,
                 "fake": _fake_features,
             }[decoder]
             yield pd.DataFrame(
@@ -274,20 +275,29 @@ def synth_ppm_table(spark: SparkSession, n: int = 32) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def encode_png_rgb(width: int, height: int, seed: int = 0, filters=None) -> bytes:
+def encode_png_rgb(
+    width: int, height: int, seed: int = 0, filters=None, img=None
+) -> bytes:
     """Deterministic valid 8-bit RGB PNG for fixtures/tests: pixel
     (x, y, c) is the same affine pattern as :func:`encode_ppm`, so a
     PNG and a PPM of the same (w, h, seed) decode to IDENTICAL arrays.
     ``filters`` optionally forces the per-row filter types (cycling),
     letting tests exercise every unfilter path (0=None 1=Sub 2=Up
-    3=Average 4=Paeth) against the numpy ground truth."""
+    3=Average 4=Paeth) against the numpy ground truth. ``img``
+    overrides the affine pattern with an explicit (h, w, 3) uint8
+    array — the same escape hatch :func:`jpeg.encode_jpeg_baseline`
+    grew for content-controlled fixtures."""
     import struct
     import zlib
 
     import numpy as np
 
-    y, x, c = np.mgrid[0:height, 0:width, 0:3]
-    img = ((x * 7 + y * 13 + c * 29 + seed) % 256).astype(np.int32)
+    if img is not None:
+        img = np.asarray(img, dtype=np.uint8).astype(np.int32)
+        height, width = img.shape[0], img.shape[1]
+    else:
+        y, x, c = np.mgrid[0:height, 0:width, 0:3]
+        img = ((x * 7 + y * 13 + c * 29 + seed) % 256).astype(np.int32)
     filters = list(filters or [0])
     bpp = 3
     raw = bytearray()
@@ -667,6 +677,56 @@ def jpeg_features(payload: bytes, dim: int = FEATURE_DIM):
     if img is None:
         return None
     return _rgb_stats(img, dim)
+
+
+def auto_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Magic-byte-sniffing feature kernel for a MIXED-format corpus —
+    the dispatch a real ingest pipeline runs when the `kind` column is
+    untrusted: PNG/JPEG/PPM → :func:`_rgb_stats`, RIFF/WAVE →
+    :func:`wav_features`, YUV4MPEG2 → :func:`y4m_features`, anything
+    else (or any failed decode) → None, the shared quarantine
+    contract."""
+    p = bytes(payload)
+    if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:2] == b"\xff\xd8" or p[:2] == b"P6":
+        img = decode_image_auto(p)
+        return None if img is None else _rgb_stats(img, dim)
+    if p[:4] == b"RIFF":
+        return wav_features(p, dim)
+    if p[:9] == b"YUV4MPEG2":
+        return y4m_features(p, dim)
+    return None
+
+
+def lowfreq_content(seed: int, width: int = 48, height: int = 32):
+    """Deterministic per-seed image content whose 8×8 low-frequency DCT
+    block carries STRONG random-sign coefficients (synthesized in the
+    DCT domain, inverse-transformed, upsampled) — the content class a
+    perceptual hash is designed for. Measured on 300 seeds: PNG vs
+    JPEG-q75-4:2:0 re-encode pHash distance ≤ 4 bits (planted pairs
+    always verify at the ≤ 6 gate) while distinct seeds sit ≥ 10 bits
+    apart (no incidental collisions) — unlike the affine test pattern,
+    whose low-freq structure is seed-invariant. Returns (h, w, 3)
+    uint8."""
+    import numpy as np
+
+    rnd = np.frombuffer(
+        hashlib.sha256(f"media-img-{seed}".encode()).digest() * 4, dtype=np.uint8
+    ).astype(np.float64)
+    coef = np.zeros((32, 32))
+    signs = np.where(rnd[:64] >= 128, 1.0, -1.0)
+    mags = 60.0 + rnd[64:128] * 0.35  # 60..149 — far above JPEG quant noise
+    decay = 1.0 / (1 + np.arange(8) * 0.3)
+    coef[0:8, 0:8] = (signs * mags).reshape(8, 8) * np.outer(decay, decay)
+    coef[0, 0] = 0.0
+    a32 = _dct_matrix_n(32)
+    g = a32.T @ coef @ a32  # orthonormal inverse DCT
+    g = g - g.min()
+    g = g * (220.0 / max(g.max(), 1e-9)) + 17
+    g32 = np.clip(np.round(g), 0, 255).astype(np.uint8)
+    yi = (np.arange(height) * 32) // height
+    xi = (np.arange(width) * 32) // width
+    img = g32[yi][:, xi]
+    return np.stack([img] * 3, axis=2)
 
 
 def synth_jpeg_table(spark: SparkSession, n: int = 32) -> DataFrame:

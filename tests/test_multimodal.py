@@ -679,3 +679,144 @@ def test_shifted_fp_pairs_skew_guard_and_ber_bound(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         shifted_fp_pairs(fps, bits_per_word=16, ber_num=1, ber_den=16)
+
+
+# ---------------------------------------------------------------------------
+# sf-scaled media corpus (r9 — VERDICT r8 next-round #4)
+# ---------------------------------------------------------------------------
+
+
+def test_media_corpus_size_rule():
+    """corpus_size scales ∝ documents (one item per 10 docs, whole
+    4-kind cycles) with the 48-item floor that pins the oracle-gate
+    corpus at sf0.01 AND sf0.001 (both have 500 documents)."""
+    from covid_data_challenge_spark.operators.media_corpus import corpus_size
+
+    assert corpus_size(500) == 48  # the committed-golden contract
+    assert corpus_size(5000) == 500  # sf0.1
+    assert corpus_size(50000) == 5000  # synth sf1 → 10× growth signal
+    assert corpus_size(0) == 48
+
+
+def test_encode_png_rgb_img_roundtrip():
+    """The explicit-array escape hatch must be pixel-exact through the
+    engine's own decoder — same loop the affine pattern already closes."""
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import (
+        decode_png,
+        encode_png_rgb,
+        lowfreq_content,
+    )
+
+    img = lowfreq_content(7)
+    out = decode_png(encode_png_rgb(0, 0, img=img))
+    assert out.shape == img.shape
+    assert (out == img).all()
+    # default path unchanged by the new parameter
+    legacy = decode_png(encode_png_rgb(8, 6, seed=3))
+    y, x, c = np.mgrid[0:6, 0:8, 0:3]
+    assert (legacy == ((x * 7 + y * 13 + c * 29 + 3) % 256)).all()
+
+
+def test_auto_features_dispatches_by_magic():
+    """auto_features must agree with each format's dedicated kernel and
+    quarantine anything unrecognizable — the untrusted-kind contract."""
+    from covid_data_challenge_spark.operators.jpeg import encode_jpeg_baseline
+    from covid_data_challenge_spark.operators.multimodal import (
+        auto_features,
+        encode_png_rgb,
+        encode_wav,
+        encode_y4m,
+        jpeg_features,
+        png_features,
+        wav_features,
+        y4m_features,
+    )
+
+    png = encode_png_rgb(12, 10, seed=1)
+    jpg = encode_jpeg_baseline(16, 16, seed=2)
+    wav = encode_wav(4000, seed=3)
+    y4m = encode_y4m(16, 8, 4, seed=4)
+    assert auto_features(png) == png_features(png)
+    assert auto_features(jpg) == jpeg_features(jpg)
+    assert auto_features(wav) == wav_features(wav)
+    assert auto_features(y4m) == y4m_features(y4m)
+    assert auto_features(b"garbage-payload") is None
+    assert auto_features(wav[:16]) is None  # the corpus's WAV torso
+
+
+def test_media_corpus_build_quarantine_and_cache(spark, sf_dir, tmp_path):
+    """The gate-scale corpus: 48 items, ids 17 (JPEG) and 30 (WAV)
+    corrupt by construction; the gold table is built once and the query
+    path reuses it (the _SUCCESS mtime must not move)."""
+    import os
+
+    from covid_data_challenge_spark.operators.media_corpus import (
+        _gold_base,
+        corpus_item,
+        media_corpus,
+    )
+    from covid_data_challenge_spark.operators.multimodal import auto_features
+
+    df = media_corpus(spark, sf_dir)
+    rows = {r.media_id: r for r in df.collect()}
+    assert len(rows) == 48
+    assert auto_features(bytes(rows[17].payload)) is None
+    assert auto_features(bytes(rows[30].payload)) is None
+    # payloads are the pure function corpus_item replays
+    for i in (0, 1, 17, 22, 30, 47):
+        assert bytes(rows[i].payload) == bytes(corpus_item(i)[2]), i
+    marker = f"{_gold_base(sf_dir)}/media.parquet/_SUCCESS"
+    t0 = os.path.getmtime(marker)
+    media_corpus(spark, sf_dir).count()
+    assert os.path.getmtime(marker) == t0  # cached, not rebuilt
+
+
+def test_media_corpus_decode_stats_matches_golden(spark, sf_dir):
+    """The registered decode query at the gate scale must equal the
+    committed golden parquet row-for-row (the same comparison the
+    driver's DuckDB hash gate runs at sf0.01)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.queries_multimodal import _FIXTURES
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    import pyarrow.parquet as pq
+
+    got = {
+        (r.media_id, r.kind, r.n_bytes, r.decoded, r.feat_idx, r.feat_value)
+        for r in REGISTRY["media_corpus_decode_stats"].spark(spark, sf_dir).collect()
+    }
+    golden = pq.read_table(f"{_FIXTURES}/media_corpus_features_golden.parquet")
+    want = set(
+        zip(*(golden.column(c).to_pylist() for c in golden.column_names))
+    )
+    assert got == want
+    assert sum(1 for t in want if not t[3]) == 2  # the two quarantine rows
+
+
+def test_media_corpus_phash_neardup_planted_pairs(spark, sf_dir):
+    """The banded pHash join over the corpus's image half must recover
+    exactly the planted PNG↔JPEG pairs (one per content group, minus
+    the group whose JPEG slot is quarantined) — equal to the committed
+    brute-force golden."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.queries_multimodal import _FIXTURES
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    import pyarrow.parquet as pq
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in REGISTRY["media_corpus_phash_neardup"].spark(spark, sf_dir).collect()
+    }
+    golden = pq.read_table(f"{_FIXTURES}/media_corpus_phash_pairs_golden.parquet")
+    want = set(
+        zip(*(golden.column(c).to_pylist() for c in golden.column_names))
+    )
+    assert got == want
+    # every pair is a planted (png, jpeg-of-same-content) adjacency
+    assert all(b == a + 1 and a % 4 == 0 for a, b, _ in got)
+    # 12 groups in 48 items, one lost to the id-17 quarantine
+    assert len(got) == 11
+    assert not any(a == 16 for a, _, _ in got)  # group 4's pair is gone

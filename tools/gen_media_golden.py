@@ -1,0 +1,125 @@
+"""Generate the golden-parquet oracle twins for the sf-SCALED media
+corpus queries (VERDICT r8 next-round #4).
+
+The corpus is a pure function of the media id
+(operators/media_corpus.corpus_item), and the driver's oracle gate
+runs at sf0.01 — where documents has 500 rows, so the corpus is
+exactly corpus_size(500) = 48 items. This tool replays those 48 items
+through the SAME pure-Python kernels the Spark queries run
+(auto_features, phash63) and commits the expected rows as parquet —
+the gen_jpeg_golden.py discipline. The kernels stay pinned
+independently by unit/hypothesis pytest against the engine's own
+encoders, so the goldens aren't circular: a kernel change fails pytest
+first, a plumbing/schema/quarantine change fails the hash gate.
+
+Run from the repo root after changing corpus_item or the kernels:
+python tools/gen_media_golden.py  (then bump MEDIA_CORPUS_VERSION if
+the corpus layout itself changed, so cached /tmp gold tables rebuild).
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+FIXTURE_DIR = "/root/repo/covid_data_challenge_spark/fixtures"
+
+FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("decoded", pa.bool_()),
+        ("feat_idx", pa.int32()),
+        ("feat_value", pa.float32()),
+    ]
+)
+
+PAIRS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+)
+
+#: the oracle-gate corpus: documents has 500 rows at sf0.01 AND sf0.001
+GATE_N_DOCS = 500
+
+
+def gate_items() -> list[tuple]:
+    from covid_data_challenge_spark.operators.media_corpus import (
+        corpus_item,
+        corpus_size,
+    )
+
+    n = corpus_size(GATE_N_DOCS)
+    assert n == 48, f"gate corpus size drifted: {n}"
+    return [corpus_item(i) for i in range(n)]
+
+
+def gen_features(items: list[tuple]) -> None:
+    from covid_data_challenge_spark.operators.multimodal import auto_features
+
+    cols: dict[str, list] = {k: [] for k in FEATURES_SCHEMA.names}
+    for media_id, kind, payload, _mime, _w, _h, _d in items:
+        feats = auto_features(bytes(payload))
+        if feats is None:
+            cols["media_id"].append(media_id)
+            cols["kind"].append(kind)
+            cols["n_bytes"].append(len(payload))
+            cols["decoded"].append(False)
+            cols["feat_idx"].append(None)
+            cols["feat_value"].append(None)
+        else:
+            for j, v in enumerate(feats):
+                cols["media_id"].append(media_id)
+                cols["kind"].append(kind)
+                cols["n_bytes"].append(len(payload))
+                cols["decoded"].append(True)
+                cols["feat_idx"].append(j)
+                cols["feat_value"].append(v)
+    table = pa.table(cols, schema=FEATURES_SCHEMA)
+    path = f"{FIXTURE_DIR}/media_corpus_features_golden.parquet"
+    pq.write_table(table, path)
+    n_quar = table.num_rows - table.column("decoded").to_pylist().count(True)
+    print(f"{path}: {table.num_rows} rows ({n_quar} quarantine rows)")
+
+
+def gen_phash_pairs(items: list[tuple]) -> None:
+    """Brute-force ALL-pairs ground truth at Hamming ≤ 6 over the
+    decodable image payloads — banding recall is pigeonhole-exact at
+    that threshold, so the engine's banded join must equal this set."""
+    from covid_data_challenge_spark.operators.multimodal import phash63
+
+    hashes = {}
+    for media_id, kind, payload, *_ in items:
+        if kind != "image":
+            continue
+        h = phash63(bytes(payload))
+        if h is not None:
+            hashes[media_id] = h
+    rows = {"id_a": [], "id_b": [], "hamming": []}
+    planted = 0
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 6:
+            rows["id_a"].append(a)
+            rows["id_b"].append(b)
+            rows["hamming"].append(d)
+            if b == a + 1 and a % 4 == 0:
+                planted += 1
+    table = pa.table(rows, schema=PAIRS_SCHEMA)
+    path = f"{FIXTURE_DIR}/media_corpus_phash_pairs_golden.parquet"
+    pq.write_table(table, path)
+    print(
+        f"{path}: {table.num_rows} pairs ({planted} planted PNG↔JPEG, "
+        f"{table.num_rows - planted} incidental)"
+    )
+
+
+if __name__ == "__main__":
+    items = gate_items()
+    gen_features(items)
+    gen_phash_pairs(items)

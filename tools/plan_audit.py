@@ -189,6 +189,11 @@ _PY_SANCTIONED_EXACT = {
     # fingerprint stage each; banding/verify is JVM column algebra
     "audio_fp_shifted_neardup",
     "video_fp_shifted_neardup",
+    # r9 sf-scaled corpus: one magic-sniffing decode (resp. pHash)
+    # mapInPandas stage over the cached media gold table; everything
+    # downstream (posexplode / banding join) is JVM column algebra
+    "media_corpus_decode_stats",
+    "media_corpus_phash_neardup",
 }
 
 
