@@ -1536,6 +1536,12 @@ def _arr_median(arr):
     return F.when(n % 2 == 1, lo).otherwise(lo + (hi - lo) / 2)
 
 
+#: in-array Theil–Sen is O(n²) DOUBLES in a single row — cap the daily
+#: point count at one year (~66k slopes ≈ 0.5 MB/row); beyond it the
+#: exploded variant shards the same pair set as shuffle rows instead
+_THEIL_SEN_MAX_DAYS = 366
+
+
 @register(
     "theil_sen_trends",
     oracle="""
@@ -1613,10 +1619,29 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # span guard (VERDICT r8 #5): the in-array pair set is O(days²) per
+    # user — ~465 doubles at the ≤31-day fixture span but ~66k at one
+    # year and ~600k at three (a single-ROW memory blowup no plan
+    # statistic can see). Fail loudly past one year instead of OOMing an
+    # executor; longer spans belong to theil_sen_trends_wide's exploded
+    # path, whose pair set is ROWS the shuffle can shard.
+    n_days_guarded = F.when(
+        n <= F.lit(_THEIL_SEN_MAX_DAYS), F.size("tx").cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "theil_sen_trends: user %s has %s daily points > "
+                f"{_THEIL_SEN_MAX_DAYS}; use theil_sen_trends_wide "
+                "(exploded pairs) for long series",
+                F.col("user_id").cast("string"),
+                n.cast("string"),
+            )
+        ).cast("long")
+    )
     per = per.select(
         "user_id",
         "tx",
-        F.size("tx").cast("long").alias("n_days"),
+        n_days_guarded.alias("n_days"),
         F.array_sort(slopes).alias("__sl"),
     ).select(
         "user_id",
@@ -1637,6 +1662,138 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.col("__m"), 6).alias("sen_slope"),
         F.round(_arr_median(resid), 6).alias("sen_intercept"),
+    )
+
+
+def _grouped_exact_median(df: DataFrame, key: str, col: str, out: str) -> DataFrame:
+    """Exact interpolated median of ``col`` per ``key`` over ROWS — the
+    long-series twin of :func:`_arr_median`: per-key window rank (never
+    a global window), keep only the two middle rows, interpolate with
+    the same lo + (hi − lo)/2 rule DuckDB's quantile_cont uses. Returns
+    (key, __cnt, out). Value ties make the rank tie-break irrelevant —
+    either middle row carries the same value."""
+    w = Window.partitionBy(key).orderBy(col)
+    ranked = df.select(
+        key,
+        col,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__cnt"),
+    )
+    lo_idx = ((F.col("__cnt") + 1) / 2).cast("int")
+    hi_idx = (F.col("__cnt") / 2 + 1).cast("int")
+    mid = ranked.filter(
+        (F.col("__rn") == lo_idx) | (F.col("__rn") == hi_idx)
+    ).select(
+        key,
+        "__cnt",
+        F.when(F.col("__rn") == lo_idx, F.col(col)).alias("__lo_v"),
+        F.when(F.col("__rn") == hi_idx, F.col(col)).alias("__hi_v"),
+    )
+    lo, hi = F.min("__lo_v"), F.min("__hi_v")
+    return mid.groupBy(key).agg(
+        F.max("__cnt").alias("__cnt"),
+        F.when(F.max("__cnt") % 2 == 1, lo)
+        .otherwise(lo + (hi - lo) / 2)
+        .alias(out),
+    )
+
+
+@register(
+    "theil_sen_trends_wide",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+t0 AS (SELECT user_id, min(day) AS d0 FROM daily GROUP BY 1),
+dd AS (
+    SELECT d.user_id, CAST(date_diff('day', t.d0, d.day) AS DOUBLE) AS t, d.x
+    FROM daily d JOIN t0 t USING (user_id)
+),
+pairs AS (
+    SELECT a.user_id, (b.x - a.x) / (b.t - a.t) AS s
+    FROM dd a JOIN dd b ON a.user_id = b.user_id AND b.t > a.t
+),
+slope AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(s, 0.5) AS m
+    FROM pairs GROUP BY 1
+),
+icpt AS (
+    SELECT d.user_id, quantile_cont(d.x - sl.m * d.t, 0.5) AS b
+    FROM dd d JOIN slope sl USING (user_id) GROUP BY 1
+),
+nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days FROM dd GROUP BY 1)
+SELECT n.user_id, n.n_days, s.n_pairs,
+       round(s.m, 6) AS sen_slope, round(i.b, 6) AS sen_intercept
+FROM nd n JOIN slope s USING (user_id) JOIN icpt i USING (user_id)
+WHERE n.n_days >= 2
+""",
+)
+def q_theil_sen_trends_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen for LONG series (VERDICT r8 #5 — the fallback the
+    in-array query's span guard points at): the O(days²) pairwise
+    slope set becomes shuffle ROWS (a per-user self-join on the daily
+    table with b.t > a.t) instead of one in-row array, so a 3-year
+    user costs ~600k distributed rows rather than a 5 MB single row no
+    executor accounting can see. Both medians are exact and
+    interpolation-identical to the in-array path: per-user window
+    rank → the two middle rows → lo + (hi − lo)/2
+    (:func:`_grouped_exact_median`; windows are user-keyed, never
+    global). Same oracle SQL as theil_sen_trends — the two queries
+    agree row-for-row on any corpus small enough to run both (pinned
+    in pytest alongside the guard). At 100 TB you'd pre-bucket events
+    by user_id so the self-join and both windows co-locate."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    d0 = daily.groupBy("user_id").agg(
+        F.min("day").alias("__d0"), F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    dd = (
+        daily.join(d0, "user_id")
+        .filter(F.col("n_days") >= 2)
+        .select(
+            "user_id",
+            "n_days",
+            F.datediff("day", "__d0").cast("double").alias("t"),
+            "x",
+        )
+    )
+    a = dd.select("user_id", F.col("t").alias("__ta"), F.col("x").alias("__xa"))
+    b = dd.select("user_id", F.col("t").alias("__tb"), F.col("x").alias("__xb"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("__tb") > F.col("__ta"))
+        .select(
+            "user_id",
+            ((F.col("__xb") - F.col("__xa")) / (F.col("__tb") - F.col("__ta"))).alias(
+                "__s"
+            ),
+        )
+    )
+    slope = _grouped_exact_median(pairs, "user_id", "__s", "__m").select(
+        "user_id", F.col("__cnt").alias("n_pairs"), "__m"
+    )
+    resid = dd.join(slope, "user_id").select(
+        "user_id", (F.col("x") - F.col("__m") * F.col("t")).alias("__r")
+    )
+    icpt = _grouped_exact_median(resid, "user_id", "__r", "__b").select(
+        "user_id", "__b"
+    )
+    nd = dd.select("user_id", "n_days").distinct()
+    return (
+        nd.join(slope, "user_id")
+        .join(icpt, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            "n_pairs",
+            F.round(F.col("__m"), 6).alias("sen_slope"),
+            F.round(F.col("__b"), 6).alias("sen_intercept"),
+        )
     )
 
 

@@ -2089,3 +2089,76 @@ def test_longest_repeated_spans_finds_exact_repeats(spark):
         (3, "the lazy dog", 1, 7, 3, 7),
         (3, "the quick brown", 3, 1, 1, 1),
     ]
+
+
+def _theil_events(spark, specs):
+    """events frame from {user_id: [(day_offset, value), ...]}."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for uid, series in specs.items():
+        for off, val in series:
+            rows.append(
+                (eid, base + timedelta(days=off), uid, "click", float(val), "{}")
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_theil_sen_span_guard_fires_on_long_series(spark, monkeypatch):
+    """theil_sen_trends (VERDICT r8 #5): a user with more daily points
+    than the one-year cap must fail LOUDLY (raise_error in the plan)
+    instead of materializing an O(days²) in-row slope array — the
+    message routes the caller to the exploded variant."""
+    import pytest as _pytest
+
+    import covid_data_challenge_spark.queries_events as qx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    long_user = {1: [(d, d * 2.0 + (d % 7)) for d in range(400)]}
+    monkeypatch.setattr(qx, "_events", lambda spark, sf: _theil_events(spark, long_user))
+    with _pytest.raises(Exception, match="theil_sen_trends.*daily points"):
+        REGISTRY["theil_sen_trends"].spark(spark, "unused").collect()
+
+
+def test_theil_sen_wide_handles_long_series_and_agrees_with_inarray(
+    spark, monkeypatch
+):
+    """theil_sen_trends_wide: (a) computes the long-span user the
+    in-array guard rejects — exact slope on a clean linear series —
+    and (b) agrees row-for-row with the in-array path on bounded
+    users (same medians, same interpolation rule)."""
+    import covid_data_challenge_spark.queries_events as qx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    # (a) 400 clean linear days: every pairwise slope is exactly 3.0
+    long_user = {1: [(d, 5.0 + 3.0 * d) for d in range(400)]}
+    monkeypatch.setattr(qx, "_events", lambda spark, sf: _theil_events(spark, long_user))
+    row = REGISTRY["theil_sen_trends_wide"].spark(spark, "unused").collect()[0]
+    assert row.n_days == 400 and row.n_pairs == 400 * 399 // 2
+    assert row.sen_slope == 3.0 and row.sen_intercept == 5.0
+
+    # (b) bounded users, odd AND even pair counts, a planted outlier day
+    bounded = {
+        7: [(0, 1.0), (1, 2.0), (2, 3.0), (5, 100.0), (6, 7.0)],
+        8: [(0, 10.0), (3, 4.0), (4, 8.0), (9, 1.0)],
+    }
+    monkeypatch.setattr(qx, "_events", lambda spark, sf: _theil_events(spark, bounded))
+    wide = {
+        r.user_id: r
+        for r in REGISTRY["theil_sen_trends_wide"].spark(spark, "unused").collect()
+    }
+    inarr = {
+        r.user_id: r
+        for r in REGISTRY["theil_sen_trends"].spark(spark, "unused").collect()
+    }
+    assert set(wide) == set(inarr) == {7, 8}
+    for uid in (7, 8):
+        for f in ("n_days", "n_pairs", "sen_slope", "sen_intercept"):
+            assert getattr(wide[uid], f) == getattr(inarr[uid], f), (uid, f)
