@@ -85,6 +85,16 @@ def _commit(gold_dir: str, version: int) -> None:
 def read_change_stream(
     spark: SparkSession, changes_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    """File-based CDC feed. ORDERING CONTRACT: Structured Streaming's
+    file source sequences the backlog by file MODIFICATION TIME (ms
+    granularity on local/HDFS file systems), and an mtime tie is broken
+    in an unspecified, non-path order — measured here: two same-ms
+    change files can apply in either order (the root cause of a
+    once-in-r6 test flake). Since apply order IS the CDC semantics,
+    producers must guarantee strictly increasing mtimes per file (one
+    file per trigger interval, or an explicit utime stamp); feeds that
+    can't should carry a sequence column and window the merge instead
+    (operators/cdc.apply_changes on max_by(seq))."""
     reader = spark.readStream.schema(CHANGE_SCHEMA)
     if max_files_per_trigger is not None:
         # respected under Trigger.AvailableNow: splits the backlog into

@@ -390,6 +390,21 @@ def test_streaming_cdc_upsert_versions_match_sequential_batch_apply(spark, tmp_p
     b2 = [(4, "U", 450), (1, "D", None), (5, "I", 500)]
     change_file("b1.parquet", b1)
     change_file("b2.parquet", b2)
+    # ROOT CAUSE of the r6 "unexplained" load flake (VERDICT r8 #7):
+    # FileStreamSource orders the backlog by file MODIFICATION TIME
+    # (millisecond granularity through Hadoop's local FS), and an mtime
+    # TIE is broken in a non-path order — measured: with equal mtimes
+    # this stream applies b2 BEFORE b1 and lands 4→400, the exact
+    # mismatch the r6 run recorded. Two tiny parquet writes normally
+    # land in different milliseconds; under a 3-session load they
+    # collided once. Stamp strictly increasing mtimes so batch order is
+    # the test's intent, not a write-timing accident.
+    import os as _os_mt
+    import time as _time_mt
+
+    t0 = _time_mt.time()
+    _os_mt.utime(str(changes_dir / "b1.parquet"), (t0 - 2, t0 - 2))
+    _os_mt.utime(str(changes_dir / "b2.parquet"), (t0, t0))
 
     q = start_streaming_upsert(spark, str(changes_dir), gold, ckpt, max_files_per_trigger=1)
     # AvailableNow terminates on its own; the wait is PROGRESS-ADAPTIVE
@@ -409,12 +424,10 @@ def test_streaming_cdc_upsert_versions_match_sequential_batch_apply(spark, tmp_p
         expect_df = apply_changes(expect_df, ch, "key", "value", with_action=False)
     expected = {r["key"]: r["value"] for r in expect_df.collect()}
 
-    # One unexplained r6 failure here under a 3-Spark-session load (the
-    # stream HAD terminated — _await_stream_done only returns after
-    # isActive goes false — yet gold didn't match; passed in isolation
-    # and in every judge run). If it recurs, this message captures the
-    # state the tail-truncated CI log lost: which versions exist, what
-    # the stream's last progress was, and both dicts.
+    # The r6 load flake is root-caused (see the utime stamp above):
+    # an mtime tie between the two change files reordered the batches.
+    # With stamped mtimes this can't recur; the diag stays because it
+    # is what made the root cause findable from a truncated CI log.
     import os as _os
     diag = (
         f"streamed={streamed} expected={expected} "
