@@ -1413,16 +1413,18 @@ def q_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SA_CAP = 64
 
 
-@register(
-    "suffix_array_repeated_spans",
-    oracle=f"""
+def _sa_oracle(cap: int) -> str:
+    """The bounded-comparator span oracle, parameterized by the cap so
+    the 64- and 256-token registrations share one text (VERDICT r8 #8;
+    for cap=64 this renders byte-identically to the r8 original)."""
+    return f"""
 WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
 pos AS (
     -- suffixes CAPPED at the comparator length up front: the span
     -- query's order is by first-_SA_CAP tokens then (doc_id, off),
     -- exactly the bounded comparator the radix-4 doubling builds
     SELECT doc_id, CAST(t.o AS INT) AS off,
-           ws[CAST(t.o AS INT) : CAST(least(len(ws), t.o + 64 - 1) AS INT)] AS suf
+           ws[CAST(t.o AS INT) : CAST(least(len(ws), t.o + {cap} - 1) AS INT)] AS suf
     FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS o) t
 ),
 sa AS (
@@ -1441,9 +1443,9 @@ lc AS (
     SELECT doc_a, off_a, doc_b, off_b, s1,
            coalesce(
              (SELECT min(u.i)
-              FROM (SELECT unnest(range(1, least(len(s1), len(s2), {_SA_CAP}) + 1)) AS i) u
+              FROM (SELECT unnest(range(1, least(len(s1), len(s2), {cap}) + 1)) AS i) u
               WHERE s1[CAST(u.i AS INT)] <> s2[CAST(u.i AS INT)]) - 1,
-             least(len(s1), len(s2), {_SA_CAP})
+             least(len(s1), len(s2), {cap})
            ) AS lcp
     FROM adj
 )
@@ -1454,7 +1456,12 @@ SELECT CAST(lcp AS INT) AS lcp,
 FROM lc WHERE lcp >= 2
 ORDER BY lcp DESC, doc_a, off_a, doc_b, off_b
 LIMIT 20
-""",
+"""
+
+
+@register(
+    "suffix_array_repeated_spans",
+    oracle=_sa_oracle(_SA_CAP),
 )
 def q_suffix_array_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest repeated token spans in the corpus, EXACTLY, via a
@@ -1478,3 +1485,25 @@ def q_suffix_array_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     from covid_data_challenge_spark.operators.suffix import longest_repeated_spans
 
     return longest_repeated_spans(_docs(spark, sf_dir), top_k=20, cap=_SA_CAP)
+
+
+@register(
+    "suffix_array_repeated_spans_cap256",
+    oracle=_sa_oracle(256),
+)
+def q_suffix_array_repeated_spans_cap256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256-token-comparator suffix array (r9 — VERDICT r8 #8): at
+    cap 64, repeated spans LONGER than 64 tokens tie at lcp=64 and
+    break by position — exact for dedup thresholds under 64 but not
+    for 'longest repeated span' reporting on boilerplate-heavy
+    corpora. The radix-4 doubling already quadruples per round, so 256
+    costs exactly ONE more densify round than 64 (16 → 64 → 256;
+    measured delta recorded in SCALING.md) and the LCP fold bound
+    rises to 256 — still doc-bounded, still O(log max_doc_tokens)
+    rounds, constant in corpus size. Oracle: the same bounded-
+    comparator SQL at cap 256. A pytest plants a 100-token duplicated
+    span: this query reports lcp=100 exactly where the cap-64 query
+    ties at 64."""
+    from covid_data_challenge_spark.operators.suffix import longest_repeated_spans
+
+    return longest_repeated_spans(_docs(spark, sf_dir), top_k=20, cap=256)

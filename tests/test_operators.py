@@ -2162,3 +2162,29 @@ def test_theil_sen_wide_handles_long_series_and_agrees_with_inarray(
     for uid in (7, 8):
         for f in ("n_days", "n_pairs", "sen_slope", "sen_intercept"):
             assert getattr(wide[uid], f) == getattr(inarr[uid], f), (uid, f)
+
+
+def test_suffix_array_cap256_resolves_spans_past_64(spark):
+    """VERDICT r8 #8: a repeated span LONGER than 64 tokens ties at
+    lcp=64 under the default comparator; the cap-256 variant (one more
+    radix-4 round) must report its exact length. Fixture: a 100-token
+    span duplicated across two docs (distinct tails so the repeat ends
+    at exactly 100), plus filler docs."""
+    from covid_data_challenge_spark.operators.suffix import longest_repeated_spans
+
+    span = " ".join(f"tok{i:03d}" for i in range(100))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " enda endb"),
+            (2, span + " endc endd"),
+            (3, "unrelated filler words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    top64 = longest_repeated_spans(docs, top_k=1, cap=64).collect()[0]
+    top256 = longest_repeated_spans(docs, top_k=1, cap=256).collect()[0]
+    assert top64.lcp == 64  # the tie the larger comparator resolves
+    assert top256.lcp == 100
+    assert top256.span == span
+    assert {top256.doc_a, top256.doc_b} == {1, 2}
+    assert top256.off_a == top256.off_b == 1
