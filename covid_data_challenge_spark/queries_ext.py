@@ -23,6 +23,7 @@ import covid_data_challenge_spark.queries_warehouse  # noqa: F401,E402
 import covid_data_challenge_spark.queries_sampling  # noqa: F401,E402
 import covid_data_challenge_spark.queries_graph  # noqa: F401,E402
 import covid_data_challenge_spark.queries_curation  # noqa: F401,E402
+import covid_data_challenge_spark.queries_preference  # noqa: F401,E402
 
 from covid_data_challenge_spark.registry import REGISTRY
 from covid_data_challenge_spark.registry_order import CANONICAL_ORDER

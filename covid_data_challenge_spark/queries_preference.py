@@ -1,0 +1,485 @@
+"""Preference / human-feedback data operations (r9) — the reward-model
+data-curation family a modern RLHF pipeline runs before training:
+pairwise win statistics, inter-annotator agreement (Cohen's κ per judge
+pair, Fleiss' κ overall), Bradley–Terry strength fitting (the batch
+estimator preference data actually identifies — unlike Elo, whose
+sequential updates are order-dependent and unparallelizable), and a
+composite data-quality report (position bias, transitivity violations).
+
+The comparisons fixture is DERIVED deterministically from the documents
+table so every query replays in DuckDB: items pair with their +1/+2
+doc_id neighbors (a stride pairing — the comparison graph is linear in
+corpus size, never all-pairs), five judges each vote per pair, and the
+vote is a Bradley–Terry draw — judge k prefers a iff the md5 unit coin
+of (doc_a, doc_b, k) is below n_chars_a/(n_chars_a+n_chars_b). The
+generative model IS Bradley–Terry with strength = n_chars, so the
+fitted strengths are a real statistical recovery, not a toy.
+
+Scale shape (100 TB): the comparisons table is the fact — everything
+keys on (doc_a, doc_b) or doc_id, standard hash shuffles; the
+Bradley–Terry strengths table is ITEMS-sized (vocab-like, broadcast
+class) and each MM round is one join + one integer-summed aggregation,
+eagerly checkpointed (the unigram-EM loop discipline). All float sums
+are integer-scaled BIGINTs (micro/nano units) so no result depends on
+partition order.
+
+Reference parity note: lfaller/covid-data-challenge has no preference
+path — this family is part of the training-data-pipeline surface the
+brief adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_data_challenge_spark.operators.sampling import (
+    md5_unit_fraction,
+    md5_unit_fraction_sql,
+)
+from covid_data_challenge_spark.queries_shared import _docs
+from covid_data_challenge_spark.registry import register
+
+N_JUDGES = 5
+_BT_ROUNDS = 3
+
+_COIN_SQL = md5_unit_fraction_sql(
+    "CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR) "
+    "|| ':' || CAST(judge AS VARCHAR)"
+)
+
+#: shared derivation: (doc_a, doc_b, ca, cb, judge, winner_a)
+_COMPS_SQL = f"""
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_chars AS ca, b.n_chars AS cb
+    FROM documents a
+    CROSS JOIN (SELECT unnest([1, 2]) AS d) o
+    JOIN documents b ON b.doc_id = a.doc_id + o.d
+),
+comps AS (
+    SELECT doc_a, doc_b, ca, cb, CAST(j.judge AS INT) AS judge,
+           ({_COIN_SQL}) < CAST(ca AS DOUBLE) / (ca + cb) AS winner_a
+    FROM pairs, LATERAL (SELECT unnest(range({N_JUDGES})) AS judge) j
+)
+"""
+
+
+def _comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _COMPS_SQL: stride pairing via an exploded
+    offset (equi-join, never an OR-condition nested loop), five judges,
+    md5-coin Bradley–Terry votes."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_chars").alias("ca"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("__d"),
+    )
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("cb"))
+    pairs = (
+        a.join(b, a["doc_a"] + a["__d"] == b["doc_b"])
+        .select("doc_a", "doc_b", "ca", "cb")
+    )
+    coin = md5_unit_fraction(
+        F.concat_ws(":", F.col("doc_a"), F.col("doc_b"), F.col("judge"))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "ca",
+        "cb",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(N_JUDGES - 1)).cast("array<int>")
+        ).alias("judge"),
+    ).withColumn(
+        "winner_a", coin < F.col("ca").cast("double") / (F.col("ca") + F.col("cb"))
+    )
+
+
+@register(
+    "preference_pair_stats",
+    oracle=f"""
+WITH {_COMPS_SQL},
+sides AS (
+    SELECT doc_a AS doc_id, CASE WHEN winner_a THEN 1 ELSE 0 END AS w FROM comps
+    UNION ALL
+    SELECT doc_b, CASE WHEN winner_a THEN 0 ELSE 1 END FROM comps
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_comparisons,
+       CAST(sum(w) AS BIGINT) AS n_wins,
+       round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS win_rate
+FROM sides GROUP BY doc_id
+""",
+)
+def q_preference_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item pairwise win statistics — the first pass over any
+    preference corpus (how contested is each item, does win rate track
+    the quality proxy). One union of the two pair perspectives and one
+    hash aggregation on doc_id; ratios are integer-derived so the
+    round-6 snap is exact in both engines."""
+    comps = _comparisons(spark, sf_dir)
+    sides = comps.select(
+        F.col("doc_a").alias("doc_id"),
+        F.when(F.col("winner_a"), 1).otherwise(0).alias("w"),
+    ).unionByName(
+        comps.select(
+            F.col("doc_b").alias("doc_id"),
+            F.when(F.col("winner_a"), 0).otherwise(1).alias("w"),
+        )
+    )
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_comparisons"),
+        F.sum("w").cast("long").alias("n_wins"),
+        F.round(F.sum("w").cast("double") / F.count(F.lit(1)), 6).alias("win_rate"),
+    )
+
+
+@register(
+    "annotator_agreement_kappa",
+    oracle=f"""
+WITH {_COMPS_SQL},
+joint AS (
+    SELECT x.judge AS judge_a, y.judge AS judge_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN x.winner_a = y.winner_a THEN 1 ELSE 0 END) AS BIGINT) AS agree
+    FROM comps x JOIN comps y
+      ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b AND x.judge < y.judge
+    GROUP BY 1, 2
+),
+marg AS (
+    SELECT judge, round(CAST(sum(CASE WHEN winner_a THEN 1 ELSE 0 END) AS DOUBLE)
+                        / count(*), 6) AS ra
+    FROM comps GROUP BY 1
+)
+SELECT j.judge_a, j.judge_b, j.n_shared,
+       round(CAST(j.agree AS DOUBLE) / j.n_shared, 6) AS po,
+       round(ma.ra * mb.ra + (1 - ma.ra) * (1 - mb.ra), 6) AS pe,
+       round((round(CAST(j.agree AS DOUBLE) / j.n_shared, 6)
+              - round(ma.ra * mb.ra + (1 - ma.ra) * (1 - mb.ra), 6))
+             / (1 - round(ma.ra * mb.ra + (1 - ma.ra) * (1 - mb.ra), 6)), 6) AS kappa
+FROM joint j
+JOIN marg ma ON ma.judge = j.judge_a
+JOIN marg mb ON mb.judge = j.judge_b
+""",
+)
+def q_annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ for every judge pair — the inter-annotator reliability
+    matrix a labeling vendor is graded on: observed agreement p_o over
+    the pairs both judges voted on, chance agreement p_e from the two
+    judges' marginal a-rates, κ = (p_o − p_e)/(1 − p_e). The self-join
+    keys on the comparison id (doc_a, doc_b) — judge-pair fan-out is
+    the fixed J² = 25, never corpus-quadratic. Every ratio is
+    integer-derived and snapped before the κ division, so the oracle
+    replay is bit-exact."""
+    comps = _comparisons(spark, sf_dir)
+    x = comps.select("doc_a", "doc_b", F.col("judge").alias("judge_a"),
+                     F.col("winner_a").alias("__wa"))
+    y = comps.select("doc_a", "doc_b", F.col("judge").alias("judge_b"),
+                     F.col("winner_a").alias("__wb"))
+    joint = (
+        x.join(y, ["doc_a", "doc_b"])
+        .filter(F.col("judge_a") < F.col("judge_b"))
+        .groupBy("judge_a", "judge_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.when(F.col("__wa") == F.col("__wb"), 1).otherwise(0))
+            .cast("long")
+            .alias("__agree"),
+        )
+    )
+    marg = comps.groupBy("judge").agg(
+        F.round(
+            F.sum(F.when(F.col("winner_a"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ra")
+    )
+    ma = marg.select(F.col("judge").alias("judge_a"), F.col("ra").alias("__ra"))
+    mb = marg.select(F.col("judge").alias("judge_b"), F.col("ra").alias("__rb"))
+    po = F.round(F.col("__agree").cast("double") / F.col("n_shared"), 6)
+    pe = F.round(
+        F.col("__ra") * F.col("__rb")
+        + (F.lit(1) - F.col("__ra")) * (F.lit(1) - F.col("__rb")),
+        6,
+    )
+    return (
+        joint.join(ma, "judge_a")
+        .join(mb, "judge_b")
+        .select(
+            "judge_a",
+            "judge_b",
+            "n_shared",
+            po.alias("po"),
+            pe.alias("pe"),
+            F.round((po - pe) / (F.lit(1) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+def _bt_round_ctes(rounds: int) -> str:
+    """Unroll ``rounds`` Bradley–Terry MM updates (Hunter 2004) as CTEs:
+    s_i ← W_i / Σ_{pairs ∋ i} n/(s_i + s_j), with the per-item
+    denominator summed as nano-scaled BIGINTs (order-independent) and
+    the new strength snapped to round-6 — exactly the Spark loop's
+    float stages."""
+    out = ["s0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS s FROM items)"]
+    for r in range(rounds):
+        out.append(f"""
+terms{r} AS (
+    SELECT p.doc_a AS doc_id,
+           CAST(floor(1e9 * p.n / (sa.s + sb.s)) AS BIGINT) AS t
+    FROM itempairs p
+    JOIN s{r} sa ON sa.doc_id = p.doc_a
+    JOIN s{r} sb ON sb.doc_id = p.doc_b
+    UNION ALL
+    SELECT p.doc_b,
+           CAST(floor(1e9 * p.n / (sa.s + sb.s)) AS BIGINT)
+    FROM itempairs p
+    JOIN s{r} sa ON sa.doc_id = p.doc_a
+    JOIN s{r} sb ON sb.doc_id = p.doc_b
+),
+s{r + 1} AS (
+    SELECT w.doc_id,
+           round(w.w * 1e9 / CAST(sum(t.t) AS DOUBLE), 6) AS s
+    FROM wins w JOIN terms{r} t USING (doc_id)
+    GROUP BY w.doc_id, w.w
+)""")
+    return ",\n".join(out)
+
+
+@register(
+    "bradley_terry_strengths",
+    oracle=f"""
+WITH {_COMPS_SQL},
+itempairs AS (
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n FROM comps GROUP BY 1, 2
+),
+sides AS (
+    SELECT doc_a AS doc_id, CASE WHEN winner_a THEN 1 ELSE 0 END AS w FROM comps
+    UNION ALL
+    SELECT doc_b, CASE WHEN winner_a THEN 0 ELSE 1 END FROM comps
+),
+stats AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_comparisons,
+           CAST(sum(w) AS BIGINT) AS n_wins
+    FROM sides GROUP BY doc_id
+),
+items AS (SELECT doc_id FROM stats),
+wins AS (SELECT doc_id, CAST(n_wins AS DOUBLE) + 0.5 AS w FROM stats),
+{_bt_round_ctes(_BT_ROUNDS)},
+norm AS (
+    SELECT CAST(sum(CAST(round(s * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+           / CAST(count(*) AS DOUBLE) AS m
+    FROM s{_BT_ROUNDS}
+)
+SELECT st.doc_id, st.n_comparisons, st.n_wins,
+       round(f.s / n.m, 6) AS strength
+FROM s{_BT_ROUNDS} f CROSS JOIN norm n JOIN stats st USING (doc_id)
+""",
+)
+def q_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strengths by 3 minorization-maximization
+    rounds (Hunter 2004, the batch MLE fit for paired comparisons —
+    what reward-data pipelines fit to rank responses; add-half
+    smoothing keeps never-winners strictly positive). Each round: join
+    the item-pair table to the current strengths (ITEMS-sized — the
+    vocab/broadcast class), per-item denominator Σ n/(s_i+s_j) summed
+    as nano-scaled BIGINTs (order-independent — the integer-sum
+    discipline), strength snapped round-6, frame eagerly checkpointed
+    (O(1) lineage per round). Final strengths mean-normalized via a
+    micro-scaled integer sum. The fixture's votes are GENERATED from a
+    Bradley–Terry model with strength = n_chars, so the fit is a real
+    recovery — pytest checks rank agreement with the generative
+    strengths. Oracle: the same rounds unrolled as CTEs."""
+    comps = _comparisons(spark, sf_dir)
+    itempairs = comps.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sides = comps.select(
+        F.col("doc_a").alias("doc_id"),
+        F.when(F.col("winner_a"), 1).otherwise(0).alias("w"),
+    ).unionByName(
+        comps.select(
+            F.col("doc_b").alias("doc_id"),
+            F.when(F.col("winner_a"), 0).otherwise(1).alias("w"),
+        )
+    )
+    stats = sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_comparisons"),
+        F.sum("w").cast("long").alias("n_wins"),
+    )
+    stats = stats.localCheckpoint(eager=True)
+    itempairs = itempairs.localCheckpoint(eager=True)
+    wins = stats.select(
+        "doc_id", (F.col("n_wins").cast("double") + F.lit(0.5)).alias("__w")
+    )
+    s = stats.select("doc_id", F.lit(1.0).alias("s"))
+    for _ in range(_BT_ROUNDS):
+        sa = s.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("__sa"))
+        sb = s.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("__sb"))
+        term = F.floor(
+            F.lit(1e9) * F.col("n") / (F.col("__sa") + F.col("__sb"))
+        ).cast("long")
+        joined = itempairs.join(sa, "doc_a").join(sb, "doc_b")
+        terms = joined.select(
+            F.col("doc_a").alias("doc_id"), term.alias("__t")
+        ).unionByName(joined.select(F.col("doc_b").alias("doc_id"), term.alias("__t")))
+        s = (
+            terms.groupBy("doc_id")
+            .agg(F.sum("__t").alias("__den"))
+            .join(wins, "doc_id")
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("__w") * F.lit(1e9) / F.col("__den").cast("double"), 6
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    m = s.agg(
+        (
+            F.sum(F.round(F.col("s") * F.lit(1e6)).cast("long")).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__m")
+    )
+    return (
+        s.crossJoin(F.broadcast(m))
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_comparisons",
+            "n_wins",
+            F.round(F.col("s") / F.col("__m"), 6).alias("strength"),
+        )
+    )
+
+
+@register(
+    "preference_quality_report",
+    oracle=f"""
+WITH {_COMPS_SQL},
+perpair AS (
+    SELECT doc_a, doc_b,
+           CAST(sum(CASE WHEN winner_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(count(*) AS BIGINT) AS nj
+    FROM comps GROUP BY 1, 2
+),
+fleiss AS (
+    SELECT CAST(sum(na * (na - 1) + (nj - na) * (nj - na - 1)) AS DOUBLE)
+           / CAST(sum(nj * (nj - 1)) AS DOUBLE) AS pbar,
+           CAST(sum(na) AS DOUBLE) / CAST(sum(nj) AS DOUBLE) AS pa
+    FROM perpair
+),
+maj AS (SELECT doc_a, doc_b, na * 2 >= nj + 1 AS a_wins FROM perpair),
+tri AS (
+    SELECT ab.a_wins AS ab_w, bc.a_wins AS bc_w, ac.a_wins AS ac_w
+    FROM maj ab
+    JOIN maj bc ON bc.doc_a = ab.doc_b AND bc.doc_b = ab.doc_b + 1
+    JOIN maj ac ON ac.doc_a = ab.doc_a AND ac.doc_b = ab.doc_b + 1
+    WHERE ab.doc_b = ab.doc_a + 1
+),
+trate AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(sum(CASE WHEN (ab_w AND bc_w AND NOT ac_w)
+                           OR (NOT ab_w AND NOT bc_w AND ac_w)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+    FROM tri
+),
+bias AS (
+    SELECT 'judge_' || CAST(judge AS VARCHAR) || '_rate_a' AS metric,
+           round(CAST(sum(CASE WHEN winner_a THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS value
+    FROM comps GROUP BY judge
+)
+SELECT 'n_pairs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM perpair
+UNION ALL
+SELECT 'n_comparisons', CAST(count(*) AS DOUBLE) FROM comps
+UNION ALL
+SELECT 'fleiss_kappa',
+       round((pbar - (pa * pa + (1 - pa) * (1 - pa)))
+             / (1 - (pa * pa + (1 - pa) * (1 - pa))), 6)
+FROM fleiss
+UNION ALL
+SELECT 'transitivity_violation_rate',
+       round(CAST(n_viol AS DOUBLE) / n_triples, 6)
+FROM trate
+UNION ALL
+SELECT metric, value FROM bias
+""",
+)
+def q_preference_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preference-data QA report a reward-data pipeline gates
+    ingestion on, long format (metric, value): corpus sizes, Fleiss' κ
+    across all five judges (two categories, integer-scaled sums — the
+    multi-rater reliability number), per-judge a-side vote rate (the
+    POSITION-BIAS detector: a judge whose a-rate strays far from the
+    pack is clicking the left box), and the majority-vote transitivity
+    violation rate over (i, i+1, i+2) triples (cyclic preferences ⇒
+    noisy or underspecified instructions). Triples come from three
+    keyed equi-joins on the stride pairing — never an enumeration."""
+    comps = _comparisons(spark, sf_dir)
+    perpair = comps.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.when(F.col("winner_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.count(F.lit(1)).cast("long").alias("nj"),
+    )
+    perpair = perpair.localCheckpoint(eager=True)
+    n_pairs = perpair.select(
+        F.lit("n_pairs").alias("metric"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    n_comps = comps.select(
+        F.lit("n_comparisons").alias("metric"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    pbar = F.sum(
+        F.col("na") * (F.col("na") - 1)
+        + (F.col("nj") - F.col("na")) * (F.col("nj") - F.col("na") - 1)
+    ).cast("double") / F.sum(F.col("nj") * (F.col("nj") - 1)).cast("double")
+    pa = F.sum("na").cast("double") / F.sum("nj").cast("double")
+    pe = pa * pa + (F.lit(1) - pa) * (F.lit(1) - pa)
+    fleiss = perpair.select(
+        F.lit("fleiss_kappa").alias("metric"),
+        F.round((pbar - pe) / (F.lit(1) - pe), 6).alias("value"),
+    )
+    maj = perpair.select(
+        "doc_a", "doc_b", (F.col("na") * 2 >= F.col("nj") + 1).alias("a_wins")
+    )
+    ab = maj.filter(F.col("doc_b") == F.col("doc_a") + 1).select(
+        F.col("doc_a").alias("__i"), F.col("a_wins").alias("ab_w")
+    )
+    bc = maj.filter(F.col("doc_b") == F.col("doc_a") + 1).select(
+        (F.col("doc_a") - 1).alias("__i"), F.col("a_wins").alias("bc_w")
+    )
+    ac = maj.filter(F.col("doc_b") == F.col("doc_a") + 2).select(
+        F.col("doc_a").alias("__i"), F.col("a_wins").alias("ac_w")
+    )
+    viol = (
+        (F.col("ab_w") & F.col("bc_w") & ~F.col("ac_w"))
+        | (~F.col("ab_w") & ~F.col("bc_w") & F.col("ac_w"))
+    ).cast("int")
+    trate = (
+        ab.join(bc, "__i")
+        .join(ac, "__i")
+        .select(
+            F.lit("transitivity_violation_rate").alias("metric"),
+            F.round(
+                F.sum(viol).cast("double") / F.count(F.lit(1)), 6
+            ).alias("value"),
+        )
+    )
+    bias = comps.groupBy("judge").agg(
+        F.round(
+            F.sum(F.when(F.col("winner_a"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("value")
+    ).select(
+        F.concat(F.lit("judge_"), F.col("judge").cast("string"), F.lit("_rate_a")).alias(
+            "metric"
+        ),
+        "value",
+    )
+    return n_pairs.unionByName(n_comps).unionByName(fleiss).unionByName(
+        trate
+    ).unionByName(bias)

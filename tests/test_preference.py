@@ -1,0 +1,163 @@
+"""Preference/feedback family (r9): pure-Python replicas of the
+comparison derivation and the Bradley–Terry MM rounds on a small
+monkeypatched corpus, plus the statistical-recovery check the
+generative fixture makes possible (votes are drawn FROM a
+Bradley–Terry model with strength = n_chars, so the fit must rank
+items like the generator)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+import covid_data_challenge_spark.queries_ext  # noqa: F401
+import covid_data_challenge_spark.queries_preference as qp
+from covid_data_challenge_spark.registry import REGISTRY
+
+N_J = qp.N_JUDGES
+
+
+def _coin(a: int, b: int, k: int) -> float:
+    hx = hashlib.md5(f"{a}:{b}:{k}".encode()).hexdigest()
+    return int(hx[:8], 16) / float(1 << 32)
+
+
+def _py_comparisons(chars: dict[int, int]):
+    """Replay _comparisons: stride +1/+2 pairing, md5-coin BT votes."""
+    comps = []
+    for a in sorted(chars):
+        for d in (1, 2):
+            b = a + d
+            if b not in chars:
+                continue
+            pa = chars[a] / (chars[a] + chars[b])
+            for k in range(N_J):
+                comps.append((a, b, k, _coin(a, b, k) < pa))
+    return comps
+
+
+@pytest.fixture()
+def small_docs(spark, monkeypatch):
+    chars = {i: 50 + 37 * ((i * 13) % 11) for i in range(12)}
+    docs = spark.createDataFrame(
+        [(i, "x" * 5, "en", "src0", c) for i, c in chars.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(qp, "_docs", lambda spark, sf: docs)
+    return chars
+
+
+def test_pair_stats_matches_python_replica(spark, small_docs):
+    comps = _py_comparisons(small_docs)
+    wins: dict[int, int] = {}
+    tot: dict[int, int] = {}
+    for a, b, _k, wa in comps:
+        tot[a] = tot.get(a, 0) + 1
+        tot[b] = tot.get(b, 0) + 1
+        wins[a] = wins.get(a, 0) + (1 if wa else 0)
+        wins[b] = wins.get(b, 0) + (0 if wa else 1)
+    got = {
+        r.doc_id: (r.n_comparisons, r.n_wins, r.win_rate)
+        for r in REGISTRY["preference_pair_stats"].spark(spark, "unused").collect()
+    }
+    assert set(got) == set(tot)
+    for i in tot:
+        assert got[i][0] == tot[i]
+        assert got[i][1] == wins[i]
+        assert abs(got[i][2] - round(wins[i] / tot[i], 6)) < 1e-9
+
+
+def test_kappa_matches_python_replica(spark, small_docs):
+    comps = _py_comparisons(small_docs)
+    by_judge = {k: {} for k in range(N_J)}
+    for a, b, k, wa in comps:
+        by_judge[k][(a, b)] = wa
+    got = {
+        (r.judge_a, r.judge_b): r
+        for r in REGISTRY["annotator_agreement_kappa"].spark(spark, "unused").collect()
+    }
+    assert len(got) == N_J * (N_J - 1) // 2
+    for j1 in range(N_J):
+        ra1 = round(sum(by_judge[j1].values()) / len(by_judge[j1]), 6)
+        for j2 in range(j1 + 1, N_J):
+            ra2 = round(sum(by_judge[j2].values()) / len(by_judge[j2]), 6)
+            pairs = set(by_judge[j1]) & set(by_judge[j2])
+            po = round(
+                sum(by_judge[j1][p] == by_judge[j2][p] for p in pairs) / len(pairs), 6
+            )
+            pe = round(ra1 * ra2 + (1 - ra1) * (1 - ra2), 6)
+            r = got[(j1, j2)]
+            assert r.n_shared == len(pairs)
+            assert abs(r.po - po) < 1e-9
+            assert abs(r.pe - pe) < 1e-9
+            assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
+
+
+def test_bradley_terry_matches_python_replica(spark, small_docs):
+    """Replays the exact MM rounds — nano-scaled integer denominator
+    sums, round-6 snaps, micro-scaled mean normalization."""
+    comps = _py_comparisons(small_docs)
+    npair: dict[tuple[int, int], int] = {}
+    wins: dict[int, int] = {}
+    tot: dict[int, int] = {}
+    for a, b, _k, wa in comps:
+        npair[(a, b)] = npair.get((a, b), 0) + 1
+        tot[a] = tot.get(a, 0) + 1
+        tot[b] = tot.get(b, 0) + 1
+        wins[a] = wins.get(a, 0) + (1 if wa else 0)
+        wins[b] = wins.get(b, 0) + (0 if wa else 1)
+    s = {i: 1.0 for i in tot}
+    for _ in range(3):
+        den = {i: 0 for i in tot}
+        for (a, b), n in npair.items():
+            t = math.floor(1e9 * n / (s[a] + s[b]))
+            den[a] += t
+            den[b] += t
+        s = {i: round((wins[i] + 0.5) * 1e9 / den[i], 6) for i in tot}
+    m = sum(int(round(v * 1e6)) for v in s.values()) / 1e6 / len(s)
+    want = {i: round(v / m, 6) for i, v in s.items()}
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["bradley_terry_strengths"].spark(spark, "unused").collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i].strength - want[i]) < 1e-9, i
+        assert got[i].n_wins == wins[i] and got[i].n_comparisons == tot[i]
+
+
+def test_bradley_terry_recovers_generative_ranking(spark, sf_dir):
+    """The fixture draws votes from BT(strength = n_chars); the fitted
+    strengths must broadly rank items like the generator: the mean
+    fitted strength of the top n_chars quartile decisively exceeds the
+    bottom quartile's."""
+    import covid_data_challenge_spark.queries_preference as qmod
+    from covid_data_challenge_spark.queries_shared import _docs as real_docs
+
+    docs = {r.doc_id: r.n_chars for r in
+            real_docs(spark, sf_dir).select("doc_id", "n_chars").collect()}
+    fit = {
+        r.doc_id: r.strength
+        for r in REGISTRY["bradley_terry_strengths"].spark(spark, sf_dir).collect()
+    }
+    ranked = sorted(docs, key=docs.get)
+    q = len(ranked) // 4
+    lo = sum(fit[i] for i in ranked[:q]) / q
+    hi = sum(fit[i] for i in ranked[-q:]) / q
+    assert hi > 1.5 * lo, (lo, hi)
+
+
+def test_quality_report_metrics_sane(spark, sf_dir):
+    rows = {
+        r.metric: r.value
+        for r in REGISTRY["preference_quality_report"].spark(spark, sf_dir).collect()
+    }
+    assert rows["n_comparisons"] == rows["n_pairs"] * N_J
+    # exchangeable judges drawn from one model: Fleiss' kappa is small
+    # but the metric must exist and be finite
+    assert -1.0 <= rows["fleiss_kappa"] <= 1.0
+    assert 0.0 <= rows["transitivity_violation_rate"] <= 1.0
+    for k in range(N_J):
+        assert 0.0 < rows[f"judge_{k}_rate_a"] < 1.0
