@@ -151,6 +151,8 @@ EXTENSION = [
     "video_fp_shifted_neardup",
     "media_corpus_decode_stats",
     "media_corpus_phash_neardup",
+    "media_corpus_audio_fp_neardup",
+    "media_corpus_video_fp_neardup",
     # round 9: the preference/feedback family — the MM fit is the
     # iterative one (3 rounds over an items-sized strengths table)
     "bradley_terry_strengths",
@@ -250,6 +252,7 @@ SCALE_SF1 = [
     # linearly by construction — one planted pair per content group)
     "media_corpus_decode_stats",
     "media_corpus_phash_neardup",
+    "media_corpus_audio_fp_neardup",
     # round 9: the comparisons fact grows ∝ documents (stride pairing),
     # the strengths table with distinct items — expect ~linear; the MM
     # round count is fixed, so this is a pure fact-table growth read

@@ -17,11 +17,21 @@ contract tools/gen_media_golden.py replays for the DuckDB oracle twins:
 - id % 4 == 1 → JPEG of the SAME content (q90 4:4:4 / q75 4:2:0
   alternating by group) — a planted cross-format near-duplicate pair
   per group, pHash-verifiable at the ≤ 6-bit gate by construction
-- id % 4 == 2 → mono PCM16 WAV (6000 + (id % 5)·800 samples @ 8 kHz)
-- id % 4 == 3 → Y4M C420 clip (24×16, 6 frames)
+- id % 8 == 2 / 6 → mono PCM16 WAV pair of group id // 8: the SAME
+  17-band amplitude-modulated mixture (see :func:`_audio_base` — real
+  temporal structure, so every Haitsma–Kalker double-difference bit
+  has magnitude ≫ quantization noise; measured volume-variant
+  distance ≤ 1 bit at 300 groups, zero incidental ≤ 5 collisions) at
+  1.0× and 0.6× volume — a planted audio near-duplicate per block
+- id % 8 == 3 / 7 → Y4M C420 pair of group id // 8: the same
+  DCT-synthesized luma frames (:func:`_video_luma`, range [30, 195])
+  plain and +25 brightness-regraded — bit-IDENTICAL per-frame pHash
+  words by DC exclusion (measured 0 bits at 200 groups), a planted
+  video near-duplicate per block
 - id % 32 == 17 (a JPEG slot, truncated stream) and id % 32 == 30 (a
   WAV slot, header-only torso) are CORRUPT — the quarantine contract
-  must hold at every sf
+  must hold at every sf (the corrupt WAV's group partner loses its
+  planted pair, visible in the goldens)
 
 Scale notes (the 100 TB story): the build is one embarrassingly
 parallel mapInPandas over ``spark.range`` — no shuffle, payloads never
@@ -47,15 +57,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from covid_data_challenge_spark.operators.multimodal import (
+    AUDIO_FP_BANDS,
     MEDIA_SCHEMA,
     encode_png_rgb,
-    encode_wav,
-    encode_y4m,
+    encode_wav_samples,
+    encode_y4m_luma,
     lowfreq_content,
 )
 
 #: bump to invalidate cached corpora when the layout contract changes
-MEDIA_CORPUS_VERSION = 1
+MEDIA_CORPUS_VERSION = 2
 
 #: one corpus item per ~10 documents, floored to a whole 4-kind cycle;
 #: the max() keeps the gate-scale corpus (500 docs at sf0.01 AND
@@ -66,6 +77,67 @@ _MIN_ITEMS = 48
 
 def corpus_size(n_docs: int) -> int:
     return max(_MIN_ITEMS, (n_docs // _DOCS_PER_ITEM) // 4 * 4)
+
+
+def _audio_base(ga: int, n_samples: int, rate: int = 8000):
+    """Deterministic per-group audio content: one tone per fingerprint
+    band, each with a sha256-seeded amplitude, AM period, and phases —
+    so band-energy differences AND their frame-to-frame changes both
+    have real magnitude (a stationary tone mixture leaves the H&K time
+    double-difference ≈ 0 and the sign bits become quantization noise;
+    measured: tones → volume-variant distance up to 22 bits, this
+    generator → ≤ 1 bit at 300 groups). Returns float samples."""
+    import hashlib
+
+    import numpy as np
+
+    edges = np.linspace(1, 342, AUDIO_FP_BANDS + 1).astype(int)
+    rnd = np.frombuffer(
+        hashlib.sha256(f"media-aud-{ga}".encode()).digest() * 5, dtype=np.uint8
+    ).astype(np.float64)
+    t = np.arange(n_samples)
+    out = np.zeros(n_samples)
+    for b in range(AUDIO_FP_BANDS):
+        freq = (edges[b] + edges[b + 1]) / 2.0 * rate / 1024.0
+        amp = 0.02 + 0.04 * (rnd[b] / 255.0)
+        mod_t = 400 + 60.0 * (rnd[17 + b] % 48)
+        phase = 2 * np.pi * rnd[34 + b] / 255.0
+        psi = 2 * np.pi * rnd[51 + b] / 255.0
+        out += (
+            amp
+            * (1.0 + 0.8 * np.sin(2 * np.pi * t / mod_t + psi))
+            * np.sin(2 * np.pi * freq * t / rate + phase)
+        )
+    return out
+
+
+def _video_luma(gv: int, f: int, width: int = 24, height: int = 16):
+    """Deterministic per-(group, frame) luma plane: strong random-sign
+    low-frequency DCT coefficients (the lowfreq_content recipe) scaled
+    to [30, 195] so the +25 brightness regrade never clips — keeping
+    the DC-exclusion bit-identity of the per-frame pHash words exact."""
+    import hashlib
+
+    import numpy as np
+
+    from covid_data_challenge_spark.operators.multimodal import _dct_matrix_n
+
+    rnd = np.frombuffer(
+        hashlib.sha256(f"media-vid-{gv}-{f}".encode()).digest() * 4, dtype=np.uint8
+    ).astype(np.float64)
+    coef = np.zeros((32, 32))
+    signs = np.where(rnd[:64] >= 128, 1.0, -1.0)
+    mags = 60.0 + rnd[64:128] * 0.35
+    decay = 1.0 / (1 + np.arange(8) * 0.3)
+    coef[0:8, 0:8] = (signs * mags).reshape(8, 8) * np.outer(decay, decay)
+    coef[0, 0] = 0.0
+    a32 = _dct_matrix_n(32)
+    g = a32.T @ coef @ a32
+    g = g - g.min()
+    g = g * (165.0 / max(g.max(), 1e-9)) + 30
+    yi = (np.arange(height) * 32) // height
+    xi = (np.arange(width) * 32) // width
+    return np.clip(np.round(g[yi][:, xi]), 0, 255).astype(np.uint8)
 
 
 def corpus_item(i: int) -> tuple:
@@ -90,11 +162,21 @@ def corpus_item(i: int) -> tuple:
         )
         row = (i, "image", payload, "image/jpeg", 48, 32, -1)
     elif m == 2:
-        n_samples = 6000 + (i % 5) * 800
-        payload = encode_wav(n_samples, sample_rate=8000, seed=i)
+        import numpy as np
+
+        ga = i // 8
+        n_samples = 6000 + (ga % 5) * 800
+        vol = 1.0 if i % 8 == 2 else 0.6
+        payload = encode_wav_samples(_audio_base(ga, n_samples) * vol)
         row = (i, "audio", payload, "audio/wav", -1, -1, n_samples * 1000 // 8000)
     else:
-        payload = encode_y4m(24, 16, 6, seed=i)
+        import numpy as np
+
+        gv = i // 8
+        shift = 0 if i % 8 == 3 else 25
+        frames = np.stack([_video_luma(gv, f) for f in range(6)])
+        frames = np.clip(frames.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+        payload = encode_y4m_luma(frames, 24, 16)
         row = (i, "video", payload, "video/y4m", 24, 16, 240)
     if i % 32 == 17:  # a JPEG slot per 32: truncated stream → quarantine
         payload = payload[: len(payload) // 2]

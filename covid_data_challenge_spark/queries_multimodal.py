@@ -487,3 +487,90 @@ def q_media_corpus_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_corpus(spark, sf_dir).filter(F.col("kind") == "image")
     ).filter(F.col("decoded"))
     return _phash_banded_pairs(hashes)
+
+
+def _fp_banded_pairs(fps: DataFrame, threshold: int = 5) -> DataFrame:
+    """Banded fingerprint candidate generation over (media_id, fp):
+    exact-matching (frame_idx, word) bands — pigeonhole-complete for a
+    total Hamming budget below the word count — verified by the
+    zip_with XOR popcount fold ≤ ``threshold`` on EQUAL-length
+    fingerprints; never all-pairs. The expressions mirror the r8
+    audio/video legs verbatim (cast-to-long inside bit_count so int
+    and long word arrays share one shape)."""
+    bands = fps.select("media_id", "fp", F.posexplode("fp").alias("widx", "word"))
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"), "widx", "word"
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("fp").alias("__fb"), "widx", "word"
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__fa"),
+            F.col("__fb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y).cast("long")),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        a.join(b, ["widx", "word"])
+        .filter(
+            (F.col("id_a") < F.col("id_b")) & (F.size("__fa") == F.size("__fb"))
+        )
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= threshold)
+        .distinct()
+    )
+
+
+@register(
+    "media_corpus_audio_fp_neardup",
+    oracle=f"""
+SELECT id_a, id_b, hamming
+FROM read_parquet('{_FIXTURES}/media_corpus_audio_fp_pairs_golden.parquet')
+""",
+)
+def q_media_corpus_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup over the sf-SCALED corpus (r9 — the
+    fingerprint JOIN finally gets a growth signal, not just the decode
+    stage): every 8-id block plants a volume pair (1.0× / 0.6× of the
+    same 17-band amplitude-modulated mixture — operators/media_corpus.
+    _audio_base, whose per-band AM gives every Haitsma–Kalker
+    double-difference bit real magnitude: measured volume distance
+    ≤ 1 bit and ZERO incidental ≤ 5 collisions at 300 groups, so pair
+    output grows linearly). Same (frame_idx, word) banding + zip_with
+    verify as audio_fp_neardup. The id%32==30 quarantine costs its
+    block the planted pair — visible in the golden. Oracle: committed
+    brute-force golden at the 48-item gate scale."""
+    from covid_data_challenge_spark.operators.media_corpus import media_corpus
+    from covid_data_challenge_spark.operators.multimodal import audio_fp_table
+
+    fps = audio_fp_table(
+        media_corpus(spark, sf_dir).filter(F.col("kind") == "audio")
+    ).filter(F.col("decoded"))
+    return _fp_banded_pairs(fps)
+
+
+@register(
+    "media_corpus_video_fp_neardup",
+    oracle=f"""
+SELECT id_a, id_b, hamming
+FROM read_parquet('{_FIXTURES}/media_corpus_video_fp_pairs_golden.parquet')
+""",
+)
+def q_media_corpus_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fingerprint near-dup over the sf-SCALED corpus (r9):
+    every 8-id block plants a brightness pair (+25 regrade of the same
+    DCT-synthesized luma frames — bit-IDENTICAL per-frame pHash words
+    by DC exclusion, measured 0 bits / zero incidental candidates at
+    200 groups). Same banding/verify as video_fp_neardup; linear pair
+    output by construction. Oracle: committed brute-force golden at
+    the gate scale."""
+    from covid_data_challenge_spark.operators.media_corpus import media_corpus
+    from covid_data_challenge_spark.operators.multimodal import video_fp_table
+
+    fps = video_fp_table(
+        media_corpus(spark, sf_dir).filter(F.col("kind") == "video")
+    ).filter(F.col("decoded"))
+    return _fp_banded_pairs(fps)

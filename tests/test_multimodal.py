@@ -820,3 +820,34 @@ def test_media_corpus_phash_neardup_planted_pairs(spark, sf_dir):
     # 12 groups in 48 items, one lost to the id-17 quarantine
     assert len(got) == 11
     assert not any(a == 16 for a, _, _ in got)  # group 4's pair is gone
+
+
+def test_media_corpus_audio_video_neardup_match_goldens(spark, sf_dir):
+    """Corpus v2 (r9): the audio volume pairs and video brightness
+    pairs must come out of the banded joins exactly as the committed
+    brute-force goldens say — every pair a planted (base, variant)
+    adjacency 4 ids apart, the id-30 quarantined WAV costing its block
+    the audio pair."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.queries_multimodal import _FIXTURES
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    import pyarrow.parquet as pq
+
+    for name, golden_file, base_mod in (
+        ("media_corpus_audio_fp_neardup", "media_corpus_audio_fp_pairs_golden", 2),
+        ("media_corpus_video_fp_neardup", "media_corpus_video_fp_pairs_golden", 3),
+    ):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in REGISTRY[name].spark(spark, sf_dir).collect()
+        }
+        golden = pq.read_table(f"{_FIXTURES}/{golden_file}.parquet")
+        want = set(zip(*(golden.column(c).to_pylist() for c in golden.column_names)))
+        assert got == want, name
+        assert all(b == a + 4 and a % 8 == base_mod for a, b, _ in got), name
+    # audio: 6 blocks at gate scale, block 3's pair lost to the id-30
+    # quarantine; video keeps all 6
+    audio = REGISTRY["media_corpus_audio_fp_neardup"].spark(spark, sf_dir).count()
+    video = REGISTRY["media_corpus_video_fp_neardup"].spark(spark, sf_dir).count()
+    assert (audio, video) == (5, 6)

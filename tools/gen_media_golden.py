@@ -119,7 +119,49 @@ def gen_phash_pairs(items: list[tuple]) -> None:
     )
 
 
+def _fp_pairs(items: list[tuple], kind: str, fingerprint, out_name: str) -> None:
+    """Brute-force ground truth for the fingerprint legs: ALL pairs of
+    decodable same-kind payloads with EQUAL-length fingerprints and
+    total XOR popcount ≤ 5 — exactly the engine verify; banding recall
+    is pigeonhole-exact at that budget (≤ 5 corrupted words of ≥ 6
+    leaves a word intact), so the sets coincide."""
+    fps = {}
+    for media_id, k, payload, *_ in items:
+        if k != kind:
+            continue
+        fp = fingerprint(bytes(payload))
+        if fp is not None:
+            fps[media_id] = fp
+    rows = {"id_a": [], "id_b": [], "hamming": []}
+    planted = 0
+    for a, b in itertools.combinations(sorted(fps), 2):
+        fa, fb = fps[a], fps[b]
+        if len(fa) != len(fb):
+            continue
+        d = sum(bin(x ^ y).count("1") for x, y in zip(fa, fb))
+        if d <= 5:
+            rows["id_a"].append(a)
+            rows["id_b"].append(b)
+            rows["hamming"].append(d)
+            if b == a + 4 and a % 8 in (2, 3):
+                planted += 1
+    table = pa.table(rows, schema=PAIRS_SCHEMA)
+    path = f"{FIXTURE_DIR}/{out_name}.parquet"
+    pq.write_table(table, path)
+    print(
+        f"{path}: {table.num_rows} pairs ({planted} planted, "
+        f"{table.num_rows - planted} incidental)"
+    )
+
+
 if __name__ == "__main__":
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fingerprint,
+        video_fingerprint,
+    )
+
     items = gate_items()
     gen_features(items)
     gen_phash_pairs(items)
+    _fp_pairs(items, "audio", audio_fingerprint, "media_corpus_audio_fp_pairs_golden")
+    _fp_pairs(items, "video", video_fingerprint, "media_corpus_video_fp_pairs_golden")

@@ -194,6 +194,10 @@ _PY_SANCTIONED_EXACT = {
     # downstream (posexplode / banding join) is JVM column algebra
     "media_corpus_decode_stats",
     "media_corpus_phash_neardup",
+    # r9 corpus v2: the audio/video fingerprint legs at sf scale —
+    # one mapInPandas fingerprint stage each over the media gold table
+    "media_corpus_audio_fp_neardup",
+    "media_corpus_video_fp_neardup",
 }
 
 
