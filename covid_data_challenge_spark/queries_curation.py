@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from covid_data_challenge_spark.functions.text import quality_score, token_count, tokens
+from covid_data_challenge_spark.functions.text import (
+    LANG_STOPWORDS,
+    quality_score,
+    token_count,
+    tokens,
+)
 from covid_data_challenge_spark.operators.dedup import dedup_exact_keep_first
 from covid_data_challenge_spark.registry import register
 from covid_data_challenge_spark.operators.sampling import md5_unit_fraction_sql
@@ -3150,4 +3155,179 @@ def q_dsir_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(ess, 4).alias("ess"),
         F.round(ess / F.count(F.lit(1)).cast("double"), 6).alias("ess_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# jusText-lite main-content extraction (r9) — the per-SEGMENT boilerplate
+# pass a CommonCrawl pipeline runs before any corpus-level dedup
+# (Pomikálek 2011): split each document into token segments, score each
+# on stopword and digit density, classify good/bad/short, then the
+# CONTEXT pass — a short segment adjacent to a good one is promoted
+# (headers and list items survive next to real prose, orphaned chrome
+# does not). boilerplate_ngrams (corpus-level repeated n-grams) and this
+# (document-local structure) are complementary halves of boilerplate
+# removal. Segments are fixed 12-token windows — the synthetic corpus
+# has no markup, but the operator shape (segment explode → per-segment
+# features → doc-keyed neighbor window → re-aggregation) is exactly the
+# production one; swap the splitter for a tag-aware one at ingest.
+# Scale: one explode (≤ n_tokens/12 rows per doc), one doc-keyed window
+# (never global), one hash re-aggregation.
+# ---------------------------------------------------------------------------
+
+_JT_SEG = 12
+_JT_SHORT = 6
+_JT_STOPS = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+_JT_STOPS_SQL = ", ".join(f"'{w}'" for w in _JT_STOPS)
+
+_JT_SEGMENTS_SQL = f"""
+toks AS (SELECT doc_id, source, string_split({{norm}}, ' ') AS ws FROM documents),
+segs AS (
+    SELECT doc_id, source, CAST(t.o AS INT) AS seg_idx,
+           ws[CAST(t.o * {_JT_SEG} + 1 AS INT)
+              : CAST(least(len(ws), (t.o + 1) * {_JT_SEG}) AS INT)] AS seg
+    FROM toks, LATERAL (
+        SELECT unnest(range((len(ws) + {_JT_SEG} - 1) // {_JT_SEG})) AS o
+    ) t
+),
+feats AS (
+    SELECT doc_id, source, seg_idx, CAST(len(seg) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(seg, w -> w IN ({_JT_STOPS_SQL}))) AS DOUBLE)
+               / len(seg) AS stop_d,
+           CAST(len(list_filter(seg, w -> regexp_matches(w, '^[0-9]+$'))) AS DOUBLE)
+               / len(seg) AS digit_d
+    FROM segs
+),
+pre AS (
+    SELECT *, CASE WHEN n_tokens < {_JT_SHORT} THEN 'short'
+                   WHEN stop_d < 0.08 OR digit_d > 0.3 THEN 'bad'
+                   ELSE 'good' END AS cls_pre
+    FROM feats
+),
+ctx AS (
+    SELECT *, CASE
+        WHEN cls_pre <> 'short' THEN cls_pre
+        WHEN lag(cls_pre) OVER w = 'good' OR lead(cls_pre) OVER w = 'good'
+            THEN 'good'
+        ELSE 'bad' END AS cls
+    FROM pre
+    WINDOW w AS (PARTITION BY doc_id ORDER BY seg_idx)
+)
+"""
+
+
+def _jt_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _JT_SEGMENTS_SQL CTE chain up to ``ctx``."""
+    from covid_data_challenge_spark.queries_shared import _docs
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokens(F.col("text")).alias("__ws")
+    )
+    ws = F.col("__ws")
+    n_segs = F.floor((F.size(ws) + _JT_SEG - 1) / _JT_SEG).cast("int")
+    segs = base.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda o: F.slice(ws, o * _JT_SEG + 1, _JT_SEG),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    stop_lits = F.array(*[F.lit(w) for w in _JT_STOPS])
+    seg = F.col("seg")
+    feats = segs.select(
+        "doc_id",
+        "source",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        F.size(seg).cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(seg, lambda w: F.array_contains(stop_lits, w)))
+            .cast("double")
+            / F.size(seg)
+        ).alias("stop_d"),
+        (
+            F.size(F.filter(seg, lambda w: w.rlike("^[0-9]+$"))).cast("double")
+            / F.size(seg)
+        ).alias("digit_d"),
+    )
+    cls_pre = (
+        F.when(F.col("n_tokens") < _JT_SHORT, F.lit("short"))
+        .when((F.col("stop_d") < 0.08) | (F.col("digit_d") > 0.3), F.lit("bad"))
+        .otherwise(F.lit("good"))
+    )
+    pre = feats.withColumn("cls_pre", cls_pre)
+    w = Window.partitionBy("doc_id").orderBy("seg_idx")
+    cls = (
+        F.when(F.col("cls_pre") != "short", F.col("cls_pre"))
+        .when(
+            (F.lag("cls_pre").over(w) == "good")
+            | (F.lead("cls_pre").over(w) == "good"),
+            F.lit("good"),
+        )
+        .otherwise(F.lit("bad"))
+    )
+    return pre.withColumn("cls", cls)
+
+
+@register(
+    "justext_segment_classes",
+    oracle="WITH "
+    + _JT_SEGMENTS_SQL.format(norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    + """
+SELECT doc_id, seg_idx, n_tokens, round(stop_d, 6) AS stop_density,
+       round(digit_d, 6) AS digit_density, cls_pre, cls
+FROM ctx
+""",
+)
+def q_justext_segment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment jusText-lite classification (see the family comment):
+    stopword/digit densities are integer-ratio doubles (deterministic in
+    both engines), the context pass is one doc-keyed lag/lead window.
+    Output keeps BOTH the pre-context and final class so the promotion
+    behavior is auditable."""
+    ctx = _jt_ctx(spark, sf_dir)
+    return ctx.select(
+        "doc_id",
+        "seg_idx",
+        "n_tokens",
+        F.round("stop_d", 6).alias("stop_density"),
+        F.round("digit_d", 6).alias("digit_density"),
+        "cls_pre",
+        "cls",
+    )
+
+
+@register(
+    "justext_retention_by_source",
+    oracle="WITH "
+    + _JT_SEGMENTS_SQL.format(norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    + """
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN cls = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS kept_segments,
+       round(CAST(sum(CASE WHEN cls = 'good' THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / sum(n_tokens), 6) AS kept_token_fraction
+FROM ctx GROUP BY source
+""",
+)
+def q_justext_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention report of the jusText-lite pass per source — the
+    go/no-go number an extraction change is reviewed on (a source whose
+    kept-token fraction craters just went listicle). Integer-ratio
+    aggregates over the ctx frame; one hash aggregation by source."""
+    ctx = _jt_ctx(spark, sf_dir)
+    return ctx.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("cls") == "good", 1).otherwise(0))
+        .cast("long")
+        .alias("kept_segments"),
+        F.round(
+            F.sum(F.when(F.col("cls") == "good", F.col("n_tokens")).otherwise(0))
+            .cast("double")
+            / F.sum("n_tokens"),
+            6,
+        ).alias("kept_token_fraction"),
     )

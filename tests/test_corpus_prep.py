@@ -477,3 +477,46 @@ def test_corpus_prep_recipe_v5_neardup_prune_and_cluster_split(spark, monkeypatc
         a, b = 100 + 2 * i, 101 + 2 * i
         assert not (a in ids and b in ids), (a, b)
     assert {r.split for r in out} <= {"train", "val", "test"}
+
+
+def test_justext_context_promotion_and_classes(spark, monkeypatch):
+    """jusText-lite (r9): hand-crafted docs pin each classification
+    branch — a stopword-rich prose segment is good, a digit-heavy one
+    is bad, and a SHORT trailing segment is promoted good only when a
+    neighbor is good (the context pass that keeps headers next to
+    prose and drops orphaned chrome)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    import covid_data_challenge_spark.queries_shared as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    prose = "the cat sat and the dog ran of to in is that"        # 12 toks, 8 stops
+    junk = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    digits = "1 2 3 4 5 cat the and of dog to in"                  # 12 toks, 5 digits
+    tail = "tiny header bit"                                       # 3 toks → short
+    docs = spark.createDataFrame(
+        [
+            (1, prose + " " + tail, "en", "s0", 1),   # short after good → good
+            (2, junk + " " + tail, "en", "s0", 1),    # short after bad → bad
+            (3, digits, "en", "s1", 1),               # digit-heavy → bad
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(qs, "_docs", lambda spark, sf: docs)
+    rows = {
+        (r.doc_id, r.seg_idx): r
+        for r in REGISTRY["justext_segment_classes"].spark(spark, "unused").collect()
+    }
+    assert rows[(1, 0)].cls_pre == "good" and rows[(1, 0)].cls == "good"
+    assert rows[(1, 1)].cls_pre == "short" and rows[(1, 1)].cls == "good"  # promoted
+    assert rows[(2, 0)].cls_pre == "bad"
+    assert rows[(2, 1)].cls_pre == "short" and rows[(2, 1)].cls == "bad"   # orphaned
+    assert rows[(3, 0)].cls_pre == "bad"  # digit density 5/12 > 0.3
+
+    ret = {
+        r.source: r
+        for r in REGISTRY["justext_retention_by_source"].spark(spark, "unused").collect()
+    }
+    assert ret["s0"].n_docs == 2 and ret["s0"].n_segments == 4
+    assert ret["s0"].kept_segments == 2  # doc 1's both segments
+    assert abs(ret["s0"].kept_token_fraction - round(15 / 30, 6)) < 1e-9
+    assert ret["s1"].kept_segments == 0 and ret["s1"].kept_token_fraction == 0.0
