@@ -9,6 +9,8 @@ thematic, not contractual.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from covid_data_challenge_spark.registry import register
@@ -981,3 +983,80 @@ def q_hll_registers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("e"), 2).alias("hll_estimate"),
         F.col("v_zero").alias("n_zero_registers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming media ingest (r9) — the multimodal leg of the streaming
+# family: encoded payloads arriving as parquet micro-batches are decoded
+# through the SAME Arrow-batched magic-sniffing kernel the batch path
+# runs (operators/multimodal.auto_features — mapInPandas is stateless,
+# so it chains onto the streaming scan exactly as onto a batch scan),
+# then aggregated per kind with an integer-scaled feature checksum. The
+# oracle is the committed decode golden aggregated in DuckDB — the
+# stream must land bit-exactly where the batch decode landed.
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_decode_stream",
+    oracle="""
+WITH per_media AS (
+    SELECT media_id, kind,
+           max(n_bytes) AS n_bytes,
+           bool_or(decoded) AS decoded,
+           coalesce(sum(CAST(floor(1e6 * feat_value) AS BIGINT)), 0) AS cs
+    FROM read_parquet('{fixtures}/media_corpus_features_golden.parquet')
+    GROUP BY media_id, kind
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(CASE WHEN decoded THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes_sum,
+       CAST(sum(cs) AS BIGINT) AS feat_checksum
+FROM per_media GROUP BY kind
+""".format(fixtures=str(Path(__file__).resolve().parent / "fixtures")),
+)
+def q_media_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decode of the sf-scaled media corpus: build/refresh the
+    gold table (the batch landing step), then stream it back as parquet
+    micro-batches → mapInPandas auto-decode → per-kind aggregate with a
+    micro-scaled integer feature checksum (order-independent, so the
+    complete-mode memory sink hash-matches the batch golden exactly).
+    The quarantine rows stay visible as n_media − n_decoded. Scale
+    shape: the decode stage is stateless and shuffle-free per
+    micro-batch; only the tiny per-kind aggregate carries state."""
+    from covid_data_challenge_spark.operators.media_corpus import (
+        _gold_base,
+        media_corpus,
+    )
+    from covid_data_challenge_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+    from covid_data_challenge_spark.streaming.events import run_to_memory_sink
+
+    media_corpus(spark, sf_dir)  # ensure the gold table exists/is fresh
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(
+        f"{_gold_base(sf_dir)}/media.parquet"
+    )
+    feats = extract_features(stream, decoder="auto")
+    cs = F.coalesce(
+        F.aggregate(
+            F.col("features"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(F.lit(1e6) * x).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+    per_media = feats.select(
+        "kind",
+        "n_bytes",
+        F.col("features").isNotNull().alias("decoded"),
+        cs.alias("__cs"),
+    )
+    agg = per_media.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum(F.when(F.col("decoded"), 1).otherwise(0)).cast("long").alias("n_decoded"),
+        F.sum("n_bytes").cast("long").alias("n_bytes_sum"),
+        F.sum("__cs").cast("long").alias("feat_checksum"),
+    )
+    run_to_memory_sink(agg, "media_decode_stream_sink")
+    return spark.table("media_decode_stream_sink")

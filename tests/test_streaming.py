@@ -506,3 +506,43 @@ def test_read_gold_time_travel_within_retention(spark, tmp_path):
     _commit(gold, 1)
     assert read_gold(spark, gold).collect()[0]["value"] == 101
     assert read_gold(spark, gold, version=0).collect()[0]["value"] == 100
+
+
+def test_media_decode_stream_matches_batch_decode(spark, sf_dir):
+    """The streaming media decode (r9) must land exactly where the
+    batch decode lands: same per-kind counts, quarantine visibility
+    (n_media − n_decoded), and the integer-scaled feature checksum —
+    computed here independently from the BATCH query's rows."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    import math
+    from collections import defaultdict
+
+    batch = REGISTRY["media_corpus_decode_stats"].spark(spark, sf_dir).collect()
+    per_kind = defaultdict(lambda: [set(), set(), 0, 0])  # media, decoded, bytes, cs
+    seen_bytes = {}
+    for r in batch:
+        k = per_kind[r.kind]
+        k[0].add(r.media_id)
+        if r.decoded:
+            k[1].add(r.media_id)
+            k[3] += int(math.floor(1e6 * r.feat_value))
+        seen_bytes[(r.kind, r.media_id)] = r.n_bytes
+    for (kind, _mid), nb in seen_bytes.items():
+        per_kind[kind][2] += nb
+    got = {
+        r.kind: r
+        for r in REGISTRY["media_decode_stream"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_kind)
+    for kind, (media, dec, nb, cs) in per_kind.items():
+        r = got[kind]
+        assert r.n_media == len(media)
+        assert r.n_decoded == len(dec)
+        assert r.n_bytes_sum == nb
+        assert r.feat_checksum == cs
+    # the two planted corrupt slots are audio (id 30) and image (id 17)
+    assert got["audio"].n_media - got["audio"].n_decoded == 1
+    assert got["image"].n_media - got["image"].n_decoded == 1
+    assert got["video"].n_media == got["video"].n_decoded
