@@ -20,6 +20,7 @@ from covid_data_challenge_spark.sources.readers import load_table
 from covid_data_challenge_spark.queries_shared import (  # noqa: F401
     _JACCARD_EDGE_CTES,
     _NORM,
+    _QUALITY_SQL,
     _docs,
 )
 
@@ -1507,3 +1508,50 @@ def q_suffix_array_repeated_spans_cap256(spark: SparkSession, sf_dir: str) -> Da
     from covid_data_challenge_spark.operators.suffix import longest_repeated_spans
 
     return longest_repeated_spans(_docs(spark, sf_dir), top_k=20, cap=256)
+
+
+@register(
+    "dedup_near_keep_best_quality",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+qual AS (SELECT doc_id, quality FROM ({_QUALITY_SQL})),
+scored AS (
+    SELECT a.cluster_id, a.doc_id, q.quality,
+           CAST(count(*) OVER (PARTITION BY a.cluster_id) AS BIGINT)
+               AS cluster_size,
+           row_number() OVER (PARTITION BY a.cluster_id
+                              ORDER BY q.quality DESC, a.doc_id ASC) AS rn
+    FROM assigned a JOIN qual q USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, quality
+FROM scored WHERE rn = 1
+""",
+)
+def q_dedup_near_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted near-dedup survivors (r9): same transitive
+    clusters as dedup_near_keep_canonical, but the kept document is the
+    cluster's HIGHEST-quality member (ties → smallest doc_id) — the
+    selection rule production dedup actually wants: the canonical copy
+    of a boilerplate family should be the cleanest rendition, not the
+    accidentally-smallest id. One ``max_by`` over a struct ordering per
+    cluster — a hash aggregation, no per-cluster window/sort. At 100 TB
+    the cluster table is the CC output (already key-partitioned by
+    cluster), so the argmax is a map-side combine away from free."""
+    from covid_data_challenge_spark.functions.text import quality_score
+    from covid_data_challenge_spark.operators.components import cluster_assignments
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2, max_doc_freq=10).select(
+        "doc_a", "doc_b"
+    )
+    qual = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    assigned = cluster_assignments(docs, pairs).join(qual, "doc_id")
+    return assigned.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.max_by(
+            F.col("quality"), F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("quality"),
+    ).select("doc_id", "cluster_id", "cluster_size", "quality")

@@ -1194,3 +1194,44 @@ def test_ivfpq_residual_gold_roundtrip_serve_matches_composite(spark, sf_dir, tm
         map(tuple, composite), key=lambda t: (t[0], t[1])
     )
     assert len(served) > 0
+
+
+def test_near_dedup_best_quality_survivor_not_min_id(spark, monkeypatch):
+    """dedup_near_keep_best_quality (r9): in a planted 3-doc near-dup
+    cluster where the HIGHEST-quality member has the LARGEST id, the
+    survivor must be that member (canonical min-id selection would keep
+    doc 0 — the two rules are pinned apart); the unrelated singleton
+    survives itself."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    import covid_data_challenge_spark.queries_dedup as qs
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    base = " ".join(
+        ["the cat and the dog ran to the house of the king in the field"] * 3
+    )
+    docs = spark.createDataFrame(
+        [
+            # same shared prose → one Jaccard cluster; quality ordered
+            # 0 < 1 < 2 by punctuation junk (punct penalty x10)
+            (0, base + " !!! ??? ;;; ::: ,,,", "en", "s0", 1),
+            (1, base + " !!! ???", "en", "s0", 1),
+            (2, base, "en", "s0", 1),
+            (7, "completely different words about spark shuffles and parquet footers entirely", "en", "s0", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(qs, "_docs", lambda spark, sf: docs)
+    rows = {
+        r.cluster_id: r
+        for r in REGISTRY["dedup_near_keep_best_quality"].spark(spark, "unused").collect()
+    }
+    cluster = next(r for r in rows.values() if r.cluster_size == 3)
+    assert cluster.doc_id == 2  # best quality, NOT the min id
+    singleton = next(r for r in rows.values() if r.cluster_size == 1)
+    assert singleton.doc_id == 7
+    # the min-id rule keeps doc 0 on the same corpus — the rules differ
+    canon = {
+        r.doc_id
+        for r in REGISTRY["dedup_near_keep_canonical"].spark(spark, "unused").collect()
+    }
+    assert 0 in canon and 2 not in canon
