@@ -1842,6 +1842,13 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     %w convention on both engines (Sunday = 0). Scale shape: one
     fact-table aggregation; every window partitions by event_type over
     a bounded day series — no global window, no self-join."""
+    return _seasonal_frame(spark, sf_dir)
+
+
+def _seasonal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonal-decomposition pipeline (expressions verbatim from
+    the r8 original so its audited plan is unchanged); shared with the
+    r9 robust-anomaly query."""
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -1890,5 +1897,102 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend",
             "seasonal",
             F.round(F.col("d") - F.col("seasonal"), 6).alias("residual"),
+        )
+    )
+
+
+@register(
+    "robust_anomaly_days",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+tr AS (
+    SELECT event_type, day, x,
+           CASE WHEN count(*) OVER w = 7
+                THEN round(avg(CAST(x AS DOUBLE)) OVER w, 6) END AS trend
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT *, CAST(strftime(day, '%w') AS INT) AS dow,
+           CAST(x AS DOUBLE) - trend AS d
+    FROM tr
+),
+seas AS (
+    SELECT event_type, dow, round(avg(d), 6) AS seasonal
+    FROM detr WHERE d IS NOT NULL GROUP BY 1, 2
+),
+resid AS (
+    SELECT t.event_type, t.day, t.x,
+           round(t.d - s.seasonal, 6) AS r
+    FROM detr t JOIN seas s
+      ON t.event_type = s.event_type AND t.dow = s.dow AND t.d IS NOT NULL
+),
+med AS (
+    SELECT event_type, quantile_cont(r, 0.5) AS med FROM resid GROUP BY 1
+),
+dev AS (
+    SELECT r.event_type, r.day, r.x, r.r, m.med,
+           round(abs(r.r - m.med), 6) AS ad
+    FROM resid r JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day, d.x, d.r AS residual,
+       round((d.r - d.med) / (1.4826 * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND abs(d.r - d.med) > 3 * 1.4826 * m.mad
+""",
+)
+def q_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly days (r9): flag days whose seasonal-decomposition
+    residual sits more than 3 robust standard deviations from the
+    per-type median, with scale estimated by the MEDIAN absolute
+    deviation × 1.4826 (the Hampel identifier) — a week of corrupted
+    ingest cannot inflate the threshold the way it inflates a standard
+    deviation, which is the whole point for pipeline monitoring. Both
+    medians are exact in-array interpolated medians (the Theil–Sen
+    machinery — per-type day series are bounded), residuals come from
+    the shared :func:`_seasonal_frame` pipeline unchanged, and every
+    float stage is an integer-derived or round-6-snapped value the
+    DuckDB oracle (quantile_cont, same interpolation) replays."""
+    resid = (
+        _seasonal_frame(spark, sf_dir)
+        .filter(F.col("residual").isNotNull())
+        .select("event_type", "day", "x", F.col("residual").alias("r"))
+    )
+    med = resid.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("r")).alias("__rs")
+    ).select("event_type", _arr_median(F.col("__rs")).alias("__med"))
+    dev = resid.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        "r",
+        "__med",
+        F.round(F.abs(F.col("r") - F.col("__med")), 6).alias("__ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("__ad")).alias("__as")
+    ).select("event_type", _arr_median(F.col("__as")).alias("__mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("__mad") > 0)
+            & (F.abs(F.col("r") - F.col("__med")) > 3 * 1.4826 * F.col("__mad"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "x",
+            F.col("r").alias("residual"),
+            F.round(
+                (F.col("r") - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")), 6
+            ).alias("robust_z"),
         )
     )

@@ -2188,3 +2188,47 @@ def test_suffix_array_cap256_resolves_spans_past_64(spark):
     assert top256.span == span
     assert {top256.doc_a, top256.doc_b} == {1, 2}
     assert top256.off_a == top256.off_b == 1
+
+
+def test_robust_anomaly_days_flags_planted_spike(spark, monkeypatch):
+    """robust_anomaly_days (r9): a single 8× traffic spike in an
+    otherwise steady 28-day series must be flagged with a large
+    positive robust z and must carry the largest |z|; collateral flags
+    are bounded to the spike's trend window (±3 days) and its weekday
+    cohort (the seasonal index absorbs part of a 4-sample dow)."""
+    from datetime import datetime, timedelta
+
+    import covid_data_challenge_spark.queries_events as qx
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(28):
+        n = 10 + (d % 3) + (80 if d == 14 else 0)
+        for j in range(n):
+            rows.append(
+                (eid, base + timedelta(days=d, seconds=j), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(qx, "_events", lambda spark, sf: ev)
+    flagged = REGISTRY["robust_anomaly_days"].spark(spark, "unused").collect()
+    assert flagged, "spike not detected"
+    spike_day = (base + timedelta(days=14)).date()
+    by_day = {r.day: r for r in flagged}
+    assert spike_day in by_day
+    spike = by_day[spike_day]
+    assert spike.robust_z > 3
+    for r in flagged:
+        # collateral is structural: the spike inflates the centered
+        # trend of its ±3 neighbors AND the seasonal index of its own
+        # weekday cohort (4 samples per dow in 28 days) — both stay
+        # below the spike itself
+        delta = (r.day - spike_day).days
+        assert abs(delta) <= 3 or delta % 7 == 0, r
+        assert abs(r.robust_z) <= abs(spike.robust_z), r
