@@ -162,8 +162,6 @@ def corpus_item(i: int) -> tuple:
         )
         row = (i, "image", payload, "image/jpeg", 48, 32, -1)
     elif m == 2:
-        import numpy as np
-
         ga = i // 8
         n_samples = 6000 + (ga % 5) * 800
         vol = 1.0 if i % 8 == 2 else 0.6
