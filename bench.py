@@ -157,6 +157,12 @@ EXTENSION = [
     # iterative one (3 rounds over an items-sized strengths table)
     "bradley_terry_strengths",
     "preference_quality_report",
+    # round 9 (review finding): the residual-IVFADC split's two halves
+    # were registered but never timed — the measurement half of the
+    # r8 #3 item. Build is the documented one-off gold rebuild; serve
+    # is the fixed-batch residual serving number beside ann_pq_serve
+    "ann_ivfpq_residual_build",
+    "ann_ivfpq_residual_serve",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -253,6 +259,9 @@ SCALE_SF1 = [
     "media_corpus_decode_stats",
     "media_corpus_phash_neardup",
     "media_corpus_audio_fp_neardup",
+    # round 9: the residual SERVING band — fixed 64-query batch against
+    # prebuilt residual gold tables, the twin of ann_pq_serve's band
+    "ann_ivfpq_residual_serve",
     # round 9: the comparisons fact grows ∝ documents (stride pairing),
     # the strengths table with distinct items — expect ~linear; the MM
     # round count is fixed, so this is a pure fact-table growth read

@@ -112,32 +112,13 @@ def _audio_base(ga: int, n_samples: int, rate: int = 8000):
 
 
 def _video_luma(gv: int, f: int, width: int = 24, height: int = 16):
-    """Deterministic per-(group, frame) luma plane: strong random-sign
-    low-frequency DCT coefficients (the lowfreq_content recipe) scaled
-    to [30, 195] so the +25 brightness regrade never clips — keeping
-    the DC-exclusion bit-identity of the per-frame pHash words exact."""
-    import hashlib
-
-    import numpy as np
-
-    from covid_data_challenge_spark.operators.multimodal import _dct_matrix_n
-
-    rnd = np.frombuffer(
-        hashlib.sha256(f"media-vid-{gv}-{f}".encode()).digest() * 4, dtype=np.uint8
-    ).astype(np.float64)
-    coef = np.zeros((32, 32))
-    signs = np.where(rnd[:64] >= 128, 1.0, -1.0)
-    mags = 60.0 + rnd[64:128] * 0.35
-    decay = 1.0 / (1 + np.arange(8) * 0.3)
-    coef[0:8, 0:8] = (signs * mags).reshape(8, 8) * np.outer(decay, decay)
-    coef[0, 0] = 0.0
-    a32 = _dct_matrix_n(32)
-    g = a32.T @ coef @ a32
-    g = g - g.min()
-    g = g * (165.0 / max(g.max(), 1e-9)) + 30
-    yi = (np.arange(height) * 32) // height
-    xi = (np.arange(width) * 32) // width
-    return np.clip(np.round(g[yi][:, xi]), 0, 255).astype(np.uint8)
+    """Deterministic per-(group, frame) luma plane: the shared
+    :func:`multimodal.lowfreq_content` DCT-domain recipe, scaled to
+    [30, 195] so the +25 brightness regrade never clips — keeping the
+    DC-exclusion bit-identity of the per-frame pHash words exact."""
+    return lowfreq_content(
+        0, width, height, key=f"media-vid-{gv}-{f}", lo=30.0, span=165.0, gray=True
+    )
 
 
 def corpus_item(i: int) -> tuple:

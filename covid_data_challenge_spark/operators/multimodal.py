@@ -697,7 +697,15 @@ def auto_features(payload: bytes, dim: int = FEATURE_DIM):
     return None
 
 
-def lowfreq_content(seed: int, width: int = 48, height: int = 32):
+def lowfreq_content(
+    seed: int,
+    width: int = 48,
+    height: int = 32,
+    key: str | None = None,
+    lo: float = 17.0,
+    span: float = 220.0,
+    gray: bool = False,
+):
     """Deterministic per-seed image content whose 8×8 low-frequency DCT
     block carries STRONG random-sign coefficients (synthesized in the
     DCT domain, inverse-transformed, upsampled) — the content class a
@@ -706,11 +714,17 @@ def lowfreq_content(seed: int, width: int = 48, height: int = 32):
     always verify at the ≤ 6 gate) while distinct seeds sit ≥ 10 bits
     apart (no incidental collisions) — unlike the affine test pattern,
     whose low-freq structure is seed-invariant. Returns (h, w, 3)
-    uint8."""
+    uint8, or (h, w) with ``gray=True``. ``key``/``lo``/``span``
+    parameterize the seed string and output range so the media-corpus
+    video frames (operators/media_corpus._video_luma: range [30, 195],
+    headroom for a +25 regrade) share THIS implementation instead of a
+    copy — the perceptual-content recipe the pHash separation
+    guarantees depend on lives in one place."""
     import numpy as np
 
     rnd = np.frombuffer(
-        hashlib.sha256(f"media-img-{seed}".encode()).digest() * 4, dtype=np.uint8
+        hashlib.sha256((key or f"media-img-{seed}").encode()).digest() * 4,
+        dtype=np.uint8,
     ).astype(np.float64)
     coef = np.zeros((32, 32))
     signs = np.where(rnd[:64] >= 128, 1.0, -1.0)
@@ -721,12 +735,12 @@ def lowfreq_content(seed: int, width: int = 48, height: int = 32):
     a32 = _dct_matrix_n(32)
     g = a32.T @ coef @ a32  # orthonormal inverse DCT
     g = g - g.min()
-    g = g * (220.0 / max(g.max(), 1e-9)) + 17
+    g = g * (span / max(g.max(), 1e-9)) + lo
     g32 = np.clip(np.round(g), 0, 255).astype(np.uint8)
     yi = (np.arange(height) * 32) // height
     xi = (np.arange(width) * 32) // width
     img = g32[yi][:, xi]
-    return np.stack([img] * 3, axis=2)
+    return img if gray else np.stack([img] * 3, axis=2)
 
 
 def synth_jpeg_table(spark: SparkSession, n: int = 32) -> DataFrame:
@@ -1260,19 +1274,15 @@ def shifted_fp_pairs(
     )
 
 
-def synth_audio_shift_table(spark: SparkSession, n_groups: int = 6) -> DataFrame:
-    """Audio corpus with planted SHIFTED duplicates: each group is one
-    tone-mixture clip (4096 samples) carried as the original, a
-    hop-trimmed 0.6×-volume version (first AUDIO_FP_HOP samples cut —
-    its fingerprint is the original's shifted one word), and a
-    hop-padded version with a faint added tone (AUDIO_FP_HOP leading
-    zeros — shifted the other way, with one junction word) — the
-    clip surgeries the aligned r8 leg is blind to by construction.
-    Other groups' clips are the planted rejects; one corrupt payload
-    exercises the quarantine. media_id = group·4 + variant."""
+def audio_shift_payloads(n_groups: int = 6) -> list[tuple[int, bytes]]:
+    """(media_id, payload) list of the shift fixture's VALID clips —
+    the single source both :func:`synth_audio_shift_table` and
+    tools/gen_jpeg_golden.py consume, so editing a variant here
+    regenerates goldens that track the fixture BY CONSTRUCTION
+    (the gen_media_golden corpus_item discipline)."""
     import numpy as np
 
-    rows = []
+    out = []
     for g in range(n_groups):
         base = decode_wav(encode_wav(4096, seed=g * 13))[0]
         t = np.arange(len(base) + AUDIO_FP_HOP)
@@ -1285,23 +1295,36 @@ def synth_audio_shift_table(spark: SparkSession, n_groups: int = 6) -> DataFrame
             ),
         ]
         for v, payload in enumerate(variants):
-            rows.append(
-                (g * 4 + v, "audio", bytearray(payload), "audio/wav", -1, -1, 512)
-            )
+            out.append((g * 4 + v, payload))
+    return out
+
+
+def synth_audio_shift_table(spark: SparkSession, n_groups: int = 6) -> DataFrame:
+    """Audio corpus with planted SHIFTED duplicates: each group is one
+    tone-mixture clip (4096 samples) carried as the original, a
+    hop-trimmed 0.6×-volume version (first AUDIO_FP_HOP samples cut —
+    its fingerprint is the original's shifted one word), and a
+    hop-padded version with a faint added tone (AUDIO_FP_HOP leading
+    zeros — shifted the other way, with one junction word) — the
+    clip surgeries the aligned r8 leg is blind to by construction.
+    Other groups' clips are the planted rejects; one corrupt payload
+    exercises the quarantine. media_id = group·4 + variant."""
+    rows = [
+        (mid, "audio", bytearray(payload), "audio/wav", -1, -1, 512)
+        for mid, payload in audio_shift_payloads(n_groups)
+    ]
     rows.append((n_groups * 4 + 3, "audio", bytearray(b"not audio"), "audio/wav",
                  -1, -1, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def synth_video_shift_table(spark: SparkSession, n_groups: int = 5) -> DataFrame:
-    """Video corpus with planted SHIFTED duplicates: each group is one
-    6-frame clip carried as the original, a first-frame-trimmed re-cut
-    (fingerprint = the original's minus its first word), and a
-    gray-lead-in padded version with faint deterministic noise (one
-    junk leading word) — plus a corrupt payload."""
+def video_shift_payloads(n_groups: int = 5) -> list[tuple[int, bytes]]:
+    """(media_id, payload) list of the video shift fixture's VALID
+    clips — shared by :func:`synth_video_shift_table` and the golden
+    tool (see :func:`audio_shift_payloads`)."""
     import numpy as np
 
-    rows = []
+    out = []
     w, h = 32, 24
     for g in range(n_groups):
         # per-group DISTINCT gradient directions — encode_y4m's seed is
@@ -1333,9 +1356,20 @@ def synth_video_shift_table(spark: SparkSession, n_groups: int = 5) -> DataFrame
             ),
         ]
         for v, payload in enumerate(variants):
-            rows.append(
-                (g * 4 + v, "video", bytearray(payload), "video/x-y4m", w, h, 240)
-            )
+            out.append((g * 4 + v, payload))
+    return out
+
+
+def synth_video_shift_table(spark: SparkSession, n_groups: int = 5) -> DataFrame:
+    """Video corpus with planted SHIFTED duplicates: each group is one
+    6-frame clip carried as the original, a first-frame-trimmed re-cut
+    (fingerprint = the original's minus its first word), and a
+    gray-lead-in padded version with faint deterministic noise (one
+    junk leading word) — plus a corrupt payload."""
+    rows = [
+        (mid, "video", bytearray(payload), "video/x-y4m", 32, 24, 240)
+        for mid, payload in video_shift_payloads(n_groups)
+    ]
     rows.append((n_groups * 4 + 3, "video", bytearray(b"not video"),
                  "video/x-y4m", -1, -1, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -347,14 +347,22 @@ def ivfpq_residual_build_tables(
         corpus, n_centroids, lloyd_iters, id_col, vec_col
     )
     cent = centroids.select("cid", "cvec")
-    resid = inverted.join(F.broadcast(cent), "cid").select(
-        F.col("neighbor_id").alias("id"),
-        "cid",
-        F.zip_with(
-            F.col("__cv"),
-            F.col("cvec"),
-            lambda x, y: x.cast("double") - y.cast("double"),
-        ).alias("rv"),
+    # persist: pq_train's Lloyd iterations, pq_encode, and the index
+    # join are all actions over this corpus-sized frame — without the
+    # cache the assignment+subtraction DAG re-executes per consumer
+    # (the r8 composite had this persist; the r9 split must keep it)
+    resid = (
+        inverted.join(F.broadcast(cent), "cid")
+        .select(
+            F.col("neighbor_id").alias("id"),
+            "cid",
+            F.zip_with(
+                F.col("__cv"),
+                F.col("cvec"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rv"),
+        )
+        .persist()
     )
     codebook = pq_train(
         resid, n_sub, n_codes, lloyd_iters, id_col="id", vec_col="rv", dim=dim

@@ -3181,7 +3181,7 @@ _JT_STOPS = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
 _JT_STOPS_SQL = ", ".join(f"'{w}'" for w in _JT_STOPS)
 
 _JT_SEGMENTS_SQL = f"""
-toks AS (SELECT doc_id, source, string_split({{norm}}, ' ') AS ws FROM documents),
+toks AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS ws FROM documents),
 segs AS (
     SELECT doc_id, source, CAST(t.o AS INT) AS seg_idx,
            ws[CAST(t.o * {_JT_SEG} + 1 AS INT)
@@ -3274,7 +3274,7 @@ def _jt_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "justext_segment_classes",
     oracle="WITH "
-    + _JT_SEGMENTS_SQL.format(norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    + _JT_SEGMENTS_SQL
     + """
 SELECT doc_id, seg_idx, n_tokens, round(stop_d, 6) AS stop_density,
        round(digit_d, 6) AS digit_density, cls_pre, cls
@@ -3302,7 +3302,7 @@ def q_justext_segment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "justext_retention_by_source",
     oracle="WITH "
-    + _JT_SEGMENTS_SQL.format(norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    + _JT_SEGMENTS_SQL
     + """
 SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_segments,

@@ -268,36 +268,7 @@ def q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = audio_fp_table(synth_audio_fp_table(spark, n_groups=6)).filter(
         F.col("decoded")
     )
-    bands = fps.select(
-        "media_id", "fp", F.posexplode("fp").alias("widx", "word")
-    )
-    a = bands.select(
-        F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"),
-        "widx", "word",
-    )
-    b = bands.select(
-        F.col("media_id").alias("id_b"), F.col("fp").alias("__fb"),
-        "widx", "word",
-    )
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("__fa"),
-            F.col("__fb"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y).cast("long")),
-        ),
-        F.lit(0),
-        lambda acc, d: acc + d,
-    )
-    return (
-        a.join(b, ["widx", "word"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.size("__fa") == F.size("__fb"))
-        )
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= 5)
-        .distinct()
-    )
+    return _fp_banded_pairs(fps)
 
 
 @register(
@@ -327,29 +298,7 @@ def q_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = video_fp_table(synth_video_fp_table(spark, n_groups=5)).filter(
         F.col("decoded")
     )
-    bands = fps.select("media_id", "fp", F.posexplode("fp").alias("widx", "word"))
-    a = bands.select(
-        F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"), "widx", "word"
-    )
-    b = bands.select(
-        F.col("media_id").alias("id_b"), F.col("fp").alias("__fb"), "widx", "word"
-    )
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("__fa"), F.col("__fb"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
-        ),
-        F.lit(0),
-        lambda acc, d: acc + d,
-    )
-    return (
-        a.join(b, ["widx", "word"])
-        .filter(
-            (F.col("id_a") < F.col("id_b")) & (F.size("__fa") == F.size("__fb"))
-        )
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= 5)
-        .distinct()
-    )
+    return _fp_banded_pairs(fps)
 
 
 @register(
@@ -494,9 +443,11 @@ def _fp_banded_pairs(fps: DataFrame, threshold: int = 5) -> DataFrame:
     exact-matching (frame_idx, word) bands — pigeonhole-complete for a
     total Hamming budget below the word count — verified by the
     zip_with XOR popcount fold ≤ ``threshold`` on EQUAL-length
-    fingerprints; never all-pairs. The expressions mirror the r8
-    audio/video legs verbatim (cast-to-long inside bit_count so int
-    and long word arrays share one shape)."""
+    fingerprints; never all-pairs. Shared by ALL four aligned
+    fingerprint legs — the r8 fixed-fixture audio/video queries and
+    the r9 sf-scaled corpus twins (cast-to-long inside bit_count so
+    int and long word arrays share one expression shape; a no-op on
+    long, so the r8 video plan is unchanged)."""
     bands = fps.select("media_id", "fp", F.posexplode("fp").alias("widx", "word"))
     a = bands.select(
         F.col("media_id").alias("id_a"), F.col("fp").alias("__fa"), "widx", "word"

@@ -2468,18 +2468,20 @@ def _pq_gold_build(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
-def _pq_gold_load(
-    spark: SparkSession, sf_dir: str
+def _gold_load_or_build(
+    spark: SparkSession, sf_dir: str, base: str, build_fn
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Read the gold tables, building them first if absent OR older
-    than the source corpus (a regenerated testdata dir must never be
-    served by a stale index). In production the build is a scheduled
-    job and these branches never fire on the serve path."""
+    """Shared gold-table load-or-build discipline for BOTH PQ index
+    families (raw-vector and residual): every table is checked through
+    its _SUCCESS marker — directory existence alone would serve a
+    crash-mid-write partitioned index (ADVICE r8) — and staleness is
+    judged against pq_index's marker, the table written LAST, so a
+    regenerated testdata dir can never be served by a stale index. In
+    production the build is a scheduled job and these branches never
+    fire on the serve path. One implementation so the next
+    cache-discipline fix cannot silently miss a copy."""
     import os
 
-    base = _pq_gold_base(sf_dir)
-    # every table needs its _SUCCESS marker — directory existence alone
-    # would serve a crash-mid-write partitioned index (ADVICE r8)
     missing = not all(
         os.path.exists(f"{base}/{t}/_SUCCESS") for t in _PQ_GOLD_TABLES
     )
@@ -2487,18 +2489,18 @@ def _pq_gold_load(
     if not missing:
         src = f"{sf_dir}/embeddings.parquet"
         if os.path.exists(src):
-            # pq_index is written LAST, so its marker is the build's
-            # completion time — the correct staleness reference
             stale = os.path.getmtime(src) > os.path.getmtime(
                 f"{base}/pq_index/_SUCCESS"
             )
     if missing or stale:
-        _pq_gold_build(spark, sf_dir)
-    return (
-        spark.read.parquet(f"{base}/centroids"),
-        spark.read.parquet(f"{base}/codebook"),
-        spark.read.parquet(f"{base}/pq_index"),
-    )
+        build_fn(spark, sf_dir)
+    return tuple(spark.read.parquet(f"{base}/{t}") for t in _PQ_GOLD_TABLES)
+
+
+def _pq_gold_load(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return _gold_load_or_build(spark, sf_dir, _pq_gold_base(sf_dir), _pq_gold_build)
 
 
 @register(
@@ -2828,28 +2830,8 @@ def _pqres_gold_build(spark: SparkSession, sf_dir: str) -> str:
 def _pqres_gold_load(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Read the residual gold tables, building them first if absent or
-    older than the source corpus — every table checked through its
-    _SUCCESS marker, staleness against pq_index's (written last)."""
-    import os
-
-    base = _pqres_gold_base(sf_dir)
-    missing = not all(
-        os.path.exists(f"{base}/{t}/_SUCCESS") for t in _PQ_GOLD_TABLES
-    )
-    stale = False
-    if not missing:
-        src = f"{sf_dir}/embeddings.parquet"
-        if os.path.exists(src):
-            stale = os.path.getmtime(src) > os.path.getmtime(
-                f"{base}/pq_index/_SUCCESS"
-            )
-    if missing or stale:
-        _pqres_gold_build(spark, sf_dir)
-    return (
-        spark.read.parquet(f"{base}/centroids"),
-        spark.read.parquet(f"{base}/codebook"),
-        spark.read.parquet(f"{base}/pq_index"),
+    return _gold_load_or_build(
+        spark, sf_dir, _pqres_gold_base(sf_dir), _pqres_gold_build
     )
 
 
@@ -2902,19 +2884,23 @@ def q_ann_ivfpq_residual_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-IVFADC SERVE (r9): probe the PREBUILT residual gold
     tables with the FIXED query batch (|Q| constant across scales —
     the ann_pq_serve discipline) → ADC top-5 per query. The packed
-    per-(query, cell) LUT needs the built centroid count; it comes
-    from the tiny centroids gold table itself (one count over ≤ N/512
-    rows), NOT a corpus scan — the corpus float vectors are never
-    read on this path. This is the number that prices a residual query
-    batch once the index exists; the sf1 tier records its growth
-    beside ann_pq_serve's 1.51–1.85× band."""
+    per-(query, cell) LUT key needs the cell-ID RANGE of the built
+    index: max(cid)+1 from the tiny centroids gold table (one 1-row
+    scalar over ≤ N/512 rows), NOT count() — Lloyd can leave an empty
+    cell (tied/duplicate seeds), and a count smaller than the id range
+    would break the query_id·C+cid packing's injectivity and join the
+    wrong per-cell LUT. The corpus float vectors are never read on
+    this path. This is the number that prices a residual query batch
+    once the index exists; the sf1 tier records its growth beside
+    ann_pq_serve's band."""
     from covid_data_challenge_spark.operators.pq import ivfpq_residual_serve
 
     centroids, codebook, index = _pqres_gold_load(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200))
+    n_cells = int(centroids.agg(F.max("cid")).collect()[0][0]) + 1
     return ivfpq_residual_serve(
         centroids, codebook, index, queries,
-        k=5, nprobe=8, n_centroids=centroids.count(),
+        k=5, nprobe=8, n_centroids=n_cells,
         n_sub=32, n_codes=32,
     )

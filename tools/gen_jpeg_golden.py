@@ -313,33 +313,20 @@ def _brute_shift_pairs(
 
 
 def gen_audio_shift_pairs() -> None:
-    """Ground truth for audio_fp_shifted_neardup: exactly
-    synth_audio_shift_table's payloads through the fingerprint kernel,
-    then the brute-force shift matcher."""
-    import numpy as np
-
+    """Ground truth for audio_fp_shifted_neardup: the SHARED fixture
+    payload builder (multimodal.audio_shift_payloads — same source the
+    synth table consumes, so goldens track fixture edits by
+    construction) through the fingerprint kernel, then the brute-force
+    shift matcher."""
     from covid_data_challenge_spark.operators.multimodal import (
-        AUDIO_FP_HOP,
         audio_fingerprint,
-        decode_wav,
-        encode_wav,
-        encode_wav_samples,
+        audio_shift_payloads,
     )
 
-    fps = []
-    for g in range(6):
-        base = decode_wav(encode_wav(4096, seed=g * 13))[0]
-        t = np.arange(len(base) + AUDIO_FP_HOP)
-        padded = np.concatenate([np.zeros(AUDIO_FP_HOP), base])
-        variants = [
-            encode_wav_samples(base),
-            encode_wav_samples(base[AUDIO_FP_HOP:] * 0.6),
-            encode_wav_samples(
-                padded * 0.9 + 0.02 * np.sin(2 * np.pi * 3777 * t / 8000.0)
-            ),
-        ]
-        for v, payload in enumerate(variants):
-            fps.append((g * 4 + v, audio_fingerprint(payload)))
+    fps = [
+        (mid, audio_fingerprint(payload))
+        for mid, payload in audio_shift_payloads(6)
+    ]
     cols = _brute_shift_pairs(fps, bits_per_word=16)
     path = f"{FIXTURE_DIR}/audio_fp_shifted_pairs_golden.parquet"
     pq.write_table(pa.table(cols, schema=_SHIFT_SCHEMA), path)
@@ -347,43 +334,18 @@ def gen_audio_shift_pairs() -> None:
 
 
 def gen_video_shift_pairs() -> None:
-    """Ground truth for video_fp_shifted_neardup: exactly
-    synth_video_shift_table's payloads (distinct per-group gradients)
-    through the per-frame pHash kernel, then the brute-force matcher."""
-    import numpy as np
-
+    """Ground truth for video_fp_shifted_neardup: the SHARED fixture
+    payload builder (multimodal.video_shift_payloads) through the
+    per-frame pHash kernel, then the brute-force matcher."""
     from covid_data_challenge_spark.operators.multimodal import (
-        encode_y4m_luma,
         video_fingerprint,
+        video_shift_payloads,
     )
 
-    fps = []
-    w, h = 32, 24
-    for g in range(5):
-        yy, xx = np.mgrid[0:h, 0:w]
-        frames = [
-            ((xx * (7 + 2 * g) + yy * (13 + 5 * g) + i * 31 + g * 97) % 256
-             ).astype(np.uint8)
-            for i in range(6)
-        ]
-        gray = np.full((h, w), 128, np.uint8)
-        variants = [
-            encode_y4m_luma(frames, w, h),
-            encode_y4m_luma(frames[1:], w, h),
-            encode_y4m_luma(
-                [gray]
-                + [
-                    np.clip(
-                        f.astype(np.int32) + ((xx * 3 + yy * 5 + i) % 7 - 3), 0, 255
-                    )
-                    for i, f in enumerate(frames)
-                ],
-                w,
-                h,
-            ),
-        ]
-        for v, payload in enumerate(variants):
-            fps.append((g * 4 + v, video_fingerprint(payload)))
+    fps = [
+        (mid, video_fingerprint(payload))
+        for mid, payload in video_shift_payloads(5)
+    ]
     cols = _brute_shift_pairs(fps, bits_per_word=63)
     path = f"{FIXTURE_DIR}/video_fp_shifted_pairs_golden.parquet"
     pq.write_table(pa.table(cols, schema=_SHIFT_SCHEMA), path)

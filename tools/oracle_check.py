@@ -23,10 +23,26 @@ from covid_data_challenge_spark.testing import (  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+#: queries whose engine OUTPUT scales with sf_dir while their oracle is
+#: a committed golden parquet replaying the 48-item GATE corpus
+#: (operators/media_corpus.corpus_size floors at 48 for ≤ 500 docs, i.e.
+#: sf0.01 AND sf0.001). At any other sf the comparison is meaningless by
+#: construction — skip with a note instead of reporting a false FAIL.
+#: The driver's gate always runs at sf0.01, where these compare fully.
+_GATE_SCALE_ONLY = {
+    "media_corpus_decode_stats",
+    "media_corpus_phash_neardup",
+    "media_corpus_audio_fp_neardup",
+    "media_corpus_video_fp_neardup",
+    "media_decode_stream",
+}
+_GATE_SF_DIRS = ("sf0.01", "sf0.001")
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    at_gate_scale = sf_dir.rstrip("/").endswith(_GATE_SF_DIRS)
 
     # progress bars interleave \r frames into piped logs and can
     # overwrite PASS/FAIL lines — keep the tool's output grep-clean
@@ -41,6 +57,10 @@ def main() -> int:
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in _GATE_SCALE_ONLY and not at_gate_scale:
+            print(f"skip  {name}: sf-scaled corpus vs gate-scale golden "
+                  f"oracle — only comparable at {_GATE_SF_DIRS}")
             continue
         t0 = time.time()
         try:
