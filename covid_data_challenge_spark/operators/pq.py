@@ -373,6 +373,14 @@ def ivfpq_residual_build_tables(
     index = resid.select(F.col("id").alias("neighbor_id"), "cid").join(
         codes, "neighbor_id"
     )
+    # eagerly materialize the two resid consumers (codebook is
+    # n_sub·n_codes rows; index is the compressed code table — tiny vs
+    # the float corpus), then drop the corpus-sized residual cache:
+    # leaving it persisted would occupy executor storage for the rest
+    # of the session (ADVICE r9 — bench runs many queries back to back)
+    codebook = codebook.localCheckpoint(eager=True)
+    index = index.localCheckpoint(eager=True)
+    resid.unpersist()
     return centroids, codebook, index
 
 

@@ -1607,18 +1607,6 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per.select("user_id", tx.alias("tx")).filter(F.size("tx") >= 2)
     e = lambda i: F.element_at(F.col("tx"), i)  # noqa: E731
     n = F.size(F.col("tx"))
-    slopes = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: (
-                    (e(j).getField("x") - e(i).getField("x"))
-                    / (e(j).getField("t") - e(i).getField("t"))
-                ),
-            ),
-        )
-    )
     # span guard (VERDICT r8 #5): the in-array pair set is O(days²) per
     # user — ~465 doubles at the ≤31-day fixture span but ~66k at one
     # year and ~600k at three (a single-ROW memory blowup no plan
@@ -1637,6 +1625,23 @@ def q_theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n.cast("string"),
             )
         ).cast("long")
+    )
+    # the slopes sequence bounds read the GUARDED count (ADVICE r9):
+    # select-list siblings have no evaluation-order guarantee, but a
+    # sequence bound is a data dependency — the guard provably raises
+    # before the O(days²) pair array can be materialized
+    ng = n_days_guarded.cast("int")
+    slopes = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), ng - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, ng),
+                lambda j: (
+                    (e(j).getField("x") - e(i).getField("x"))
+                    / (e(j).getField("t") - e(i).getField("t"))
+                ),
+            ),
+        )
     )
     per = per.select(
         "user_id",

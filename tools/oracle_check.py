@@ -9,6 +9,7 @@ Usage: python tools/oracle_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -42,7 +43,9 @@ _GATE_SF_DIRS = ("sf0.01", "sf0.001")
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    at_gate_scale = sf_dir.rstrip("/").endswith(_GATE_SF_DIRS)
+    # exact basename match, not endswith: 'mysf0.01' or a future
+    # 'sf0.015' must not be misclassified as gate scale (ADVICE r9)
+    at_gate_scale = os.path.basename(sf_dir.rstrip("/")) in _GATE_SF_DIRS
 
     # progress bars interleave \r frames into piped logs and can
     # overwrite PASS/FAIL lines — keep the tool's output grep-clean
