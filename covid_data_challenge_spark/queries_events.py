@@ -1850,14 +1850,28 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seasonal_frame(spark, sf_dir)
 
 
-def _seasonal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _seasonal_frame(
+    spark: SparkSession, sf_dir: str, plant_spike: bool = False
+) -> DataFrame:
     """The seasonal-decomposition pipeline (expressions verbatim from
     the r8 original so its audited plan is unchanged); shared with the
-    r9 robust-anomaly query."""
+    r9 robust-anomaly query. ``plant_spike`` multiplies each type's
+    day-10 count by 8 BEFORE decomposition — the deterministic anomaly
+    injection the r10 planted twin uses to make its oracle gate
+    discriminating (the default path's plan is untouched)."""
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    if plant_spike:
+        d0 = F.min("day").over(Window.partitionBy("event_type"))
+        daily = daily.select(
+            "event_type",
+            "day",
+            F.when(F.datediff("day", d0) == 10, F.col("x") * 8)
+            .otherwise(F.col("x"))
+            .alias("x"),
+        )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -1965,9 +1979,24 @@ def q_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery — per-type day series are bounded), residuals come from
     the shared :func:`_seasonal_frame` pipeline unchanged, and every
     float stage is an integer-derived or round-6-snapped value the
-    DuckDB oracle (quantile_cont, same interpolation) replays."""
+    DuckDB oracle (quantile_cont, same interpolation) replays.
+
+    Gate-scale caveat (VERDICT r9 what's-wrong #1): the driver's sf0.01
+    events series has no 3-robust-SD day, so this query's oracle gate
+    compares 0 rows vs 0 rows — the DISCRIMINATING twin is
+    ``robust_anomaly_days_planted`` below, and the vacuous-PASS guard
+    in tools/oracle_check.py exempts this entry by name with that
+    pointer."""
+    return _hampel_flags(_seasonal_frame(spark, sf_dir))
+
+
+def _hampel_flags(frame: DataFrame) -> DataFrame:
+    """The Hampel identifier over a (event_type, day, x, residual)
+    seasonal frame (expressions verbatim from the r9 original so its
+    audited plan is unchanged); shared by the live query and the
+    planted-spike twin."""
     resid = (
-        _seasonal_frame(spark, sf_dir)
+        frame
         .filter(F.col("residual").isNotNull())
         .select("event_type", "day", "x", F.col("residual").alias("r"))
     )
@@ -2001,3 +2030,74 @@ def q_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "robust_anomaly_days_planted",
+    oracle="""
+WITH daily0 AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+t0 AS (SELECT event_type, min(day) AS d0 FROM daily0 GROUP BY 1),
+daily AS (
+    SELECT d.event_type, d.day,
+           CASE WHEN date_diff('day', t.d0, d.day) = 10
+                THEN d.x * 8 ELSE d.x END AS x
+    FROM daily0 d JOIN t0 t USING (event_type)
+),
+tr AS (
+    SELECT event_type, day, x,
+           CASE WHEN count(*) OVER w = 7
+                THEN round(avg(CAST(x AS DOUBLE)) OVER w, 6) END AS trend
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT *, CAST(strftime(day, '%w') AS INT) AS dow,
+           CAST(x AS DOUBLE) - trend AS d
+    FROM tr
+),
+seas AS (
+    SELECT event_type, dow, round(avg(d), 6) AS seasonal
+    FROM detr WHERE d IS NOT NULL GROUP BY 1, 2
+),
+resid AS (
+    SELECT t.event_type, t.day, t.x,
+           round(t.d - s.seasonal, 6) AS r
+    FROM detr t JOIN seas s
+      ON t.event_type = s.event_type AND t.dow = s.dow AND t.d IS NOT NULL
+),
+med AS (
+    SELECT event_type, quantile_cont(r, 0.5) AS med FROM resid GROUP BY 1
+),
+dev AS (
+    SELECT r.event_type, r.day, r.x, r.r, m.med,
+           round(abs(r.r - m.med), 6) AS ad
+    FROM resid r JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day, d.x, d.r AS residual,
+       round((d.r - d.med) / (1.4826 * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND abs(d.r - d.med) > 3 * 1.4826 * m.mad
+""",
+)
+def q_robust_anomaly_days_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robust_anomaly_days with a DETERMINISTIC planted anomaly (r10 —
+    VERDICT r9 what's-wrong #1): each event type's day-10 count is
+    multiplied by 8 before the seasonal decomposition, so the Hampel
+    identifier has a guaranteed 3-robust-SD violation to find at EVERY
+    scale — at the driver's sf0.01 gate this returns 38 rows (the
+    spike days plus the trend-window neighbors the spike drags
+    negative), where the live query's series is legitimately quiet and
+    its 0-rows-vs-0-rows hash match proved nothing (a sign flip in the
+    MAD threshold shipped green). The injection is one per-type
+    min-day window + a day-offset CASE, replayed verbatim in the
+    oracle's daily CTE; everything downstream is the shared
+    :func:`_hampel_flags` machinery unchanged."""
+    return _hampel_flags(_seasonal_frame(spark, sf_dir, plant_spike=True))

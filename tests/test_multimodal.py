@@ -753,7 +753,7 @@ def test_media_corpus_build_quarantine_and_cache(spark, sf_dir, tmp_path):
     import os
 
     from covid_data_challenge_spark.operators.media_corpus import (
-        _gold_base,
+        _gold_path,
         corpus_item,
         media_corpus,
     )
@@ -767,10 +767,46 @@ def test_media_corpus_build_quarantine_and_cache(spark, sf_dir, tmp_path):
     # payloads are the pure function corpus_item replays
     for i in (0, 1, 17, 22, 30, 47):
         assert bytes(rows[i].payload) == bytes(corpus_item(i)[2]), i
-    marker = f"{_gold_base(sf_dir)}/media.parquet/_SUCCESS"
+    marker = f"{_gold_path(sf_dir)}/_SUCCESS"
     t0 = os.path.getmtime(marker)
     media_corpus(spark, sf_dir).count()
     assert os.path.getmtime(marker) == t0  # cached, not rebuilt
+
+
+def test_media_corpus_rebuild_race_loser_keeps_winner(
+    spark, sf_dir, monkeypatch
+):
+    """Two sessions deciding to rebuild concurrently (VERDICT r9
+    what's-wrong #3): simulate the LOSER — its freshness check misses
+    the winner's just-published table, it builds into its own temp dir,
+    and its atomic-rename publish fails because the winner's directory
+    already exists. The loser must discard its build, leave no temp
+    litter, and serve the winner's (identical) table — never overwrite
+    a directory another session may be scanning."""
+    import os as _os
+
+    from covid_data_challenge_spark.operators.media_corpus import (
+        _gold_path,
+        media_corpus,
+    )
+
+    path = _gold_path(sf_dir)
+    media_corpus(spark, sf_dir).count()  # winner's table is live
+    t0 = _os.path.getmtime(f"{path}/_SUCCESS")
+
+    marker = f"{path}/_SUCCESS"
+    real_exists = _os.path.exists
+
+    def stale_view(p):
+        return False if p == marker else real_exists(p)
+
+    monkeypatch.setattr("os.path.exists", stale_view)
+    assert media_corpus(spark, sf_dir).count() == 48
+    monkeypatch.undo()
+    # the winner's publication is untouched and no temp dirs remain
+    assert _os.path.getmtime(f"{path}/_SUCCESS") == t0
+    parent = _os.path.dirname(path)
+    assert not [d for d in _os.listdir(parent) if ".build-" in d]
 
 
 def test_media_corpus_decode_stats_matches_golden(spark, sf_dir):

@@ -39,6 +39,24 @@ _GATE_SCALE_ONLY = {
 }
 _GATE_SF_DIRS = ("sf0.01", "sf0.001")
 
+#: oracle-paired queries whose GATE-SCALE result is legitimately empty
+#: (VERDICT r9 what's-wrong #1: a 0-rows-vs-0-rows hash match proves
+#: nothing — every name here must carry a written reason, ideally a
+#: pointer at the discriminating twin). Any other query that PASSes
+#: with 0 rows is reported as a VACUOUS failure.
+_EMPTY_OK = {
+    "keys_only_in_left": (
+        "set difference: the fixture's left key set is a subset by "
+        "construction — the reference's own semantics (SURVEY §2 U3); "
+        "the sibling keys_in_both/union_keys entries discriminate"
+    ),
+    "robust_anomaly_days": (
+        "the driver-scale events series has no 3-robust-SD day; the "
+        "discriminating twin is robust_anomaly_days_planted (spike "
+        "injected in-query, 38 rows at sf0.01)"
+    ),
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -83,7 +101,14 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         match, why = values_match(normalize(sdf), normalize(odf))
-        if match:
+        if match and len(sdf) == 0 and name not in _EMPTY_OK:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: VACUOUS — engine and oracle both empty, the "
+                "hash match proves nothing; plant a discriminating fixture "
+                "or add a written _EMPTY_OK reason"
+            )
+        elif match:
             print(f"PASS  {name} ({len(sdf)} rows, {spark_s:.1f}s spark)")
         else:
             failures.append(name)
