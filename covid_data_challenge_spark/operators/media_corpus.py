@@ -66,7 +66,10 @@ from covid_data_challenge_spark.operators.multimodal import (
 )
 
 #: bump to invalidate cached corpora when the layout contract changes
-MEDIA_CORPUS_VERSION = 2
+#: (v3: the r10 phash_hashes precision fix — v2 image_fp gold tables
+#: hold float64-rounded hashes wherever a quarantine slot shared the
+#: Arrow batch)
+MEDIA_CORPUS_VERSION = 3
 
 #: one corpus item per ~10 documents, floored to a whole 4-kind cycle;
 #: the max() keeps the gate-scale corpus (500 docs at sf0.01 AND
@@ -79,21 +82,25 @@ def corpus_size(n_docs: int) -> int:
     return max(_MIN_ITEMS, (n_docs // _DOCS_PER_ITEM) // 4 * 4)
 
 
-def _audio_base(ga: int, n_samples: int, rate: int = 8000):
+def _audio_base(ga: int, n_samples: int, rate: int = 8000, key: str | None = None):
     """Deterministic per-group audio content: one tone per fingerprint
     band, each with a sha256-seeded amplitude, AM period, and phases —
     so band-energy differences AND their frame-to-frame changes both
     have real magnitude (a stationary tone mixture leaves the H&K time
     double-difference ≈ 0 and the sign bits become quantization noise;
     measured: tones → volume-variant distance up to 22 bits, this
-    generator → ≤ 1 bit at 300 groups). Returns float samples."""
+    generator → ≤ 1 bit at 300 groups). Returns float samples.
+    ``key`` overrides the seed string (the incremental batch fixture
+    uses a batch-only namespace so fresh clips never collide with the
+    corpus; measured inter distance ≥ 63 bits)."""
     import hashlib
 
     import numpy as np
 
     edges = np.linspace(1, 342, AUDIO_FP_BANDS + 1).astype(int)
     rnd = np.frombuffer(
-        hashlib.sha256(f"media-aud-{ga}".encode()).digest() * 5, dtype=np.uint8
+        hashlib.sha256((key or f"media-aud-{ga}").encode()).digest() * 5,
+        dtype=np.uint8,
     ).astype(np.float64)
     t = np.arange(n_samples)
     out = np.zeros(n_samples)
@@ -111,13 +118,18 @@ def _audio_base(ga: int, n_samples: int, rate: int = 8000):
     return out
 
 
-def _video_luma(gv: int, f: int, width: int = 24, height: int = 16):
+def _video_luma(
+    gv: int, f: int, width: int = 24, height: int = 16, key: str | None = None
+):
     """Deterministic per-(group, frame) luma plane: the shared
     :func:`multimodal.lowfreq_content` DCT-domain recipe, scaled to
     [30, 195] so the +25 brightness regrade never clips — keeping the
-    DC-exclusion bit-identity of the per-frame pHash words exact."""
+    DC-exclusion bit-identity of the per-frame pHash words exact.
+    ``key`` overrides the seed string (batch-only namespace for the
+    incremental screen's fresh clips)."""
     return lowfreq_content(
-        0, width, height, key=f"media-vid-{gv}-{f}", lo=30.0, span=165.0, gray=True
+        0, width, height, key=key or f"media-vid-{gv}-{f}",
+        lo=30.0, span=165.0, gray=True,
     )
 
 
@@ -226,19 +238,33 @@ def media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     discards its build and scans the winner's identical bytes."""
     src = f"{sf_dir}/documents.parquet"
     path = _gold_path(sf_dir)
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        import shutil
-        import uuid
 
-        tmp = f"{path}.build-{uuid.uuid4().hex}"
+    def build(tmp: str) -> None:
         n_docs = spark.read.parquet(src).count()
         build_media_corpus(spark, sf_dir, corpus_size(n_docs)).write.mode(
             "overwrite"
         ).parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # another session published first — same deterministic
-            # bytes; drop ours and read theirs
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    atomic_publish_gold(path, build)
     return spark.read.parquet(path)
+
+
+def atomic_publish_gold(path: str, build) -> None:
+    """Build-once gold publication: if ``path`` lacks a complete table,
+    run ``build(tmp_dir)`` and atomically ``os.rename`` the result into
+    place. A concurrent session racing the rebuild loses only the
+    rename — it discards its (deterministic, identical) build and reads
+    the winner's. Shared by the corpus and the r10 fingerprint golds."""
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return
+    import shutil
+    import uuid
+
+    tmp = f"{path}.build-{uuid.uuid4().hex}"
+    build(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # another session published first — same deterministic bytes;
+        # drop ours and read theirs
+        shutil.rmtree(tmp, ignore_errors=True)

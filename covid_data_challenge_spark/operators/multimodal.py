@@ -861,15 +861,27 @@ def phash63(payload: bytes):
 
 def phash_hashes(media: DataFrame) -> DataFrame:
     """Arrow-batched pHash stage → (media_id, phash, decoded); the
-    corrupt-payload quarantine surfaces as decoded=false, phash NULL."""
+    corrupt-payload quarantine surfaces as decoded=false, phash NULL.
+
+    The hash column is built as an explicit object Series, NOT via
+    ``Series.map``: map's type inference coerces an (int, None) result
+    column to float64 whenever a quarantined payload shares the batch,
+    silently rounding every 63-bit hash in that batch to float64's
+    53-bit mantissa (granularity 1024 at 2^63 scale). The r8/r9 pair
+    queries masked the loss — planted pairs are id-adjacent, so both
+    members landed in the same batch and rounded identically — but the
+    r10 incremental screen's exact-batch-vs-rounded-history join
+    exposed it (pinned by test_phash_hashes_exact_beside_quarantine)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hs = pdf["payload"].map(phash63)
+            hs = pd.Series(
+                [phash63(p) for p in pdf["payload"]], dtype="object"
+            )
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "phash": hs.astype("object"),
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "phash": hs,
                     "decoded": hs.notna(),
                 }
             )

@@ -863,6 +863,51 @@ def test_media_corpus_rebuild_race_loser_keeps_winner(
     assert not [d for d in _os.listdir(parent) if ".build-" in d]
 
 
+def test_phash_hashes_exact_beside_quarantine(spark):
+    """Regression (r10): a quarantined payload sharing the Arrow batch
+    must not degrade its batch-mates' hashes. pandas Series.map coerced
+    an (int, None) column to float64, rounding every 63-bit hash in the
+    corrupt item's batch to the 53-bit mantissa — invisible to the pair
+    queries (planted pairs round together) but fatal to the incremental
+    screen's exact-batch-vs-history join."""
+    from covid_data_challenge_spark.operators.media_corpus import corpus_item
+    from covid_data_challenge_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        phash63,
+        phash_hashes,
+    )
+
+    items = [corpus_item(i) for i in (12, 13, 16, 17, 20, 21)]  # 17 corrupt
+    media = spark.createDataFrame(items, MEDIA_SCHEMA).coalesce(1)
+    got = {r.media_id: r.phash for r in phash_hashes(media).collect()}
+    for i in (12, 13, 16, 20, 21):
+        pure = phash63(bytes(corpus_item(i)[2]))
+        assert got[i] == pure, f"id {i}: {got[i]} != {pure} (float rounding)"
+    assert got[17] is None
+
+
+def test_media_incremental_history_scanned_once_never_self_joined(spark, sf_dir):
+    """The incremental screen's 100 TB contract (VERDICT r9 missing
+    #2), plan-pinned: the history fingerprint gold is scanned exactly
+    ONCE (re-banding history per ingest would scan it again; a
+    self-join would too), its bands derive in-plan, and the batch
+    arrives via BroadcastHashJoin — history is never shuffled (no
+    SortMergeJoin / no Exchange feeding the join from the gold side)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    for name, gold_token in (
+        ("media_incremental_phash_screen", "image_fp-"),
+        ("media_incremental_audio_fp_screen", "audio_fp-"),
+        ("media_incremental_video_fp_screen", "video_fp-"),
+    ):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(gold_token) == 1, f"{name}: history scanned != once"
+        assert "BroadcastHashJoin" in plan, f"{name}: batch not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: history shuffled to join"
+
+
 def test_media_corpus_decode_stats_matches_golden(spark, sf_dir):
     """The registered decode query at the gate scale must equal the
     committed golden parquet row-for-row (the same comparison the

@@ -154,6 +154,67 @@ def _fp_pairs(items: list[tuple], kind: str, fingerprint, out_name: str) -> None
     )
 
 
+INCR_SCHEMA = pa.schema(
+    [("batch_id", pa.int64()), ("hist_id", pa.int64()), ("hamming", pa.int32())]
+)
+
+
+def gen_incremental_goldens(items: list[tuple]) -> None:
+    """Ground truth for the r10 incremental screens: brute-force
+    BATCH × HISTORY distances (never history × history — the screens'
+    whole point) at the engine thresholds, replaying batch_item and
+    corpus_item through the same kernels."""
+    from covid_data_challenge_spark.operators.media_incremental import (
+        BATCH_AUDIO_N,
+        BATCH_IMAGE_N,
+        BATCH_VIDEO_N,
+        batch_item,
+    )
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash63,
+        video_fingerprint,
+    )
+
+    legs = (
+        ("image", BATCH_IMAGE_N, phash63, 6, "media_incremental_phash_golden"),
+        ("audio", BATCH_AUDIO_N, audio_fingerprint, 5,
+         "media_incremental_audio_fp_golden"),
+        ("video", BATCH_VIDEO_N, video_fingerprint, 5,
+         "media_incremental_video_fp_golden"),
+    )
+    for kind, n_batch, kernel, thr, out_name in legs:
+        hist = {
+            mid: kernel(bytes(payload))
+            for mid, k, payload, *_ in items
+            if k == kind
+        }
+        hist = {mid: f for mid, f in hist.items() if f is not None}
+        batch = {}
+        for j in range(n_batch):
+            mid, _k, payload, *_ = batch_item(kind, j)
+            f = kernel(bytes(payload))
+            if f is not None:
+                batch[mid] = f
+        rows = {"batch_id": [], "hist_id": [], "hamming": []}
+        for b, fb in sorted(batch.items()):
+            for h, fh in sorted(hist.items()):
+                if kind == "image":
+                    d = bin(fb ^ fh).count("1")
+                else:
+                    if len(fb) != len(fh):
+                        continue
+                    d = sum(bin(x ^ y).count("1") for x, y in zip(fb, fh))
+                if d <= thr:
+                    rows["batch_id"].append(b)
+                    rows["hist_id"].append(h)
+                    rows["hamming"].append(d)
+        table = pa.table(rows, schema=INCR_SCHEMA)
+        path = f"{FIXTURE_DIR}/{out_name}.parquet"
+        pq.write_table(table, path)
+        print(f"{path}: {table.num_rows} pairs")
+
+
 if __name__ == "__main__":
     from covid_data_challenge_spark.operators.multimodal import (
         audio_fingerprint,
@@ -165,3 +226,4 @@ if __name__ == "__main__":
     gen_phash_pairs(items)
     _fp_pairs(items, "audio", audio_fingerprint, "media_corpus_audio_fp_pairs_golden")
     _fp_pairs(items, "video", video_fingerprint, "media_corpus_video_fp_pairs_golden")
+    gen_incremental_goldens(items)

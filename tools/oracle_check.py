@@ -36,6 +36,10 @@ _GATE_SCALE_ONLY = {
     "media_corpus_audio_fp_neardup",
     "media_corpus_video_fp_neardup",
     "media_decode_stream",
+    # r10 incremental screens: the history side is the sf-scaled corpus
+    "media_incremental_phash_screen",
+    "media_incremental_audio_fp_screen",
+    "media_incremental_video_fp_screen",
 }
 _GATE_SF_DIRS = ("sf0.01", "sf0.001")
 
