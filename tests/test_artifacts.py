@@ -72,6 +72,37 @@ def test_plan_audit_covers_registry():
     )
 
 
+def test_bench_membership_covers_registry():
+    """The bench-membership drift gate (VERDICT r9 what's-wrong #2):
+    every registered query is in a bench tier OR carries a written
+    exemption reason in bench.BENCH_EXEMPT — nine r9 queries shipped in
+    neither, the exact miss the r9 self-review caught once (for the
+    residual split) and then repeated. Also: no stale names on either
+    side, no query both timed and exempted, and no empty reasons."""
+    import bench
+
+    registry = set(_registry())
+    tiers = (
+        set(bench.HEADLINE)
+        | set(bench.EXTENSION)
+        | set(bench.WAREHOUSE)
+        | set(bench.SCALE_SF1)
+    )
+    exempt = set(bench.BENCH_EXEMPT)
+    unaccounted = registry - tiers - exempt
+    assert not unaccounted, (
+        f"registered but neither benched nor exempted (add to a bench.py "
+        f"tier or BENCH_EXEMPT with a reason): {sorted(unaccounted)}"
+    )
+    stale = (tiers | exempt) - registry
+    assert not stale, f"bench.py names not in the registry: {sorted(stale)}"
+    double = tiers & exempt
+    assert not double, f"both timed and exempted: {sorted(double)}"
+    assert all(
+        isinstance(r, str) and len(r) >= 40 for r in bench.BENCH_EXEMPT.values()
+    ), "every exemption needs a substantive written reason"
+
+
 def test_readme_counts_match_registry():
     registry = _registry()
     n = len(registry)
