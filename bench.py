@@ -194,6 +194,10 @@ EXTENSION = [
     "media_incremental_phash_screen",
     "media_incremental_audio_fp_screen",
     "media_incremental_video_fp_screen",
+    # round 10: the cyclic-MM Davidson fit (ties + position-bias
+    # correction) — 3 rounds x 3 sub-updates over the votes fact, the
+    # iterative shape worth a standing regression watch beside BT
+    "davidson_bias_strengths",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -449,6 +453,12 @@ BENCH_EXEMPT: dict[str, str] = {
         "part_pagerank / part_triangle_census pair (edges never "
         "re-shuffled per round)",
         ["part_kcore_nodes"],
+    ),
+    **_exempt(
+        "re-runs the exact fit the benched davidson_bias_strengths "
+        "times (same 9 sub-updates, same oracle CTE chain) and projects "
+        "the judge/nu parameters instead of the strengths",
+        ["davidson_bias_params"],
     ),
     **_exempt(
         "fixed 96-row fake-decode plumbing fixture (schema/batch-shape "

@@ -149,6 +149,45 @@ def test_bradley_terry_recovers_generative_ranking(spark, sf_dir):
     assert hi > 1.5 * lo, (lo, hi)
 
 
+def test_davidson_bias_fit_recovers_planted_parameters(spark, sf_dir):
+    """The r10 fixture draws votes from the Davidson-ties +
+    position-bias model with planted θ_k = 0.6 + 0.2·k, ν = 0.4, and
+    strength = n_chars. The cyclic MM fit must recover all three
+    structures: θ strictly increasing in k (the bias CORRECTION the r9
+    report could only measure), ν within ±0.1 of planted, and fitted
+    strengths rank-tracking n_chars (quartile contrast, the BT test's
+    bar). A measured tie share confirms ties are a real outcome, not a
+    degenerate branch."""
+    from covid_data_challenge_spark.queries_shared import _docs as real_docs
+
+    params = {
+        r.metric: r.value
+        for r in REGISTRY["davidson_bias_params"].spark(spark, sf_dir).collect()
+    }
+    thetas = [params[f"judge_{k}_theta"] for k in range(N_J)]
+    assert all(a < b for a, b in zip(thetas, thetas[1:])), thetas
+    assert abs(params["nu"] - 0.4) < 0.1, params["nu"]
+    assert 0.05 < params["tie_rate"] < 0.35, params["tie_rate"]
+
+    docs = {r.doc_id: r.n_chars for r in
+            real_docs(spark, sf_dir).select("doc_id", "n_chars").collect()}
+    fit = {
+        r.doc_id: r.strength
+        for r in REGISTRY["davidson_bias_strengths"].spark(spark, sf_dir).collect()
+    }
+    ranked = sorted(docs, key=docs.get)
+    q = len(ranked) // 4
+    lo = sum(fit[i] for i in ranked[:q]) / q
+    hi = sum(fit[i] for i in ranked[-q:]) / q
+    assert hi > 1.5 * lo, (lo, hi)
+    # ties are counted per item and never negative; every item voted
+    n_ties = {
+        r.doc_id: r.n_ties
+        for r in REGISTRY["davidson_bias_strengths"].spark(spark, sf_dir).collect()
+    }
+    assert sum(n_ties.values()) > 0 and min(n_ties.values()) >= 0
+
+
 def test_quality_report_metrics_sane(spark, sf_dir):
     rows = {
         r.metric: r.value
