@@ -301,6 +301,16 @@ SCALE_SF1 = [
     # the strengths table with distinct items — expect ~linear; the MM
     # round count is fixed, so this is a pure fact-table growth read
     "bradley_terry_strengths",
+    # round 10: the incremental screens' whole point is the scale
+    # shape — a FIXED new-items batch against a 10× history gold
+    # (expect ~linear in the history scan: one gold pass, bands
+    # in-plan, batch broadcast; the r9 full-corpus re-band pair
+    # queries above are the contrast)
+    "media_incremental_phash_screen",
+    "media_incremental_audio_fp_screen",
+    # round 10: the Davidson fit beside bradley_terry_strengths —
+    # same fact growth, 3× the sub-updates
+    "davidson_bias_strengths",
 ]
 
 def _exempt(reason: str, names: list[str]) -> dict[str, str]:

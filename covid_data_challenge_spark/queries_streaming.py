@@ -1024,7 +1024,7 @@ def q_media_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the decode stage is stateless and shuffle-free per
     micro-batch; only the tiny per-kind aggregate carries state."""
     from covid_data_challenge_spark.operators.media_corpus import (
-        _gold_base,
+        _gold_path,
         media_corpus,
     )
     from covid_data_challenge_spark.operators.multimodal import (
@@ -1034,9 +1034,9 @@ def q_media_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.streaming.events import run_to_memory_sink
 
     media_corpus(spark, sf_dir)  # ensure the gold table exists/is fresh
-    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(
-        f"{_gold_base(sf_dir)}/media.parquet"
-    )
+    # the r10 mtime-keyed versioned path (the pre-r10 fixed name would
+    # miss the atomically-published directory)
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(_gold_path(sf_dir))
     feats = extract_features(stream, decoder="auto")
     cs = F.coalesce(
         F.aggregate(

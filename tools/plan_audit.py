@@ -198,6 +198,16 @@ _PY_SANCTIONED_EXACT = {
     # one mapInPandas fingerprint stage each over the media gold table
     "media_corpus_audio_fp_neardup",
     "media_corpus_video_fp_neardup",
+    # r10 large-offset shift leg: one mapInPandas fingerprint stage
+    # over the fixture table; the ±32 block matching is JVM algebra
+    "audio_fp_large_shift_neardup",
+    # r10 incremental screens: the BATCH side runs one mapInPandas
+    # fingerprint stage (history fingerprints come prebuilt from the
+    # gold parquet — no Python on the history scan); banding/verify
+    # is JVM column algebra
+    "media_incremental_phash_screen",
+    "media_incremental_audio_fp_screen",
+    "media_incremental_video_fp_screen",
 }
 
 
