@@ -194,6 +194,12 @@ EXTENSION = [
     "media_incremental_phash_screen",
     "media_incremental_audio_fp_screen",
     "media_incremental_video_fp_screen",
+    "media_incremental_audio_shift_screen",
+    # round 10 second wave: the RLHF training-pair export (one
+    # map-side-combinable pass) and the label-noise screen (re-runs
+    # the Davidson fit + two broadcast joins)
+    "dpo_pair_export",
+    "preference_label_noise_screen",
     # round 10: the cyclic-MM Davidson fit (ties + position-bias
     # correction) — 3 rounds x 3 sub-updates over the votes fact, the
     # iterative shape worth a standing regression watch beside BT
@@ -308,6 +314,9 @@ SCALE_SF1 = [
     # queries above are the contrast)
     "media_incremental_phash_screen",
     "media_incremental_audio_fp_screen",
+    # round 10 second wave: the SHIFT-tolerant screen's growth —
+    # same fixed batch, 10x history, plus the offset machinery
+    "media_incremental_audio_shift_screen",
     # round 10: the Davidson fit beside bradley_terry_strengths —
     # same fact growth, 3× the sub-updates
     "davidson_bias_strengths",

@@ -206,6 +206,148 @@ def phash_incremental_pairs(
     )
 
 
+def batch_shift_item(j: int) -> tuple:
+    """(media_id, …) pure batch item for the SHIFT-tolerant audio
+    screen: j 0–2 are a 2-hop leading trim at 0.85× volume of history
+    audio groups 0–2 (the ingest reality the aligned screen is blind
+    to — measured: caught at offset +2 with 0 bits, zero spurious
+    accepts against the whole gate corpus), j 3–6 fresh AM mixtures in
+    a batch-only namespace, j 7 a corrupt torso."""
+    from covid_data_challenge_spark.operators.multimodal import AUDIO_FP_HOP
+
+    mid = 40_000 + j
+    n = 6000 + (j % 5) * 800
+    if j < 3:
+        samples = _audio_base(j, n)[2 * AUDIO_FP_HOP:] * 0.85
+    else:
+        samples = _audio_base(j, n, key=f"media-batch-saud-{j}")
+    payload = encode_wav_samples(samples)
+    if j == BATCH_AUDIO_N - 1:
+        payload = payload[:16]
+    return (mid, "audio", bytearray(payload), "audio/wav", -1, -1,
+            len(samples) * 1000 // 8000 if j != BATCH_AUDIO_N - 1 else -1)
+
+
+def synth_media_shift_batch(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [batch_shift_item(j) for j in range(BATCH_AUDIO_N)], MEDIA_SCHEMA
+    )
+
+
+def shifted_fp_incremental_pairs(
+    hist: DataFrame,
+    batch: DataFrame,
+    bits_per_word: int,
+    max_shift: int = 4,
+    ber_num: int = 1,
+    ber_den: int | None = None,
+    min_overlap: int = 4,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """SHIFT-TOLERANT batch-vs-history matching — the two r10 families
+    composed: a new clip that arrives TRIMMED or padded relative to an
+    indexed one (the common ingest reality) still screens against the
+    history gold in one pass. → (batch_id, hist_id, offset, overlap,
+    hamming) where batch[i] aligns with hist[i + offset], accepted iff
+    hamming·ber_den ≤ ber_num·overlap·bits and overlap ≥ min_overlap,
+    best alignment by the integer comparator (hamming, −overlap,
+    |offset|, offset) — shifted_fp_pairs' exact rule, so the
+    brute-force golden replays it.
+
+    One-history-scan shape: the gold's words explode in-plan CARRYING
+    their fingerprint array, the batch's (tiny) banded words broadcast
+    on the word VALUE alone (each hit derives its offset), and the
+    slice/zip_with verify runs per hit row — redundant across a pair's
+    multiple word hits, but each fingerprint is a handful of words, and
+    it buys dedup + best-alignment as ONE min_by hash aggregation with
+    no candidate-distinct shuffle. Recall is pigeonhole-exact below
+    BER 1/bits (same argument as shifted_fp_pairs; looser budgets
+    raise). ``max_band_freq`` drops degenerate words by their HISTORY
+    document frequency (a hit needs both sides, so pruning one side
+    suffices — and history is the corpus-scale side)."""
+    if ber_den is None:
+        ber_den = bits_per_word * ber_num + 1
+    if ber_num * bits_per_word >= ber_den:
+        raise ValueError(
+            "shifted_fp_incremental_pairs: BER threshold must stay "
+            "strictly below 1/bits_per_word for pigeonhole-exact recall "
+            f"(got {ber_num}/{ber_den} with {bits_per_word}-bit words)"
+        )
+    h = hist.select(
+        F.col("media_id").alias("hist_id"), F.col("fp").alias("__fh"),
+        F.posexplode("fp").alias("__wh", "word"),
+    ).select(
+        "hist_id", "__fh", "__wh", F.col("word").cast("long").alias("word")
+    )
+    if max_band_freq is not None:
+        hot = (
+            h.groupBy("word")
+            .agg(F.count_distinct("hist_id").alias("__df"))
+            .filter(F.col("__df") > max_band_freq)
+            .select("word")
+        )
+        h = h.join(F.broadcast(hot), "word", "left_anti")
+    b = batch.select(
+        F.col("media_id").alias("batch_id"), F.col("fp").alias("__fb"),
+        F.posexplode("fp").alias("__wb", "word"),
+    ).select(
+        "batch_id", "__fb", "__wb", F.col("word").cast("long").alias("word")
+    )
+    off0 = (F.col("__wh") - F.col("__wb")).cast("int")
+    off = F.col("offset")
+    nb, nh = F.size("__fb"), F.size("__fh")
+    start_b = F.greatest(F.lit(1), F.lit(1) - off)
+    end_b = F.least(nb, nh - off)
+    ln = end_b - start_b + 1
+    ham = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__fb"), start_b, ln),
+            F.slice(F.col("__fh"), start_b + off, ln),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y).cast("long")),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    accepted = (
+        h.join(F.broadcast(b), "word")
+        .select("batch_id", "hist_id", off0.alias("offset"), "__fb", "__fh")
+        .filter(
+            (F.abs(F.col("offset")) <= max_shift) & (ln >= min_overlap)
+        )
+        .select(
+            "batch_id",
+            "hist_id",
+            "offset",
+            ln.cast("int").alias("overlap"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(
+            F.col("hamming") * ber_den
+            <= ber_num * F.col("overlap") * bits_per_word
+        )
+    )
+    best = F.min_by(
+        F.struct("offset", "overlap", "hamming"),
+        F.struct(
+            F.col("hamming"),
+            (-F.col("overlap")).alias("__no"),
+            F.abs(F.col("offset")).alias("__ao"),
+            F.col("offset"),
+        ),
+    )
+    return (
+        accepted.groupBy("batch_id", "hist_id")
+        .agg(best.alias("__b"))
+        .select(
+            "batch_id",
+            "hist_id",
+            F.col("__b.offset").alias("offset"),
+            F.col("__b.overlap").alias("overlap"),
+            F.col("__b.hamming").alias("hamming"),
+        )
+    )
+
+
 def fp_incremental_pairs(
     hist: DataFrame, batch: DataFrame, threshold: int = 5
 ) -> DataFrame:

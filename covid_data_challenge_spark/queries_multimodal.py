@@ -611,6 +611,45 @@ def q_media_incremental_video_fp_screen(
 
 
 @register(
+    "media_incremental_audio_shift_screen",
+    oracle=f"""
+SELECT batch_id, hist_id, "offset", overlap, hamming
+FROM read_parquet('{_FIXTURES}/media_incremental_audio_shift_golden.parquet')
+""",
+)
+def q_media_incremental_audio_shift_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHIFT-TOLERANT incremental audio screen (r10 — the round's two
+    new families composed): a new clip that arrives TRIMMED relative to
+    an indexed one still screens against the fingerprint history gold.
+    The batch plants a 2-hop leading trim at 0.85× volume of history
+    groups 0–2 — invisible to the aligned media_incremental_audio_fp
+    leg by construction (different fingerprint lengths), caught here at
+    offset +2 with 0 bits (measured; zero spurious accepts against the
+    whole gate corpus). One history scan carrying fingerprints through
+    the in-plan word explode, batch words broadcast on the word VALUE
+    (each hit derives its offset), slice/zip_with verify, and dedup +
+    best-alignment as ONE min_by hash aggregation. Recall
+    pigeonhole-exact below BER 1/17; oracle: committed brute-force
+    batch × history × offsets golden."""
+    from covid_data_challenge_spark.operators.media_incremental import (
+        audio_fp_gold,
+        shifted_fp_incremental_pairs,
+        synth_media_shift_batch,
+    )
+    from covid_data_challenge_spark.operators.multimodal import audio_fp_table
+
+    batch = audio_fp_table(synth_media_shift_batch(spark)).filter(
+        F.col("decoded")
+    )
+    return shifted_fp_incremental_pairs(
+        audio_fp_gold(spark, sf_dir), batch,
+        bits_per_word=16, max_shift=4, min_overlap=4, max_band_freq=64,
+    )
+
+
+@register(
     "media_corpus_audio_fp_neardup",
     oracle=f"""
 SELECT id_a, id_b, hamming

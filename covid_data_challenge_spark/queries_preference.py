@@ -929,3 +929,119 @@ def q_davidson_bias_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     ).select(F.lit("tie_rate").alias("metric"), "value")
     return thetas.unionByName(nus).unionByName(tie_rate)
+
+
+@register(
+    "dpo_pair_export",
+    oracle=f"""
+WITH {_COMPS_V2_SQL},
+perpair AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           CAST(sum(CASE WHEN oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN oc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           CAST(sum(CASE WHEN oc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt
+    FROM comps GROUP BY 1, 2
+)
+SELECT CASE WHEN na > nb THEN doc_a ELSE doc_b END AS chosen_id,
+       CASE WHEN na > nb THEN doc_b ELSE doc_a END AS rejected_id,
+       CASE WHEN na > nb THEN na ELSE nb END AS votes_chosen,
+       CASE WHEN na > nb THEN nb ELSE na END AS votes_rejected,
+       nt AS n_ties,
+       abs(na - nb) AS margin
+FROM perpair
+WHERE abs(na - nb) >= 4
+""",
+)
+def q_dpo_pair_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF training-pair export (r10): the comparison fact reduced
+    to (chosen, rejected) rows a preference-optimization trainer
+    consumes — per pair, count a-wins/b-wins/ties across all judge
+    votes, keep only DECISIVE pairs (|wins_a − wins_b| ≥ 4 of the 20
+    votes; ties never count toward either side), and orient by the
+    majority. One hash aggregation on the pair key plus row-local CASE
+    arithmetic — no joins, no windows; at 100 TB this is a single
+    map-side-combinable pass over the votes fact. The margin and tie
+    columns ride along so downstream curricula can weight by
+    decisiveness."""
+    comps = _comparisons_v2(spark, sf_dir)
+    perpair = comps.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.when(F.col("oc") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("oc") == 2, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("oc") == 1, 1).otherwise(0)).cast("long").alias("nt"),
+    )
+    a_won = F.col("na") > F.col("nb")
+    return (
+        perpair.filter(F.abs(F.col("na") - F.col("nb")) >= 4)
+        .select(
+            F.when(a_won, F.col("doc_a")).otherwise(F.col("doc_b")).alias("chosen_id"),
+            F.when(a_won, F.col("doc_b")).otherwise(F.col("doc_a")).alias("rejected_id"),
+            F.when(a_won, F.col("na")).otherwise(F.col("nb")).alias("votes_chosen"),
+            F.when(a_won, F.col("nb")).otherwise(F.col("na")).alias("votes_rejected"),
+            F.col("nt").alias("n_ties"),
+            F.abs(F.col("na") - F.col("nb")).alias("margin"),
+        )
+    )
+
+
+@register(
+    "preference_label_noise_screen",
+    oracle=f"""
+WITH {_COMPS_V2_SQL},
+{_DAV_STATIC_CTES},
+{_dav_round_ctes(_DAV_ROUNDS)},
+perpair AS MATERIALIZED (
+    SELECT doc_a, doc_b,
+           CAST(sum(CASE WHEN oc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN oc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM comps GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.na AS votes_a, p.nb AS votes_b,
+       sa.s AS strength_a, sb.s AS strength_b,
+       abs(p.na - p.nb) AS margin
+FROM perpair p
+JOIN s{_DAV_ROUNDS} sa ON sa.doc_id = p.doc_a
+JOIN s{_DAV_ROUNDS} sb ON sb.doc_id = p.doc_b
+WHERE abs(p.na - p.nb) >= 2
+  AND ((p.na > p.nb AND sa.s < sb.s) OR (p.nb > p.na AND sb.s < sa.s))
+""",
+)
+def q_preference_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen over the preference corpus (r10 — the
+    cleanlab move for comparison data): pairs whose DECISIVE majority
+    vote (margin ≥ 2) contradicts the Davidson fit's strength ordering.
+    The fit pools every comparison of both items and absorbs judge
+    position bias and ties, so a pair the whole-corpus model disagrees
+    with is either annotator noise or genuinely surprising content —
+    exactly the rows a reward-data pipeline routes to re-review before
+    training. Strengths are the fit's round-6-snapped values, so the
+    strict < comparisons replay bit-exactly in the unrolled-CTE oracle.
+    Scale: one pair aggregation + two broadcast joins of the
+    items-sized strengths table."""
+    _stats, s, _th, _nu = _davidson_fit(spark, sf_dir)
+    comps = _comparisons_v2(spark, sf_dir)
+    perpair = comps.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.when(F.col("oc") == 0, 1).otherwise(0)).cast("long").alias("votes_a"),
+        F.sum(F.when(F.col("oc") == 2, 1).otherwise(0)).cast("long").alias("votes_b"),
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("strength_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("strength_b"))
+    a_maj = F.col("votes_a") > F.col("votes_b")
+    b_maj = F.col("votes_b") > F.col("votes_a")
+    return (
+        perpair.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.abs(F.col("votes_a") - F.col("votes_b")) >= 2)
+        .filter(
+            (a_maj & (F.col("strength_a") < F.col("strength_b")))
+            | (b_maj & (F.col("strength_b") < F.col("strength_a")))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "votes_a",
+            "votes_b",
+            "strength_a",
+            "strength_b",
+            F.abs(F.col("votes_a") - F.col("votes_b")).alias("margin"),
+        )
+    )

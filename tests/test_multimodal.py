@@ -896,16 +896,55 @@ def test_media_incremental_history_scanned_once_never_self_joined(spark, sf_dir)
     import covid_data_challenge_spark.queries_ext  # noqa: F401
     from covid_data_challenge_spark.registry import REGISTRY
 
-    for name, gold_token in (
-        ("media_incremental_phash_screen", "image_fp-"),
-        ("media_incremental_audio_fp_screen", "audio_fp-"),
-        ("media_incremental_video_fp_screen", "video_fp-"),
+    for name, gold_token, n_scans in (
+        ("media_incremental_phash_screen", "image_fp-", 1),
+        ("media_incremental_audio_fp_screen", "audio_fp-", 1),
+        ("media_incremental_video_fp_screen", "video_fp-", 1),
+        # the shift screen's max_band_freq stop-word guard needs a
+        # history document-frequency pass: exactly TWO scans of the
+        # compact gold (stats + probe) — still never a self-join, and
+        # the df side collapses to a broadcast anti-join input
+        ("media_incremental_audio_shift_screen", "audio_fp-", 2),
     ):
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count(gold_token) == 1, f"{name}: history scanned != once"
+        assert plan.count(gold_token) == n_scans, (
+            f"{name}: history scanned {plan.count(gold_token)} != {n_scans}"
+        )
         assert "BroadcastHashJoin" in plan, f"{name}: batch not broadcast"
         assert "SortMergeJoin" not in plan, f"{name}: history shuffled to join"
+
+
+def test_media_incremental_shift_screen_catches_trimmed_ingest(spark, sf_dir):
+    """The shift-tolerant incremental screen (r10, the round's two new
+    families composed): a 2-hop-trimmed 0.85× re-master of history
+    groups 0–2 matches BOTH volume variants of its group at offset +2
+    with 0 bits; fresh batch clips match nothing; the corrupt batch
+    torso is quarantined; and the aligned incremental leg is blind to
+    all of it (different fingerprint lengths) — the gap this query
+    exists to close."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = (
+        REGISTRY["media_incremental_audio_shift_screen"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    got = {(r.batch_id, r.hist_id): (r.offset, r.overlap, r.hamming)
+           for r in rows}
+    assert len(got) == 6
+    for j in range(3):
+        for hist_variant in (2, 6):  # 1.0x and 0.6x volume members
+            k = (40_000 + j, j * 8 + hist_variant)
+            assert k in got and got[k][0] == 2 and got[k][2] == 0, (k, got)
+    # the aligned leg sees none of these (lengths differ by the trim)
+    aligned = (
+        REGISTRY["media_incremental_audio_fp_screen"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert not any(r.batch_id >= 40_000 for r in aligned)
 
 
 def test_media_corpus_decode_stats_matches_golden(spark, sf_dir):

@@ -188,6 +188,36 @@ def test_davidson_bias_fit_recovers_planted_parameters(spark, sf_dir):
     assert sum(n_ties.values()) > 0 and min(n_ties.values()) >= 0
 
 
+def test_dpo_export_and_label_noise_screen(spark, sf_dir):
+    """The RLHF export surface (r10): every exported DPO pair is
+    decisive (margin ≥ 4, chosen votes > rejected), orientation is the
+    majority's, and the pair universe reconciles with the v2
+    comparisons fact. The label-noise screen returns only pairs whose
+    decisive majority CONTRADICTS the Davidson fit ordering — verified
+    per row against the strengths the query itself reports — and finds
+    a real, non-empty noise set on the generative fixture (a model
+    draw at p < 1 guarantees some minority outcomes)."""
+    pairs = REGISTRY["dpo_pair_export"].spark(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.margin >= 4
+        assert r.votes_chosen > r.votes_rejected
+        assert r.votes_chosen - r.votes_rejected == r.margin
+        assert r.votes_chosen + r.votes_rejected + r.n_ties == N_J * qp._DAV_REPS
+        assert r.chosen_id != r.rejected_id
+
+    noise = REGISTRY["preference_label_noise_screen"].spark(spark, sf_dir).collect()
+    assert len(noise) > 0
+    for r in noise:
+        assert abs(r.votes_a - r.votes_b) >= 2
+        if r.votes_a > r.votes_b:
+            assert r.strength_a < r.strength_b  # majority vs fit contradiction
+        else:
+            assert r.strength_b < r.strength_a
+    # the screen flags a minority of decisive pairs, not the corpus
+    assert len(noise) < len(pairs)
+
+
 def test_quality_report_metrics_sane(spark, sf_dir):
     rows = {
         r.metric: r.value

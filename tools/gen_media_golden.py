@@ -215,6 +215,71 @@ def gen_incremental_goldens(items: list[tuple]) -> None:
         print(f"{path}: {table.num_rows} pairs")
 
 
+SHIFT_INCR_SCHEMA = pa.schema(
+    [
+        ("batch_id", pa.int64()),
+        ("hist_id", pa.int64()),
+        ("offset", pa.int32()),
+        ("overlap", pa.int32()),
+        ("hamming", pa.int32()),
+    ]
+)
+
+
+def gen_shift_incremental_golden(items: list[tuple]) -> None:
+    """Ground truth for the r10 shift-tolerant incremental audio
+    screen: brute-force BATCH × HISTORY × OFFSETS with exactly the
+    operator's accept rule (BER strictly below 1/17, overlap ≥ 4,
+    |offset| ≤ 4) and best-alignment comparator."""
+    from covid_data_challenge_spark.operators.media_incremental import (
+        BATCH_AUDIO_N,
+        batch_shift_item,
+    )
+    from covid_data_challenge_spark.operators.multimodal import audio_fingerprint
+
+    bits, max_shift, min_overlap = 16, 4, 4
+    hist = {
+        mid: audio_fingerprint(bytes(p))
+        for mid, k, p, *_ in items
+        if k == "audio"
+    }
+    hist = {m: f for m, f in hist.items() if f is not None}
+    batch = {}
+    for j in range(BATCH_AUDIO_N):
+        mid, _k, p, *_ = batch_shift_item(j)
+        f = audio_fingerprint(bytes(p))
+        if f is not None:
+            batch[mid] = f
+    rows = {k: [] for k in SHIFT_INCR_SCHEMA.names}
+    for b, fb in sorted(batch.items()):
+        for h, fh in sorted(hist.items()):
+            best = None
+            for off in range(-max_shift, max_shift + 1):
+                sb = max(0, -off)
+                eb = min(len(fb), len(fh) - off)
+                ln = eb - sb
+                if ln < min_overlap:
+                    continue
+                ham = sum(
+                    bin(fb[t] ^ fh[t + off]).count("1") for t in range(sb, eb)
+                )
+                if ham * (bits + 1) > ln * bits:
+                    continue
+                key = (ham, -ln, abs(off), off)
+                if best is None or key < best[0]:
+                    best = (key, off, ln, ham)
+            if best is not None:
+                rows["batch_id"].append(b)
+                rows["hist_id"].append(h)
+                rows["offset"].append(best[1])
+                rows["overlap"].append(best[2])
+                rows["hamming"].append(best[3])
+    table = pa.table(rows, schema=SHIFT_INCR_SCHEMA)
+    path = f"{FIXTURE_DIR}/media_incremental_audio_shift_golden.parquet"
+    pq.write_table(table, path)
+    print(f"{path}: {table.num_rows} pairs")
+
+
 if __name__ == "__main__":
     from covid_data_challenge_spark.operators.multimodal import (
         audio_fingerprint,
@@ -227,3 +292,4 @@ if __name__ == "__main__":
     _fp_pairs(items, "audio", audio_fingerprint, "media_corpus_audio_fp_pairs_golden")
     _fp_pairs(items, "video", video_fingerprint, "media_corpus_video_fp_pairs_golden")
     gen_incremental_goldens(items)
+    gen_shift_incremental_golden(items)

@@ -40,6 +40,7 @@ _GATE_SCALE_ONLY = {
     "media_incremental_phash_screen",
     "media_incremental_audio_fp_screen",
     "media_incremental_video_fp_screen",
+    "media_incremental_audio_shift_screen",
 }
 _GATE_SF_DIRS = ("sf0.01", "sf0.001")
 

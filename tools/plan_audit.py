@@ -208,6 +208,7 @@ _PY_SANCTIONED_EXACT = {
     "media_incremental_phash_screen",
     "media_incremental_audio_fp_screen",
     "media_incremental_video_fp_screen",
+    "media_incremental_audio_shift_screen",
 }
 
 
