@@ -43,9 +43,9 @@ from pyspark.sql import functions as F
 from covid_data_challenge_spark.operators.media_corpus import (
     _audio_base,
     _gold_base,
-    _gold_path,
     _video_luma,
     atomic_publish_gold,
+    gold_tag,
     media_corpus,
 )
 from covid_data_challenge_spark.operators.multimodal import (
@@ -132,15 +132,26 @@ def synth_media_batch(spark: SparkSession, kind: str) -> DataFrame:
     )
 
 
+#: gold paths whose history-id range was already checked against the
+#: batch namespaces this session — the disjointness assert is one tiny
+#: max() action per gold table, not one per query invocation
+_DISJOINT_OK: set[str] = set()
+
+
 def _fp_gold(
     spark: SparkSession, sf_dir: str, kind: str, table_fn, fp_col: str
 ) -> DataFrame:
     """The history fingerprint gold table for ``kind``: decode + hash
     the corpus's ``kind`` rows ONCE, publish atomically beside the
-    corpus gold (same mtime tag, so a corpus rebuild invalidates it),
-    then serve plain parquet scans."""
-    tag = _gold_path(sf_dir).rsplit("-", 1)[1].removesuffix(".parquet")
-    path = f"{_gold_base(sf_dir)}/{kind}_fp-{tag}.parquet"
+    corpus gold (same mtime tag via :func:`media_corpus.gold_tag`, so a
+    corpus rebuild invalidates it), then serve plain parquet scans.
+
+    Id-namespace guard (ADVICE r10): the batch namespaces (10000+) are
+    only disjoint from history ids while the corpus stays under 10000
+    items (~400k docs) — asserted here at screen time instead of
+    silently aliasing a history id and corrupting screen results at
+    scales beyond the shipped fixtures."""
+    path = f"{_gold_base(sf_dir)}/{kind}_fp-{gold_tag(sf_dir)}.parquet"
 
     def build(tmp: str) -> None:
         table_fn(
@@ -150,7 +161,18 @@ def _fp_gold(
         ).parquet(tmp)
 
     atomic_publish_gold(path, build)
-    return spark.read.parquet(path)
+    gold = spark.read.parquet(path)
+    if path not in _DISJOINT_OK:
+        lim = min(BATCH_BASE.values())
+        mx = gold.agg(F.max("media_id")).collect()[0][0]
+        if mx is not None and mx >= lim:
+            raise ValueError(
+                f"media history ids reach {mx} ≥ batch id base {lim}: the "
+                "batch namespaces would alias history items — raise "
+                "BATCH_BASE (and the goldens) before screening this corpus"
+            )
+        _DISJOINT_OK.add(path)
+    return gold
 
 
 def phash_gold(spark: SparkSession, sf_dir: str) -> DataFrame:

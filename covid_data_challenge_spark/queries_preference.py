@@ -597,21 +597,38 @@ def _comparisons_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fit results per (applicationId, sf_dir) — the fit is deterministic
+#: and every returned frame is an eager localCheckpoint, so one oracle/
+#: bench sweep pays the 9-sub-update MM once instead of once per
+#: consumer (ADVICE r10: davidson_bias_strengths / _params and the
+#: noise screen each re-ran it). Keyed by applicationId so a restarted
+#: SparkContext (whose checkpoints die with it) can never serve a stale
+#: entry; pytest's monkeypatched-_docs fixtures use distinct sf_dir
+#: strings, so they never collide with real-directory entries.
+_DAV_FIT_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _davidson_fit(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Run the cyclic-MM Davidson-with-bias fit → (stats, s, th, nu):
-    per-item (doc_id, n_comparisons, n_wins, n_ties), the strengths
-    table (items-sized), the judge-bias table (J rows), and the 1-row ν
-    frame. Every denominator sums nano-scaled BIGINTs (the BT integer
-    discipline) and every updated parameter snaps to round-6, so the
-    unrolled-CTE oracle replays the loop bit for bit; each sub-update
-    recomputes D̂ from the freshest parameters (that's what makes each
-    step a monotone MM step). Scale shape: the votes fact is
-    |pairs|·J·R rows keyed on doc ids; s is items-sized, θ is J rows,
-    ν a scalar — all broadcast-class; 3 rounds × 3 sub-updates = 9
-    joins over the fact, each one hash aggregation, eagerly
-    checkpointed per round."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Run the cyclic-MM Davidson-with-bias fit → (comps, stats, s, th,
+    nu): the checkpointed votes fact, per-item (doc_id, n_comparisons,
+    n_wins, n_ties), the strengths table (items-sized), the judge-bias
+    table (J rows), and the 1-row ν frame. Every denominator sums
+    nano-scaled BIGINTs (the BT integer discipline) and every updated
+    parameter snaps to round-6, so the unrolled-CTE oracle replays the
+    loop bit for bit; each sub-update recomputes D̂ from the freshest
+    parameters (that's what makes each step a monotone MM step). Scale
+    shape: the votes fact is |pairs|·J·R rows keyed on doc ids; s is
+    items-sized, θ is J rows, ν a scalar — all broadcast-class; 3
+    rounds × 3 sub-updates = 9 joins over the fact, each one hash
+    aggregation, eagerly checkpointed per round. Consumers that need
+    the raw votes aggregate the returned ``comps`` (VERDICT r10
+    advisory #2: the noise screen used to regenerate it)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DAV_FIT_CACHE.get(key)
+    if cached is not None:
+        return cached
     comps = _comparisons_v2(spark, sf_dir).localCheckpoint(eager=True)
     na = F.when(F.col("oc") == 0, 1).otherwise(0)
     nt = F.when(F.col("oc") == 1, 1).otherwise(0)
@@ -728,7 +745,8 @@ def _davidson_fit(
             )
             .localCheckpoint(eager=True)
         )
-    return stats, s, th, nu
+    _DAV_FIT_CACHE[key] = (comps, stats, s, th, nu)
+    return _DAV_FIT_CACHE[key]
 
 
 def _dav_round_ctes(rounds: int) -> str:
@@ -866,7 +884,7 @@ def q_davidson_bias_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ν = 0.4 — pytest pins the θ ordering, the ν recovery, and the
     strength-vs-n_chars rank agreement. Oracle: the same cyclic rounds
     unrolled as CTEs, bit-exact."""
-    stats, s, _th, _nu = _davidson_fit(spark, sf_dir)
+    _comps, stats, s, _th, _nu = _davidson_fit(spark, sf_dir)
     m = s.agg(
         (
             F.sum(F.round(F.col("s") * F.lit(1e6)).cast("long")).cast("double")
@@ -912,8 +930,7 @@ def q_davidson_bias_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicking a box, and the strengths above are estimated net of that),
     the tie affinity ν, and the raw tie rate. Shares the fit with
     davidson_bias_strengths (same rounds, same oracle CTE chain)."""
-    _stats, _s, th, nu = _davidson_fit(spark, sf_dir)
-    comps = _comparisons_v2(spark, sf_dir)
+    comps, _stats, _s, th, nu = _davidson_fit(spark, sf_dir)
     thetas = th.select(
         F.concat(
             F.lit("judge_"), F.col("judge").cast("string"), F.lit("_theta")
@@ -1017,8 +1034,7 @@ def q_preference_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFra
     strict < comparisons replay bit-exactly in the unrolled-CTE oracle.
     Scale: one pair aggregation + two broadcast joins of the
     items-sized strengths table."""
-    _stats, s, _th, _nu = _davidson_fit(spark, sf_dir)
-    comps = _comparisons_v2(spark, sf_dir)
+    comps, _stats, s, _th, _nu = _davidson_fit(spark, sf_dir)
     perpair = comps.groupBy("doc_a", "doc_b").agg(
         F.sum(F.when(F.col("oc") == 0, 1).otherwise(0)).cast("long").alias("votes_a"),
         F.sum(F.when(F.col("oc") == 2, 1).otherwise(0)).cast("long").alias("votes_b"),

@@ -238,12 +238,28 @@ def gen_shift_incremental_golden(items: list[tuple]) -> None:
     from covid_data_challenge_spark.operators.multimodal import audio_fingerprint
 
     bits, max_shift, min_overlap = 16, 4, 4
+    max_band_freq = 64  # the engine's history stop-word prune knob
     hist = {
         mid: audio_fingerprint(bytes(p))
         for mid, k, p, *_ in items
         if k == "audio"
     }
     hist = {m: f for m, f in hist.items() if f is not None}
+    # ADVICE r10: the engine prunes history words with document
+    # frequency > max_band_freq BEFORE banding; this brute force has no
+    # banding, so engine and golden silently diverge the moment a word
+    # actually exceeds the knob. Assert the prune is inert at this gate
+    # corpus — if this ever fires, replay the prune here instead.
+    df_counts: dict[int, int] = {}
+    for f in hist.values():
+        for w in set(f):
+            df_counts[w] = df_counts.get(w, 0) + 1
+    hottest = max(df_counts.values(), default=0)
+    assert hottest <= max_band_freq, (
+        f"history word document frequency {hottest} exceeds the engine's "
+        f"max_band_freq={max_band_freq}: the engine would prune words this "
+        "golden still matches on — replay the DF prune in this generator"
+    )
     batch = {}
     for j in range(BATCH_AUDIO_N):
         mid, _k, p, *_ = batch_shift_item(j)
