@@ -204,6 +204,12 @@ EXTENSION = [
     # correction) — 3 rounds x 3 sub-updates over the votes fact, the
     # iterative shape worth a standing regression watch beside BT
     "davidson_bias_strengths",
+    # round 11 (VERDICT r10 #1): the rerank path's build/serve split —
+    # build writes the ADC shortlist gold for the fixed batch (timed as
+    # a full rebuild each run, like ann_pq_build); serve prices the
+    # exact-cosine second stage alone over the prebuilt shortlist
+    "ann_pq_rerank_build",
+    "ann_pq_rerank_serve",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -263,17 +269,14 @@ SCALE_SF1 = [
     "zipf_law_fit",
     "cross_source_contamination",
     # round 6 (VERDICT r5 #9): the heavy-hitter curation/selection
-    # queries get driver-visible 10× bands. Caveat for ann_pq_rerank:
-    # its fixture query set is every-50th-vector, so |Q| scales with the
-    # corpus and the measured growth is |Q|×(index build + serve), i.e.
-    # expected super-linear here; the production serving path holds |Q|
-    # fixed (SCALING.md records the fixed-batch band). Kept anyway so
-    # the build+serve composite has a recorded, regression-watchable
-    # number rather than SCALING.md prose.
+    # queries get driver-visible 10× bands. (ann_pq_rerank sat here
+    # through r10 as the documented |Q| ∝ corpus build+audit composite —
+    # its 6.1–6.9× growth was index construction + audit re-run, not a
+    # regression. r11 split it: ann_pq_rerank_serve below is the graded
+    # growth number; the composite stays timed in EXTENSION only.)
     "moore_lewis_select",
     "platt_scaling_fit",
     "d4_prune_recipe",
-    "ann_pq_rerank",
     # round 6: the trigram KN's LM tables grow with distinct trigrams
     # (watch ~linear), and the unigram EM round is bounded by the word
     # DICTIONARY (Heaps' law) — its growth should be nearly FLAT, the
@@ -320,6 +323,12 @@ SCALE_SF1 = [
     # round 10: the Davidson fit beside bradley_terry_strengths —
     # same fact growth, 3× the sub-updates
     "davidson_bias_strengths",
+    # round 11 (VERDICT r10 #1): the exact-rerank SERVING band — fixed
+    # 64-query batch × prebuilt shortlist gold, so this growth number
+    # reads the candidate-fetch corpus scan alone (expect the
+    # ann_pq_serve ≲2× band); replaces the retired ann_pq_rerank
+    # composite's needs-an-asterisk 6.9×
+    "ann_pq_rerank_serve",
 ]
 
 def _exempt(reason: str, names: list[str]) -> dict[str, str]:

@@ -1262,45 +1262,14 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final window is per-query over ≤20 rows. The oracle replays
     the whole two-level index build + ADC shortlist as CTEs and
     re-ranks with the same guarded dot/(|a||b|) fold — hash-exact."""
-    from covid_data_challenge_spark.functions.vector import dot, norm, to_double
     from covid_data_challenge_spark.operators.pq import ivfpq_topk
-    from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     short = ivfpq_topk(
         emb, queries, k=20, n_centroids=16, nprobe=8, n_sub=32, n_codes=32
     ).select("query_id", "neighbor_id")
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        to_double(F.col("embedding")).alias("__qv"),
-        norm(F.col("embedding")).alias("__nq"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        to_double(F.col("embedding")).alias("__cv"),
-        norm(F.col("embedding")).alias("__nc"),
-    )
-    sim = F.when(
-        (F.col("__nq") > 0) & (F.col("__nc") > 0),
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
-    ).otherwise(F.lit(0.0))
-    sims = c.join(F.broadcast(short.join(F.broadcast(q), "query_id")), "neighbor_id").select(
-        "query_id", "neighbor_id", sim.alias("__sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("__sim"), 4).alias("cosine_sim"),
-            "rank",
-        )
-    )
+    return _exact_cosine_rerank(emb, short, queries, k=5)
 
 
 def _top_pc_ctes(iters: int = 3, dim: int = 64) -> str:
@@ -2589,9 +2558,7 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float32/int parquet roundtrip is exact; pinned for IVF in pytest),
     so the oracle replays the full build + probe as CTEs and
     hash-matches either path."""
-    from covid_data_challenge_spark.functions.vector import dot, norm, to_double
     from covid_data_challenge_spark.operators.pq import ivfpq_serve
-    from pyspark.sql import Window
 
     centroids, codebook, index = _pq_gold_load(spark, sf_dir)
     emb = _emb(spark, sf_dir)
@@ -2600,36 +2567,7 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids, codebook, index, queries,
         k=20, nprobe=8, n_sub=32, n_codes=32,
     ).select("query_id", "neighbor_id")
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        to_double(F.col("embedding")).alias("__qv"),
-        norm(F.col("embedding")).alias("__nq"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        to_double(F.col("embedding")).alias("__cv"),
-        norm(F.col("embedding")).alias("__nc"),
-    )
-    sim = F.when(
-        (F.col("__nq") > 0) & (F.col("__nc") > 0),
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
-    ).otherwise(F.lit(0.0))
-    sims = c.join(
-        F.broadcast(short.join(F.broadcast(q), "query_id")), "neighbor_id"
-    ).select("query_id", "neighbor_id", sim.alias("__sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("__sim"), 4).alias("cosine_sim"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _exact_cosine_rerank(emb, short, queries, k=5)
 
 
 def _ivfpq_residual_build_ctes(
@@ -2904,3 +2842,200 @@ def q_ann_ivfpq_residual_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, nprobe=8, n_centroids=n_cells,
         n_sub=32, n_codes=32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: ann_pq_rerank split into BUILD and SERVE legs (VERDICT r10
+# next-round #1 — the last bench entry whose sf1 growth read as a scale
+# regression but was index construction + |Q| ∝ corpus audit re-run).
+# The ADC SHORTLIST for the fixed serving batch becomes its own gold
+# artifact beside the index tables; the serve leg prices ONLY the
+# second retrieval stage — fetching the shortlist's true float vectors
+# in one corpus scan and exact-cosine re-ranking — which is the
+# per-batch cost a production two-stage store pays after the index and
+# shortlist exist. The in-session ann_pq_rerank composite stays
+# registered as the build+audit regression watch (like
+# ann_ivfpq_residual), but retires from the graded growth tier.
+# ---------------------------------------------------------------------------
+
+_PQSHORT_GOLD_VERSION = 1
+_PQSHORT_K = 20  # the 4× over-fetch of the final top-5
+
+
+def _pqshort_gold_base(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/spark_graft_pqshort_gold_v{_PQSHORT_GOLD_VERSION}/{key}"
+
+
+def _pqshort_gold_build(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the ADC shortlist gold for the FIXED serving batch:
+    probe the prebuilt IVF-PQ index gold (building it only if absent)
+    at k'=_PQSHORT_K and WRITE (query_id, neighbor_id, adc_distance).
+    Returns the base path."""
+    from covid_data_challenge_spark.operators.pq import ivfpq_serve
+
+    base = _pqshort_gold_base(sf_dir)
+    centroids, codebook, index = _pq_gold_load(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200))
+    short = ivfpq_serve(
+        centroids, codebook, index, queries,
+        k=_PQSHORT_K, nprobe=8, n_sub=32, n_codes=32,
+    )
+    short.select("query_id", "neighbor_id", "adc_distance").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/shortlist")
+    return base
+
+
+def _pqshort_gold_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-or-build for the shortlist gold — the same _SUCCESS-marker
+    + source-mtime staleness discipline as _gold_load_or_build (the
+    shortlist derives from the index, which derives from embeddings, so
+    staleness is judged against the embeddings source)."""
+    import os
+
+    base = _pqshort_gold_base(sf_dir)
+    marker = f"{base}/shortlist/_SUCCESS"
+    src = f"{sf_dir}/embeddings.parquet"
+    missing = not os.path.exists(marker)
+    stale = (
+        not missing
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(marker)
+    )
+    if missing or stale:
+        _pqshort_gold_build(spark, sf_dir)
+    return spark.read.parquet(f"{base}/shortlist")
+
+
+def _exact_cosine_rerank(
+    emb: DataFrame, short: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """The second stage of two-stage retrieval, shared by every rerank
+    leg: broadcast the (|Q|·k') shortlist joined with the query vectors
+    into ONE corpus scan that fetches candidate float vectors by id,
+    exact-cosine score on candidates only, per-query top-k window over
+    ≤ k' rows → (query_id, neighbor_id, cosine_sim, rank)."""
+    from covid_data_challenge_spark.functions.vector import dot, norm, to_double
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        to_double(F.col("embedding")).alias("__qv"),
+        norm(F.col("embedding")).alias("__nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("__cv"),
+        norm(F.col("embedding")).alias("__nc"),
+    )
+    sim = F.when(
+        (F.col("__nq") > 0) & (F.col("__nc") > 0),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
+    ).otherwise(F.lit(0.0))
+    sims = c.join(
+        F.broadcast(short.join(F.broadcast(q), "query_id")), "neighbor_id"
+    ).select("query_id", "neighbor_id", sim.alias("__sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 4).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "ann_pq_rerank_build",
+    oracle=f"""
+WITH short AS (
+    SELECT query_id, neighbor_id, adc_distance
+    FROM ({_ann_ivfpq_oracle(n_centroids=_PQ_NLIST_SQL, k=_PQSHORT_K,
+                             qfilter=_PQ_SERVE_FILTER)})
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(neighbor_id) AS BIGINT) AS neighbor_sum,
+       CAST(sum(CAST(round(adc_distance * 1e6) AS BIGINT)) AS BIGINT)
+           AS adc_sum_micro
+FROM short GROUP BY query_id
+""",
+)
+def q_ann_pq_rerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist BUILD for the two-stage rerank path (r11): probe the
+    prebuilt IVF-PQ index gold with the fixed serving batch at
+    k'=_PQSHORT_K=20 and WRITE the ADC shortlist as its own gold table —
+    the scheduled-job half of the IVFADC+R layout, timed separately so
+    ann_pq_rerank_serve prices re-ranking only. Returns the per-query
+    shortlist summary (candidate count, neighbor-id checksum,
+    micro-scaled ADC sum) read back FROM THE WRITTEN FILES, so the
+    oracle — the full index build + ADC probe unrolled as CTEs —
+    hash-checks the persisted artifact end to end (the ann_pq_build
+    discipline). ADC distances are already round-6 snapped, so the
+    micro-scaling is midpoint-free in both engines."""
+    base = _pqshort_gold_build(spark, sf_dir)
+    short = spark.read.parquet(f"{base}/shortlist")
+    return short.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("neighbor_id").cast("long").alias("neighbor_sum"),
+        F.sum(F.round(F.col("adc_distance") * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("adc_sum_micro"),
+    )
+
+
+@register(
+    "ann_pq_rerank_serve",
+    oracle=f"""
+WITH short AS (
+    SELECT query_id, neighbor_id
+    FROM ({_ann_ivfpq_oracle(n_centroids=_PQ_NLIST_SQL, k=_PQSHORT_K,
+                             qfilter=_PQ_SERVE_FILTER)})
+),
+qv AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE {_PQ_SERVE_FILTER}
+),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+sims AS (
+    SELECT s.query_id, s.neighbor_id, {_dd_cos('q.qvec', 'c.cvec')} AS sim
+    FROM short s
+    JOIN qv q USING (query_id)
+    JOIN cv c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, CAST(rank AS INT) AS rank
+FROM (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS rank
+    FROM sims
+) WHERE rank <= 5
+""",
+)
+def q_ann_pq_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank SERVE (r11 — VERDICT r10 next-round #1): read the
+    PREBUILT ADC shortlist gold (building it only if absent) and run
+    ONLY the second retrieval stage — one corpus scan fetching the
+    shortlist's true float vectors by id (broadcast hash join, the
+    corpus is never shuffled), exact-cosine on |Q|·k' candidates,
+    per-query top-5 window. This is the number that answers "what does
+    exact re-ranking a served batch cost once the index and shortlist
+    exist?" — |Q| held constant across scales, so the sf1 growth tier
+    reads the corpus-scan term alone (expect ≲2×, the ann_pq_serve
+    band; the old ann_pq_rerank composite's 6.9× was |Q| ∝ corpus
+    build+audit). Reading the reloaded shortlist is bit-identical to
+    probing in session (float32/int parquet roundtrip is exact), so the
+    oracle replays build + probe + rerank as CTEs and hash-matches
+    either path."""
+    short = _pqshort_gold_load(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200))
+    return _exact_cosine_rerank(emb, short, queries, k=5)

@@ -1196,6 +1196,33 @@ def test_ivfpq_residual_gold_roundtrip_serve_matches_composite(spark, sf_dir, tm
     assert len(served) > 0
 
 
+def test_ann_pq_rerank_serve_matches_recomputed_shortlist_and_plan(spark, sf_dir):
+    """r11 rerank build/serve split: re-ranking the RELOADED shortlist
+    gold (ann_pq_rerank_serve) is row-identical to re-ranking a
+    shortlist probed in session (ann_pq_serve — same fixed batch, same
+    index gold, same k'=20 → top-5), because the int/float parquet
+    roundtrip is exact. The serve leg's executed plan must fetch
+    candidates via broadcast joins into ONE corpus scan — never a
+    SortMergeJoin, never a corpus shuffle before the per-query
+    window."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401 — registers all queries
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    served = REGISTRY["ann_pq_rerank_serve"].spark(spark, sf_dir)
+    via_probe = REGISTRY["ann_pq_serve"].spark(spark, sf_dir).collect()
+    rows = served.collect()
+    assert len(rows) > 0
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, via_probe))
+    for r in rows:
+        assert 1 <= r.rank <= 5
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert "SortMergeJoin" not in plan
+    assert final.count("BroadcastHashJoin") == 2  # shortlist⋈q, then →corpus scan
+
+
 def test_near_dedup_best_quality_survivor_not_min_id(spark, monkeypatch):
     """dedup_near_keep_best_quality (r9): in a planted 3-doc near-dup
     cluster where the HIGHEST-quality member has the LARGEST id, the
