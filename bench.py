@@ -204,6 +204,14 @@ EXTENSION = [
     # correction) — 3 rounds x 3 sub-updates over the votes fact, the
     # iterative shape worth a standing regression watch beside BT
     "davidson_bias_strengths",
+    # round 11: the video twin of the shift-tolerant incremental screen
+    "media_incremental_video_shift_screen",
+    # round 11: the bias-corrected export (fit-oriented, cache-read) and
+    # the warm-started incremental fit round (the preference family's
+    # batch-vs-history leg — prices weights + ONE MM round, the fit
+    # itself stays priced by davidson_bias_strengths' forced refit)
+    "dpo_pair_export_v2",
+    "davidson_incremental_update",
     # round 11 (VERDICT r10 #1): the rerank path's build/serve split —
     # build writes the ADC shortlist gold for the fixed batch (timed as
     # a full rebuild each run, like ann_pq_build); serve prices the
@@ -320,9 +328,15 @@ SCALE_SF1 = [
     # round 10 second wave: the SHIFT-tolerant screen's growth —
     # same fixed batch, 10x history, plus the offset machinery
     "media_incremental_audio_shift_screen",
+    # round 11: its video twin — 63-bit words, same fixed-batch contract
+    "media_incremental_video_shift_screen",
     # round 10: the Davidson fit beside bradley_terry_strengths —
     # same fact growth, 3× the sub-updates
     "davidson_bias_strengths",
+    # round 11: the incremental leg beside it — one warm-started round
+    # over the grown fact (the fit reads the session cache populated by
+    # the strengths readings), so its growth prices batch ingest alone
+    "davidson_incremental_update",
     # round 11 (VERDICT r10 #1): the exact-rerank SERVING band — fixed
     # 64-query batch × prebuilt shortlist gold, so this growth number
     # reads the candidate-fetch corpus scan alone (expect the

@@ -1233,31 +1233,36 @@ idx AS (SELECT CAST(unnest(range(1, 100000)) AS INT) AS i),
 grams AS (
     {grams}
 ),
-counts AS (
-    SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+hashed AS (
+    -- r11 constant cut (VERDICT r10 #6): the aggregation keys on the
+    -- fixed-width md5 of the gram, with the char length carried as its
+    -- own exact integer — gram strings die in this projection instead
+    -- of riding the shuffle and the top-1 pick. md5 is the engines'
+    -- shared hash (the md5-coin discipline), so the count key and the
+    -- tie-break stay bit-identical across engines. (A 60-bit integer
+    -- cut of the md5 was measured SLOWER on the 32-thread box — the
+    -- per-row hex parse outweighs the narrower shuffle key.)
+    SELECT doc_id, n, md5(gram) AS k,
            CAST(len(gram) - (n - 1) AS BIGINT) AS charlen
-    FROM grams GROUP BY 1, 2, 3
+    FROM grams
 ),
-ranked AS (
-    SELECT doc_id, n, c * charlen AS gchars, c,
-           row_number() OVER (PARTITION BY doc_id, n
-                              ORDER BY c DESC, gram) AS rn
-    FROM counts
+counts AS (
+    SELECT doc_id, n, k, CAST(count(*) AS BIGINT) AS c,
+           CAST(max(charlen) AS BIGINT) AS charlen
+    FROM hashed GROUP BY 1, 2, 3
 ),
-per_n AS (
+joined AS (
+    -- r11: the top-1 gram is an ordered-first aggregate beside the
+    -- sums — ONE hash aggregation per (doc, n) instead of a
+    -- row_number window (a full partition sort) plus a tops join.
+    -- (c DESC, k) is a total order within the group (k is unique), so
+    -- ordered first is deterministic in both engines.
     SELECT doc_id, n,
            CAST(sum(c * charlen) AS BIGINT) AS all_chars,
            CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * charlen END), 0)
-             AS BIGINT) AS dup_chars
+             AS BIGINT) AS dup_chars,
+           CAST(first(c * charlen ORDER BY c DESC, k) AS BIGINT) AS top_chars
     FROM counts GROUP BY 1, 2
-),
-tops AS (
-    SELECT doc_id, n, CAST(gchars AS BIGINT) AS top_chars
-    FROM ranked WHERE rn = 1
-),
-joined AS (
-    SELECT p.doc_id, p.n, p.all_chars, p.dup_chars, t.top_chars
-    FROM per_n p JOIN tops t ON p.doc_id = t.doc_id AND p.n = t.n
 )
 SELECT c.doc_id, c.n_chars,
        {top_cols},
@@ -1321,27 +1326,47 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_chars.alias("n_chars"),
             F.explode(let(toks, _streams)).alias("g"),
         )
-        .select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        # r11 constant cut (VERDICT r10 #6): reduce each gram to its
+        # fixed-width md5 key + exact char length IN THIS PROJECTION —
+        # the variable-length gram strings (up to ~10 tokens each, nine
+        # streams deep) die before the aggregation, so the map-side
+        # combine, the shuffle, and the top-1 pick all carry 32-char
+        # keys and integers instead. md5 is the engines' shared hash
+        # (the md5-coin discipline), so the count key and tie-break
+        # stay bit-exact. (A 60-bit integer cut of the md5 was measured
+        # SLOWER — the per-row hex parse outweighs the narrower key.)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("g.n").alias("n"),
+            F.md5(F.col("g.gram")).alias("k"),
+            (F.length("g.gram") - (F.col("g.n") - 1)).cast("long").alias(
+                "charlen"
+            ),
+        )
     )
-    counts = base.groupBy("doc_id", "n_chars", "n", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    counts = base.groupBy("doc_id", "n_chars", "n", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.max("charlen").cast("long").alias("charlen"),
     )
-    charlen = (F.length("gram") - (F.col("n") - 1)).cast("long")
-    counts = counts.withColumn("gchars", (F.col("c") * charlen).cast("long"))
-    w_top = Window.partitionBy("doc_id", "n").orderBy(
-        F.col("c").desc(), F.col("gram").asc()
+    counts = counts.withColumn(
+        "gchars", (F.col("c") * F.col("charlen")).cast("long")
     )
-    ranked = counts.withColumn("rn", F.row_number().over(w_top))
-    per_n = counts.groupBy("doc_id", "n_chars", "n").agg(
+    # r11: top-1 as a min_by over the (−c, k) comparator — a map-side-
+    # combinable hash aggregate beside the sums, replacing the old
+    # row_number window (a full per-(doc, n) sort) plus a tops join.
+    # k is unique within the group, so the comparator is a total order
+    # and the pick matches the oracle's ordered-first bit for bit.
+    top = F.min_by(
+        F.col("gchars"), F.struct((-F.col("c")).alias("__nc"), F.col("k"))
+    )
+    joined = counts.groupBy("doc_id", "n_chars", "n").agg(
         F.sum("gchars").cast("long").alias("all_chars"),
         F.coalesce(
             F.sum(F.when(F.col("c") >= 2, F.col("gchars"))), F.lit(0)
         ).cast("long").alias("dup_chars"),
+        top.cast("long").alias("top_chars"),
     )
-    tops = ranked.filter(F.col("rn") == 1).select(
-        "doc_id", "n", F.col("gchars").alias("top_chars")
-    )
-    joined = per_n.join(tops, ["doc_id", "n"])
     agg_cols = []
     for n in _GRF_TOP:
         agg_cols.append(

