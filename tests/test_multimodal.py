@@ -905,6 +905,7 @@ def test_media_incremental_history_scanned_once_never_self_joined(spark, sf_dir)
         # compact gold (stats + probe) — still never a self-join, and
         # the df side collapses to a broadcast anti-join input
         ("media_incremental_audio_shift_screen", "audio_fp-", 2),
+        ("media_incremental_video_shift_screen", "video_fp-", 2),
     ):
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -947,7 +948,30 @@ def test_media_incremental_shift_screen_catches_trimmed_ingest(spark, sf_dir):
     assert not any(r.batch_id >= 40_000 for r in aligned)
 
 
-def test_media_corpus_decode_stats_matches_golden(spark, sf_dir):
+def test_media_incremental_video_shift_screen_catches_recut_ingest(spark, sf_dir):
+    """The r11 video twin: a +40-regraded first-frame RE-CUT of history
+    group 0 screens at offset +1 (overlap 5), a fresh-frame LEAD-IN
+    over group 1 at offset −1 (overlap 5), and a two-frame deep cut of
+    group 2 at offset +2 (overlap 4, the floor) — each with 0 bits
+    against BOTH brightness variants of its group (DC exclusion);
+    fresh batch clips match nothing (measured best BER ≥ 0.37 vs the
+    1/64 budget); the corrupt torso is quarantined."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = (
+        REGISTRY["media_incremental_video_shift_screen"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    got = {(r.batch_id, r.hist_id): (r.offset, r.overlap, r.hamming)
+           for r in rows}
+    assert len(got) == 6
+    for j, (off, ov) in enumerate(((1, 5), (-1, 5), (2, 4))):
+        for hist_variant in (3, 7):  # plain and +25-regraded members
+            k = (50_000 + j, j * 8 + hist_variant)
+            assert k in got and got[k] == (off, ov, 0), (k, got)
+    assert not any(b >= 50_003 for b, _h in got)  # fresh + corrupt: no hits
     """The registered decode query at the gate scale must equal the
     committed golden parquet row-for-row (the same comparison the
     driver's DuckDB hash gate runs at sf0.01)."""

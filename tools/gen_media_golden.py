@@ -226,74 +226,86 @@ SHIFT_INCR_SCHEMA = pa.schema(
 )
 
 
-def gen_shift_incremental_golden(items: list[tuple]) -> None:
-    """Ground truth for the r10 shift-tolerant incremental audio
-    screen: brute-force BATCH × HISTORY × OFFSETS with exactly the
-    operator's accept rule (BER strictly below 1/17, overlap ≥ 4,
-    |offset| ≤ 4) and best-alignment comparator."""
+def gen_shift_incremental_goldens(items: list[tuple]) -> None:
+    """Ground truth for the shift-tolerant incremental screens (r10
+    audio, r11 video): brute-force BATCH × HISTORY × OFFSETS with
+    exactly the operator's accept rule (BER strictly below
+    1/bits_per_word, overlap ≥ 4, |offset| ≤ 4) and best-alignment
+    comparator, per modality."""
     from covid_data_challenge_spark.operators.media_incremental import (
         BATCH_AUDIO_N,
+        BATCH_VIDEO_N,
         batch_shift_item,
+        batch_video_shift_item,
     )
-    from covid_data_challenge_spark.operators.multimodal import audio_fingerprint
+    from covid_data_challenge_spark.operators.multimodal import (
+        audio_fingerprint,
+        video_fingerprint,
+    )
 
-    bits, max_shift, min_overlap = 16, 4, 4
+    max_shift, min_overlap = 4, 4
     max_band_freq = 64  # the engine's history stop-word prune knob
-    hist = {
-        mid: audio_fingerprint(bytes(p))
-        for mid, k, p, *_ in items
-        if k == "audio"
-    }
-    hist = {m: f for m, f in hist.items() if f is not None}
-    # ADVICE r10: the engine prunes history words with document
-    # frequency > max_band_freq BEFORE banding; this brute force has no
-    # banding, so engine and golden silently diverge the moment a word
-    # actually exceeds the knob. Assert the prune is inert at this gate
-    # corpus — if this ever fires, replay the prune here instead.
-    df_counts: dict[int, int] = {}
-    for f in hist.values():
-        for w in set(f):
-            df_counts[w] = df_counts.get(w, 0) + 1
-    hottest = max(df_counts.values(), default=0)
-    assert hottest <= max_band_freq, (
-        f"history word document frequency {hottest} exceeds the engine's "
-        f"max_band_freq={max_band_freq}: the engine would prune words this "
-        "golden still matches on — replay the DF prune in this generator"
+    legs = (
+        ("audio", 16, BATCH_AUDIO_N, batch_shift_item, audio_fingerprint,
+         "media_incremental_audio_shift_golden"),
+        ("video", 63, BATCH_VIDEO_N, batch_video_shift_item,
+         video_fingerprint, "media_incremental_video_shift_golden"),
     )
-    batch = {}
-    for j in range(BATCH_AUDIO_N):
-        mid, _k, p, *_ = batch_shift_item(j)
-        f = audio_fingerprint(bytes(p))
-        if f is not None:
-            batch[mid] = f
-    rows = {k: [] for k in SHIFT_INCR_SCHEMA.names}
-    for b, fb in sorted(batch.items()):
-        for h, fh in sorted(hist.items()):
-            best = None
-            for off in range(-max_shift, max_shift + 1):
-                sb = max(0, -off)
-                eb = min(len(fb), len(fh) - off)
-                ln = eb - sb
-                if ln < min_overlap:
-                    continue
-                ham = sum(
-                    bin(fb[t] ^ fh[t + off]).count("1") for t in range(sb, eb)
-                )
-                if ham * (bits + 1) > ln * bits:
-                    continue
-                key = (ham, -ln, abs(off), off)
-                if best is None or key < best[0]:
-                    best = (key, off, ln, ham)
-            if best is not None:
-                rows["batch_id"].append(b)
-                rows["hist_id"].append(h)
-                rows["offset"].append(best[1])
-                rows["overlap"].append(best[2])
-                rows["hamming"].append(best[3])
-    table = pa.table(rows, schema=SHIFT_INCR_SCHEMA)
-    path = f"{FIXTURE_DIR}/media_incremental_audio_shift_golden.parquet"
-    pq.write_table(table, path)
-    print(f"{path}: {table.num_rows} pairs")
+    for kind, bits, n_batch, batch_fn, kernel, out_name in legs:
+        hist = {
+            mid: kernel(bytes(p)) for mid, k, p, *_ in items if k == kind
+        }
+        hist = {m: f for m, f in hist.items() if f is not None}
+        # ADVICE r10: the engine prunes history words with document
+        # frequency > max_band_freq BEFORE banding; this brute force has
+        # no banding, so engine and golden silently diverge the moment a
+        # word actually exceeds the knob. Assert the prune is inert at
+        # this gate corpus — if it ever fires, replay the prune here.
+        df_counts: dict[int, int] = {}
+        for f in hist.values():
+            for w in set(f):
+                df_counts[w] = df_counts.get(w, 0) + 1
+        hottest = max(df_counts.values(), default=0)
+        assert hottest <= max_band_freq, (
+            f"{kind}: history word document frequency {hottest} exceeds the "
+            f"engine's max_band_freq={max_band_freq}: the engine would prune "
+            "words this golden still matches on — replay the DF prune here"
+        )
+        batch = {}
+        for j in range(n_batch):
+            mid, _k, p, *_ = batch_fn(j)
+            f = kernel(bytes(p))
+            if f is not None:
+                batch[mid] = f
+        rows = {k: [] for k in SHIFT_INCR_SCHEMA.names}
+        for b, fb in sorted(batch.items()):
+            for h, fh in sorted(hist.items()):
+                best = None
+                for off in range(-max_shift, max_shift + 1):
+                    sb = max(0, -off)
+                    eb = min(len(fb), len(fh) - off)
+                    ln = eb - sb
+                    if ln < min_overlap:
+                        continue
+                    ham = sum(
+                        bin(fb[t] ^ fh[t + off]).count("1")
+                        for t in range(sb, eb)
+                    )
+                    if ham * (bits + 1) > ln * bits:
+                        continue
+                    key = (ham, -ln, abs(off), off)
+                    if best is None or key < best[0]:
+                        best = (key, off, ln, ham)
+                if best is not None:
+                    rows["batch_id"].append(b)
+                    rows["hist_id"].append(h)
+                    rows["offset"].append(best[1])
+                    rows["overlap"].append(best[2])
+                    rows["hamming"].append(best[3])
+        table = pa.table(rows, schema=SHIFT_INCR_SCHEMA)
+        path = f"{FIXTURE_DIR}/{out_name}.parquet"
+        pq.write_table(table, path)
+        print(f"{path}: {table.num_rows} pairs")
 
 
 if __name__ == "__main__":
@@ -308,4 +320,4 @@ if __name__ == "__main__":
     _fp_pairs(items, "audio", audio_fingerprint, "media_corpus_audio_fp_pairs_golden")
     _fp_pairs(items, "video", video_fingerprint, "media_corpus_video_fp_pairs_golden")
     gen_incremental_goldens(items)
-    gen_shift_incremental_golden(items)
+    gen_shift_incremental_goldens(items)

@@ -209,6 +209,9 @@ _PY_SANCTIONED_EXACT = {
     "media_incremental_audio_fp_screen",
     "media_incremental_video_fp_screen",
     "media_incremental_audio_shift_screen",
+    # r11 video twin of the shift screen: same batch-side mapInPandas
+    # fingerprint stage; history words come prebuilt from the gold
+    "media_incremental_video_shift_screen",
 }
 
 
