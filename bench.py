@@ -206,6 +206,10 @@ EXTENSION = [
     "davidson_bias_strengths",
     # round 11: the video twin of the shift-tolerant incremental screen
     "media_incremental_video_shift_screen",
+    # round 11: image transform tolerance — tiled pHash with 2-D offset
+    # voting (pair fixture + the crop/pad incremental screen)
+    "image_tile_phash_neardup",
+    "media_incremental_image_tile_screen",
     # round 11: the bias-corrected export (fit-oriented, cache-read) and
     # the warm-started incremental fit round (the preference family's
     # batch-vs-history leg — prices weights + ONE MM round, the fit
@@ -330,6 +334,9 @@ SCALE_SF1 = [
     "media_incremental_audio_shift_screen",
     # round 11: its video twin — 63-bit words, same fixed-batch contract
     "media_incremental_video_shift_screen",
+    # round 11: the 2-D crop/pad screen — fixed batch vs the 10× tiled
+    # history gold (one scan + broadcast, like every incremental leg)
+    "media_incremental_image_tile_screen",
     # round 10: the Davidson fit beside bradley_terry_strengths —
     # same fact growth, 3× the sub-updates
     "davidson_bias_strengths",

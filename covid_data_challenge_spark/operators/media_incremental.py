@@ -179,6 +179,35 @@ def phash_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fp_gold(spark, sf_dir, "image", phash_hashes, "phash")
 
 
+def tile_phash_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TILED-pHash history gold (r11): (media_id, nx, ny, fp) over
+    the corpus's images, decoded once and published with the same
+    mtime-tag atomic discipline as the 1-D fingerprint golds — the
+    index the crop/pad screen probes."""
+    from covid_data_challenge_spark.operators.tilehash import tile_phash_table
+
+    path = f"{_gold_base(sf_dir)}/image_tile_fp-{gold_tag(sf_dir)}.parquet"
+
+    def build(tmp: str) -> None:
+        tile_phash_table(
+            media_corpus(spark, sf_dir).filter(F.col("kind") == "image")
+        ).filter(F.col("decoded")).select(
+            "media_id", "nx", "ny", "fp"
+        ).write.mode("overwrite").parquet(tmp)
+
+    atomic_publish_gold(path, build)
+    gold = spark.read.parquet(path)
+    if path not in _DISJOINT_OK:
+        lim = min(BATCH_BASE.values())
+        mx = gold.agg(F.max("media_id")).collect()[0][0]
+        if mx is not None and mx >= lim:
+            raise ValueError(
+                f"media history ids reach {mx} ≥ batch id base {lim}"
+            )
+        _DISJOINT_OK.add(path)
+    return gold
+
+
 def audio_fp_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fp_gold(spark, sf_dir, "audio", audio_fp_table, "fp")
 

@@ -906,6 +906,7 @@ def test_media_incremental_history_scanned_once_never_self_joined(spark, sf_dir)
         # the df side collapses to a broadcast anti-join input
         ("media_incremental_audio_shift_screen", "audio_fp-", 2),
         ("media_incremental_video_shift_screen", "video_fp-", 2),
+        ("media_incremental_image_tile_screen", "image_tile_fp-", 2),
     ):
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -991,6 +992,42 @@ def test_media_incremental_video_shift_screen_catches_recut_ingest(spark, sf_dir
     )
     assert got == want
     assert sum(1 for t in want if not t[3]) == 2  # the two quarantine rows
+
+
+def test_tile_phash_screen_catches_crop_and_pad(spark, sf_dir):
+    """The r11 2-D transform-tolerance family: the incremental screen
+    reports exactly the planted crops of history groups 0–2 at offset
+    (1, 0) with 0 bits against the PNG members only (the JPEG members
+    keep no exact tile after recompression — the measured candidate
+    rule), and the top-pad of group 3 at (0, −1); fresh scenes and the
+    corrupt torso surface nothing. The pair query's per-scene structure
+    holds: all 6 in-scene pairs (crop / q85-recompressed crop / pad
+    against each other and the original), zero cross-scene pairs, and
+    the lossless crop/pad legs are 0-bit while the q85 legs stay within
+    the 4-bit/tile budget."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    rows = (
+        REGISTRY["media_incremental_image_tile_screen"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    got = {(r.batch_id, r.hist_id): (r.dx, r.dy, r.overlap, r.hamming)
+           for r in rows}
+    assert len(got) == 4
+    for j in range(3):
+        k = (60_000 + j, j * 4)  # the group's PNG member
+        assert k in got and got[k] == (1, 0, 4, 0), (k, got)
+    assert got[(60_003, 12)] == (0, -1, 6, 0)
+
+    pairs = REGISTRY["image_tile_phash_neardup"].spark(spark, sf_dir).collect()
+    assert len(pairs) == 30  # 6 per scene × 5 scenes
+    for r in pairs:
+        assert r.id_a // 4 == r.id_b // 4  # never cross-scene
+        assert r.hamming <= 4 * r.overlap
+        if r.id_a % 4 != 2 and r.id_b % 4 != 2:
+            assert r.hamming == 0  # lossless crop/pad: bit-exact tiles
 
 
 def test_media_corpus_phash_neardup_planted_pairs(spark, sf_dir):

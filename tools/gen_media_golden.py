@@ -308,6 +308,151 @@ def gen_shift_incremental_goldens(items: list[tuple]) -> None:
         print(f"{path}: {table.num_rows} pairs")
 
 
+TILE_PAIRS_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("dx", pa.int32()),
+        ("dy", pa.int32()),
+        ("overlap", pa.int32()),
+        ("hamming", pa.int32()),
+    ]
+)
+TILE_INCR_SCHEMA = pa.schema(
+    [
+        ("batch_id", pa.int64()),
+        ("hist_id", pa.int64()),
+        ("dx", pa.int32()),
+        ("dy", pa.int32()),
+        ("overlap", pa.int32()),
+        ("hamming", pa.int32()),
+    ]
+)
+
+
+def _tile_match_brute(fa, fb, max_shift=2, max_bits_per_tile=4, min_overlap=4):
+    """Replay the 2-D tile matcher for one (a, b): candidate offsets
+    are ONLY those proposed by an exact tile-word collision (the
+    banding rule — recall is measured, not pigeonhole, so the golden
+    must replay it), verified over the aligned overlap rectangle,
+    best alignment by the engine's integer comparator. fa/fb are
+    (nx, ny, words row-major); convention: b tile (tx, ty) aligns a
+    tile (tx+dx, ty+dy)."""
+    nxa, nya, wa = fa
+    nxb, nyb, wb = fb
+    pos_a: dict[int, list[tuple[int, int]]] = {}
+    for ty in range(nya):
+        for tx in range(nxa):
+            pos_a.setdefault(wa[ty * nxa + tx], []).append((tx, ty))
+    offsets = set()
+    for ty in range(nyb):
+        for tx in range(nxb):
+            for txa, tya in pos_a.get(wb[ty * nxb + tx], ()):
+                dx, dy = txa - tx, tya - ty
+                if abs(dx) <= max_shift and abs(dy) <= max_shift:
+                    offsets.add((dx, dy))
+    best = None
+    for dx, dy in sorted(offsets):
+        bx0, by0 = max(0, -dx), max(0, -dy)
+        ovw = min(nxb, nxa - dx) - bx0
+        ovh = min(nyb, nya - dy) - by0
+        if ovw < 1 or ovh < 1 or ovw * ovh < min_overlap:
+            continue
+        ham = 0
+        for ti in range(ovh):
+            for tj in range(ovw):
+                b_w = wb[(by0 + ti) * nxb + bx0 + tj]
+                a_w = wa[(by0 + dy + ti) * nxa + bx0 + dx + tj]
+                ham += bin(b_w ^ a_w).count("1")
+        ov = ovw * ovh
+        if ham > max_bits_per_tile * ov:
+            continue
+        key = (ham, -ov, abs(dx) + abs(dy), dx, dy)
+        if best is None or key < best[0]:
+            best = (key, dx, dy, ov, ham)
+    return best
+
+
+def gen_tile_phash_goldens(items: list[tuple]) -> None:
+    """Ground truth for the r11 tiled-pHash family: the pair-query
+    fixture (all unordered pairs) and the incremental screen (batch ×
+    history corpus images), both replaying candidate banding + rect
+    verify + best-alignment exactly."""
+    from covid_data_challenge_spark.operators.tilehash import (
+        TILE_BATCH_N,
+        TILE_FIXTURE_GROUPS,
+        batch_tile_item,
+        tile_fixture_item,
+        tile_phash,
+    )
+
+    # pair fixture
+    fps = {}
+    for sid in range(TILE_FIXTURE_GROUPS):
+        for v in range(4):
+            mid, _k, p, *_ = tile_fixture_item(sid, v)
+            f = tile_phash(bytes(p))
+            if f is not None:
+                fps[mid] = f
+    rows = {k: [] for k in TILE_PAIRS_SCHEMA.names}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        best = _tile_match_brute(fps[a], fps[b])
+        if best is not None:
+            _, dx, dy, ov, ham = best
+            rows["id_a"].append(a)
+            rows["id_b"].append(b)
+            rows["dx"].append(dx)
+            rows["dy"].append(dy)
+            rows["overlap"].append(ov)
+            rows["hamming"].append(ham)
+    table = pa.table(rows, schema=TILE_PAIRS_SCHEMA)
+    path = f"{FIXTURE_DIR}/image_tile_phash_pairs_golden.parquet"
+    pq.write_table(table, path)
+    print(f"{path}: {table.num_rows} pairs")
+
+    # incremental screen: corpus image history × batch
+    hist = {}
+    for mid, k, p, *_ in items:
+        if k != "image":
+            continue
+        f = tile_phash(bytes(p))
+        if f is not None:
+            hist[mid] = f
+    # the engine's max_band_freq=64 history word prune must be inert
+    # here, or engine and golden diverge (the shift-screen guard)
+    df_counts: dict[int, int] = {}
+    for _nx, _ny, ws in hist.values():
+        for w in set(ws):
+            df_counts[w] = df_counts.get(w, 0) + 1
+    hottest = max(df_counts.values(), default=0)
+    assert hottest <= 64, (
+        f"tile-word document frequency {hottest} exceeds max_band_freq=64 — "
+        "replay the DF prune in this generator"
+    )
+    batch = {}
+    for j in range(TILE_BATCH_N):
+        mid, _k, p, *_ = batch_tile_item(j)
+        f = tile_phash(bytes(p))
+        if f is not None:
+            batch[mid] = f
+    rows = {k: [] for k in TILE_INCR_SCHEMA.names}
+    for b, fb in sorted(batch.items()):
+        for h, fh in sorted(hist.items()):
+            best = _tile_match_brute(fh, fb)
+            if best is not None:
+                _, dx, dy, ov, ham = best
+                rows["batch_id"].append(b)
+                rows["hist_id"].append(h)
+                rows["dx"].append(dx)
+                rows["dy"].append(dy)
+                rows["overlap"].append(ov)
+                rows["hamming"].append(ham)
+    table = pa.table(rows, schema=TILE_INCR_SCHEMA)
+    path = f"{FIXTURE_DIR}/media_incremental_image_tile_golden.parquet"
+    pq.write_table(table, path)
+    print(f"{path}: {table.num_rows} pairs")
+
+
 if __name__ == "__main__":
     from covid_data_challenge_spark.operators.multimodal import (
         audio_fingerprint,
@@ -321,3 +466,4 @@ if __name__ == "__main__":
     _fp_pairs(items, "video", video_fingerprint, "media_corpus_video_fp_pairs_golden")
     gen_incremental_goldens(items)
     gen_shift_incremental_goldens(items)
+    gen_tile_phash_goldens(items)

@@ -212,6 +212,10 @@ _PY_SANCTIONED_EXACT = {
     # r11 video twin of the shift screen: same batch-side mapInPandas
     # fingerprint stage; history words come prebuilt from the gold
     "media_incremental_video_shift_screen",
+    # r11 tiled-pHash family: one mapInPandas tile-fingerprint stage
+    # over the fixture / batch side; 2-D matching is JVM column algebra
+    "image_tile_phash_neardup",
+    "media_incremental_image_tile_screen",
 }
 
 
