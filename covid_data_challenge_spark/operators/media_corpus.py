@@ -281,11 +281,15 @@ def atomic_publish_gold(path: str, build) -> None:
     build(tmp)
     try:
         os.rename(tmp, path)
-    except OSError:
+    except OSError as e:
+        import errno
+
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(f"{path}/_SUCCESS"):
-            # not the lost-race case: the destination was never
-            # published by anyone — surface the real failure here
+        lost_race = e.errno in (errno.EEXIST, errno.ENOTEMPTY)
+        if not lost_race and not os.path.exists(f"{path}/_SUCCESS"):
+            # neither the lost-race errno nor a published destination:
+            # a genuine publish failure (EACCES, parent removed, …) —
+            # surface it here instead of as a confusing read-path error
             raise
     else:
         _prune_superseded(path)
