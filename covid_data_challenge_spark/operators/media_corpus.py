@@ -281,15 +281,23 @@ def atomic_publish_gold(path: str, build) -> None:
     build(tmp)
     try:
         os.rename(tmp, path)
-    except OSError as e:
-        import errno
-
+    except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
-        lost_race = e.errno in (errno.EEXIST, errno.ENOTEMPTY)
-        if not lost_race and not os.path.exists(f"{path}/_SUCCESS"):
-            # neither the lost-race errno nor a published destination:
-            # a genuine publish failure (EACCES, parent removed, …) —
-            # surface it here instead of as a confusing read-path error
+        # Benign ONLY if the destination was actually published by the
+        # race winner — probed with a fresh os.stat of the marker, not
+        # errno alone (an interrupted cleanup can leave a non-empty,
+        # unpublished destination that also fails ENOTEMPTY) and not
+        # os.path.exists (whose result the caller's check-then-act race
+        # window has already proven unreliable once).
+        published = True
+        try:
+            os.stat(f"{path}/_SUCCESS")
+        except OSError:
+            published = False
+        if not published:
+            # genuine publish failure (EACCES, parent removed, stray
+            # partial destination, …) — surface it here instead of as
+            # a confusing read-path error later
             raise
     else:
         _prune_superseded(path)
@@ -298,9 +306,14 @@ def atomic_publish_gold(path: str, build) -> None:
 def _prune_superseded(path: str) -> None:
     """Best-effort removal of STRICTLY older mtime-tagged siblings of a
     just-published gold directory (``<family>-<tag>.parquet`` under the
-    same base). Older tags are only reachable by sessions that already
-    materialized their scans; any new reader resolves the current tag,
-    so deletion is safe — and ignore_errors keeps a concurrent reader's
+    same base) — ADVICE r10: every testdata regeneration used to leave
+    a full superseded corpus copy under /tmp forever. Tradeoff, stated
+    honestly: an old tag can still be referenced by a concurrent
+    session's LAZY DataFrame (Spark scans at action time), and such a
+    session would now see a FileNotFoundException instead of silently
+    computing over data for a SOURCE FILE VERSION that no longer exists
+    — a loud failure where the old behavior gave a stale answer. New
+    readers always resolve the current tag; ignore_errors keeps an
     in-flight scan from failing the publisher."""
     import re
     import shutil

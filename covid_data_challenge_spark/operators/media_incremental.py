@@ -138,29 +138,26 @@ def synth_media_batch(spark: SparkSession, kind: str) -> DataFrame:
 _DISJOINT_OK: set[str] = set()
 
 
-def _fp_gold(
-    spark: SparkSession, sf_dir: str, kind: str, table_fn, fp_col: str
+def _publish_media_gold(
+    spark: SparkSession, sf_dir: str, name: str, build_df
 ) -> DataFrame:
-    """The history fingerprint gold table for ``kind``: decode + hash
-    the corpus's ``kind`` rows ONCE, publish atomically beside the
-    corpus gold (same mtime tag via :func:`media_corpus.gold_tag`, so a
-    corpus rebuild invalidates it), then serve plain parquet scans.
+    """ONE publish + guard implementation for every derived media gold
+    (1-D fingerprints AND the r11 tile grid — a second copy of this
+    block already drifted once): build the frame via ``build_df()``,
+    publish atomically beside the corpus gold (same mtime tag via
+    :func:`media_corpus.gold_tag`, so a corpus rebuild invalidates it),
+    then serve plain parquet scans.
 
     Id-namespace guard (ADVICE r10): the batch namespaces (10000+) are
     only disjoint from history ids while the corpus stays under 10000
-    items (~400k docs) — asserted here at screen time instead of
-    silently aliasing a history id and corrupting screen results at
-    scales beyond the shipped fixtures."""
-    path = f"{_gold_base(sf_dir)}/{kind}_fp-{gold_tag(sf_dir)}.parquet"
-
-    def build(tmp: str) -> None:
-        table_fn(
-            media_corpus(spark, sf_dir).filter(F.col("kind") == kind)
-        ).filter(F.col("decoded")).select("media_id", fp_col).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-
-    atomic_publish_gold(path, build)
+    items (~400k docs) — asserted here at screen time (one cached max()
+    per gold table) instead of silently aliasing a history id and
+    corrupting screen results at scales beyond the shipped fixtures."""
+    path = f"{_gold_base(sf_dir)}/{name}-{gold_tag(sf_dir)}.parquet"
+    atomic_publish_gold(
+        path,
+        lambda tmp: build_df().write.mode("overwrite").parquet(tmp),
+    )
     gold = spark.read.parquet(path)
     if path not in _DISJOINT_OK:
         lim = min(BATCH_BASE.values())
@@ -175,37 +172,41 @@ def _fp_gold(
     return gold
 
 
+def _fp_gold(
+    spark: SparkSession, sf_dir: str, kind: str, table_fn, fp_col: str
+) -> DataFrame:
+    """The history fingerprint gold table for ``kind``: decode + hash
+    the corpus's ``kind`` rows ONCE (see :func:`_publish_media_gold`
+    for the publish + id-guard discipline)."""
+    return _publish_media_gold(
+        spark,
+        sf_dir,
+        f"{kind}_fp",
+        lambda: table_fn(
+            media_corpus(spark, sf_dir).filter(F.col("kind") == kind)
+        ).filter(F.col("decoded")).select("media_id", fp_col),
+    )
+
+
 def phash_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fp_gold(spark, sf_dir, "image", phash_hashes, "phash")
 
 
 def tile_phash_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TILED-pHash history gold (r11): (media_id, nx, ny, fp) over
-    the corpus's images, decoded once and published with the same
-    mtime-tag atomic discipline as the 1-D fingerprint golds — the
-    index the crop/pad screen probes."""
+    the corpus's images — the index the crop/pad screen probes (see
+    :func:`_publish_media_gold` for the publish + id-guard
+    discipline)."""
     from covid_data_challenge_spark.operators.tilehash import tile_phash_table
 
-    path = f"{_gold_base(sf_dir)}/image_tile_fp-{gold_tag(sf_dir)}.parquet"
-
-    def build(tmp: str) -> None:
-        tile_phash_table(
+    return _publish_media_gold(
+        spark,
+        sf_dir,
+        "image_tile_fp",
+        lambda: tile_phash_table(
             media_corpus(spark, sf_dir).filter(F.col("kind") == "image")
-        ).filter(F.col("decoded")).select(
-            "media_id", "nx", "ny", "fp"
-        ).write.mode("overwrite").parquet(tmp)
-
-    atomic_publish_gold(path, build)
-    gold = spark.read.parquet(path)
-    if path not in _DISJOINT_OK:
-        lim = min(BATCH_BASE.values())
-        mx = gold.agg(F.max("media_id")).collect()[0][0]
-        if mx is not None and mx >= lim:
-            raise ValueError(
-                f"media history ids reach {mx} ≥ batch id base {lim}"
-            )
-        _DISJOINT_OK.add(path)
-    return gold
+        ).filter(F.col("decoded")).select("media_id", "nx", "ny", "fp"),
+    )
 
 
 def audio_fp_gold(spark: SparkSession, sf_dir: str) -> DataFrame:

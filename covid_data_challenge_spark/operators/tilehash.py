@@ -114,11 +114,13 @@ def tile_phash_table(media: DataFrame) -> DataFrame:
     )
 
 
-def _tile_verify(max_bits_per_tile: int, min_overlap: int):
+def _tile_verify(min_overlap: int):
     """The shared verify expressions over a candidate row carrying
     (__fa, nxa, nya, __fb, nxb, nyb, dx, dy): overlap rectangle dims,
-    total XOR popcount over the aligned tiles, and the accept filter.
-    Convention: side-b tile (tx, ty) aligns side-a tile (tx+dx, ty+dy)."""
+    total XOR popcount over the aligned tiles, and the geometry filter
+    (the bits-budget accept is applied by _tile_match on the computed
+    hamming). Convention: side-b tile (tx, ty) aligns side-a tile
+    (tx+dx, ty+dy)."""
     bx0 = F.greatest(F.lit(0), -F.col("dx"))
     by0 = F.greatest(F.lit(0), -F.col("dy"))
     ovw = F.least(F.col("nxb"), F.col("nxa") - F.col("dx")) - bx0
@@ -198,13 +200,19 @@ def _tile_match(
     max_bits_per_tile: int,
     min_overlap: int,
     extra_filter=None,
+    broadcast_b: bool = False,
 ) -> DataFrame:
     """Core 2-D matcher over pre-exploded sides: word-value equi-join →
     derive (dx, dy) per hit → rectangle verify → accept → best
-    alignment per pair as ONE min_by aggregation."""
-    ov, ham, geom_ok = _tile_verify(max_bits_per_tile, min_overlap)
+    alignment per pair as ONE min_by aggregation. ``broadcast_b`` is
+    for the incremental flavor ONLY (side b is the tiny ingest batch);
+    the corpus-internal pair flavor must NOT broadcast a corpus-sized
+    side — the word equi-join shuffles both sides there, exactly like
+    the 1-D shifted_fp_pairs."""
+    ov, ham, geom_ok = _tile_verify(min_overlap)
+    b_in = F.broadcast(b_sides) if broadcast_b else b_sides
     cand = (
-        a_sides.join(F.broadcast(b_sides), "word")
+        a_sides.join(b_in, "word")
         .select(
             a_id,
             b_id,
@@ -302,7 +310,8 @@ def tile_phash_incremental_pairs(
         h = h.join(F.broadcast(hot), "word", "left_anti")
     b = _tile_sides(batch, "batch_id", "b")
     return _tile_match(
-        h, b, "hist_id", "batch_id", max_shift, max_bits_per_tile, min_overlap
+        h, b, "hist_id", "batch_id", max_shift, max_bits_per_tile,
+        min_overlap, broadcast_b=True,
     ).select("batch_id", "hist_id", "dx", "dy", "overlap", "hamming")
 
 

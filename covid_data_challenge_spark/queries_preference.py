@@ -1246,16 +1246,28 @@ WITH {_COMPS_V2_SQL},
 {_dav_round_ctes(_DAV_ROUNDS)},
 {_comps_v2_sql(reps=_DAV_REPS + 1, name="compsall")},
 {_dav_static_ctes(comps="compsall", sfx="all")},
+s{_DAV_ROUNDS + 1} AS MATERIALIZED (
+    -- warm start SEEDED over the grown item/judge sets: an item or
+    -- judge the gold has never seen enters at the cold-start 1.0
+    -- (identity on this fixture, where the batch votes on known pairs)
+    SELECT i.doc_id, coalesce(s.s, CAST(1.0 AS DOUBLE)) AS s
+    FROM itemsall i LEFT JOIN s{_DAV_ROUNDS} s USING (doc_id)
+),
+t{_DAV_ROUNDS + 1} AS MATERIALIZED (
+    SELECT j.judge, coalesce(t.th, CAST(1.0 AS DOUBLE)) AS th
+    FROM judgesall j LEFT JOIN t{_DAV_ROUNDS} t USING (judge)
+),
+n{_DAV_ROUNDS + 1} AS (SELECT nu FROM n{_DAV_ROUNDS}),
 {_dav_round_ctes(1, comps="compsall", wts="wtsall", jwts="jwtsall",
-                 twt="twtall", first=_DAV_ROUNDS)},
+                 twt="twtall", first=_DAV_ROUNDS + 1)},
 norm AS (
     SELECT CAST(sum(CAST(round(s * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
            / CAST(count(*) AS DOUBLE) AS m
-    FROM s{_DAV_ROUNDS + 1}
+    FROM s{_DAV_ROUNDS + 2}
 )
 SELECT st.doc_id, st.n_comparisons, st.n_wins, st.n_ties,
        round(f.s / n.m, 6) AS strength
-FROM s{_DAV_ROUNDS + 1} f CROSS JOIN norm n JOIN statsall st USING (doc_id)
+FROM s{_DAV_ROUNDS + 2} f CROSS JOIN norm n JOIN statsall st USING (doc_id)
 """,
 )
 def q_davidson_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1268,19 +1280,35 @@ def q_davidson_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame
     instead of re-running the full 9-sub-update fit from s=1. The MM
     numerator tables are recomputed over the grown fact (one pass);
     the round itself is the IDENTICAL _dav_mm_round the full fit runs —
-    one implementation, one oracle shape. New items absent from the
-    gold would enter at s=1 via the wts join; this fixture's batch
-    votes on existing pairs only. pytest pins warm-start ≈ full-refit
-    convergence (max strength gap and rank agreement). Oracle: the
-    history fit chain + a second statics copy over compsall + one
-    chained round CTE — bit-exact."""
+    one implementation, one oracle shape. The warm-start parameters are
+    SEEDED over the grown item/judge sets (left join + coalesce 1.0),
+    so a batch item or judge the gold has never seen enters at the
+    cold-start value instead of being silently dropped by the round's
+    inner joins — an identity on this fixture, whose batch votes on
+    known pairs only. pytest pins warm-start ≈ full-refit convergence
+    (max strength gap and rank agreement). Oracle: the history fit
+    chain + a second statics copy over compsall + the seeded handoff +
+    one chained round CTE — bit-exact."""
     comps_hist, _stats, s, th, nu = _davidson_fit(spark, sf_dir)
     batch = _comparisons_v2(
         spark, sf_dir, reps=_DAV_REPS + 1, first_rep=_DAV_REPS
     )
     allc = comps_hist.unionByName(batch).localCheckpoint(eager=True)
     statsall, wtsall, jwtsall, twtall = _dav_weights(allc)
-    s1, _th1, _nu1 = _dav_mm_round(allc, wtsall, jwtsall, twtall, s, th, nu)
+    s_seed = (
+        statsall.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select("doc_id", F.coalesce("s", F.lit(1.0)).alias("s"))
+    )
+    th_seed = (
+        allc.select("judge")
+        .distinct()
+        .join(th, "judge", "left")
+        .select("judge", F.coalesce("th", F.lit(1.0)).alias("th"))
+    )
+    s1, _th1, _nu1 = _dav_mm_round(
+        allc, wtsall, jwtsall, twtall, s_seed, th_seed, nu
+    )
     m = s1.agg(
         (
             F.sum(F.round(F.col("s") * F.lit(1e6)).cast("long")).cast("double")

@@ -2871,7 +2871,13 @@ def _pqshort_gold_build(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the ADC shortlist gold for the FIXED serving batch:
     probe the prebuilt IVF-PQ index gold (building it only if absent)
     at k'=_PQSHORT_K and WRITE (query_id, neighbor_id, adc_distance).
-    Returns the base path."""
+    Returns the base path. Write discipline deliberately matches the
+    r8 PQ index golds (in-place overwrite + _SUCCESS marker, one
+    session at a time per /tmp) rather than the media golds'
+    mtime-keyed atomic rename — the PQ family's rebuild entries are
+    TIMED as full rebuilds each run, which an exists-skip publish would
+    defeat; the media discipline is the upgrade path if cross-session
+    /tmp sharing ever matters here."""
     from covid_data_challenge_spark.operators.pq import ivfpq_serve
 
     base = _pqshort_gold_base(sf_dir)

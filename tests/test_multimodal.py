@@ -973,6 +973,9 @@ def test_media_incremental_video_shift_screen_catches_recut_ingest(spark, sf_dir
             k = (50_000 + j, j * 8 + hist_variant)
             assert k in got and got[k] == (off, ov, 0), (k, got)
     assert not any(b >= 50_003 for b, _h in got)  # fresh + corrupt: no hits
+
+
+def test_media_corpus_decode_stats_matches_golden(spark, sf_dir):
     """The registered decode query at the gate scale must equal the
     committed golden parquet row-for-row (the same comparison the
     driver's DuckDB hash gate runs at sf0.01)."""
