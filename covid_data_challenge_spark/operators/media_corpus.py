@@ -77,6 +77,11 @@ MEDIA_CORPUS_VERSION = 3
 _DOCS_PER_ITEM = 10
 _MIN_ITEMS = 48
 
+#: superseded gold tags younger than this survive one publish cycle so
+#: a concurrent session's lazy plan that resolved the old tag can still
+#: act on it (ADVICE r11 — see _prune_superseded)
+_PRUNE_GRACE_SEC = 600.0
+
 
 def corpus_size(n_docs: int) -> int:
     return max(_MIN_ITEMS, (n_docs // _DOCS_PER_ITEM) // 4 * 4)
@@ -314,9 +319,19 @@ def _prune_superseded(path: str) -> None:
     computing over data for a SOURCE FILE VERSION that no longer exists
     — a loud failure where the old behavior gave a stale answer. New
     readers always resolve the current tag; ignore_errors keeps an
-    in-flight scan from failing the publisher."""
+    in-flight scan from failing the publisher.
+
+    ADVICE r11: pruning immediately after publish converted that safe
+    cross-session race into a runtime failure — a concurrent session
+    whose lazy DataFrame had already resolved the old tag would hit
+    FileNotFoundException at action time. Old tags now get a GRACE
+    WINDOW: a sibling whose directory mtime is within the last
+    ``_PRUNE_GRACE_SEC`` is skipped this pass (it will be collected by
+    a later publish, by which time any in-flight plan that resolved it
+    has acted or died with its session)."""
     import re
     import shutil
+    import time
 
     base, name = os.path.split(path.rstrip("/"))
     m = re.match(r"(.+-)(\d+)(\.parquet)$", name)
@@ -327,7 +342,15 @@ def _prune_superseded(path: str) -> None:
         siblings = os.listdir(base)
     except OSError:
         return
+    now = time.time()
     for s in siblings:
         sm = re.match(r"(.+-)(\d+)(\.parquet)$", s)
         if sm and sm.group(1) == fam and int(sm.group(2)) < tag:
-            shutil.rmtree(os.path.join(base, s), ignore_errors=True)
+            victim = os.path.join(base, s)
+            try:
+                recent = (now - os.path.getmtime(victim)) < _PRUNE_GRACE_SEC
+            except OSError:
+                recent = False  # already vanishing — rmtree is a no-op
+            if recent:
+                continue
+            shutil.rmtree(victim, ignore_errors=True)

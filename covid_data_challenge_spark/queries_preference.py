@@ -644,7 +644,16 @@ def _davidson_fit(
     in bench's regression watch — always refits, so memoization can
     never silently turn the graded iterative-fit number into a cached
     read; every other consumer reads the cache."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # ADVICE r11: evict entries from dead SparkContexts on lookup —
+    # each holds localCheckpoint-backed DataFrames whose executor
+    # blocks stay pinned for the life of whatever context is live, and
+    # a long-lived multi-session process would otherwise grow the dict
+    # without bound. Keeping only the live app's entries bounds it at
+    # one entry per sf_dir.
+    for stale_key in [k for k in _DAV_FIT_CACHE if k[0] != app_id]:
+        del _DAV_FIT_CACHE[stale_key]
+    key = (app_id, sf_dir)
     cached = _DAV_FIT_CACHE.get(key)
     if cached is not None and not refresh:
         return cached

@@ -2898,7 +2898,12 @@ def _pqshort_gold_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load-or-build for the shortlist gold — the same _SUCCESS-marker
     + source-mtime staleness discipline as _gold_load_or_build (the
     shortlist derives from the index, which derives from embeddings, so
-    staleness is judged against the embeddings source)."""
+    staleness is judged against the embeddings source). The comparison
+    is ``>=``, not ``>`` — an equal-mtime tie (source regenerated
+    within the same filesystem timestamp granularity as the marker
+    write, the documented r9 'CDC mtime tie' class) must count as
+    stale, at the cost of one redundant rebuild when the tie is
+    benign (ADVICE r11)."""
     import os
 
     base = _pqshort_gold_base(sf_dir)
@@ -2908,7 +2913,7 @@ def _pqshort_gold_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale = (
         not missing
         and os.path.exists(src)
-        and os.path.getmtime(src) > os.path.getmtime(marker)
+        and os.path.getmtime(src) >= os.path.getmtime(marker)
     )
     if missing or stale:
         _pqshort_gold_build(spark, sf_dir)

@@ -1294,7 +1294,16 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every ratio is one IEEE division of exact integer character
     counts, so the whole battery hash-matches DuckDB. Docs need ≥2
     tokens (no bigram exists below that; the same guard the oracle
-    applies)."""
+    applies).
+
+    Tie-break semantics (changed in r11, ADVICE r11): when two grams
+    share the top count for a (doc, n), the winner is the smaller
+    **md5 key** (``(c DESC, k)``), not the lexicographically smaller
+    gram as pre-r11. Engine and oracle stay in lockstep (both order by
+    the md5), but if tied grams have different char lengths,
+    ``top_chars`` can differ from the pre-r11 output — a cross-round
+    delta on this value under ties is this documented semantics
+    change, not a regression."""
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     ns = sorted({**_GRF_TOP, **_GRF_DUP})

@@ -135,3 +135,43 @@ def test_scaling_final_counts_match_registry():
         f"SCALING.md's final claim says {last_n}/{last_oracle}, registry "
         f"is {n}/{n_oracle} — update the close-out section"
     )
+
+
+def test_plan_audit_fresh_at_head():
+    """PLAN_AUDIT.md must not predate the last commit touching the
+    engine package (VERDICT r11 what's-wrong #1: the 20:00 self-review
+    commit changed image_tile_phash_neardup's join strategy AFTER the
+    17:29 audit regen, so the committed tile-pair row described a plan
+    that no longer existed). Row-coverage (above) only catches registry
+    MEMBERSHIP drift; this catches plan drift: any commit that touches
+    covid_data_challenge_spark/ after the last commit touching
+    PLAN_AUDIT.md invalidates the audit. Compared by commit ancestry
+    (rev-list), not timestamps, so same-second commits can't alias."""
+    import subprocess
+
+    def git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=REPO, capture_output=True, text=True
+        )
+
+    head = git("rev-parse", "HEAD")
+    if head.returncode != 0:
+        import pytest
+
+        pytest.skip("not a git checkout")
+    audit_commit = git(
+        "log", "-1", "--format=%H", "--", "PLAN_AUDIT.md"
+    ).stdout.strip()
+    assert audit_commit, "PLAN_AUDIT.md has never been committed"
+    later = git(
+        "rev-list",
+        f"{audit_commit}..HEAD",
+        "--",
+        "covid_data_challenge_spark",
+    ).stdout.split()
+    assert not later, (
+        f"PLAN_AUDIT.md is stale: {len(later)} commit(s) touched the "
+        f"engine package after the audit's last commit "
+        f"({audit_commit[:10]}) — rerun `python tools/plan_audit.py` "
+        f"and commit the regenerated audit LAST"
+    )
