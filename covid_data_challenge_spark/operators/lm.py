@@ -468,8 +468,6 @@ def kneser_ney3_nll(
     LM-table join tier (trigram→bigram-continuation→unigram-
     continuation) that the bigram form has no occasion for.
     """
-    from covid_data_challenge_spark.functions.pmath import portable_ln
-
     tri = doc_trigrams(docs, id_col, text_col) if trigrams is None else trigrams
     tri_counts = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("__k"))
     # the type table feeds SIX consumers (ctx3/coc3/cb and, via cb,
@@ -481,6 +479,19 @@ def kneser_ney3_nll(
         .agg(F.count(F.lit(1)).cast("long").alias("c3"))
         .localCheckpoint(eager=True)
     )
+    ctx3, coc3, cb, ctx2, coc2, uni, utot = kn3_model_from_tt(tt)
+    joined = kn3_join_model(tt, ctx3, cb, ctx2, uni, coc3, coc2, utot)
+    return kn3_doc_scores(tri_counts, kn3_per_type_units(joined))
+
+
+def kn3_model_from_tt(tt: DataFrame) -> tuple[DataFrame, ...]:
+    """The seven mod-KN model tables derived from a trigram TYPE table
+    (tri, c3) → (ctx3, coc3, cb, ctx2, coc2, uni, utot). Shared by the
+    self-scored :func:`kneser_ney3_nll` and the r12 history-gold build
+    (operators/lm_incremental.py) — ONE derivation is what guarantees
+    the published gold tables hold exactly the counts the full refit
+    would compute. ``cb`` (the bigram-continuation table) feeds four
+    consumers and is eagerly checkpointed."""
 
     # level 3: trigram contexts + count-of-counts
     ctx3 = tt.groupBy(F.substring_index("tri", " ", 2).alias("__ctx2")).agg(
@@ -520,8 +531,25 @@ def kneser_ney3_nll(
         F.count(F.lit(1)).cast("long").alias("cu")
     )
     utot = cb.agg(F.count(F.lit(1)).cast("long").alias("u"))
+    return ctx3, coc3, cb, ctx2, coc2, uni, utot
 
-    joined = (
+
+def kn3_join_model(
+    tt: DataFrame,
+    ctx3: DataFrame,
+    cb: DataFrame,
+    ctx2: DataFrame,
+    uni: DataFrame,
+    coc3: DataFrame,
+    coc2: DataFrame,
+    utot: DataFrame,
+) -> DataFrame:
+    """Join a (tri, c3) frame against the mod-KN model tables — the
+    canonical five-way lookup shared by the full refit (model frames
+    are corpus-derived) and the incremental rescore (model frames are
+    batch-keyed merged rows; identical column names, identical join
+    keys, so the downstream probability expression is byte-identical)."""
+    return (
         tt.join(ctx3, F.substring_index(F.col("tri"), " ", 2) == F.col("__ctx2"))
         .join(cb, F.substring_index(F.col("tri"), " ", -2) == F.col("__bg23"))
         .join(ctx2, F.substring_index(F.col("__bg23"), " ", 1) == F.col("__w2"))
@@ -530,6 +558,16 @@ def kneser_ney3_nll(
         .join(F.broadcast(coc2))
         .join(F.broadcast(utot))
     )
+
+
+def kn3_per_type_units(joined: DataFrame) -> DataFrame:
+    """(tri, __u): integer micro-nat −ln p per trigram type from the
+    joined model row — the fixed-association mod-KN probability tree,
+    extracted verbatim from the r6 query so the incremental leg scores
+    through the SAME expression (bit-equality then follows from count
+    equality alone)."""
+    from covid_data_challenge_spark.functions.pmath import portable_ln
+
     d1, d2, d3 = _mkn_discounts(F.col("t1"), F.col("t2"), F.col("t3"), F.col("t4"))
     e1, e2, e3 = _mkn_discounts(F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4"))
     dsel = F.when(F.col("c3") == 1, d1).when(F.col("c3") == 2, d2).otherwise(d3)
@@ -571,7 +609,13 @@ def kneser_ney3_nll(
     units = let(
         p3, lambda p: F.floor(F.lit(1000000.0) * (-portable_ln(p))).cast("long")
     )
-    per_tri = joined.select("tri", units.alias("__u"))
+    return joined.select("tri", units.alias("__u"))
+
+
+def kn3_doc_scores(tri_counts: DataFrame, per_tri: DataFrame) -> DataFrame:
+    """Per-document re-aggregation of the per-type units over the
+    (doc_id, tri, __k) instance-count frame → (doc_id, n_trigrams,
+    kn3_nll) — shared final stage of the full and incremental legs."""
     return (
         tri_counts.join(per_tri, "tri")
         .groupBy("doc_id")

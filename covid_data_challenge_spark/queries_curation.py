@@ -2427,9 +2427,12 @@ _KN3_P = (
 )
 
 
-@register(
-    "kneser_ney3_nll",
-    oracle=f"""
+# the model CTEs (everything up to per-type units) are shared by the
+# self-scored query and the r12 incremental leg — the incremental
+# engine path merges batch deltas into the published history gold, and
+# because count merge over disjoint doc sets is exact, its oracle is
+# THIS full-corpus model with scoring restricted to batch docs
+_KN3_ORACLE_CORE = f"""
 WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
 tri AS (
     SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tri
@@ -2491,6 +2494,12 @@ lns AS (SELECT tri, {_KN3_FINAL} FROM staged),
 units AS (
     SELECT tri, CAST(floor(1000000.0 * (-(l_p))) AS BIGINT) AS u FROM lns
 )
+"""
+
+
+@register(
+    "kneser_ney3_nll",
+    oracle=f"""{_KN3_ORACLE_CORE}
 SELECT i.doc_id,
        CAST(count(*) AS BIGINT) AS n_trigrams,
        CAST(sum(u) AS BIGINT)
@@ -2521,6 +2530,50 @@ def q_kneser_ney3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tri = doc_trigrams(docs).localCheckpoint(eager=True)
     return kneser_ney3_nll(docs, trigrams=tri)
+
+
+@register(
+    "kneser_ney3_incremental_nll",
+    oracle=f"""{_KN3_ORACLE_CORE}
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(u) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS kn3_nll
+FROM tri i JOIN units USING (tri)
+WHERE i.doc_id % 5 = 0
+GROUP BY i.doc_id
+""",
+)
+def q_kneser_ney3_incremental_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mod-KN family's batch-vs-history leg (VERDICT r11 next-round
+    #1 — the last family without the incremental discipline): score the
+    NEW batch (doc_id % 5 = 0, the incremental_batch_dedup convention)
+    under the trigram model of history ∪ batch WITHOUT re-deriving
+    history. History's trigram type table and every derived model table
+    (contexts, continuation tables, count-of-counts) are published once
+    as an mtime-tagged parameter gold; the batch merges its own
+    batch-types-sized count deltas into them and rescores through the
+    SAME joined probability expression as the full refit
+    (operators/lm_incremental.py:kn3_incremental_nll).
+
+    Count merge over disjoint doc sets is EXACT, so the result is
+    bit-identical to a full refit restricted to batch docs — which is
+    what this oracle computes (the full kneser_ney3_nll model with
+    scoring filtered to the batch): the hash gate proves the delta
+    algebra end to end, not an approximation of it.
+
+    Scale shape: each history gold is scanned ONCE against broadcast
+    batch key sets (nothing history-sized ever shuffles — the
+    media_incremental screen plan); every delta aggregation and every
+    scoring join is batch-types-sized."""
+    from covid_data_challenge_spark.operators.lm_incremental import (
+        kn3_incremental_nll,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return kn3_incremental_nll(spark, sf_dir, hist, batch)
 
 
 # ---------------------------------------------------------------------------

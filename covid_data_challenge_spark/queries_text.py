@@ -2312,7 +2312,13 @@ def _unigram_oracle_sql(
     """DuckDB twin of the unigram-LM round. ``tail="em"`` emits the
     EM-round piece table; ``tail="encode"`` reuses the SAME chain
     (vocab → DP → Viterbi pieces) and aggregates per-document encode
-    stats instead."""
+    stats instead. ``tail="incr"`` is the r12 warm-start twin: train
+    round-2 scores on HISTORY docs (doc_id % 5 ≠ 0), then run ONE
+    E-step over the MERGED dictionary under those scores (plus
+    floor-scored batch-new singles) and M-step re-score — value-equal
+    to the engine's incremental path, which segments only the batch
+    dictionary and ADDS the published history usage (Viterbi usage
+    under fixed scores is additive over word instances)."""
     from covid_data_challenge_spark.functions.pmath import portable_ln_sql_stages
 
     def pj(b: str) -> str:  # piece length from a combined cell
@@ -2394,8 +2400,13 @@ def _unigram_oracle_sql(
     r1_block, _ = dp_block("", "ss")
     dp_ctes_sql = r1_block  # round-1 names stay unprefixed (b1, t1, pieces)
 
+    src = (
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)"
+        if tail == "incr"
+        else "documents"
+    )
     chain = f"""inst AS (
-    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM {src}
 ),
 wd AS (
     SELECT w, CAST(count(*) AS BIGINT) AS n FROM inst
@@ -2458,6 +2469,96 @@ j2 AS (
 vtot AS (SELECT CAST(sum(vc) AS BIGINT) AS vtot FROM j2),
 nst AS (SELECT piece, f, vc, {n_stage} FROM j2 CROSS JOIN vtot),
 nln AS (SELECT piece, f, vc, {n_final} FROM nst)"""
+    if tail == "incr":
+        # history round-2 vocab (v2 exactly as the em2 round), history
+        # usage under it (used2), then ONE merged-dictionary E-step
+        # under v2 ∪ floor-scored batch-new singles, M-step re-score
+        r2b, r2p = dp_block("r2", "ss2")
+        mb, mp = dp_block("m", "mss")
+        f_stage, f_final = portable_ln_sql_stages(
+            {"l_one": "CAST(1 AS DOUBLE)", "l_v1": "CAST(vtot AS DOUBLE)"}
+        )
+        w_stage, w_final = portable_ln_sql_stages(
+            {
+                "l_wv": "CAST(greatest(vc, 1) AS DOUBLE)",
+                "l_wt": "CAST(vt AS DOUBLE)",
+            }
+        )
+        return f"""
+WITH {chain},
+{em_ctes},
+v2 AS (
+    SELECT piece, vc AS round1_count,
+           CAST(floor(1000000.0 * (l_vc - l_vt)) AS BIGINT) AS u
+    FROM nln WHERE vc > 0 OR len(piece) = 1
+),
+seg2 AS (
+    SELECT s.w, s.n, s.start, s.len, v.u
+    FROM subs s JOIN v2 v USING (piece)
+),
+ss2 AS MATERIALIZED (
+    SELECT w, n, len(w) AS lw,
+           {score_cols}
+    FROM seg2 GROUP BY w, n, len(w)
+),
+{r2b},
+used2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vc2 FROM {r2p} GROUP BY 1),
+minst AS (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents),
+mwd AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n FROM minst
+    WHERE len(w) BETWEEN 1 AND {max_word} GROUP BY w
+),
+msubs AS (
+    SELECT w, n, CAST(a.s AS INT) AS start, CAST(b.j AS INT) AS len,
+           substr(w, CAST(a.s AS INT), CAST(b.j AS INT)) AS piece
+    FROM mwd,
+    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS s) a,
+    LATERAL (SELECT unnest(range(1, least({max_piece}, len(w) - a.s + 1) + 1)) AS j) b
+),
+nsing AS (
+    SELECT DISTINCT piece FROM msubs
+    WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM v2)
+),
+fst AS (SELECT piece, {f_stage} FROM nsing CROSS JOIN vtot),
+fln AS (SELECT piece, {f_final} FROM fst),
+nsv AS (
+    SELECT piece, CAST(floor(1000000.0 * (l_one - l_v1)) AS BIGINT) AS u
+    FROM fln
+),
+warm AS (SELECT piece, u FROM v2 UNION ALL SELECT piece, u FROM nsv),
+mseg AS (
+    SELECT s.w, s.n, s.start, s.len, v.u
+    FROM msubs s JOIN warm v USING (piece)
+),
+mss AS MATERIALIZED (
+    SELECT w, n, len(w) AS lw,
+           {score_cols}
+    FROM mseg GROUP BY w, n, len(w)
+),
+{mb},
+mused AS (SELECT piece, CAST(sum(n) AS BIGINT) AS vcm FROM {mp} GROUP BY 1),
+jm AS (
+    SELECT w.piece,
+           CAST(coalesce(h.vc2, 0) AS BIGINT) AS hist_count,
+           CAST(coalesce(m.vcm, 0) AS BIGINT) AS vc
+    FROM warm w
+    LEFT JOIN used2 h USING (piece)
+    LEFT JOIN mused m USING (piece)
+),
+vtm AS (SELECT CAST(sum(vc) AS BIGINT) AS vt FROM jm),
+wst AS (SELECT piece, hist_count, vc, {w_stage} FROM jm CROSS JOIN vtm),
+wln AS (SELECT piece, hist_count, vc, {w_final} FROM wst)
+SELECT piece,
+       CAST(len(piece) AS INT) AS piece_len,
+       hist_count,
+       CAST(vc - hist_count AS BIGINT) AS batch_count,
+       vc AS viterbi_count,
+       vc > 0 AS kept,
+       CASE WHEN vc > 0
+            THEN CAST(floor(1000000.0 * (l_wv - l_wt)) AS BIGINT)
+       END AS new_score_units
+FROM wln
+"""
     if tail == "em":
         return f"""
 WITH {chain},
@@ -2724,6 +2825,41 @@ def q_unigram_lm_em_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.unigram import unigram_em_converged
 
     return unigram_em_converged(_docs(spark, sf_dir), tol=0, k_max=5)
+
+
+@register("unigram_lm_incremental", oracle=_unigram_oracle_sql(tail="incr"))
+def q_unigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece trainer's batch-vs-history leg (VERDICT r11
+    next-round #1): ONE hard-EM round over history ∪ batch that touches
+    only the NEW batch (doc_id % 5 = 0). History's EM state — the
+    round-2 vocabulary scores and the history Viterbi usage under them
+    — is published once as an mtime-tagged parameter gold
+    (operators/lm_incremental.py:unigram_gold_dir); the serve leg
+    segments only the BATCH word dictionary under those fixed scores
+    (batch-new single chars enter at the smoothed ln(1/vt1) floor),
+    ADDS the published history usage (Viterbi usage under fixed scores
+    is additive over word instances — the DP of a word depends only on
+    the word and the score table), and M-step re-scores the merged
+    counts.
+
+    The oracle is the non-incremental twin: it trains the same round-2
+    vocabulary on history, then runs the E-step over the FULL merged
+    dictionary under the same warm vocabulary — value-equal because no
+    batch word's DP can differ under fixed scores and the added floor
+    singles never occur inside history words. The hash gate therefore
+    proves the usage-additivity argument exactly.
+
+    Scale shape: the E-step DP is bounded by the BATCH dictionary
+    (Heaps-law sized), the merge by the vocabulary (all singles + 64
+    multis); history is never re-segmented."""
+    from covid_data_challenge_spark.operators.lm_incremental import (
+        unigram_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return unigram_incremental(spark, sf_dir, hist, batch)
 
 
 # ---------------------------------------------------------------------------
