@@ -307,17 +307,23 @@ def kn3_incremental_nll(
         .localCheckpoint(eager=True)
     )
 
+    # the merged model frames are all batch-KEYED (bounded by the
+    # ingest batch, not by history), so broadcast them explicitly into
+    # the scoring joins — without the hint Spark has no stats for the
+    # checkpoint-fed aggregates and falls back to four SortMergeJoins
+    # (all batch×batch, harmless at fixture scale, but the broadcast is
+    # the correct 100-TB plan: the serve leg then shuffles nothing)
     joined = kn3_join_model(
         tt_bm.select("tri", "c3"),
-        ctx3_m,
-        cb_bm.select("__bg23", "cc"),
-        ctx2_m,
-        uni_m,
+        F.broadcast(ctx3_m),
+        F.broadcast(cb_bm.select("__bg23", "cc")),
+        F.broadcast(ctx2_m),
+        F.broadcast(uni_m),
         scal.select("t1", "t2", "t3", "t4"),
         scal.select("b1", "b2", "b3", "b4"),
         scal.select("u"),
     )
-    return kn3_doc_scores(tri_counts_b, kn3_per_type_units(joined))
+    return kn3_doc_scores(tri_counts_b, F.broadcast(kn3_per_type_units(joined)))
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +446,9 @@ def unigram_incremental(
                 + F.coalesce(F.col("__vb"), zero)
             ).alias("viterbi_count"),
         )
+        # vocab-sized; consumed twice (the vtot scalar and the final
+        # projection) — the boundary keeps the usage gold at ONE scan
+        .localCheckpoint(eager=True)
     )
     vtot = j.agg(F.sum("viterbi_count").cast("long").alias("__vt"))
     return j.join(F.broadcast(vtot)).select(
