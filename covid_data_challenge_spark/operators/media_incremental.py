@@ -193,16 +193,20 @@ def phash_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tile_phash_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TILED-pHash history gold (r11): (media_id, nx, ny, fp) over
-    the corpus's images — the index the crop/pad screen probes (see
-    :func:`_publish_media_gold` for the publish + id-guard
-    discipline)."""
+    """The TILED-pHash history gold: (media_id, nx, ny, fp) over the
+    corpus's images — the index the crop/pad screen probes (see
+    :func:`_publish_media_gold` for the publish + id-guard discipline).
+    Family name ``image_tile_fp8`` (r12): the dual-grid 8-px-hop kernel
+    changed every derived word, so the family was RENAMED rather than
+    version-bumping MEDIA_CORPUS_VERSION — the surgical equivalent of
+    the bump discipline (an old ``image_tile_fp-<tag>`` dir on disk can
+    never be read by the new code)."""
     from covid_data_challenge_spark.operators.tilehash import tile_phash_table
 
     return _publish_media_gold(
         spark,
         sf_dir,
-        "image_tile_fp",
+        "image_tile_fp8",
         lambda: tile_phash_table(
             media_corpus(spark, sf_dir).filter(F.col("kind") == "image")
         ).filter(F.col("decoded")).select("media_id", "nx", "ny", "fp"),

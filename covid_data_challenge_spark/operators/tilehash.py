@@ -15,18 +15,33 @@ the integer bit-error count over the aligned overlap RECTANGLE,
 accepted at ≤ max_bits_per_tile per overlapping tile, best alignment
 by the integer comparator (hamming, −overlap, |dx|+|dy|, dx, dy).
 
-Recall contract — measured, not pigeonhole: a tile-aligned crop/pad of
-a losslessly-carried image preserves tile words EXACTLY (0 bits —
-candidate generation certain); after a JPEG q85 4:4:4 recompress of
-the crop, ≥1 of 9 overlap tiles stayed bit-exact on every one of 100
-measured scenes (mean 5.2) while per-tile noise stayed ≤ 8 bits ≪ the
-4-bit/tile budget; at q60 4:2:0 some scenes keep NO exact tile — the
-documented recall edge (the committed brute-force goldens replay the
-candidate requirement, so engine and oracle agree on such cases by
-construction). Distinct-content tiles sit ≥ 12 bits apart (mean ~31),
-so neither candidates nor acceptances cross contents. Non-tile-aligned
-translations degrade like sub-hop audio trims — the same honesty as
-the 1-D legs.
+r12 (VERDICT r11 next-round #5): the grid is now an OVERLAPPING
+8-px-hop grid — tile top-left corners at every multiple of TILE_HOP=8
+in both axes, so a fingerprint has (2·nx−1)(2·ny−1) ≈ 4× the words of
+the old 16-aligned grid and (dx, dy) are in 8-px HOP units. This
+halves the r11 blind spot in each axis: any translation that is a
+multiple of 8 px (not just 16) keeps a full sub-grid of words
+bit-exact, so candidate generation is certain for lossless 8-px
+crops/pads. The residual blind spot is translations off the 8-px
+lattice (the sub-hop audio-trim honesty, now at half the pitch). The
+~4× word cost is the price of the halved pitch and is confined to
+this family's joins; the verify arithmetic is grid-agnostic (row-major
+indexing with nx the HOP-grid width).
+
+Recall contract — measured, not pigeonhole (r12, on the hop grid
+itself): an 8-px-aligned crop/pad of a losslessly-carried image
+preserves its interior hop words EXACTLY (0 bits — candidate
+generation certain); after a JPEG q85 4:4:4 recompress of a crop,
+≥ 6 of 25 hop tiles stayed bit-exact on every one of 100 measured
+scenes (mean 13.7 — up from the 16-grid's ≥1 of 9, mean 5.2: the
+finer grid IMPROVES recompression recall) with per-hop-tile noise
+≤ 4 bits ≤ the budget; at q60 4:2:0 some scenes keep NO exact tile —
+the documented recall edge (the committed brute-force goldens replay
+the candidate requirement, so engine and oracle agree on such cases
+by construction). Distinct-content hop words sit ≥ 10 bits apart
+(mean 31.4) across scenes and ≥ 16 bits apart (mean 31.5) across
+distinct positions of the SAME image — overlapping neighbors never
+alias — so neither candidates nor acceptances cross contents.
 
 Scale shape: identical to the 1-D incremental screens — the history
 tile gold explodes its words IN-PLAN carrying the fingerprint, the
@@ -45,14 +60,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TILE_PX = 16
+TILE_HOP = 8
 
 
-def tile_phash(payload: bytes, tile: int = TILE_PX):
+def tile_phash(payload: bytes, tile: int = TILE_PX, hop: int = TILE_HOP):
     """Tiled pHash of an encoded image payload → (nx, ny, words) with
-    one 63-bit word per whole TILE_PX-pixel tile (row-major), or None
-    for undecodable payloads / images smaller than one tile. The
-    trailing partial tile remainder is dropped (crop-to-grid), so a
-    tile-aligned crop of the same pixels yields exactly the sub-grid."""
+    one 63-bit word per TILE_PX-pixel tile anchored at every TILE_HOP
+    multiple in both axes (row-major over the HOP grid; r12 dual-grid:
+    nx = (w − tile)//hop + 1), or None for undecodable payloads /
+    images smaller than one tile. The trailing sub-hop remainder is
+    dropped (crop-to-grid), so an 8-px-aligned crop of the same pixels
+    yields exactly the sub-grid."""
     import numpy as np
 
     from covid_data_challenge_spark.operators.multimodal import (
@@ -67,11 +85,12 @@ def tile_phash(payload: bytes, tile: int = TILE_PX):
         np.round(img.astype(np.float64).mean(axis=2)), 0, 255
     ).astype(np.uint8)
     h, w = gray.shape
-    ny, nx = h // tile, w // tile
-    if nx < 1 or ny < 1:
+    if w < tile or h < tile:
         return None
+    nx = (w - tile) // hop + 1
+    ny = (h - tile) // hop + 1
     words = [
-        _frame_word63(gray[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile])
+        _frame_word63(gray[ty * hop:ty * hop + tile, tx * hop:tx * hop + tile])
         for ty in range(ny)
         for tx in range(nx)
     ]
@@ -260,9 +279,9 @@ def _tile_match(
 
 def tile_phash_pairs(
     fps: DataFrame,
-    max_shift: int = 2,
+    max_shift: int = 4,
     max_bits_per_tile: int = 4,
-    min_overlap: int = 4,
+    min_overlap: int = 9,
 ) -> DataFrame:
     """Corpus-internal crop/pad near-dup pairs → (id_a, id_b, dx, dy,
     overlap, hamming) with id_a < id_b and side-b tile (tx, ty)
@@ -285,9 +304,9 @@ def tile_phash_pairs(
 def tile_phash_incremental_pairs(
     hist: DataFrame,
     batch: DataFrame,
-    max_shift: int = 2,
+    max_shift: int = 4,
     max_bits_per_tile: int = 4,
-    min_overlap: int = 4,
+    min_overlap: int = 9,
     max_band_freq: int | None = None,
 ) -> DataFrame:
     """Batch-vs-history screen → (batch_id, hist_id, dx, dy, overlap,
@@ -320,7 +339,7 @@ def tile_phash_incremental_pairs(
 # ---------------------------------------------------------------------------
 
 TILE_FIXTURE_GROUPS = 5
-TILE_BATCH_N = 8
+TILE_BATCH_N = 9
 TILE_BATCH_BASE = 60_000
 
 
@@ -351,13 +370,19 @@ def tile_scene(sid: int, nx: int = 4, ny: int = 3, key: str | None = None):
     return np.concatenate(rows, axis=0)
 
 
+#: variants per pair-fixture scene (media_id = sid·TILE_VARIANTS + v)
+TILE_VARIANTS = 5
+
+
 def tile_fixture_item(sid: int, variant: int) -> tuple:
     """(media_id, kind, payload, mime, width, height, duration_ms) for
     the pair-query fixture: per scene, variant 0 the original 4×3-tile
-    PNG, 1 a left-tile-column CROP (PNG — tile words bit-exact,
-    offset (1, 0)), 2 the same crop RE-ENCODED JPEG q85 4:4:4 (the
+    PNG, 1 a left-tile-column CROP (PNG — tile words bit-exact, hop
+    offset (2, 0)), 2 the same crop RE-ENCODED JPEG q85 4:4:4 (the
     measured ≥1-exact-tile recall case), 3 a fresh-row TOP PAD (PNG,
-    offset (0, −1))."""
+    hop offset (0, −2)), 4 an 8-px HALF-TILE left crop (PNG, hop
+    offset (1, 0) — the r12 dual-grid case the 16-aligned grid was
+    blind to by construction)."""
     import numpy as np
 
     from covid_data_challenge_spark.operators.jpeg import encode_jpeg_baseline
@@ -366,12 +391,14 @@ def tile_fixture_item(sid: int, variant: int) -> tuple:
         lowfreq_content,
     )
 
-    mid = sid * 4 + variant
+    mid = sid * TILE_VARIANTS + variant
     g = tile_scene(sid)
     if variant == 0:
         img = g
     elif variant in (1, 2):
         img = g[:, TILE_PX:]
+    elif variant == 4:
+        img = g[:, TILE_HOP:]
     else:
         pad = np.concatenate(
             [
@@ -395,16 +422,19 @@ def tile_fixture_item(sid: int, variant: int) -> tuple:
 
 
 def synth_tile_phash_table(spark, n_groups: int = TILE_FIXTURE_GROUPS):
-    """The pair-query fixture: n_groups scenes × 4 variants plus one
-    corrupt payload (truncated PNG) exercising the quarantine."""
+    """The pair-query fixture: n_groups scenes × TILE_VARIANTS variants
+    plus one corrupt payload (truncated PNG) exercising the
+    quarantine."""
     from covid_data_challenge_spark.operators.multimodal import MEDIA_SCHEMA
 
     rows = [
-        tile_fixture_item(sid, v) for sid in range(n_groups) for v in range(4)
+        tile_fixture_item(sid, v)
+        for sid in range(n_groups)
+        for v in range(TILE_VARIANTS)
     ]
     mid, kind, payload, mime, w, h, d = tile_fixture_item(0, 0)
     rows.append(
-        (n_groups * 4, kind, payload[: len(payload) // 2], mime, w, h, d)
+        (n_groups * TILE_VARIANTS, kind, payload[: len(payload) // 2], mime, w, h, d)
     )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -412,11 +442,12 @@ def synth_tile_phash_table(spark, n_groups: int = TILE_FIXTURE_GROUPS):
 def batch_tile_item(j: int) -> tuple:
     """Pure batch item for the incremental image-tile screen: j 0–2 a
     left-tile-column CROP of history image groups 0–2's content
-    (bit-exact vs the group's PNG member at offset (1, 0); the JPEG
+    (bit-exact vs the group's PNG member at hop offset (2, 0); the JPEG
     member keeps no exact tile — measured — so it stays out by the
     candidate rule, replayed in the golden), j 3 a fresh-row TOP PAD of
-    group 3 (offset (0, −1)), j 4–6 fresh scenes in a batch-only
-    namespace, j 7 a corrupt torso."""
+    group 3 (hop offset (0, −2)), j 4–6 fresh scenes in a batch-only
+    namespace, j 7 an 8-px HALF-TILE left crop of group 4 (hop offset
+    (1, 0) — the r12 dual-grid catch), j 8 a corrupt torso."""
     import numpy as np
 
     from covid_data_challenge_spark.operators.multimodal import (
@@ -427,6 +458,8 @@ def batch_tile_item(j: int) -> tuple:
     mid = TILE_BATCH_BASE + j
     if j < 3:
         img = lowfreq_content(j)[:, TILE_PX:, :]
+    elif j == 7:
+        img = lowfreq_content(4)[:, TILE_HOP:, :]
     elif j == 3:
         pad = np.concatenate(
             [

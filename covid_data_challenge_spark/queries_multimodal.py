@@ -703,15 +703,18 @@ def q_image_tile_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT r10 missing #3: global pHash is blind to crop/pad/translate
     by construction; audio/video already have block matching, this is
     the H&K move in 2-D). Each image is a grid of 16-px tiles, one
-    63-bit DCT-sign word per tile; every exact tile-word collision
+    63-bit DCT-sign word per tile anchored at every 8-px hop (the r12
+    dual grid — offsets in HOP units); every exact tile-word collision
     PROPOSES its (dx, dy), verified by the XOR popcount over the
     aligned overlap RECTANGLE at ≤ 4 bits/tile, best alignment by the
     integer comparator. The fixture plants, per scene: a left-column
-    crop (caught at (1, 0), 0 bits), the crop re-encoded JPEG q85
-    (caught with small hamming — measured ≥ 1 of 9 tiles stays
-    bit-exact on every one of 100 scenes, the documented recall
-    contract), and a fresh-row top pad (caught at (0, −1), 0 bits);
-    distinct scenes never pair (inter-scene tiles ≥ 12 bits, mean ~31).
+    crop (caught at (2, 0), 0 bits), the crop re-encoded JPEG q85
+    (caught with small hamming — measured ≥ 1 tile stays bit-exact on
+    every one of 100 scenes at q85, the documented recall contract), a
+    fresh-row top pad (caught at (0, −2), 0 bits), and an 8-px
+    HALF-TILE crop (caught at (1, 0), 0 bits — invisible to the r11
+    16-aligned grid by construction); distinct scenes never pair
+    (inter-scene tiles ≥ 12 bits, mean ~31).
     Oracle: committed brute-force golden replaying candidate banding +
     rect verify + comparator exactly (operators/tilehash.py)."""
     from covid_data_challenge_spark.operators.tilehash import (
@@ -741,11 +744,13 @@ def q_media_incremental_image_tile_screen(
     against the tiled-pHash history gold in one pass — the transform
     tolerance the aligned pHash screen lacks by construction. The
     batch plants a left-tile-column crop of history image groups 0–2
-    (bit-exact vs each group's PNG member at offset (1, 0) — the JPEG
-    member keeps no exact tile after recompression, measured, so the
-    candidate rule excludes it in engine and golden alike) and a
-    fresh-row top pad of group 3 (offset (0, −1)); fresh batch scenes
-    match nothing; the corrupt torso is quarantined. Same
+    (bit-exact vs each group's PNG member at hop offset (2, 0) — the
+    JPEG member keeps no exact tile after recompression, measured, so
+    the candidate rule excludes it in engine and golden alike), a
+    fresh-row top pad of group 3 (hop offset (0, −2)), and an 8-px
+    half-tile crop of group 4 (hop offset (1, 0) — the r12 dual-grid
+    catch); fresh batch scenes match nothing; the corrupt torso is
+    quarantined. Same
     one-history-scan + broadcast-batch shape as the 1-D screens (the
     DF-prune stats pass makes it two scans of the compact gold).
     Oracle: committed brute-force batch × history golden."""
@@ -763,7 +768,7 @@ def q_media_incremental_image_tile_screen(
     )
     return tile_phash_incremental_pairs(
         tile_phash_gold(spark, sf_dir), batch,
-        max_shift=2, max_bits_per_tile=4, min_overlap=4, max_band_freq=64,
+        max_shift=4, max_bits_per_tile=4, min_overlap=9, max_band_freq=64,
     )
 
 

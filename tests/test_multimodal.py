@@ -906,7 +906,7 @@ def test_media_incremental_history_scanned_once_never_self_joined(spark, sf_dir)
         # the df side collapses to a broadcast anti-join input
         ("media_incremental_audio_shift_screen", "audio_fp-", 2),
         ("media_incremental_video_shift_screen", "video_fp-", 2),
-        ("media_incremental_image_tile_screen", "image_tile_fp-", 2),
+        ("media_incremental_image_tile_screen", "image_tile_fp8-", 2),
     ):
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -998,16 +998,19 @@ def test_media_corpus_decode_stats_matches_golden(spark, sf_dir):
 
 
 def test_tile_phash_screen_catches_crop_and_pad(spark, sf_dir):
-    """The r11 2-D transform-tolerance family: the incremental screen
-    reports exactly the planted crops of history groups 0–2 at offset
-    (1, 0) with 0 bits against the PNG members only (the JPEG members
-    keep no exact tile after recompression — the measured candidate
-    rule), and the top-pad of group 3 at (0, −1); fresh scenes and the
-    corrupt torso surface nothing. The pair query's per-scene structure
-    holds: all 6 in-scene pairs (crop / q85-recompressed crop / pad
-    against each other and the original), zero cross-scene pairs, and
-    the lossless crop/pad legs are 0-bit while the q85 legs stay within
-    the 4-bit/tile budget."""
+    """The 2-D transform-tolerance family on the r12 8-px-hop dual
+    grid (offsets in HOP units): the incremental screen reports
+    exactly the planted crops of history groups 0–2 at (2, 0) with 0
+    bits against the PNG members only (the JPEG members keep no exact
+    tile after recompression — the measured candidate rule), the
+    top-pad of group 3 at (0, −2), and the 8-px HALF-TILE crop of
+    group 4 at (1, 0) — the catch the r11 16-aligned grid was blind to
+    by construction; fresh scenes and the corrupt torso surface
+    nothing. The pair query's per-scene structure holds: all 10
+    in-scene pairs (crop / q85 crop / pad / 8-px crop against each
+    other and the original), zero cross-scene pairs, the lossless legs
+    0-bit, the q85 legs within the 4-bit/tile budget, and the 8-px
+    variant caught losslessly at hop offset (1, 0) vs the original."""
     import covid_data_challenge_spark.queries_ext  # noqa: F401
     from covid_data_challenge_spark.registry import REGISTRY
 
@@ -1018,19 +1021,24 @@ def test_tile_phash_screen_catches_crop_and_pad(spark, sf_dir):
     )
     got = {(r.batch_id, r.hist_id): (r.dx, r.dy, r.overlap, r.hamming)
            for r in rows}
-    assert len(got) == 4
+    assert len(got) == 5
     for j in range(3):
         k = (60_000 + j, j * 4)  # the group's PNG member
-        assert k in got and got[k] == (1, 0, 4, 0), (k, got)
-    assert got[(60_003, 12)] == (0, -1, 6, 0)
+        assert k in got and got[k] == (2, 0, 9, 0), (k, got)
+    assert got[(60_003, 12)] == (0, -2, 15, 0)
+    assert got[(60_007, 16)] == (1, 0, 12, 0)  # the dual-grid catch
 
     pairs = REGISTRY["image_tile_phash_neardup"].spark(spark, sf_dir).collect()
-    assert len(pairs) == 30  # 6 per scene × 5 scenes
+    assert len(pairs) == 50  # 10 per scene × 5 scenes
+    by_pair = {(r.id_a, r.id_b): r for r in pairs}
     for r in pairs:
-        assert r.id_a // 4 == r.id_b // 4  # never cross-scene
+        assert r.id_a // 5 == r.id_b // 5  # never cross-scene
         assert r.hamming <= 4 * r.overlap
-        if r.id_a % 4 != 2 and r.id_b % 4 != 2:
+        if r.id_a % 5 != 2 and r.id_b % 5 != 2:
             assert r.hamming == 0  # lossless crop/pad: bit-exact tiles
+    for sid in range(5):
+        r = by_pair[(sid * 5, sid * 5 + 4)]  # original vs 8-px crop
+        assert (r.dx, r.dy, r.hamming) == (1, 0, 0)
 
 
 def test_media_corpus_phash_neardup_planted_pairs(spark, sf_dir):

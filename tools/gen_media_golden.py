@@ -330,7 +330,7 @@ TILE_INCR_SCHEMA = pa.schema(
 )
 
 
-def _tile_match_brute(fa, fb, max_shift=2, max_bits_per_tile=4, min_overlap=4):
+def _tile_match_brute(fa, fb, max_shift=4, max_bits_per_tile=4, min_overlap=9):
     """Replay the 2-D tile matcher for one (a, b): candidate offsets
     are ONLY those proposed by an exact tile-word collision (the
     banding rule — recall is measured, not pigeonhole, so the golden
@@ -381,6 +381,7 @@ def gen_tile_phash_goldens(items: list[tuple]) -> None:
     from covid_data_challenge_spark.operators.tilehash import (
         TILE_BATCH_N,
         TILE_FIXTURE_GROUPS,
+        TILE_VARIANTS,
         batch_tile_item,
         tile_fixture_item,
         tile_phash,
@@ -389,7 +390,7 @@ def gen_tile_phash_goldens(items: list[tuple]) -> None:
     # pair fixture
     fps = {}
     for sid in range(TILE_FIXTURE_GROUPS):
-        for v in range(4):
+        for v in range(TILE_VARIANTS):
             mid, _k, p, *_ = tile_fixture_item(sid, v)
             f = tile_phash(bytes(p))
             if f is not None:
