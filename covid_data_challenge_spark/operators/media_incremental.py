@@ -221,38 +221,43 @@ def video_fp_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fp_gold(spark, sf_dir, "video", video_fp_table, "fp")
 
 
+def phash_bands(df: DataFrame, id_out: str, hash_out: str) -> DataFrame:
+    """The nine 7-bit pHash band rows of a (media_id, phash) frame —
+    shared by the batch screen and its r12 streaming twin (one
+    implementation is what makes stream == batch band-exact). Pure
+    map-side column algebra; matches
+    queries_multimodal._phash_banded_pairs, so pigeonhole recall for
+    Hamming ≤ 8 carries over."""
+    return df.select(
+        F.col("media_id").alias(id_out),
+        F.col("phash").alias(hash_out),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(8)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.call_function(
+                        "shiftright", F.col("phash"), (b * 7).cast("int")
+                    )
+                    .bitwiseAND(F.lit(127))
+                    .cast("int")
+                    .alias("val"),
+                ),
+            )
+        ).alias("bv"),
+    ).select(id_out, hash_out, F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+
+
 def phash_incremental_pairs(
     hist: DataFrame, batch: DataFrame, threshold: int = 6
 ) -> DataFrame:
     """(batch_id, hist_id, hamming ≤ threshold): the history gold's
     nine 7-bit pHash bands are derived IN-PLAN from its single scan
     (no shuffle), and the batch bands broadcast onto them — history is
-    never shuffled, never self-joined. Band expressions match
-    queries_multimodal._phash_banded_pairs, so pigeonhole recall for
-    Hamming ≤ 8 carries over."""
-    def bands(df: DataFrame, id_out: str, hash_out: str) -> DataFrame:
-        return df.select(
-            F.col("media_id").alias(id_out),
-            F.col("phash").alias(hash_out),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(8)),
-                    lambda b: F.struct(
-                        b.cast("int").alias("band"),
-                        F.call_function(
-                            "shiftright", F.col("phash"), (b * 7).cast("int")
-                        )
-                        .bitwiseAND(F.lit(127))
-                        .cast("int")
-                        .alias("val"),
-                    ),
-                )
-            ).alias("bv"),
-        ).select(id_out, hash_out, F.col("bv.band").alias("band"),
-                 F.col("bv.val").alias("val"))
-
-    h = bands(hist, "hist_id", "__hh")
-    b = bands(batch, "batch_id", "__hb")
+    never shuffled, never self-joined."""
+    h = phash_bands(hist, "hist_id", "__hh")
+    b = phash_bands(batch, "batch_id", "__hb")
     ham = F.bit_count(F.col("__hh").bitwiseXOR(F.col("__hb")))
     return (
         h.join(F.broadcast(b), ["band", "val"])
@@ -479,4 +484,37 @@ def fp_incremental_pairs(
         .select("batch_id", "hist_id", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= threshold)
         .distinct()
+    )
+
+
+def phash_screen_stream_to_gold(
+    media_stream: DataFrame,
+    hist: DataFrame,
+    gold_dir: str,
+    checkpoint: str,
+):
+    """Production sink shape for the streaming pHash screen (r12): per
+    micro-batch, hash the incoming media through the Arrow mapInPandas
+    stage and run THE BATCH OPERATOR (:func:`phash_incremental_pairs`)
+    against the static history gold inside ``foreachBatch`` — the
+    streaming leg literally wraps the proven batch plan, so stream and
+    batch semantics cannot drift — appending verified pairs to a
+    parquet gold. Exactly-once via the checkpoint: a replay over an
+    unchanged source directory processes zero files and appends
+    nothing (pinned in tests/test_streaming.py). Returns the started
+    AvailableNow query."""
+    from covid_data_challenge_spark.operators.multimodal import phash_hashes
+
+    fps = phash_hashes(media_stream).filter(F.col("decoded"))
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        phash_incremental_pairs(hist, batch_df).write.mode("append").parquet(
+            gold_dir
+        )
+
+    return (
+        fps.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

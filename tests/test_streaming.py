@@ -546,3 +546,63 @@ def test_media_decode_stream_matches_batch_decode(spark, sf_dir):
     assert got["audio"].n_media - got["audio"].n_decoded == 1
     assert got["image"].n_media - got["image"].n_decoded == 1
     assert got["video"].n_media == got["video"].n_decoded
+
+
+def test_media_phash_screen_stream_equals_batch(spark, sf_dir):
+    """r12 streaming media screen: the stream-static screen's memory
+    sink holds EXACTLY the batch twin's rows (same golden both legs
+    hash-match in the oracle gate, asserted here directly so a drift
+    is attributable without the driver)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    streamed = {
+        (r.batch_id, r.hist_id, r.hamming)
+        for r in REGISTRY["media_incremental_phash_screen_stream"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    batch = {
+        (r.batch_id, r.hist_id, r.hamming)
+        for r in REGISTRY["media_incremental_phash_screen"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_media_phash_screen_stream_checkpoint_replay_noop(spark, sf_dir, tmp_path):
+    """The foreachBatch production sink (phash_screen_stream_to_gold)
+    is exactly-once: the first run appends the screen pairs of every
+    source file; a replay with the SAME checkpoint over the unchanged
+    source processes zero files and appends nothing."""
+    from covid_data_challenge_spark.operators.media_incremental import (
+        phash_gold,
+        phash_screen_stream_to_gold,
+        synth_media_batch,
+    )
+    from covid_data_challenge_spark.operators.multimodal import MEDIA_SCHEMA
+
+    src = str(tmp_path / "ingest")
+    gold_dir = str(tmp_path / "pairs_gold")
+    ckpt = str(tmp_path / "ckpt")
+    synth_media_batch(spark, "image").coalesce(1).write.parquet(src)
+    hist = phash_gold(spark, sf_dir)
+
+    def run():
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+        q = phash_screen_stream_to_gold(stream, hist, gold_dir, ckpt)
+        assert _await_stream_done(q), "screen stream did not finish"
+
+    run()
+    first = sorted(
+        (r.batch_id, r.hist_id, r.hamming)
+        for r in spark.read.parquet(gold_dir).collect()
+    )
+    assert len(first) == 8  # the four planted q60 recompresses x 2 members
+    run()  # replay: same checkpoint, no new files
+    second = sorted(
+        (r.batch_id, r.hist_id, r.hamming)
+        for r in spark.read.parquet(gold_dir).collect()
+    )
+    assert second == first, "checkpoint replay appended rows"
