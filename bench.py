@@ -388,7 +388,8 @@ BENCH_EXEMPT: dict[str, str] = {
          "monthly_users_from_daily_sketches", "cdc_upsert_apply",
          "value_drift_psi_stream", "doc_neardup_screen_stream",
          "hll_registers_stream", "media_decode_stream",
-         "media_incremental_phash_screen_stream"],
+         "media_incremental_phash_screen_stream",
+         "media_incremental_image_tile_screen_stream"],
     ),
     **_exempt(
         "reference-parity single-pass scan/filter/agg/join shape, "

@@ -308,6 +308,7 @@ def tile_phash_incremental_pairs(
     max_bits_per_tile: int = 4,
     min_overlap: int = 9,
     max_band_freq: int | None = None,
+    stream_batch: bool = False,
 ) -> DataFrame:
     """Batch-vs-history screen → (batch_id, hist_id, dx, dy, overlap,
     hamming): the history tile gold explodes IN-PLAN (one scan, never
@@ -317,7 +318,11 @@ def tile_phash_incremental_pairs(
     frequency (a hit needs both sides, so pruning the corpus-scale side
     suffices — the shifted_fp_incremental_pairs discipline; the
     committed golden's generator asserts the prune is inert at the
-    gate corpus)."""
+    gate corpus). ``stream_batch`` (r12): the batch side is a
+    Structured Streaming frame — drop the broadcast hint (a stream
+    cannot be broadcast; the per-micro-batch planner picks the join
+    strategy) while keeping every expression identical, so the
+    streaming twin is band- and verify-exact with this leg."""
     h = _tile_sides(hist, "hist_id", "a")
     if max_band_freq is not None:
         hot = (
@@ -330,7 +335,7 @@ def tile_phash_incremental_pairs(
     b = _tile_sides(batch, "batch_id", "b")
     return _tile_match(
         h, b, "hist_id", "batch_id", max_shift, max_bits_per_tile,
-        min_overlap, broadcast_b=True,
+        min_overlap, broadcast_b=not stream_batch,
     ).select("batch_id", "hist_id", "dx", "dy", "overlap", "hamming")
 
 

@@ -1134,3 +1134,61 @@ def q_media_incremental_phash_screen_stream(
         result, "media_incremental_phash_screen_stream_sink", mode="complete"
     )
     return spark.table("media_incremental_phash_screen_stream_sink")
+
+
+@register(
+    "media_incremental_image_tile_screen_stream",
+    oracle="""
+SELECT batch_id, hist_id, dx, dy, overlap, hamming
+FROM read_parquet('{fixtures}/media_incremental_image_tile_golden.parquet')
+""".format(fixtures=str(Path(__file__).resolve().parent / "fixtures")),
+)
+def q_media_incremental_image_tile_screen_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of the crop/pad-tolerant tile screen (r12 —
+    completing VERDICT r11 #6 for the 2-D family): the tile ingest
+    batch lands once as a parquet directory, streams in micro-batches
+    through the SAME Arrow tiled-pHash stage, explodes per-tile word
+    rows via the SAME _tile_sides/_tile_match machinery as the batch
+    twin (word equi-join against the static history tile gold with the
+    history document-frequency prune — both static computations
+    re-resolve per micro-batch), and keeps ONE stateful operator: the
+    per-pair best-alignment min_by aggregate. Hash-matches the batch
+    twin's committed brute-force golden (hop-grid offsets)."""
+    from covid_data_challenge_spark.operators.media_corpus import (
+        _gold_base,
+        atomic_publish_gold,
+        gold_tag,
+    )
+    from covid_data_challenge_spark.operators.media_incremental import (
+        tile_phash_gold,
+    )
+    from covid_data_challenge_spark.operators.multimodal import MEDIA_SCHEMA
+    from covid_data_challenge_spark.operators.tilehash import (
+        synth_media_tile_batch,
+        tile_phash_incremental_pairs,
+        tile_phash_table,
+    )
+    from covid_data_challenge_spark.streaming.events import run_to_memory_sink
+
+    hist = tile_phash_gold(spark, sf_dir)
+    src = f"{_gold_base(sf_dir)}/image_tile_batch_src-{gold_tag(sf_dir)}.parquet"
+    atomic_publish_gold(
+        src,
+        lambda tmp: synth_media_tile_batch(spark)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+    batch = tile_phash_table(stream).filter(F.col("decoded"))
+    result = tile_phash_incremental_pairs(
+        hist, batch,
+        max_shift=4, max_bits_per_tile=4, min_overlap=9, max_band_freq=64,
+        stream_batch=True,
+    )
+    run_to_memory_sink(
+        result, "media_incremental_image_tile_screen_stream_sink",
+        mode="complete",
+    )
+    return spark.table("media_incremental_image_tile_screen_stream_sink")

@@ -606,3 +606,21 @@ def test_media_phash_screen_stream_checkpoint_replay_noop(spark, sf_dir, tmp_pat
         for r in spark.read.parquet(gold_dir).collect()
     )
     assert second == first, "checkpoint replay appended rows"
+
+
+def test_media_tile_screen_stream_equals_batch(spark, sf_dir):
+    """r12 streaming tile screen: stream-static word join + stateful
+    best-alignment min_by returns EXACTLY the batch twin's rows
+    (including the hop-grid 8-px catch)."""
+    import covid_data_challenge_spark.queries_ext  # noqa: F401
+    from covid_data_challenge_spark.registry import REGISTRY
+
+    def rows(name):
+        return {
+            (r.batch_id, r.hist_id, r.dx, r.dy, r.overlap, r.hamming)
+            for r in REGISTRY[name].spark(spark, sf_dir).collect()
+        }
+
+    streamed = rows("media_incremental_image_tile_screen_stream")
+    batch = rows("media_incremental_image_tile_screen")
+    assert streamed == batch and len(batch) == 5
