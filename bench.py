@@ -225,6 +225,7 @@ EXTENSION = [
     # full refit by count additivity, so their oracles ARE the refit)
     "kneser_ney3_incremental_nll",
     "unigram_lm_incremental",
+    "bpe_merge_table_incremental",
 ]
 
 #: Warehouse-classic tier (TPC-H shapes on the fact tables).
@@ -360,6 +361,11 @@ SCALE_SF1 = [
     # × vocab size) and should be the near-flat one
     "kneser_ney3_incremental_nll",
     "unigram_lm_incremental",
+    # the BPE leg is the cleanest amortization demo: batch fixed, the
+    # history side only a Heaps-bounded dictionary gold - expect
+    # near-flat (the full bpe_merge_table's cost is the corpus scan
+    # this leg deletes)
+    "bpe_merge_table_incremental",
 ]
 
 def _exempt(reason: str, names: list[str]) -> dict[str, str]:
@@ -576,6 +582,7 @@ def _warm_serve_golds(spark, directory: str) -> None:
     hist = _docs(spark, directory).filter(F.col("doc_id") % 5 != 0)
     _lmi.kn3_gold_dir(spark, directory, hist)
     _lmi.unigram_gold_dir(spark, directory, hist)
+    _lmi.bpe_gold_dir(spark, directory, hist)
 
 
 def _time_best(spark, name: str, directory: str) -> float:

@@ -70,16 +70,27 @@ def _win(pairs: DataFrame) -> DataFrame:
 
 
 def bpe_merge_table(
-    docs: DataFrame, k: int = 4, text_col: str = "text"
+    docs: DataFrame | None,
+    k: int = 4,
+    text_col: str = "text",
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Train ``k`` BPE merges; return the merge table
     ``(rank, pair, cnt)`` with sentinel symbols expanded to the merged
-    strings (rank-1 merges may appear inside later pairs)."""
-    wc = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    strings (rank-1 merges may appear inside later pairs).
+    ``word_counts`` accepts a precomputed (w, n) dictionary — the r12
+    incremental leg trains on history-gold ∪ batch-delta counts without
+    re-scanning the corpus (word counts are additive over disjoint
+    corpora, so the loop's input — and therefore every winner — is
+    bit-identical to a full refit)."""
+    if word_counts is not None:
+        wc = word_counts
+    else:
+        wc = (
+            docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
     # Each iteration's dictionary is consumed TWICE (winner selection +
     # next rewrite), and winner k's subtree embeds every earlier
     # iteration — fully lazy, the plan re-derives the chain once per

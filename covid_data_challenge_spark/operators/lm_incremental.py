@@ -470,3 +470,78 @@ def unigram_incremental(
             ).cast("long"),
         ).alias("new_score_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE: history word-dictionary gold + additive merge
+
+
+def bpe_gold_dir(spark: SparkSession, sf_dir: str, hist: DataFrame) -> str:
+    """Load-or-build the BPE family's parameter gold: HISTORY's (w, n)
+    word-frequency dictionary — the Sennrich trainer's entire input
+    (operators/bpe.py's scale argument: the loop runs over this
+    Heaps-bounded table, so the corpus scan that builds it is the only
+    corpus-sized cost, and it is exactly what this gold amortizes)."""
+    from covid_data_challenge_spark.functions.text import tokens as _tokens
+
+    path = f"{_lm_gold_base(sf_dir)}/bpe-{gold_tag(sf_dir)}.parquet"
+
+    def build(tmp: str) -> None:
+        (
+            hist.select(F.explode(_tokens(F.col("text"))).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .write.parquet(f"{tmp}/wd")
+        )
+        with open(f"{tmp}/_SUCCESS", "w"):
+            pass
+
+    atomic_publish_gold(path, build)
+    return path
+
+
+def bpe_incremental_merge_table(
+    spark: SparkSession,
+    sf_dir: str,
+    hist: DataFrame,
+    batch: DataFrame,
+    k: int = 4,
+) -> DataFrame:
+    """Train the k-merge BPE table over history ∪ batch WITHOUT
+    re-scanning history: word counts are additive over disjoint
+    corpora, so merging the batch's (batch-vocabulary-sized) word
+    counts into the published history dictionary reproduces the full
+    corpus dictionary EXACTLY — and therefore every pair count, every
+    winner, every tie-break of the merge loop. The oracle is the full
+    refit's unrolled loop over all documents, hash-exact.
+
+    Plan shape: the history dictionary gold is scanned twice (the
+    count-merge left join and the new-words probe), both times against
+    BROADCAST batch-derived frames — never shuffled; the merge loop
+    itself is the shared :func:`operators.bpe.bpe_merge_table` over the
+    merged dictionary."""
+    from covid_data_challenge_spark.functions.text import tokens as _tokens
+    from covid_data_challenge_spark.operators.bpe import bpe_merge_table
+
+    p = bpe_gold_dir(spark, sf_dir, hist)
+    g_wd = spark.read.parquet(f"{p}/wd")
+
+    zero = F.lit(0).cast("long")
+    wd_b = (
+        batch.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    hits = _probe_gold(g_wd.select("w"), wd_b.select("w"), "w")
+    new_words = wd_b.join(F.broadcast(hits), "w", "left_anti")
+    merged = (
+        g_wd.join(
+            F.broadcast(wd_b.withColumnRenamed("n", "__nb")), "w", "left"
+        )
+        .select(
+            "w", (F.col("n") + F.coalesce(F.col("__nb"), zero)).alias("n")
+        )
+        .unionByName(new_words)
+    )
+    return bpe_merge_table(None, k=k, word_counts=merged)

@@ -243,3 +243,29 @@ def test_unigram_incremental_plan_single_usage_scan(spark, sf_dir):
     # final projection — before that boundary landed)
     n = plan.count("FileScan parquet [piece#")
     assert n == 0, f"piece-keyed gold scans in final plan: {n} != 0"
+
+
+def test_bpe_incremental_identical_merge_table(spark):
+    """Word counts add over disjoint corpora, so the incremental BPE
+    leg's merge table equals the full refit's row-for-row (ranks,
+    pairs, counts — winners and tie-breaks included)."""
+    from covid_data_challenge_spark.operators.bpe import bpe_merge_table
+    from covid_data_challenge_spark.operators.lm_incremental import (
+        bpe_incremental_merge_table,
+    )
+
+    hist = _mk_docs(spark, _HIST_ROWS)
+    batch = _mk_docs(spark, _BATCH_ROWS)
+    full = _mk_docs(spark, _HIST_ROWS + _BATCH_ROWS)
+    sf_key = f"/pytest-bpe-{uuid.uuid4().hex}"
+
+    got = sorted(
+        (r.rank, r.pair, r.cnt)
+        for r in bpe_incremental_merge_table(
+            spark, sf_key, hist, batch, k=3
+        ).collect()
+    )
+    want = sorted(
+        (r.rank, r.pair, r.cnt) for r in bpe_merge_table(full, k=3).collect()
+    )
+    assert got == want and len(want) == 3
