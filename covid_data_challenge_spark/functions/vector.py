@@ -44,6 +44,29 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def lit_double_array(values) -> Column:
+    """``array<double>`` LITERAL from ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(float(x)) for x in values])`` costs one py4j
+    round trip per element: a 64-dim constant vector is ~65 JVM calls
+    and a 48-plane LSH set ~3×10³, which measured SECONDS of driver
+    time per query construction (optimization guide §5 — the driver is
+    part of the query path; ann_lsh_topk spent 7.1 s of its 8.8 s total
+    CONSTRUCTING the plan). One ``F.expr`` string is a single call and
+    parses to the same doubles bit-exactly: ``repr()`` emits the
+    shortest round-trip decimal and Spark's double-literal parse is
+    correctly rounded (verified incl. -0.0, subnormals, ±1e300).
+    Finite values only — engine constants are finite by construction,
+    and the guard keeps a stray NaN from parsing as a column name."""
+    parts = []
+    for v in values:
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(f"lit_double_array: non-finite literal {f!r}")
+        parts.append(repr(f) + "D")
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def to_double(a: Column) -> Column:
     """Materialize a float32 embedding as array<double> ONCE per vector.
     In O(n²) pair loops the per-pair fold then skips 2·dim float→double

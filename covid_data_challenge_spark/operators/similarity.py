@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from covid_data_challenge_spark.functions.vector import cosine, dot, norm, to_double
+from covid_data_challenge_spark.functions.vector import (
+    cosine,
+    dot,
+    lit_double_array,
+    norm,
+    to_double,
+)
 
 
 def cosine_topk(
@@ -275,7 +281,9 @@ def rp_lsh_buckets(vec_col, dim: int, bits: int, tables: int, seed: int = 42):
 
 
 def _proj(vec_col, plane: list[float]):
-    lit_plane = F.array(*[F.lit(w) for w in plane])
+    # single-parse literal: 48 planes × 64 dims as per-element F.lit
+    # was ~3×10³ py4j calls ≈ seconds of driver time per construction
+    lit_plane = lit_double_array(plane)
     return F.aggregate(
         F.zip_with(vec_col, lit_plane, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
@@ -322,11 +330,17 @@ def ann_lsh_topk(
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__nq") * F.col("__nc")),
     ).otherwise(F.lit(0.0))
     sims = (
+        # sim is computed MAP-SIDE, before the pair dedup: the dedup
+        # exchange then ships (query_id, neighbor_id, sim) — ~24 bytes —
+        # instead of both 64-dim vectors + norms (~1 KB) per candidate
+        # row (guide §2.2, shuffle fewer bytes). A pair colliding in
+        # several tables re-folds the dot per collision, but that work
+        # is parallel map-side CPU; the value is identical per pair, so
+        # the dedup keeps the same result regardless of which row wins.
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv", "__nq", "__nc")
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", sim.alias("__sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
     return (

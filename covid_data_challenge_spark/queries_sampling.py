@@ -27,6 +27,7 @@ from covid_data_challenge_spark.queries_shared import (  # noqa: F401
     _NORM,
     _QUALITY_SQL,
     _docs,
+    _docs_raw,
 )
 
 
@@ -108,7 +109,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 48-token stride (16 overlapping). Map-side explode of pure column
     exprs — no shuffle, no UDF; chunking 100 TB runs at scan speed
     (operators/chunking.py)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)  # plan-pinned exchange-free
     return chunk_tokens(
         docs.select("doc_id", tokens(F.col("text")).alias("t")),
         F.col("t"),
@@ -140,7 +141,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. CASE-WHEN recipe + map-side explode — no join, no shuffle,
     stable under reruns and repartitioning (operators/sampling.py)."""
     return mixture_sample(
-        _docs(spark, sf_dir).select("doc_id", "source"),
+        _docs_raw(spark, sf_dir).select("doc_id", "source"),  # plan-pinned exchange-free
         "doc_id",
         "source",
         _MIX_WEIGHTS,
@@ -746,7 +747,7 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to 100 TB on the way into training shards."""
     from covid_data_challenge_spark.functions.text import let
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)  # plan-pinned exchange-free
 
     def build(w):
         n = F.size(w).cast("long")
@@ -857,7 +858,7 @@ def q_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep every output row a real training pair)."""
     from covid_data_challenge_spark.functions.text import let
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)  # plan-pinned exchange-free
     B = _T5_BLOCK
 
     def u32b(salt, b):

@@ -80,7 +80,7 @@ from covid_data_challenge_spark.operators.similarity import (
     cosine_topk,
 )
 from covid_data_challenge_spark.registry import register
-from covid_data_challenge_spark.sources.readers import load_table
+from covid_data_challenge_spark.sources.readers import load_table, widen
 from covid_data_challenge_spark.operators.sampling import md5_unit_fraction_sql
 from covid_data_challenge_spark.operators.bpe import (  # noqa: E402
     bpe_merge_oracle_sql,
@@ -116,16 +116,38 @@ from covid_data_challenge_spark.operators.lr import (  # noqa: E402
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwidened documents scan, for queries whose contract is an
+    exchange-free map-side plan (doc_chunks, mixture_sample,
+    pii_redaction, fim_transform, t5_span_corruption,
+    gopher_quality_flags — plan-pinned in test_plans) and for final
+    projections whose heavy lifting already ran eagerly
+    (embedding_top_pcs). Everything else should use `_docs`."""
     return load_table(spark, sf_dir, "documents")
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents, widened to the session's core count when the scan
+    plans fewer partitions than cores (optimization guide §2.5 input
+    skew: a one-row-group parquet file is unsplittable, so every stage
+    fused onto its scan — tokenize/explode/md5/feature folds — would
+    otherwise run on ONE task). No-op on realistically-sized inputs."""
+    return widen(_docs_raw(spark, sf_dir))
+
+
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwidened embeddings scan — see `_docs_raw`."""
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings, widened — see `_docs`."""
+    return widen(_emb_raw(spark, sf_dir))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    """Events, widened — see `_docs`."""
+    return widen(load_table(spark, sf_dir, "events"))
 
 
 _LANG_SQL_HITS = {

@@ -16,6 +16,7 @@ from covid_data_challenge_spark.operators.similarity import ann_lsh_topk, cosine
 from covid_data_challenge_spark.registry import register
 from covid_data_challenge_spark.queries_shared import (  # noqa: F401
     _emb,
+    _emb_raw,
 )
 
 
@@ -1986,7 +1987,11 @@ def q_embedding_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        emb.select(F.posexplode(xd).alias("j", "x"))
+        # raw scan: the heavy block iteration already ran eagerly above
+        # (on the widened emb); the returned frame is one cheap pass,
+        # plan-pinned to a single physical exchange (the 64-group agg)
+        _emb_raw(spark, sf_dir)
+        .select(F.posexplode(xd).alias("j", "x"))
         .groupBy("j")
         .agg(F.sum(F.floor(F.lit(1000000.0) * F.col("x")).cast("long")).alias("su"))
         .select(*cols)

@@ -19,6 +19,7 @@ from covid_data_challenge_spark.queries_shared import (  # noqa: F401
     _NORM,
     _QUALITY_SQL,
     _docs,
+    _docs_raw,
 )
 
 
@@ -244,7 +245,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scrub emails/phones to typed placeholders with an audit count.
     Pure regexp_replace chain (JVM codegen, no UDF) over engine-portable
     RE2-safe patterns (functions/text.py:redact_pii)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)  # plan-pinned exchange-free
     with_pii = docs.select(
         "doc_id",
         F.concat(
@@ -1013,7 +1014,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Word-count lower bound is 5 here (the paper's 50 would empty the
     synthetic corpus); the constant is the policy knob, not the
     operator."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)  # plan-pinned exchange-free
     w = tokens(F.col("text"))
 
     def _sig(toks):

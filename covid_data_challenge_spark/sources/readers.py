@@ -73,6 +73,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return raw
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Restore scan parallelism lost to unsplittable tiny inputs
+    (optimization guide §2.5, input skew: "one huge unsplittable file …
+    repartition immediately after the read").
+
+    The driver's fixture tables each ship as ONE parquet file with ONE
+    row group, so every scan plans a single task and any per-row-heavy
+    stage fused onto it (n-gram explode + md5, EM expectation passes,
+    LR feature builds, embedding folds) runs on 1 of the N cores — the
+    round-12 profile measured gopher's gram stage at 52.8 s single-task
+    vs 2.9 s after a 32-way repartition. This helper is deliberately
+    conditional so it is scale-adaptive, not a local[32] constant:
+
+    - when the scan already plans >= defaultParallelism partitions (any
+      realistically-sized input, e.g. the 100 TB layout of 128 MB+
+      multi-row-group files), it is a NO-OP — no exchange is added and
+      the plan is byte-identical to the unwidened one;
+    - only when the planned scan parallelism is below the core count
+      does it pay one round-robin exchange of the (by construction
+      tiny — it fit in fewer splits than cores) input.
+
+    Apply it at compute-heavy call sites only; cheap scan+agg queries
+    keep their exchange-free plans (and their plan-pin tests).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
 

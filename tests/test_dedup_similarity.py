@@ -769,6 +769,8 @@ def test_ssl_prototype_prune_keeps_hard_half(spark, monkeypatch):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    # _emb_raw is the unwidened seam (r12 widen split) — same frame here
+    monkeypatch.setattr(qs, "_emb_raw", lambda spark, sf: emb)
     out = {r.vec_id: r for r in
            REGISTRY["ssl_prototype_prune"].spark(spark, "unused").collect()}
     assert len(out) == 4
@@ -843,6 +845,8 @@ def test_kcenter_coreset_picks_spread_centers(spark, monkeypatch):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    # _emb_raw is the unwidened seam (r12 widen split) — same frame here
+    monkeypatch.setattr(qs, "_emb_raw", lambda spark, sf: emb)
     out = sorted(
         REGISTRY["kcenter_coreset"].spark(spark, "unused").collect(),
         key=lambda r: r.round,
@@ -871,6 +875,8 @@ def test_label_centroid_drift_separates_aligned_from_drifted(spark, monkeypatch)
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    # _emb_raw is the unwidened seam (r12 widen split) — same frame here
+    monkeypatch.setattr(qs, "_emb_raw", lambda spark, sf: emb)
     out = {r.label: r for r in
            REGISTRY["label_centroid_drift"].spark(spark, "unused").collect()}
     assert out[0].n_vecs == 4 and out[1].n_vecs == 1
@@ -961,6 +967,8 @@ def test_embedding_top_pc_finds_dominant_direction(spark, monkeypatch):
         rows.append((i, [big, small] + [0.0] * 62, 0))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    # _emb_raw is the unwidened seam (r12 widen split) — same frame here
+    monkeypatch.setattr(qs, "_emb_raw", lambda spark, sf: emb)
     out = {r.dim: r for r in REGISTRY["embedding_top_pc"].spark(spark, "unused").collect()}
     assert len(out) == 64
     assert abs(out[0].pc1) > 0.999
@@ -986,6 +994,8 @@ def test_embedding_abtt_scores_remove_common_direction(spark, monkeypatch):
         rows.append((i, [big, small] + [0.0] * 62, 0))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    # _emb_raw is the unwidened seam (r12 widen split) — same frame here
+    monkeypatch.setattr(qs, "_emb_raw", lambda spark, sf: emb)
     out = {r.vec_id: r for r in
            REGISTRY["embedding_abtt_scores"].spark(spark, "unused").collect()}
     assert len(out) == 12
@@ -1013,6 +1023,8 @@ def test_embedding_top_pcs_recovers_planted_2d_subspace(spark, monkeypatch):
         rows.append((i, [a, b, c] + [0.0] * 61, 0))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    # _emb_raw is the unwidened seam (r12 widen split) — same frame here
+    monkeypatch.setattr(qs, "_emb_raw", lambda spark, sf: emb)
     out = {r.dim: r for r in
            REGISTRY["embedding_top_pcs"].spark(spark, "unused").collect()}
     assert len(out) == 64
@@ -1049,6 +1061,8 @@ def test_abtt_v2_scores_remove_top2_subspace(spark, monkeypatch):
         rows.append((i, [a, b, c] + [0.0] * 61, 0))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     monkeypatch.setattr(qs, "_emb", lambda spark, sf: emb)
+    # _emb_raw is the unwidened seam (r12 widen split) — same frame here
+    monkeypatch.setattr(qs, "_emb_raw", lambda spark, sf: emb)
     out = {r.vec_id: r for r in
            REGISTRY["abtt_v2_scores"].spark(spark, "unused").collect()}
     assert len(out) == 16
