@@ -120,6 +120,57 @@ def range_sharded_cumsum(
     return joined.drop(*[c for c in drop if c in joined.columns])
 
 
+def range_sharded_dense_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Append a global ``dense_rank() OVER (ORDER BY order_cols)`` to
+    EVERY row of ``df`` with no single-partition window and no
+    distinct+join-back round trip.
+
+    The classic shape (rank the DISTINCT key table, join it back) pays
+    three data-scale exchanges per ranking: the distinct's hash
+    exchange plus both sides of the join-back. Here the rank is
+    computed in place: one range exchange of ``df``, a within-shard
+    ``dense_rank`` window (each window partition is ~|df|/K), and a
+    K-row exclusive prefix of per-shard DISTINCT counts broadcast back
+    onto the shard (r12, the suffix-array doubling rounds' fix —
+    measured ~2 big exchanges saved per round).
+
+    Correct because the range partitioner puts all rows equal on
+    ``order_cols`` in the same shard (boundary assignment is a binary
+    search over sampled split points — equal keys resolve identically,
+    and the sample PRNG is seeded from the partition index, so
+    recomputations see the same boundaries; see range_sharded_cumsum's
+    determinism note). Keys must be non-null (``countDistinct`` drops
+    null tuples); every caller here ranks coalesced/derived keys.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    sharded = df.repartitionByRange(num_shards, *order).withColumn(
+        _SHARD, F.spark_partition_id()
+    )
+    w_in = Window.partitionBy(_SHARD).orderBy(*order)
+    totals = sharded.groupBy(_SHARD).agg(
+        F.countDistinct(*order_cols).alias("__t")
+    )
+    w_off = (
+        Window.orderBy(F.col(_SHARD).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _SHARD,
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__o"),
+    )
+    return (
+        sharded.withColumn("__r", F.dense_rank().over(w_in))
+        .join(F.broadcast(offsets), _SHARD)
+        .withColumn(out, (F.col("__r") + F.col("__o")).cast("long"))
+        .drop(_SHARD, "__r", "__o")
+    )
+
+
 def range_sharded_ntile(
     df: DataFrame,
     order_cols: list[str],

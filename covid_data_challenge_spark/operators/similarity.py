@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from covid_data_challenge_spark.functions.vector import (
     cosine,
     dot,
-    lit_double_array,
     norm,
     to_double,
 )
@@ -216,7 +215,7 @@ def cosine_neardup_pairs_lsh(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
         norm(F.col(vec_col)).alias("__n"),
-        F.explode(rp_lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+        F.explode(rp_lsh_buckets(f"`{vec_col}`", dim, bits, tables)).alias("tb"),
     ).select("id", "__v", "__n", "tb.table", "tb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -255,40 +254,53 @@ def _signed_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]
     return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_planes)]
 
 
-def rp_lsh_buckets(vec_col, dim: int, bits: int, tables: int, seed: int = 42):
+def rp_lsh_buckets(vec_sql: str, dim: int, bits: int, tables: int, seed: int = 42):
     """Multi-table random-hyperplane LSH: ``tables`` bucket ids, each
     packing ``bits`` sign-of-projection bits against fixed ±1 planes.
 
     Projections are JVM-side ``zip_with``+``aggregate`` folds against
-    literal plane arrays — no UDF, fully codegen-able, and the plane set
-    is identical on every executor by construction (seeded literals).
-    Returns array<struct<table:int, bucket:long>> for a single explode.
+    literal plane arrays — no UDF, and the plane set is identical on
+    every executor by construction (seeded literals). The WHOLE
+    array<struct<table:int, bucket:long>> is emitted as ONE ``F.expr``
+    SQL string (r12): building it Column-by-Column cost ~10⁴ py4j round
+    trips ≈ 2 s of driver time PER CALL (optimization guide §5 — the
+    driver is part of the query path); one string parses in
+    milliseconds to the same expression tree, so every projection fold
+    runs the identical double arithmetic in the identical order.
+    ``vec_sql`` is the vector column as SQL text (a name or expression).
     """
     planes = _signed_planes(bits * tables, dim, seed)
-    projections = [
-        _proj(vec_col, plane) for plane in planes
-    ]
     entries = []
     for t in range(tables):
-        bucket = F.lit(0).cast("long")
+        terms = []
         for j in range(bits):
-            bit = F.when(projections[t * bits + j] >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
+            proj = _proj_sql(vec_sql, planes[t * bits + j])
+            terms.append(
+                f"(CASE WHEN {proj} >= 0 THEN CAST(1 AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END) * CAST({1 << j} AS BIGINT)"
             )
-            bucket = bucket + bit * F.lit(1 << j).cast("long")
-        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return F.array(*entries)
+        bucket = " + ".join(["CAST(0 AS BIGINT)"] + terms)
+        entries.append(f"named_struct('table', {t}, 'bucket', {bucket})")
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
-def _proj(vec_col, plane: list[float]):
-    # single-parse literal: 48 planes × 64 dims as per-element F.lit
-    # was ~3×10³ py4j calls ≈ seconds of driver time per construction
-    lit_plane = lit_double_array(plane)
-    return F.aggregate(
-        F.zip_with(vec_col, lit_plane, lambda x, w: x.cast("double") * w),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _proj_sql(vec_sql: str, plane: list[float]) -> str:
+    """Signed-projection fold as SQL text — the same
+    aggregate(zip_with(vec, plane, (x,w) -> double(x)*w), 0.0, +) tree
+    the Column API built, one parse instead of ~20 py4j calls."""
+    for w in plane:
+        if w != w or w in (float("inf"), float("-inf")):
+            raise ValueError(f"_proj_sql: non-finite plane weight {w!r}")
+    arr = "array(" + ",".join(repr(float(w)) + "D" for w in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        f"(x, w) -> CAST(x AS DOUBLE) * w), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
+
+
+def _proj(vec_sql: str, plane: list[float]):
+    return F.expr(_proj_sql(vec_sql, plane))
 
 
 def ann_lsh_topk(
@@ -317,13 +329,13 @@ def ann_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm(F.col(vec_col)).alias("__nc"),
-        F.explode(rp_lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+        F.explode(rp_lsh_buckets(f"`{vec_col}`", dim, bits, tables)).alias("tb"),
     ).select("neighbor_id", "__cv", "__nc", "tb.table", "tb.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(F.col(vec_col)).alias("__nq"),
-        F.explode(rp_lsh_buckets(F.col(vec_col), dim, bits, tables)).alias("tb"),
+        F.explode(rp_lsh_buckets(f"`{vec_col}`", dim, bits, tables)).alias("tb"),
     ).select("query_id", "__qv", "__nq", "tb.table", "tb.bucket")
     sim = F.when(
         (F.col("__nq") > 0) & (F.col("__nc") > 0),
@@ -466,7 +478,7 @@ def jl_project_units(
     scale = 1.0 / math.sqrt(out_dims)
     units = [
         F.floor(
-            F.lit(1000000.0) * (_proj(F.col(vec_col), plane) * F.lit(scale))
+            F.lit(1000000.0) * (_proj(f"`{vec_col}`", plane) * F.lit(scale))
         )
         .cast("long")
         .cast("string")

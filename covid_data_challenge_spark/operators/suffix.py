@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from covid_data_challenge_spark.functions.text import tokens
-from covid_data_challenge_spark.operators.prefix import range_sharded_cumsum
+from covid_data_challenge_spark.operators.prefix import (
+    range_sharded_cumsum,
+    range_sharded_dense_rank,
+)
 
 
 def token_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -78,14 +81,6 @@ def window_positions(
     ).select("doc_id", (F.col("__p") + 1).cast("int").alias("off"), "win")
 
 
-def _dense_rank(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
-    """Global dense rank of the DISTINCT ``order_cols`` rows via the
-    range-sharded cumulative count — no single-partition window."""
-    distinct = df.select(*order_cols).distinct().withColumn("__one", F.lit(1))
-    ranked = range_sharded_cumsum(distinct, order_cols, {"__one": out})
-    return ranked.select(*order_cols, F.col(out).cast("long").alias(out))
-
-
 def suffix_ranks(
     docs: DataFrame,
     max_len: int,
@@ -120,35 +115,44 @@ def suffix_ranks(
             raise ValueError(f"{name} must be a power of 4, got {v}")
     if cap < seed_width:
         raise ValueError("cap must be >= seed_width")
+    # Dense ranks are computed IN PLACE (range_sharded_dense_rank: one
+    # range exchange + per-shard window + K-row offset broadcast)
+    # instead of the distinct → rank → join-back round trip — r12,
+    # saves ~2 positions-scale exchanges per ranking (seed + every
+    # middle round).
     wp = window_positions(docs, seed_width, text_col)
-    r0 = _dense_rank(wp, ["win"], "r")
     ranks = (
-        wp.join(r0, "win")
+        range_sharded_dense_rank(wp, ["win"], "r")
         .select("doc_id", "off", "r")
         .localCheckpoint(eager=True)
     )
+    # The position count is loop-invariant (every round keeps exactly
+    # one row per suffix) — hoist it; each round's distinct-rank count
+    # is then just max(r) over the freshly densified table (ranks are
+    # dense 1..d by construction), ONE cheap agg on a checkpointed
+    # frame instead of the count+countDistinct expand pass per round.
+    n_pos = None
     covered = seed_width
     while covered < min(cap, max_len):
         paired = _radix4_tuple(ranks, covered)
         covered *= 4
         if covered >= min(cap, max_len):
             # LAST round: the tuple only feeds an ORDERING downstream,
-            # so re-densification (distinct + rank + join-back — three
-            # shuffles) is pure waste — return the tuple columns as the
-            # comparator (order-equivalent to the densified rank by
-            # construction). Middle rounds must densify: their output
-            # re-enters a shift/pack step that needs one scalar rank.
+            # so re-densification (a full re-rank) is pure waste —
+            # return the tuple columns as the comparator
+            # (order-equivalent to the densified rank by construction).
+            # Middle rounds must densify: their output re-enters a
+            # shift/pack step that needs one scalar rank.
             return paired
-        nr = _dense_rank(paired, ["r", "r2", "r3", "r4"], "__nr")
         ranks = (
-            paired.join(nr, ["r", "r2", "r3", "r4"])
+            range_sharded_dense_rank(paired, ["r", "r2", "r3", "r4"], "__nr")
             .select("doc_id", "off", F.col("__nr").alias("r"))
             .localCheckpoint(eager=True)
         )
-        stats = ranks.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("r").alias("d")
-        ).collect()[0]
-        if stats.n == stats.d:
+        if n_pos is None:
+            n_pos = ranks.count()
+        d = ranks.agg(F.max("r")).collect()[0][0]
+        if n_pos == d:
             break  # all suffixes distinguished — no more doubling needed
     return ranks
 
@@ -213,7 +217,13 @@ def longest_repeated_spans(
         raise ValueError(
             "longest_repeated_spans: empty corpus (no tokenized documents)"
         )
-    sa = suffix_array(docs, int(max_len), cap, text_col)
+    # The SA feeds BOTH sides of the adjacency self-join below; without a
+    # boundary the whole doubling pipeline (seed rank, radix rounds, the
+    # final range-sharded cumsum) is a shared subtree Spark may or may
+    # not reuse across the two consumers — checkpoint once (|positions|
+    # rows of three longs) so it provably runs once (r12, measured ~2 s
+    # of duplicated rank work at sf0.1).
+    sa = suffix_array(docs, int(max_len), cap, text_col).localCheckpoint(eager=True)
     arrays = docs.select("doc_id", tokens(F.col(text_col)).alias("__ws"))
 
     left = sa.select(
@@ -226,7 +236,19 @@ def longest_repeated_spans(
         F.col("doc_id").alias("doc_b"),
         F.col("off").alias("off_b"),
     )
-    adj = left.join(right, "sa_pos")
+    # The LCP stage downstream is per-ROW CPU-bound (an interpreted
+    # higher-order fold over up to ``cap`` tokens, ~100 µs/row) while its
+    # INPUT rows here are ~32 bytes — AQE coalesces the adjacency
+    # exchange by bytes (observed 5 post-AQE partitions at sf0.1, i.e.
+    # the fold on 5 of 32 cores for a 50× downstream byte+CPU blowup
+    # once the token arrays attach). Re-spread the cheap rows over the
+    # session's cores before attaching arrays: the extra exchange moves
+    # ~32 B/row (≈1 µs) to save ~100 µs/row of serialized compute, and
+    # sizes the CPU-bound stage in one wave at any scale
+    # (defaultParallelism = cluster cores, never a local constant).
+    adj = left.join(right, "sa_pos").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     withs = (
         adj.join(
             arrays.select(F.col("doc_id").alias("doc_a"), F.col("__ws").alias("__wa")),
