@@ -36,11 +36,17 @@ def seed_centroids(
     """Deterministic coarse centroids: the ``n_centroids`` lowest-id
     vectors. (At 100 TB you'd sample + k-means|| instead; the IVF
     structure is identical.) Output: (cid, cvec)."""
+    # top-k first (TakeOrderedAndProject — distributed, never a global
+    # single-partition sort of the corpus), then rank the k survivors.
+    # The window below runs over n_centroids rows, a constant (r12; the
+    # old corpus-wide Window.orderBy(id) funneled every vector through
+    # ONE task — guide §2.5 input skew by construction).
+    low = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col)).limit(
+        n_centroids
+    )
     w = Window.orderBy(F.col(id_col))
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_centroids)
+        low.withColumn("__rn", F.row_number().over(w))
         .select((F.col("__rn") - 1).alias("cid"), F.col(vec_col).alias("cvec"))
     )
 

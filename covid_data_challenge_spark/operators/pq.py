@@ -90,17 +90,30 @@ def pq_train(
     keep-previous rule."""
     sub_dim = dim // n_sub
     sv = _subvectors(corpus, id_col, vec_col, n_sub, sub_dim)
-    w = Window.partitionBy("sub").orderBy(F.col("id"))
-    codebook = (
-        sv.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_codes)
-        .select("sub", (F.col("__rn") - 1).alias("code"), F.col("subvec").alias("cvec"))
+    # Seed from the n_codes lowest ids via distributed top-k + a
+    # constant-size window, then attach subvectors by broadcast join —
+    # the old per-sub Window.orderBy(id) sort-shuffled the whole
+    # subvector table into n_sub partitions (guide §2.5 skew by
+    # construction). Same codes: ids are identical across subs, so the
+    # per-sub rank of the k lowest ids equals the corpus-level rank.
+    low = (
+        corpus.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(n_codes)
+        .withColumn(
+            "code", F.row_number().over(Window.orderBy(F.col("id"))) - 1
+        )
+    )
+    codebook = sv.join(F.broadcast(low), "id").select(
+        "sub", "code", F.col("subvec").alias("cvec")
     )
     for _ in range(lloyd_iters):
-        assigned = _pq_assign(sv, codebook)
-        by_dim = assigned.join(
-            sv, ["id", "sub"]
-        ).select("sub", "code", F.posexplode("subvec").alias("pos", "x"))
+        # carry each (id, sub)'s subvector THROUGH the argmin (it is
+        # constant within the group) instead of re-joining the corpus-
+        # sized sv after assignment — deletes one corpus-scale join per
+        # Lloyd iteration (guide §2.4).
+        assigned = _pq_assign(sv, codebook, with_vec=True)
+        by_dim = assigned.select("sub", "code", F.posexplode("subvec").alias("pos", "x"))
         means = by_dim.groupBy("sub", "code", "pos").agg(F.avg("x").alias("m"))
         rebuilt = (
             means.groupBy("sub", "code")
@@ -121,14 +134,37 @@ def pq_train(
     return codebook
 
 
-def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Nearest codebook entry per (id, sub) → (id, sub, code). The
-    codebook is n_sub × n_codes rows — always broadcast."""
+def _pq_assign(
+    sv: DataFrame, codebook: DataFrame, with_vec: bool = False
+) -> DataFrame:
+    """Nearest codebook entry per (id, sub) → (id, sub, code[, subvec]).
+    The codebook is n_sub × n_codes rows — always broadcast.
+    ``with_vec=True`` carries the (group-constant) subvector through the
+    argmin so the Lloyd rebuild needs no join back onto sv."""
     scored = sv.join(F.broadcast(codebook), "sub").select(
-        "id", "sub", "code", l2sq(F.col("subvec"), F.col("cvec")).alias("__d")
+        "id",
+        "sub",
+        "code",
+        "subvec",
+        l2sq(F.col("subvec"), F.col("cvec")).alias("__d"),
     )
     # argmin as min_by hash aggregate (map-side partials) — same
     # (distance asc, code asc) tie rule as a sorted window, cheaper.
+    if with_vec:
+        return (
+            scored.groupBy("id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("code", "subvec"), F.struct("__d", "code")
+                ).alias("__b")
+            )
+            .select(
+                "id",
+                "sub",
+                F.col("__b.code").alias("code"),
+                F.col("__b.subvec").alias("subvec"),
+            )
+        )
     return (
         scored.groupBy("id", "sub")
         .agg(F.min_by(F.col("code"), F.struct("__d", "code")).alias("code"))

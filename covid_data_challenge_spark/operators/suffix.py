@@ -264,18 +264,24 @@ def longest_repeated_spans(
             F.slice(F.col("__wb"), F.col("off_b"), cap).alias("__s2"),
         )
     )
+    # LCP = index of the first mismatch: one zip_with equality mask +
+    # array_position — two flat interpreted passes over ≤ cap elements
+    # instead of the old stateful struct-allocating fold (~5 expression
+    # nodes per element per step; this stage is the span query's
+    # CPU-bound tail, guide §1.2 step 2 per-task work). Positions past
+    # the shorter array compare NULL ⇒ coalesce(false) ⇒ mismatch, so
+    # position 0 (no mismatch) can only mean fully-equal arrays of
+    # equal length.
     m = F.least(F.size("__s1"), F.size("__s2"))
-    eq = lambda i: F.element_at(F.col("__s1"), i) == F.element_at(F.col("__s2"), i)  # noqa: E731
-    lcp = F.aggregate(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        F.struct(F.lit(0).alias("c"), F.lit(False).alias("stop")),
-        lambda acc, i: F.struct(
-            F.when((~acc.getField("stop")) & (i <= m) & eq(i), acc.getField("c") + 1)
-            .otherwise(acc.getField("c"))
-            .alias("c"),
-            (acc.getField("stop") | (i > m) | ~eq(i)).alias("stop"),
+    first_ne = F.array_position(
+        F.zip_with(
+            F.col("__s1"),
+            F.col("__s2"),
+            lambda a, b: F.coalesce(a == b, F.lit(False)),
         ),
-    ).getField("c")
+        F.lit(False),
+    )
+    lcp = F.when(first_ne == 0, m).otherwise(first_ne - 1)
     scored = withs.select(
         "doc_a", "off_a", "doc_b", "off_b",
         lcp.cast("int").alias("lcp"),

@@ -106,7 +106,17 @@ def seed_vocab(wd: DataFrame) -> DataFrame:
     """Seed piece table (piece, f, u): substring frequencies weighted by
     word counts; ALL single chars + top ``VOCAB_TOP`` multi-char pieces
     by (f desc, piece asc); u = integer micro-nat log-probability."""
-    pf = _substrings(wd).groupBy("piece").agg(F.sum("n").cast("long").alias("f"))
+    # pf feeds FOUR consumers (singles, the multis top-k, the total, and
+    # the final join) — checkpoint the piece-frequency table once or the
+    # substring explode + groupBy runs four times inside the seed job
+    # (measured 3.5 s → ~0.9 s at sf0.1; the table is bounded by the
+    # dictionary's distinct ≤MAX_PIECE-char substrings)
+    pf = (
+        _substrings(wd)
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("f"))
+        .localCheckpoint(eager=True)
+    )
     singles = pf.filter(F.length("piece") == 1)
     multis = (
         pf.filter(F.length("piece") >= 2)
@@ -130,6 +140,33 @@ def seed_vocab(wd: DataFrame) -> DataFrame:
     )
 
 
+def _vocab_map(vocab: DataFrame) -> Column:
+    """The (piece → u) score table as a LITERAL map column.
+
+    The vocabulary is BOUNDED by construction (all single characters of
+    the corpus alphabet + at most ``VOCAB_TOP`` multi-char pieces —
+    model parameters, not data), so collecting it to the driver is the
+    k-center API-boundary-scalar discipline, and inlining it as a map
+    literal deletes the per-E-step substring explode + piece join +
+    per-word ``collect_list`` shuffle the old slot-map build paid
+    (optimization guide §2.4: remove shuffles outright — the E-step
+    becomes a shuffle-free map over the checkpointed dictionary).
+    Values are collected integers (micro-nats), so the DP stays
+    bit-exact; lookups of absent pieces return NULL exactly like the
+    old inner-join-then-``element_at`` path."""
+    rows = vocab.select("piece", "u").collect()
+    if not rows:
+        return F.expr("cast(map() as map<string,bigint>)")
+    # ONE parsed SQL expression, not 2·|vocab| py4j lit() round trips
+    # (the r12 LSH _proj_sql lesson — the driver is part of the query
+    # path, guide §5); pieces are SQL-escaped by doubling quotes.
+    parts = []
+    for r in rows:
+        esc = r["piece"].replace("'", "''")
+        parts.append(f"'{esc}', {int(r['u'])}L")
+    return F.expr("map(" + ", ".join(parts) + ")")
+
+
 def viterbi_segments(wd: DataFrame, vocab: DataFrame) -> DataFrame:
     """E-step: (w, n, piece) — each dictionary word's Viterbi-best
     segmentation under the vocab scores, exploded to its pieces.
@@ -137,29 +174,23 @@ def viterbi_segments(wd: DataFrame, vocab: DataFrame) -> DataFrame:
     The DP runs as one ``F.aggregate`` fold per word over positions
     1..len(w): cell i holds ``best_total·8 + j`` for the best
     segmentation of the prefix ending at i (j = length of its final
-    piece; ties prefer the longer piece). Backtracking is a second
+    piece; ties prefer the longer piece). Piece scores come from the
+    literal vocab map (:func:`_vocab_map`) looked up directly on
+    ``substring(w, i−j+1, j)`` — the whole E-step is one shuffle-free
+    projection over the dictionary (r12; the old path exploded every
+    substring, joined the vocab, and re-grouped per word — two
+    dictionary-scale shuffles per EM round). Backtracking is a second
     bounded fold walking ``pos → pos − j``. Single characters are
     always in the vocab, so every position has a valid candidate and
     the sentinel never wins."""
-    seg = _substrings(wd).join(vocab.select("piece", "u"), "piece")
-    per_word = seg.groupBy("w", "n").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    ((F.col("start") - 1) * MAX_PIECE + (F.col("len") - 1))
-                    .cast("int")
-                    .alias("slot"),
-                    F.col("u").alias("u"),
-                )
-            )
-        ).alias("m")
-    )
+    vm = _vocab_map(vocab)
+    per_word = wd.select("w", "n", vm.alias("m"))
 
     def cell(acc: Column, i: Column) -> Column:
         cands = []
         for j in range(1, MAX_PIECE + 1):
             u_ij = F.element_at(
-                F.col("m"), ((i - j) * MAX_PIECE + F.lit(j - 1)).cast("int")
+                F.col("m"), F.substring(F.col("w"), (i - j + 1).cast("int"), j)
             )
             prev = F.element_at(acc, (i - j + 1).cast("int"))
             cands.append(
@@ -220,11 +251,7 @@ def unigram_em_round(docs: DataFrame, text_col: str = "text") -> DataFrame:
     prune set) and the re-estimated integer micro-nat score."""
     wd = word_dictionary(docs, text_col).localCheckpoint(eager=True)
     vocab = seed_vocab(wd).localCheckpoint(eager=True)
-    used = (
-        viterbi_segments(wd, vocab)
-        .groupBy("piece")
-        .agg(F.sum("n").cast("long").alias("vc"))
-    )
+    used = _round_usage(wd, vocab)
     joined = vocab.join(used, "piece", "left").select(
         "piece",
         "f",
