@@ -148,6 +148,14 @@ def range_sharded_dense_rank(
     null tuples); every caller here ranks coalesced/derived keys.
     """
     order = [F.col(c).asc() for c in order_cols]
+    # The shard label feeds TWO consumers (the within-shard window and
+    # the per-shard distinct totals); their consistency rests on the
+    # module-docstring determinism argument (same as the cumsum twin,
+    # exercised by hundreds of oracle sweeps since r6). An eager
+    # checkpoint here would make it unconditional but was measured at
+    # +2–3.5 s per suffix query (the seed frame is O(n·seed_width)
+    # strings) — rejected; the invariance is pinned instead by
+    # test_operators' dense-rank shard-count/recompute tests.
     sharded = df.repartitionByRange(num_shards, *order).withColumn(
         _SHARD, F.spark_partition_id()
     )

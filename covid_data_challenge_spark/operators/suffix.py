@@ -34,7 +34,7 @@ spans to end-of-doc); the suffix-array order breaks them by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from covid_data_challenge_spark.functions.text import tokens
@@ -273,15 +273,33 @@ def longest_repeated_spans(
     # position 0 (no mismatch) can only mean fully-equal arrays of
     # equal length.
     m = F.least(F.size("__s1"), F.size("__s2"))
-    first_ne = F.array_position(
-        F.zip_with(
-            F.col("__s1"),
-            F.col("__s2"),
-            lambda a, b: F.coalesce(a == b, F.lit(False)),
-        ),
-        F.lit(False),
-    )
-    lcp = F.when(first_ne == 0, m).otherwise(first_ne - 1)
+
+    def _lcp_over(s1: Column, s2: Column, full: Column) -> Column:
+        first_ne = F.array_position(
+            F.zip_with(
+                s1, s2, lambda a, b: F.coalesce(a == b, F.lit(False))
+            ),
+            F.lit(False),
+        )
+        return F.when(first_ne == 0, full).otherwise(first_ne - 1)
+
+    if cap > 64:
+        # two-phase compare: adjacent suffixes rarely share 64+ tokens,
+        # so probe the first 64 and only pay the full cap-wide zip on a
+        # phase-1 tie (lcp1 == 64 ⇔ first 64 equal on both sides; the
+        # CASE branch evaluates lazily per row). Bit-equal by
+        # construction: a mismatch inside 64 is final, and the full
+        # compare re-derives the whole prefix otherwise.
+        lcp1 = _lcp_over(
+            F.slice(F.col("__s1"), 1, 64),
+            F.slice(F.col("__s2"), 1, 64),
+            F.least(m, F.lit(64)),
+        )
+        lcp = F.when(
+            lcp1 < 64, lcp1
+        ).otherwise(_lcp_over(F.col("__s1"), F.col("__s2"), m))
+    else:
+        lcp = _lcp_over(F.col("__s1"), F.col("__s2"), m)
     scored = withs.select(
         "doc_a", "off_a", "doc_b", "off_b",
         lcp.cast("int").alias("lcp"),

@@ -1641,6 +1641,47 @@ def test_range_sharded_cumsum_recompute_is_stable(spark):
         assert again == first
 
 
+def test_range_sharded_dense_rank_matches_window_and_is_shard_invariant(spark):
+    """The in-place global dense rank (r12, the suffix-doubling fix)
+    must be row-for-row identical to the naive Window.orderBy
+    dense_rank for HEAVILY DUPLICATED keys — the dense-rank-specific
+    hazard: equal keys straddling a shard boundary would not just split
+    a prefix (the cumsum case) but shift every later rank by one. Pin
+    it across shard counts spanning fewer-rows-than-shards and
+    many-keys-per-shard, plus recompute stability on one lazy result
+    (uncached — each execution may recompute the range exchange and
+    must redraw identical boundaries)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from covid_data_challenge_spark.operators.prefix import (
+        range_sharded_dense_rank,
+    )
+
+    rng = random.Random(41)
+    # ~12 distinct keys over 600 rows -> every shard boundary lands on
+    # a duplicated key at most shard counts
+    rows = [(i, rng.randrange(0, 12)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    w = Window.orderBy("k")
+    want = {
+        r.id: r.r for r in df.withColumn("r", F.dense_rank().over(w)).collect()
+    }
+    for shards in (3, 8, 32, 997):
+        got = {
+            r.id: r.r
+            for r in range_sharded_dense_rank(
+                df, ["k"], "r", num_shards=shards
+            ).collect()
+        }
+        assert got == want, f"num_shards={shards}"
+    out = range_sharded_dense_rank(df, ["k"], "r", num_shards=8)
+    first = sorted((r.id, r.r) for r in out.collect())
+    for _ in range(2):
+        assert sorted((r.id, r.r) for r in out.collect()) == first
+
+
 def test_range_sharded_ntile_matches_sql_ntile(spark):
     """range_sharded_ntile must reproduce SQL ntile(n) exactly for
     counts that do and don't divide n (the first N mod n buckets get

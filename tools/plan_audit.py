@@ -15,6 +15,7 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -265,9 +266,23 @@ def main() -> int:
         )
 
     rows.sort(key=lambda r: (-r[1], r[0]))
+    # stamp the generation tree: an expression-level engine change can
+    # regenerate this table byte-identically, and the freshness gate
+    # (test_plan_audit_fresh_at_head) needs the FILE re-committed with
+    # every engine-touching commit — the stamp guarantees a diff.
+    import subprocess
+
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+    ).stdout.strip() or "unknown"
     lines = [
         "# PLAN_AUDIT — per-query shuffle budget (plans built at "
         f"{sf_dir}, AQE initial plans)",
+        "",
+        f"Generated at tree: {head} (+ working-tree changes being committed with this file).",
         "",
         "Regenerate: `python tools/plan_audit.py`. Sorted by exchange",
         "count — the top of this table is where 100 TB attention goes.",
