@@ -159,10 +159,13 @@ def _vocab_map(vocab: DataFrame) -> Column:
         return F.expr("cast(map() as map<string,bigint>)")
     # ONE parsed SQL expression, not 2·|vocab| py4j lit() round trips
     # (the r12 LSH _proj_sql lesson — the driver is part of the query
-    # path, guide §5); pieces are SQL-escaped by doubling quotes.
+    # path, guide §5). Spark string literals process backslash escapes
+    # BEFORE quote-doubling is seen, so backslashes must be doubled
+    # first (ADVICE r12: a corpus backslash otherwise breaks the parse
+    # or silently remaps pieces like "\\n"); quotes double as usual.
     parts = []
     for r in rows:
-        esc = r["piece"].replace("'", "''")
+        esc = r["piece"].replace("\\", "\\\\").replace("'", "''")
         parts.append(f"'{esc}', {int(r['u'])}L")
     return F.expr("map(" + ", ".join(parts) + ")")
 

@@ -882,6 +882,134 @@ def _lr_oracle(n_buckets: int, iters: int, rate: float) -> str:
     return "WITH " + ",\n".join(ctes) + final
 
 
+# --- Bucketed LR feature gold (r13, VERDICT r12 next-round #8) -------------
+#
+# Every LR-family query builds the SAME hashed-feature fact
+# (lr_features over documents with the _DSIR_TARGET_SOURCES label) and
+# then consumes it 2× per GD iteration plus once for scoring. r12
+# measured-and-rejected both in-session co-partitioning boundaries
+# (localCheckpoint reports UnknownPartitioning under AQE; persist()'s
+# cache build costs more than the exchanges it saves), concluding the
+# honest scale fix is a BUCKETED gold table: bucketBy(doc_id) persists
+# the hash partitioning across jobs, so every per-iteration
+# groupBy(doc_id, y) and residual join on doc_id reads the layout for
+# free — no corpus-scale Exchange per iteration (guide §2.4: bucketed
+# tables persist a partitioning so repeated joins/aggregations on the
+# bucket key skip the shuffle entirely). Same build/serve discipline as
+# the PQ/IVF and LM golds: the build is priced by its own benched leg
+# (lr_feature_gold_build, forced rebuild per run), the fit legs read
+# the published gold (load-or-build on first touch, mtime staleness).
+#
+# Bucket count is scale-parameterized (env, local default 32 — at
+# 100 TB size buckets to the 100 MB-1 GB guide §2.2 band); bucket
+# metadata lives in the session catalog (in-memory), so each session
+# registers the external table over the published files once.
+
+import os as _os
+
+_LR_GOLD_VERSION = 1
+_LR_GOLD_BUCKETS = int(_os.environ.get("SPARK_GRAFT_LR_GOLD_BUCKETS", "32"))
+
+
+def _lr_gold_base(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/spark_graft_lr_v{_LR_GOLD_VERSION}/{key}"
+
+
+def _lr_gold_table_name(sf_dir: str) -> str:
+    import re
+
+    key = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.strip("/")).lower()
+    return f"lr_feats_gold_{key}_b{_LR_GOLD_BUCKETS}"
+
+
+def _lr_gold_build(spark: SparkSession, sf_dir: str) -> str:
+    """Force-build the bucketed feature gold; returns its data path.
+    One file per bucket (the pre-write repartition uses the same
+    murmur3 pmod as the bucket spec), written sorted by doc_id."""
+    base = _lr_gold_base(sf_dir)
+    name = _lr_gold_table_name(sf_dir)
+    feats = lr_features(
+        _docs(spark, sf_dir),
+        is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        feats.repartition(_LR_GOLD_BUCKETS, F.col("doc_id"))
+        .write.mode("overwrite")
+        .bucketBy(_LR_GOLD_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .option("path", f"{base}/feats")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return f"{base}/feats"
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LR feature fact as a bucketed catalog table — load-or-build
+    with the standard marker + source-mtime staleness discipline
+    (_gold_load_or_build's contract). Values are EXACTLY lr_features'
+    output (parquet double roundtrip is exact), so every consumer is
+    bit-identical to the pre-gold path."""
+    base = _lr_gold_base(sf_dir)
+    name = _lr_gold_table_name(sf_dir)
+    marker = f"{base}/feats/_SUCCESS"
+    src = f"{sf_dir}/documents.parquet"
+    stale = not _os.path.exists(marker) or (
+        _os.path.exists(src)
+        and _os.path.getmtime(src) > _os.path.getmtime(marker)
+    )
+    if stale:
+        _lr_gold_build(spark, sf_dir)
+    elif not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} "
+            "(doc_id BIGINT, y DOUBLE, bucket INT, x DOUBLE) "
+            "USING PARQUET "
+            f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+            f"INTO {_LR_GOLD_BUCKETS} BUCKETS "
+            f"LOCATION '{base}/feats'"
+        )
+    return spark.table(name)
+
+
+@register(
+    "lr_feature_gold_build",
+    oracle="WITH "
+    + ",\n".join(_lr_oracle_parts(LR_BUCKETS, LR_ITERS, LR_RATE)[0][:4])
+    + """
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(floor(1000000000.0 * x) AS BIGINT)) AS BIGINT)
+         AS x_units_sum,
+       CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS y_sum
+FROM feat GROUP BY bucket
+""",
+)
+def q_lr_feature_gold_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LR feature-gold BUILD (r13, VERDICT r12 #8): tokenize + hash +
+    per-doc l1-normalize the corpus once and WRITE the feature fact
+    bucketed by doc_id — the one-off layout cost every LR fit leg then
+    reads exchange-free (the ann_pq_build discipline: the write is
+    timed as a full rebuild each run, and the returned summary is read
+    back FROM THE WRITTEN TABLE so the oracle — the same feature CTEs
+    the fit oracles unroll — hash-checks the persisted artifact, not an
+    in-memory intermediate). Per-bucket: row count, distinct docs,
+    integer nano-unit x checksum, positive-label count."""
+    _lr_gold_build(spark, sf_dir)
+    feats = _lr_feats(spark, sf_dir)
+    return feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(F.floor(F.lit(1000000000.0) * F.col("x")).cast("long"))
+        .cast("long")
+        .alias("x_units_sum"),
+        F.sum(F.col("y").cast("long")).cast("long").alias("y_sum"),
+    )
+
+
 @register(
     "quality_classifier_logits",
     oracle=_lr_oracle(LR_BUCKETS, LR_ITERS, LR_RATE),
@@ -899,10 +1027,7 @@ def q_quality_classifier_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-checked end to end. Per iteration: one broadcast join + two
     aggregations over the checkpointed feature table; model state is a
     65-row weight table."""
-    docs = _docs(spark, sf_dir)
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     w = lr_train(feats)
     return lr_score(feats, w)
 
@@ -955,10 +1080,7 @@ def q_classifier_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, so the honest AUC is barely above chance (~0.55) — the
     learner itself is pinned in pytest on a separable fixture, where it
     ranks every positive above every negative."""
-    docs = _docs(spark, sf_dir)
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats))
     per_val = scored.groupBy("logit_units").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1020,9 +1142,7 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from covid_data_challenge_spark.functions.pmath import portable_exp
 
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats))
     p = (
         F.lit(1.0)
@@ -1295,9 +1415,7 @@ def q_classifier_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from covid_data_challenge_spark.operators.dsir import hashed_bucket
 
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     w = lr_train(feats)
     topw = (
         w.filter(F.col("bucket") != LR_BIAS)
@@ -1387,9 +1505,7 @@ def q_corpus_prep_recipe_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.sampling import md5_unit_fraction
 
     docs = _docs(spark, sf_dir)
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats))
     p = F.lit(1.0) / (
         F.lit(1.0)
@@ -1474,10 +1590,7 @@ def q_classifier_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions of integer counts, so the whole area replays bit-exactly
     in DuckDB. The terms sum to ≤1, so the unit sum fits a long with
     15 decimal digits of headroom."""
-    docs = _docs(spark, sf_dir)
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats))
     per_val = scored.groupBy("logit_units").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1577,10 +1690,7 @@ def q_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed."""
     from covid_data_challenge_spark.functions.pmath import portable_exp
 
-    docs = _docs(spark, sf_dir)
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats))
     p = F.lit(1.0) / (
         F.lit(1.0)
@@ -2122,10 +2232,7 @@ def q_platt_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.functions.pmath import portable_exp, portable_ln
     from covid_data_challenge_spark.functions.text import let
 
-    docs = _docs(spark, sf_dir)
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats)).localCheckpoint(eager=True)
     cal_feat = (
         scored.select(
@@ -2934,9 +3041,7 @@ def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from covid_data_challenge_spark.functions.pmath import portable_exp
 
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats))
     p = (
         F.lit(1.0)
@@ -3064,9 +3169,7 @@ def q_corpus_prep_recipe_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     splits = {"train": 0.8, "val": 0.1, "test": 0.1}
     docs = _docs(spark, sf_dir)
-    feats = lr_features(
-        docs, is_target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    ).localCheckpoint(eager=True)
+    feats = _lr_feats(spark, sf_dir)
     scored = lr_score(feats, lr_train(feats))
     p = F.lit(1.0) / (
         F.lit(1.0)

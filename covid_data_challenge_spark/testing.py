@@ -17,10 +17,23 @@ from covid_data_challenge_spark.sources.readers import TESTDATA_TABLES
 
 
 def duckdb_connection(sf_dir: str):
-    """DuckDB connection with the driver's table views pre-registered."""
+    """DuckDB connection with the driver's table views pre-registered.
+
+    ``compressed_materialization`` and ``join_order`` are disabled:
+    both are PLANNER phases that go superlinear on the engine's giant
+    unrolled-CTE oracles (r13 profile: `unigram_lm_em_converged`'s
+    187 KB / 244-CTE oracle spent 234 s at sf0.001 — `EXPLAIN` alone
+    exceeded 115 s — vs 28 s with the two disabled, identical rows;
+    `corpus_prep_recipe_v5` 111 → 15 s, `embedding_top_pcs` 59 → 12 s).
+    The oracles are hand-written with sensible join orders over
+    gate-scale data, so the optimizer phases buy nothing here; results
+    are unaffected (verified by the full 332-query sweep)."""
     import duckdb
 
     con = duckdb.connect()
+    con.execute(
+        "SET disabled_optimizers='compressed_materialization,join_order'"
+    )
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import covid_data_challenge_spark.queries  # noqa: F401 — populate REGISTRY
 import covid_data_challenge_spark.queries_ext  # noqa: F401
 from covid_data_challenge_spark.registry import REGISTRY
@@ -15,6 +17,20 @@ from covid_data_challenge_spark.registry import REGISTRY
 def _plan(spark, df, mode: str = "formatted") -> str:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def all_simple_plans(spark, sf_dir):
+    """One registry-wide plan-build pass shared by the three whole-surface
+    audit sweeps below (r13: each sweep previously re-CONSTRUCTED all
+    ~212 queries — including the eager gold builds and the streaming
+    queries' own micro-batch actions — so three sweeps cost 311+247+245 s
+    of the suite's 50 min; one shared pass keeps identical coverage at a
+    third of the cost). name → 'simple'-mode physical plan."""
+    return {
+        name: _plan(spark, spec.spark(spark, sf_dir), "simple")
+        for name, spec in REGISTRY.items()
+    }
 
 
 def test_latest_per_key_is_partial_argmax_aggregate(spark, sf_dir):
@@ -60,13 +76,12 @@ def test_threshold_filter_pushes_down(spark, sf_dir):
     assert "o_totalprice" in plan.split("PushedFilters")[1].split("\n")[0]
 
 
-def test_parity_surface_has_no_python_udf(spark, sf_dir):
+def test_parity_surface_has_no_python_udf(all_simple_plans):
     """SURVEY §2 parity queries must stay JVM-side end to end (the only
     sanctioned Python is the multimodal mapInPandas stage)."""
-    for name, spec in REGISTRY.items():
+    for name, plan in all_simple_plans.items():
         if name.startswith("multimodal"):
             continue
-        plan = _plan(spark, spec.spark(spark, sf_dir), "simple")
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses an unexpected pandas UDF"
 
@@ -225,20 +240,19 @@ def test_capped_jaccard_has_no_self_join_and_two_scans(spark, sf_dir):
     assert "LeftSemi" in simple
 
 
-def test_no_cartesian_product_anywhere(spark, sf_dir):
+def test_no_cartesian_product_anywhere(all_simple_plans):
     """Registry-wide sweep: no query may plan a CartesianProduct — every
     join must have an equi-key or a broadcast side. (1-row scalar
     broadcasts plan as BroadcastNestedLoopJoin, which is fine; an
     unconstrained CartesianProduct at 100 TB is a job killer.)"""
-    for name, spec in REGISTRY.items():
+    for name, simple in all_simple_plans.items():
         if "stream" in name:
             continue  # streaming plans resolve at runtime
-        simple = _plan(spark, spec.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in simple, name
 
 
 def test_no_unsanctioned_python_and_no_unbounded_global_window_anywhere(
-    spark, sf_dir
+    all_simple_plans,
 ):
     """Registry-wide sweep with the SAME detectors as tools/plan_audit.py
     (imported, not copied — one source of truth): (a) every Python
@@ -261,10 +275,9 @@ def test_no_unsanctioned_python_and_no_unbounded_global_window_anywhere(
         python_sanctioned,
     )
 
-    for name, spec in REGISTRY.items():
+    for name, simple in all_simple_plans.items():
         if "stream" in name or name in _RUNS_OWN_ACTION:
             continue
-        simple = _plan(spark, spec.spark(spark, sf_dir), "simple")
         if python_eval_nodes(simple):
             assert python_sanctioned(name), (
                 f"{name} plans a Python evaluation node outside the "

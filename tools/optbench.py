@@ -24,7 +24,8 @@ import covid_data_challenge_spark.queries_ext  # noqa: E402,F401
 from covid_data_challenge_spark.queries import REGISTRY  # noqa: E402
 from covid_data_challenge_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+_ROUND = os.environ.get("SPARK_GRAFT_OPT_ROUND", "r13")
+PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", _ROUND)
 
 
 def main() -> None:

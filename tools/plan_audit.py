@@ -272,12 +272,19 @@ def main() -> int:
     # every engine-touching commit — the stamp guarantees a diff.
     import subprocess
 
-    head = subprocess.run(
+    proc = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         capture_output=True,
         text=True,
-    ).stdout.strip() or "unknown"
+    )
+    if proc.returncode != 0:
+        # ADVICE r12: a silent "unknown" stamp defeats the freshness
+        # gate's always-produces-a-diff guarantee — fail loudly instead.
+        raise RuntimeError(
+            f"git rev-parse failed (rc={proc.returncode}): {proc.stderr.strip()}"
+        )
+    head = proc.stdout.strip()
     lines = [
         "# PLAN_AUDIT — per-query shuffle budget (plans built at "
         f"{sf_dir}, AQE initial plans)",
