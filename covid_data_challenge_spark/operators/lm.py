@@ -469,14 +469,26 @@ def kneser_ney3_nll(
     continuation) that the bigram form has no occasion for.
     """
     tri = doc_trigrams(docs, id_col, text_col) if trigrams is None else trigrams
-    tri_counts = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("__k"))
+    # r13 (VERDICT r12 #4): checkpoint the COLLAPSED (doc, tri, __k)
+    # frame — the instance stream's only two consumers both aggregate,
+    # so materializing instances (r12's boundary) wrote corpus-scale
+    # strings to executor disk for nothing; tri_counts is the smaller
+    # frame and tt derives from it by count additivity (Σ per-doc
+    # counts = corpus count), deleting the second instance-scale pass
+    # (tokenize+explode now runs once, and tt's exchange ships
+    # (doc, tri) rows instead of raw instances).
+    tri_counts = (
+        tri.groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .localCheckpoint(eager=True)
+    )
     # the type table feeds SIX consumers (ctx3/coc3/cb and, via cb,
     # ctx2/coc2/uni/utot) — materialize the vocab-sized frame or every
-    # consumer re-shuffles the instance stream (measured 33.9 s → 6.4 s
-    # at sf0.01); same for the continuation table's four consumers
+    # consumer re-shuffles its input (measured 33.9 s → 6.4 s at
+    # sf0.01)
     tt = (
-        tri.groupBy("tri")
-        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        tri_counts.groupBy("tri")
+        .agg(F.sum("__k").cast("long").alias("c3"))
         .localCheckpoint(eager=True)
     )
     ctx3, coc3, cb, ctx2, coc2, uni, utot = kn3_model_from_tt(tt)

@@ -458,8 +458,12 @@ def unigram_em_converged(
     while True:
         rounds += 1
         # usage feeds BOTH the likelihood scalar and (maybe) the refit —
-        # checkpoint so the Viterbi segmentation runs once per round
-        used = _round_usage(wd, vocab).localCheckpoint(eager=True)
+        # checkpoint so the Viterbi segmentation runs once per round.
+        # LAZY (r13, VERDICT r12 #7): the very next statement's collect
+        # is the action that materializes it, so an eager checkpoint
+        # here only added a second Spark job per round for the same
+        # work; the refit path reads the persisted blocks either way.
+        used = _round_usage(wd, vocab).localCheckpoint(eager=False)
         ll_raw = (
             used.join(vocab.select("piece", "u"), "piece")
             .agg(F.sum(F.col("vc") * F.col("u")).cast("long"))

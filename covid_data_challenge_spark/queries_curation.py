@@ -2667,8 +2667,10 @@ def q_kneser_ney3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_data_challenge_spark.operators.lm import doc_trigrams, kneser_ney3_nll
 
     docs = _docs(spark, sf_dir)
-    tri = doc_trigrams(docs).localCheckpoint(eager=True)
-    return kneser_ney3_nll(docs, trigrams=tri)
+    # the instance stream is consumed exactly once inside (the operator
+    # checkpoints the collapsed (doc, tri, __k) frame instead — r13),
+    # so it stays lazy here
+    return kneser_ney3_nll(docs, trigrams=doc_trigrams(docs))
 
 
 @register(
