@@ -1396,78 +1396,6 @@ def test_unigram_em_round_matches_python_viterbi(spark):
             assert r.new_score_units == want, p
 
 
-def test_unigram_em_survives_backslash_quote_newline_corpus(spark):
-    """ADVICE r12 (high): Spark string literals process backslash
-    escapes, so `_vocab_map` must double backslashes BEFORE quote
-    doubling — a corpus backslash otherwise throws ParseException at
-    plan build, and a literal backslash-n piece silently parses to a
-    newline key (corrupting segmentation). Pin end-to-end: a corpus
-    whose tokens contain backslashes, single quotes, and literal \\n
-    sequences segments identically to the pure-Python replica."""
-    import math
-    from collections import Counter
-
-    from covid_data_challenge_spark.functions.pmath import portable_ln_py
-    from covid_data_challenge_spark.operators.unigram import (
-        MAX_PIECE,
-        VOCAB_TOP,
-        unigram_em_round,
-    )
-
-    rows = [
-        (1, r"a\b a\b c'd \n \n back\slash"),
-        (2, r"\\ 'quoted' a\b \n it's"),
-    ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.piece: r for r in unigram_em_round(docs).collect()}
-
-    # ---- replica (same DP as test_unigram_em_round_matches_python_viterbi)
-    wd = Counter(w for _, t in rows for w in t.lower().split())
-    pf = Counter()
-    for w, n in wd.items():
-        for s in range(len(w)):
-            for j in range(1, min(MAX_PIECE, len(w) - s) + 1):
-                pf[w[s : s + j]] += n
-    singles = {p: f for p, f in pf.items() if len(p) == 1}
-    multis = dict(
-        sorted(
-            ((p, f) for p, f in pf.items() if len(p) >= 2),
-            key=lambda kv: (-kv[1], kv[0]),
-        )[:VOCAB_TOP]
-    )
-    vocab = {**singles, **multis}
-    ftot = sum(vocab.values())
-    u = {
-        p: math.floor(1e6 * (portable_ln_py(float(f)) - portable_ln_py(float(ftot))))
-        for p, f in vocab.items()
-    }
-
-    def viterbi(w):
-        best = [(0, 0)]
-        for i in range(1, len(w) + 1):
-            cands = []
-            for j in range(1, min(MAX_PIECE, i) + 1):
-                piece = w[i - j : i]
-                if piece in u:
-                    cands.append((best[i - j][0] + u[piece], j))
-            best.append(max(cands))
-        out, pos = [], len(w)
-        while pos > 0:
-            j = best[pos][1]
-            out.append(w[pos - j : pos])
-            pos -= j
-        return out[::-1]
-
-    vc = Counter()
-    for w, n in wd.items():
-        for p in viterbi(w):
-            vc[p] += n
-
-    assert set(got) == set(vocab)
-    assert any("\\" in p for p in got), "fixture must exercise backslash pieces"
-    for p, r in got.items():
-        assert r.seed_freq == vocab[p], repr(p)
-        assert r.viterbi_count == vc.get(p, 0), repr(p)
     # semantics: frequent whole words are pieces and segment as themselves
     assert got["tab"].kept or got["table"].kept
     assert any(not r.kept for r in got.values())  # the prune set exists
@@ -1567,6 +1495,79 @@ def test_unigram_em_survives_backslash_quote_newline_corpus(spark):
         r.piece for r in unigram_em_rounds(docs, 2).collect()
     }
 
+
+def test_unigram_em_survives_backslash_quote_newline_corpus(spark):
+    """ADVICE r12 (high): Spark string literals process backslash
+    escapes, so `_vocab_map` must double backslashes BEFORE quote
+    doubling — a corpus backslash otherwise throws ParseException at
+    plan build, and a literal backslash-n piece silently parses to a
+    newline key (corrupting segmentation). Pin end-to-end: a corpus
+    whose tokens contain backslashes, single quotes, and literal \\n
+    sequences segments identically to the pure-Python replica."""
+    import math
+    from collections import Counter
+
+    from covid_data_challenge_spark.functions.pmath import portable_ln_py
+    from covid_data_challenge_spark.operators.unigram import (
+        MAX_PIECE,
+        VOCAB_TOP,
+        unigram_em_round,
+    )
+
+    rows = [
+        (1, r"a\b a\b c'd \n \n back\slash"),
+        (2, r"\\ 'quoted' a\b \n it's"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.piece: r for r in unigram_em_round(docs).collect()}
+
+    # ---- replica (same DP as test_unigram_em_round_matches_python_viterbi)
+    wd = Counter(w for _, t in rows for w in t.lower().split())
+    pf = Counter()
+    for w, n in wd.items():
+        for s in range(len(w)):
+            for j in range(1, min(MAX_PIECE, len(w) - s) + 1):
+                pf[w[s : s + j]] += n
+    singles = {p: f for p, f in pf.items() if len(p) == 1}
+    multis = dict(
+        sorted(
+            ((p, f) for p, f in pf.items() if len(p) >= 2),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:VOCAB_TOP]
+    )
+    vocab = {**singles, **multis}
+    ftot = sum(vocab.values())
+    u = {
+        p: math.floor(1e6 * (portable_ln_py(float(f)) - portable_ln_py(float(ftot))))
+        for p, f in vocab.items()
+    }
+
+    def viterbi(w):
+        best = [(0, 0)]
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in range(1, min(MAX_PIECE, i) + 1):
+                piece = w[i - j : i]
+                if piece in u:
+                    cands.append((best[i - j][0] + u[piece], j))
+            best.append(max(cands))
+        out, pos = [], len(w)
+        while pos > 0:
+            j = best[pos][1]
+            out.append(w[pos - j : pos])
+            pos -= j
+        return out[::-1]
+
+    vc = Counter()
+    for w, n in wd.items():
+        for p in viterbi(w):
+            vc[p] += n
+
+    assert set(got) == set(vocab)
+    assert any("\\" in p for p in got), "fixture must exercise backslash pieces"
+    for p, r in got.items():
+        assert r.seed_freq == vocab[p], repr(p)
+        assert r.viterbi_count == vc.get(p, 0), repr(p)
 
 def test_hybrid_rrf_top_doc_dominates_both_rankers(spark, monkeypatch):
     """RRF fusion (r6): a document that dominates BOTH rankers (every
